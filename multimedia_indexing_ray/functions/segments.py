@@ -1,0 +1,180 @@
+"""Vectorized segmented kernels over sorted conversation partitions.
+
+All kernels operate on numpy arrays for a batch that (a) contains whole
+conversations and (b) is sorted by ``(conv_id, ts, turn_idx)`` — the stable
+turn-ordering invariant (SURVEY.md §2.6 K6).  Conversations are identified
+by an int64 ``codes`` array (dense, nondecreasing under the sort).
+
+The design replaces the reference's record-at-a-time inner loops
+(`visual/aggregation/VladAggregator.java:35-70` accumulates one descriptor
+at a time; `visual/datastructures/Linear.java:138-163` scans one vector at
+a time) with O(n) segmented prefix-sum / searchsorted kernels:
+
+- ``adjusted_ts`` folds (conversation, ts) into ONE monotone int64 axis so
+  a single global ``np.searchsorted`` implements the gallop-search as-of
+  cursor and every sliding-window bound without per-conversation Python
+  loops.  This is the same trick the reference's flat ``iid*vectorLength``
+  array plays for scan locality (`Linear.java:32-34,143-161`).
+- window aggregates = prefix-sum differences (exact for integer-valued
+  float64 inputs below 2**53).
+
+Visibility rule everywhere: a row at ``ts`` sees rows of the same
+conversation with ``ts' <= ts`` (ties mutually visible; zero temporal
+leakage otherwise).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def segment_starts(codes: np.ndarray) -> np.ndarray:
+    """Start indices of each code segment (codes sorted nondecreasing)."""
+    n = len(codes)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    change = np.flatnonzero(codes[1:] != codes[:-1]) + 1
+    return np.concatenate([[0], change]).astype(np.int64)
+
+
+def segment_counts(starts: np.ndarray, n: int) -> np.ndarray:
+    return np.diff(np.concatenate([starts, [n]])).astype(np.int64)
+
+
+def rel_index(starts: np.ndarray, n: int) -> np.ndarray:
+    """0-based position of each row within its segment."""
+    counts = segment_counts(starts, n)
+    return np.arange(n, dtype=np.int64) - np.repeat(starts, counts)
+
+
+def seg_lag(x: np.ndarray, starts: np.ndarray, k: int, fill: float = 0.0) -> np.ndarray:
+    """x shifted k rows back within each segment; `fill` where unavailable."""
+    n = len(x)
+    out = np.empty(n, dtype=np.float64)
+    out[:k] = fill
+    if n > k:
+        out[k:] = x[:-k]
+    rel = rel_index(starts, n)
+    out[rel < k] = fill
+    return out
+
+
+def seg_lead(x: np.ndarray, starts: np.ndarray, k: int, fill: float = 0.0) -> np.ndarray:
+    """x shifted k rows forward within each segment (label-side feature)."""
+    n = len(x)
+    out = np.empty(n, dtype=np.float64)
+    if n > k:
+        out[:-k] = x[k:]
+    out[n - k :] = fill
+    counts = segment_counts(starts, n)
+    rel = rel_index(starts, n)
+    from_end = np.repeat(counts, counts) - 1 - rel
+    out[from_end < k] = fill
+    return out
+
+
+def seg_gap_us(ts_us: np.ndarray, starts: np.ndarray) -> np.ndarray:
+    """Inactivity gap in microseconds; 0 at each conversation's first row."""
+    n = len(ts_us)
+    gap = np.zeros(n, dtype=np.int64)
+    if n > 1:
+        gap[1:] = ts_us[1:] - ts_us[:-1]
+    gap[starts] = 0
+    return gap
+
+
+def seg_ffill(x: np.ndarray, valid: np.ndarray, starts: np.ndarray, fill: float = 0.0) -> np.ndarray:
+    """Forward-fill: last `valid` value within the segment, else `fill`.
+
+    The backfill primitive of the north_rule. O(n) via index carry.
+    """
+    n = len(x)
+    idx = np.where(valid, np.arange(n), -1)
+    # reset carry at segment starts: a start row may only use itself
+    seg_of = np.repeat(np.arange(len(starts)), segment_counts(starts, n))
+    # carry last valid index forward, but not across segments:
+    # encode (segment, idx) so accumulate can't cross segments
+    big = n + 1
+    key = np.where(idx >= 0, seg_of * big + idx, seg_of * big - 1)
+    np.maximum.accumulate(key, out=key)
+    got = key - seg_of * big
+    out = np.where(got >= 0, x[np.clip(got, 0, n - 1)], fill)
+    return out.astype(np.float64)
+
+
+def session_boundaries(gap_s: np.ndarray, starts: np.ndarray, threshold_s: float) -> np.ndarray:
+    """True where a NEW session starts: conversation start, or gap strictly
+    greater than the threshold (gap == threshold stays in-session)."""
+    b = gap_s > threshold_s
+    b[starts] = True
+    return b
+
+
+def group_index(boundaries: np.ndarray) -> np.ndarray:
+    """Dense 0-based group id per row from a boundary mask (True = start)."""
+    return np.cumsum(boundaries) - 1
+
+
+def group_start_rows(boundaries: np.ndarray) -> np.ndarray:
+    """Per-row index of the row's group start."""
+    starts = np.flatnonzero(boundaries)
+    return starts[group_index(boundaries)]
+
+
+def adjusted_ts(ts_us: np.ndarray, starts: np.ndarray, margin_us: int) -> np.ndarray:
+    """Fold (conversation, ts) into one strictly-segment-separated monotone
+    int64 axis: ord(conv) * step + (ts - conv_first_ts), with
+    step > max_span + margin so no window of width <= margin can cross a
+    conversation boundary.  Enables a single global searchsorted for as-of
+    cursors and window bounds (the gallop-search analog)."""
+    n = len(ts_us)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    counts = segment_counts(starts, n)
+    base = np.repeat(ts_us[starts], counts)
+    rel = ts_us - base
+    if rel.min() < 0:
+        raise ValueError("ts not sorted nondecreasing within segments")
+    span = int(rel.max()) if n else 0
+    step = span + int(margin_us) + 2
+    n_segs = len(starts)
+    if step * (n_segs + 1) >= 2**62:
+        raise OverflowError(
+            f"adjusted_ts overflow: {n_segs} segments x step {step}; "
+            "split the partition (smaller num_partitions per block)"
+        )
+    ordinal = np.repeat(np.arange(n_segs, dtype=np.int64), counts)
+    return ordinal * step + rel
+
+
+def visible_hi(ts_adj: np.ndarray) -> np.ndarray:
+    """For each row i: 1 + index of the LAST row with ts' <= ts_i (same
+    conversation guaranteed by adjusted_ts). Equal-ts rows are mutually
+    visible — the FIXTURES.md conv-000001 tie rule."""
+    return np.searchsorted(ts_adj, ts_adj, side="right")
+
+
+def sliding_lo(ts_adj: np.ndarray, width_us: int, closed: str = "right") -> np.ndarray:
+    """Index of the first row inside the sliding window ending at each row.
+
+    closed="right": window (t-W, t]   (engine default)
+    closed="both":  window [t-W, t]   (matches SQL RANGE frames)
+    """
+    side = "right" if closed == "right" else "left"
+    return np.searchsorted(ts_adj, ts_adj - int(width_us), side=side)
+
+
+def prefix_sums(values: np.ndarray) -> np.ndarray:
+    """(n, m) -> (n+1, m) exclusive prefix sums, float64."""
+    v = np.asarray(values, dtype=np.float64)
+    if v.ndim == 1:
+        v = v[:, None]
+    out = np.empty((v.shape[0] + 1, v.shape[1]), dtype=np.float64)
+    out[0] = 0.0
+    np.cumsum(v, axis=0, out=out[1:])
+    return out
+
+
+def range_sums(prefix: np.ndarray, lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
+    """Sum of rows [lo, hi) per output row, from exclusive prefix sums."""
+    return prefix[hi] - prefix[lo]

@@ -1,0 +1,89 @@
+"""Unit tests for the segmented numpy kernels on tiny hand-built arrays."""
+
+import numpy as np
+import pytest
+
+from multimedia_indexing_ray.functions import segments as sg
+
+
+CODES = np.array([0, 0, 0, 1, 1, 2])
+TS = np.array([10, 20, 40, 5, 6, 100], dtype=np.int64)
+
+
+def test_segment_starts():
+    np.testing.assert_array_equal(sg.segment_starts(CODES), [0, 3, 5])
+    assert sg.segment_starts(np.array([], dtype=int)).size == 0
+
+
+def test_rel_index():
+    starts = sg.segment_starts(CODES)
+    np.testing.assert_array_equal(sg.rel_index(starts, 6), [0, 1, 2, 0, 1, 0])
+
+
+def test_lag_lead():
+    starts = sg.segment_starts(CODES)
+    x = np.array([1.0, 2.0, 3.0, 4.0, 5.0, 6.0])
+    np.testing.assert_array_equal(sg.seg_lag(x, starts, 1, 0.0), [0, 1, 2, 0, 4, 0])
+    np.testing.assert_array_equal(sg.seg_lag(x, starts, 2, -1.0), [-1, -1, 1, -1, -1, -1])
+    np.testing.assert_array_equal(sg.seg_lead(x, starts, 1, 0.0), [2, 3, 0, 5, 0, 0])
+
+
+def test_gap():
+    starts = sg.segment_starts(CODES)
+    np.testing.assert_array_equal(sg.seg_gap_us(TS, starts), [0, 10, 20, 0, 1, 0])
+
+
+def test_ffill():
+    starts = sg.segment_starts(CODES)
+    x = np.array([1.0, 2.0, 3.0, 4.0, 5.0, 6.0])
+    valid = np.array([True, False, False, False, True, False])
+    # carries last valid value, resets at segment starts
+    np.testing.assert_array_equal(
+        sg.seg_ffill(x, valid, starts, fill=-9.0), [1, 1, 1, -9, 5, -9]
+    )
+
+
+def test_session_boundaries_threshold_not_strict():
+    starts = np.array([0])
+    gap = np.array([0.0, 10.0, 30.0, 30.0001])
+    b = sg.session_boundaries(gap, starts, 30.0)
+    np.testing.assert_array_equal(b, [True, False, False, True])  # == threshold stays
+
+
+def test_adjusted_ts_separates_conversations():
+    starts = sg.segment_starts(CODES)
+    adj = sg.adjusted_ts(TS, starts, margin_us=50)
+    assert np.all(np.diff(adj) > 0)
+    # window of width 50 can't reach across segments
+    assert adj[3] - adj[2] > 50
+
+
+def test_adjusted_ts_rejects_unsorted():
+    with pytest.raises(ValueError):
+        sg.adjusted_ts(np.array([10, 5], dtype=np.int64), np.array([0]), 10)
+
+
+def test_visible_hi_ties():
+    adj = np.array([1, 5, 5, 9], dtype=np.int64)
+    np.testing.assert_array_equal(sg.visible_hi(adj), [1, 3, 3, 4])
+
+
+def test_sliding_window_bounds():
+    adj = np.array([0, 10, 20, 30], dtype=np.int64)
+    lo_open = sg.sliding_lo(adj, 10, "right")  # (t-10, t]
+    np.testing.assert_array_equal(lo_open, [0, 1, 2, 3])
+    lo_closed = sg.sliding_lo(adj, 10, "both")  # [t-10, t]
+    np.testing.assert_array_equal(lo_closed, [0, 0, 1, 2])
+
+
+def test_prefix_range_sums():
+    vals = np.array([[1.0], [2.0], [3.0]])
+    p = sg.prefix_sums(vals)
+    np.testing.assert_array_equal(
+        sg.range_sums(p, np.array([0, 1, 0]), np.array([2, 3, 3]))[:, 0], [3, 5, 6]
+    )
+
+
+def test_group_start_rows():
+    b = np.array([True, False, True, True, False])
+    np.testing.assert_array_equal(sg.group_start_rows(b), [0, 0, 2, 3, 3])
