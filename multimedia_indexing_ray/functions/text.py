@@ -1,0 +1,144 @@
+"""Text analysis kernels: token stats, language-ID heuristic, quality,
+fingerprinting (rolling hash), shingles/minhash/simhash primitives.
+
+Large-scale training-data-pipeline operators (engine extensions beyond the
+reference; SURVEY.md §2 maps the reference's per-image descriptor stats
+`visual/extraction/AbstractFeatureExtractor.java:20-24` to per-document
+scalar features).  Counting kernels use RE2 via pyarrow.compute so a SQL
+oracle using the same RE2 patterns (DuckDB regexp_*) matches exactly.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+TOKEN_RE = r"\S+"
+PUNCT_RE = r"[.,!?;:]"
+STOPWORDS = ("the", "and", "of", "a", "to", "in", "is", "it")
+STOP_RE = r"\b(" + "|".join(STOPWORDS) + r")\b"
+
+# tiny per-language stopword lists for the n-gram/stopword language-ID
+# heuristic (deterministic; ties broken by this ordering)
+LANG_MARKERS = {
+    "en": ("the", "and", "of", "to", "is"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "fr": ("le", "la", "et", "les", "est"),
+    "es": ("el", "la", "que", "los", "es"),
+    "zh": ("de", "shi", "le", "zai", "he"),
+}
+
+
+def token_count(text) -> np.ndarray:
+    return pc.count_substring_regex(text, TOKEN_RE).to_numpy(zero_copy_only=False).astype(np.int64)
+
+
+def char_count(text) -> np.ndarray:
+    return pc.utf8_length(text).to_numpy(zero_copy_only=False).astype(np.int64)
+
+
+def punct_count(text) -> np.ndarray:
+    return pc.count_substring_regex(text, PUNCT_RE).to_numpy(zero_copy_only=False).astype(np.int64)
+
+
+def stopword_count(text) -> np.ndarray:
+    return pc.count_substring_regex(text, STOP_RE).to_numpy(zero_copy_only=False).astype(np.int64)
+
+
+def langid(text) -> np.ndarray:
+    """Stopword-marker language-ID heuristic; 'und' when no marker hits."""
+    scores = []
+    for lang, words in LANG_MARKERS.items():
+        patt = r"\b(" + "|".join(words) + r")\b"
+        scores.append(pc.count_substring_regex(text, patt).to_numpy(zero_copy_only=False))
+    mat = np.stack(scores, axis=1)
+    best = np.argmax(mat, axis=1)  # first max wins — deterministic tie rule
+    langs = np.array(list(LANG_MARKERS.keys()), dtype=object)
+    out = langs[best]
+    out[mat.max(axis=1) == 0] = "und"
+    return out
+
+
+def md5_fingerprint(texts: "list[str]") -> "list[str]":
+    """Exact content fingerprint (dedup key)."""
+    return [hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts]
+
+
+def _hash64(tokens: np.ndarray, seed: int) -> np.ndarray:
+    """Stable 64-bit hashes of a string array (seeded)."""
+    import pandas as pd
+
+    return pd.util.hash_array(tokens, hash_key=f"{seed:016d}"[:16], categorize=False)
+
+
+def tokenize(text: str) -> "list[str]":
+    import re
+
+    return re.findall(TOKEN_RE, text)
+
+
+def shingles(tokens: "list[str]", k: int = 3) -> "list[str]":
+    if len(tokens) < k:
+        return [" ".join(tokens)] if tokens else []
+    return [" ".join(tokens[i : i + k]) for i in range(len(tokens) - k + 1)]
+
+
+def minhash_signature(shingle_list: "list[str]", num_hashes: int = 64) -> np.ndarray:
+    """Min-wise signature via seeded 64-bit hash families (k=num_hashes).
+
+    One base hash per shingle + (a*h+b) universal rehash per family —
+    the standard mergeable-sketch construction."""
+    if not shingle_list:
+        return np.full(num_hashes, np.uint64(2**64 - 1), dtype=np.uint64)
+    base = _hash64(np.array(shingle_list, dtype=object), 0)
+    rng = np.random.default_rng(12345)
+    a = rng.integers(1, 2**61, num_hashes, dtype=np.uint64) | np.uint64(1)
+    b = rng.integers(0, 2**61, num_hashes, dtype=np.uint64)
+    # (num_hashes, n_shingles) universal hashing, wrap-around arithmetic
+    vals = (a[:, None] * base[None, :] + b[:, None])  # uint64 overflow wraps
+    return vals.min(axis=1)
+
+
+def simhash64(tokens: "list[str]") -> np.uint64:
+    """64-bit SimHash over token hashes (unweighted)."""
+    if not tokens:
+        return np.uint64(0)
+    h = _hash64(np.array(tokens, dtype=object), 7)
+    bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
+        np.int64
+    )
+    votes = (2 * bits - 1).sum(axis=0)
+    out = np.uint64(0)
+    for i in range(64):
+        if votes[i] > 0:
+            out |= np.uint64(1) << np.uint64(i)
+    return out
+
+
+def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    x = np.bitwise_xor(a, b)
+    return np.array([bin(int(v)).count("1") for v in np.atleast_1d(x)], dtype=np.int64)
+
+
+def winnow_fingerprints(text: str, k: int = 8, window: int = 4) -> "list[int]":
+    """Winnowing document fingerprint: k-gram rolling hashes, min per
+    window (Schleimer et al., SIGMOD 2003 — public algorithm)."""
+    if len(text) < k:
+        return []
+    grams = np.array([text[i : i + k] for i in range(len(text) - k + 1)], dtype=object)
+    h = _hash64(grams, 3).astype(np.uint64)
+    if len(h) <= window:
+        return [int(h.min())]
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    mins = sliding_window_view(h, window).min(axis=1)
+    return sorted(set(int(v) for v in mins))
+
+
+def jaccard(a: set, b: set) -> float:
+    if not a and not b:
+        return 1.0
+    return len(a & b) / len(a | b)

@@ -1,0 +1,677 @@
+"""Query registry: one entry per implemented operator/pipeline
+(SURVEY.md §2), each with an equivalent DuckDB oracle SQL where the
+semantics are SQL-expressible.
+
+Determinism rules so the driver's row-count + schema + value-hash compare
+is bit-exact:
+
+- integer outputs are int64; money/value sums use integer cents via
+  ``floor(x*100 + 0.5)`` computed identically in numpy and SQL (avoids
+  order-dependent float summation AND the np.round-half-even vs SQL
+  ROUND-half-away mismatch);
+- float outputs are either raw passthroughs or single divisions performed
+  in the same order on both sides;
+- every ordering has a total tie rule.
+
+Ray is NEVER initialised here — the driver owns the session.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Any, Callable, Dict, Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+from ray.data.aggregate import Count, Sum
+
+from multimedia_indexing_ray.sources.transcripts import events_to_transcripts
+from multimedia_indexing_ray.specs import DEFAULT_SPECS
+from multimedia_indexing_ray.stages import dedup as dd
+from multimedia_indexing_ray.stages import keyed as kd
+from multimedia_indexing_ray.stages import knn as nn
+from multimedia_indexing_ray.stages.asof_join import asof_join
+from multimedia_indexing_ray.stages.features import compute_features
+from multimedia_indexing_ray.stages.join import broadcast_join, hash_join
+
+
+@dataclass(frozen=True)
+class Query:
+    fn: Callable[[str], Any]
+    sql: Optional[str]  # None => driver records a weaker rows-only check
+
+
+REGISTRY: "Dict[str, Query]" = {}
+
+
+def register(name: str, sql: Optional[str] = None):
+    def deco(fn):
+        REGISTRY[name] = Query(fn, sql)
+        return fn
+
+    return deco
+
+
+def _rp(sf_dir: str, table: str, columns=None) -> "ray.data.Dataset":
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, f"{table}.parquet"), columns=columns
+    )
+
+
+def _pq(sf_dir: str, table: str, columns=None) -> pa.Table:
+    import pyarrow.parquet as pq
+
+    return pq.read_table(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+
+
+def _cents(arr: np.ndarray) -> np.ndarray:
+    """floor(x*100 + 0.5) — deterministic double->cents, same as the SQL."""
+    return np.floor(arr * 100.0 + 0.5)
+
+
+def _add_value_cents(batch: pa.Table) -> pa.Table:
+    v = batch["value"].to_numpy(zero_copy_only=False)
+    return batch.append_column("value_cents", pa.array(_cents(v), pa.float64()))
+
+
+_CENTS_SQL = "CAST(FLOOR({col}*100+0.5) AS BIGINT)"
+
+
+# --------------------------------------------------------------------------
+# keyed temporal operators over `events` (key = user_id; the conversation-
+# key analog; ordering tie rule = (ts, event_id) everywhere)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "turn_features",
+    """
+    SELECT event_id, user_id,
+      CAST(COALESCE(date_diff('microsecond', lag(ts) OVER w, ts), 0) AS BIGINT) AS gap_us,
+      CAST(row_number() OVER w - 1 AS BIGINT) AS rn
+    FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q_turn_features(sf_dir: str):
+    ev = _rp(sf_dir, "events", ["event_id", "user_id", "ts"])
+    return kd.keyed_turn_features(
+        ev, "user_id", "ts", tiebreak="event_id", id_cols=["event_id"]
+    )
+
+
+@register(
+    "sessionize_30m",
+    """
+    SELECT event_id, user_id,
+      CAST(SUM(CASE WHEN gap_us > 1800000000 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS session_id
+    FROM (SELECT *, COALESCE(date_diff('microsecond',
+            lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts), 0) AS gap_us
+          FROM events)
+    """,
+)
+def q_sessionize(sf_dir: str):
+    ev = _rp(sf_dir, "events", ["event_id", "user_id", "ts"])
+    return kd.keyed_sessionize(
+        ev, "user_id", "ts", gap_s=1800.0, tiebreak="event_id", id_cols=["event_id"]
+    )
+
+
+@register(
+    "lag_lead_value",
+    """
+    SELECT event_id, user_id,
+      COALESCE(lag(value, 1) OVER w, 0.0) AS lag1_value,
+      COALESCE(lag(value, 2) OVER w, 0.0) AS lag2_value,
+      COALESCE(lead(value, 1) OVER w, 0.0) AS lead1_value
+    FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q_lag_lead(sf_dir: str):
+    ev = _rp(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    return kd.keyed_lag_lead(
+        ev,
+        "user_id",
+        "ts",
+        "value",
+        lags=(1, 2),
+        leads=(1,),
+        fill=0.0,
+        tiebreak="event_id",
+        id_cols=["event_id"],
+    )
+
+
+@register(
+    "backfill_purchase",
+    """
+    SELECT event_id, user_id,
+      COALESCE(last_value(CASE WHEN event_type='purchase' THEN value END IGNORE NULLS)
+        OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0) AS last_purchase_value
+    FROM events
+    """,
+)
+def q_backfill(sf_dir: str):
+    ev = _rp(sf_dir, "events", ["event_id", "user_id", "ts", "value", "event_type"])
+    return kd.keyed_backfill(
+        ev,
+        "user_id",
+        "ts",
+        "value",
+        where_col="event_type",
+        where_value="purchase",
+        out_col="last_purchase_value",
+        fill=0.0,
+        tiebreak="event_id",
+        id_cols=["event_id"],
+    )
+
+
+@register(
+    "session_stats_30m",
+    f"""
+    SELECT user_id, session_id,
+      CAST(count(*) AS BIGINT) AS n_events,
+      CAST(date_diff('microsecond', min(ts), max(ts)) AS BIGINT) AS duration_us,
+      CAST(SUM({_CENTS_SQL.format(col='value')}) AS BIGINT) AS sum_value_cents
+    FROM (SELECT *, CAST(SUM(CASE WHEN gap_us > 1800000000 THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS session_id
+          FROM (SELECT *, COALESCE(date_diff('microsecond',
+                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts), 0) AS gap_us
+                FROM events))
+    GROUP BY 1, 2
+    """,
+)
+def q_session_stats(sf_dir: str):
+    ev = _rp(sf_dir, "events", ["event_id", "user_id", "ts", "value"]).map_batches(
+        _add_value_cents, batch_format="pyarrow"
+    )
+    out = kd.keyed_session_stats(
+        ev, "user_id", "ts", "value_cents", gap_s=1800.0, tiebreak="event_id"
+    )
+
+    def _finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "session_id": batch["session_id"],
+                "n_events": batch["n_events"],
+                "duration_us": batch["duration_us"],
+                "sum_value_cents": batch["sum_value_cents"].cast(pa.int64()),
+            }
+        )
+
+    return out.map_batches(_finish, batch_format="pyarrow")
+
+
+@register(
+    "sliding_1h",
+    f"""
+    SELECT event_id, user_id,
+      CAST(count(*) OVER w AS BIGINT) AS cnt_1h,
+      CAST(SUM({_CENTS_SQL.format(col='value')}) OVER w AS BIGINT) AS sum_value_cents_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_sliding(sf_dir: str):
+    ev = _rp(sf_dir, "events", ["event_id", "user_id", "ts", "value"]).map_batches(
+        _add_value_cents, batch_format="pyarrow"
+    )
+    out = kd.keyed_sliding(
+        ev,
+        "user_id",
+        "ts",
+        "value_cents",
+        width_s=3600.0,
+        closed="both",
+        tiebreak="event_id",
+        id_cols=["event_id"],
+    )
+
+    def _finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "user_id": batch["user_id"],
+                "cnt_1h": batch["cnt_value_cents"],
+                "sum_value_cents_1h": pa.array(
+                    batch["sum_value_cents"].to_numpy().astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return out.map_batches(_finish, batch_format="pyarrow")
+
+
+@register(
+    "tumbling_1h",
+    f"""
+    SELECT user_id, date_trunc('hour', ts) AS window_start,
+      CAST(count(*) AS BIGINT) AS n_events,
+      CAST(SUM({_CENTS_SQL.format(col='value')}) AS BIGINT) AS sum_value_cents
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_tumbling(sf_dir: str):
+    ev = _rp(sf_dir, "events", ["user_id", "ts", "value"]).map_batches(
+        _add_value_cents, batch_format="pyarrow"
+    )
+    out = kd.keyed_tumbling_agg(ev, "user_id", "ts", "value_cents", width_s=3600.0)
+
+    def _finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "window_start": batch["window_start"],
+                "n_events": batch["n_events"],
+                "sum_value_cents": pa.array(
+                    batch["sum_value_cents"].to_numpy().astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return out.map_batches(_finish, batch_format="pyarrow")
+
+
+@register(
+    "asof_purchase_before_error",
+    """
+    SELECT e.event_id, e.user_id, p.value AS asof_value, p.event_id AS asof_event_id
+    FROM events e LEFT JOIN LATERAL (
+      SELECT value, event_id FROM events p
+      WHERE p.user_id = e.user_id AND p.event_type = 'purchase' AND p.ts <= e.ts
+      ORDER BY p.ts DESC, p.event_id DESC LIMIT 1) p ON true
+    WHERE e.event_type = 'error'
+    """,
+)
+def q_asof(sf_dir: str):
+    ev = _rp(sf_dir, "events", ["event_id", "user_id", "ts", "value", "event_type"])
+    purchases = ev.filter(expr="event_type == 'purchase'").drop_columns(["event_type"])
+    errors = ev.filter(expr="event_type == 'error'").drop_columns(
+        ["event_type", "value"]
+    )
+    joined = asof_join(
+        purchases,
+        errors,
+        left_key="user_id",
+        left_on="ts",
+        tiebreak="event_id",
+        matched_prefix="asof_",
+        num_partitions=32,
+    )
+    return joined.select_columns(["event_id", "user_id", "asof_value", "asof_event_id"])
+
+
+# --------------------------------------------------------------------------
+# relational operators over the TPC-H-ish tables (groupby / join / top-k)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+      CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+      CAST(SUM(CAST(FLOOR(l_extendedprice*100+0.5) AS BIGINT)) AS BIGINT) AS sum_base_price_cents,
+      CAST(SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100+0.5) AS BIGINT)) AS BIGINT) AS sum_disc_price_cents,
+      CAST(count(*) AS BIGINT) AS count_order,
+      CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) / count(*) AS avg_qty
+    FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' GROUP BY 1, 2
+    """,
+)
+def q_pricing_summary(sf_dir: str):
+    li = _rp(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        m = pc.less_equal(batch["l_shipdate"], pa.scalar(np.datetime64("1998-09-02", "us")))
+        t = batch.filter(m)
+        df = t.select(["l_returnflag", "l_linestatus"]).to_pandas()
+        qty = t["l_quantity"].to_numpy()
+        price = t["l_extendedprice"].to_numpy()
+        disc = t["l_discount"].to_numpy()
+        df["sum_qty"] = qty.astype(np.int64)
+        df["sum_base_price_cents"] = _cents(price).astype(np.int64)
+        df["sum_disc_price_cents"] = _cents(price * (1 - disc)).astype(np.int64)
+        df["count_order"] = 1
+        g = (
+            df.groupby(["l_returnflag", "l_linestatus"], sort=False)
+            .sum()
+            .reset_index()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = li.map_batches(_partial, batch_format="pyarrow")
+    agg = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("sum_qty", alias_name="sum_qty"),
+        Sum("sum_base_price_cents", alias_name="sum_base_price_cents"),
+        Sum("sum_disc_price_cents", alias_name="sum_disc_price_cents"),
+        Sum("count_order", alias_name="count_order"),
+    )
+
+    def _finish(batch: pa.Table) -> pa.Table:
+        sq = batch["sum_qty"].to_numpy().astype(np.int64)
+        n = batch["count_order"].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "l_linestatus": batch["l_linestatus"],
+                "sum_qty": pa.array(sq, pa.int64()),
+                "sum_base_price_cents": batch["sum_base_price_cents"].cast(pa.int64()),
+                "sum_disc_price_cents": batch["sum_disc_price_cents"].cast(pa.int64()),
+                "count_order": pa.array(n, pa.int64()),
+                "avg_qty": pa.array(sq.astype(np.float64) / n, pa.float64()),
+            }
+        )
+
+    return agg.map_batches(_finish, batch_format="pyarrow")
+
+
+@register(
+    "top_customers",
+    """
+    SELECT c_custkey, c_name,
+      CAST(SUM(CAST(FLOOR(o_totalprice*100+0.5) AS BIGINT)) AS BIGINT) AS total_spend_cents
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY 1, 2 ORDER BY total_spend_cents DESC, c_custkey LIMIT 10
+    """,
+)
+def q_top_customers(sf_dir: str):
+    orders = _rp(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        df = batch.select(["o_custkey"]).to_pandas()
+        df["total_spend_cents"] = _cents(batch["o_totalprice"].to_numpy()).astype(np.int64)
+        g = df.groupby("o_custkey", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (
+        orders.map_batches(_partial, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Sum("total_spend_cents", alias_name="total_spend_cents"))
+    )
+    cust = _pq(sf_dir, "customer", ["c_custkey", "c_name"])
+    joined = broadcast_join(agg, cust, keys="o_custkey", right_keys="c_custkey")
+    top = joined.sort(["total_spend_cents", "o_custkey"], descending=[True, False]).limit(10)
+
+    def _finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_custkey": batch["o_custkey"],
+                "c_name": batch["c_name"],
+                "total_spend_cents": batch["total_spend_cents"].cast(pa.int64()),
+            }
+        )
+
+    return top.map_batches(_finish, batch_format="pyarrow")
+
+
+@register(
+    "region_revenue",
+    """
+    SELECT r_name,
+      CAST(SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100+0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+    FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+    GROUP BY 1
+    """,
+)
+def q_region_revenue(sf_dir: str):
+    li = _rp(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+    orders = _rp(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    # big x big: bucketed hash join; dims: one pre-joined broadcast map
+    li_ord = hash_join(li, orders, left_on="l_orderkey", right_on="o_orderkey", num_partitions=32)
+    cust = _pq(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    nation = _pq(sf_dir, "nation", ["n_nationkey", "n_regionkey"])
+    region = _pq(sf_dir, "region", ["r_regionkey", "r_name"])
+    dim = cust.join(nation, keys="c_nationkey", right_keys="n_nationkey").join(
+        region, keys="n_regionkey", right_keys="r_regionkey"
+    )
+    dim = dim.select(["c_custkey", "r_name"])
+    joined = broadcast_join(li_ord, dim, keys="o_custkey", right_keys="c_custkey")
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        df = batch.select(["r_name"]).to_pandas()
+        price = batch["l_extendedprice"].to_numpy()
+        disc = batch["l_discount"].to_numpy()
+        df["revenue_cents"] = _cents(price * (1 - disc)).astype(np.int64)
+        g = df.groupby("r_name", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (
+        joined.map_batches(_partial, batch_format="pyarrow")
+        .groupby("r_name")
+        .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
+    )
+
+    def _finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "r_name": batch["r_name"],
+                "revenue_cents": batch["revenue_cents"].cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(_finish, batch_format="pyarrow")
+
+
+@register(
+    "event_type_histogram",
+    "SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1",
+)
+def q_event_histogram(sf_dir: str):
+    ev = _rp(sf_dir, "events", ["event_type"])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby("event_type", sort=False).size().reset_index(name="n")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (
+        ev.map_batches(_partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    return agg.map_batches(
+        lambda b: pa.table({"event_type": b["event_type"], "n": b["n"].cast(pa.int64())}),
+        batch_format="pyarrow",
+    )
+
+
+@register("distinct_users", "SELECT DISTINCT user_id FROM events")
+def q_distinct_users(sf_dir: str):
+    vals = _rp(sf_dir, "events", ["user_id"]).unique("user_id")
+    return pa.table({"user_id": pa.array(sorted(vals), pa.int64())})
+
+
+# --------------------------------------------------------------------------
+# documents: dedup + text analysis
+# --------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact_docs",
+    """
+    SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id, CAST(count(*) AS BIGINT) AS n_copies
+    FROM documents GROUP BY text
+    """,
+)
+def q_dedup_exact(sf_dir: str):
+    docs = _rp(sf_dir, "documents", ["doc_id", "text"])
+    return dd.exact_dedup_stats(docs, "text", "doc_id", num_partitions=16)
+
+
+@register(
+    "text_quality",
+    r"""
+    SELECT doc_id,
+      CAST(length(text) AS BIGINT) AS n_chars,
+      CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+      CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS n_punct,
+      CAST(len(regexp_extract_all(text, '\b(the|and|of|a|to|in|is|it)\b')) AS BIGINT) AS stop_count
+    FROM documents
+    """,
+)
+def q_text_quality(sf_dir: str):
+    from multimedia_indexing_ray.functions import text as tx
+
+    docs = _rp(sf_dir, "documents", ["doc_id", "text"])
+
+    def _fn(batch: pa.Table) -> pa.Table:
+        text = batch["text"]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_chars": pa.array(tx.char_count(text), pa.int64()),
+                "n_tokens": pa.array(tx.token_count(text), pa.int64()),
+                "n_punct": pa.array(tx.punct_count(text), pa.int64()),
+                "stop_count": pa.array(tx.stopword_count(text), pa.int64()),
+            }
+        )
+
+    return docs.map_batches(_fn, batch_format="pyarrow")
+
+
+@register("doc_fingerprint", "SELECT doc_id, md5(text) AS fp FROM documents")
+def q_doc_fingerprint(sf_dir: str):
+    docs = _rp(sf_dir, "documents", ["doc_id", "text"])
+    return dd.add_fingerprint(docs, "text", "fp").select_columns(["doc_id", "fp"])
+
+
+@register(
+    "langid_docs",
+    r"""
+    WITH c AS (SELECT doc_id,
+      len(regexp_extract_all(text, '\b(the|and|of|to|is)\b')) AS en,
+      len(regexp_extract_all(text, '\b(der|die|und|das|ist)\b')) AS de,
+      len(regexp_extract_all(text, '\b(le|la|et|les|est)\b')) AS fr,
+      len(regexp_extract_all(text, '\b(el|la|que|los|es)\b')) AS es,
+      len(regexp_extract_all(text, '\b(de|shi|le|zai|he)\b')) AS zh
+    FROM documents)
+    SELECT doc_id, CASE
+      WHEN en=0 AND de=0 AND fr=0 AND es=0 AND zh=0 THEN 'und'
+      WHEN en>=de AND en>=fr AND en>=es AND en>=zh THEN 'en'
+      WHEN de>=fr AND de>=es AND de>=zh THEN 'de'
+      WHEN fr>=es AND fr>=zh THEN 'fr'
+      WHEN es>=zh THEN 'es'
+      ELSE 'zh' END AS lang_pred
+    FROM c
+    """,
+)
+def q_langid(sf_dir: str):
+    from multimedia_indexing_ray.functions.text import langid
+
+    docs = _rp(sf_dir, "documents", ["doc_id", "text"])
+
+    def _fn(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "lang_pred": pa.array(langid(batch["text"]), pa.string()),
+            }
+        )
+
+    return docs.map_batches(_fn, batch_format="pyarrow")
+
+
+# rows-only (non-SQL-expressible) document ops
+@register("minhash_dedup_docs")
+def q_minhash(sf_dir: str):
+    docs = _rp(sf_dir, "documents", ["doc_id", "text"])
+    return dd.minhash_lsh_pairs(
+        docs, "text", "doc_id", threshold=0.5, num_partitions=16, concurrency=2
+    )
+
+
+@register("simhash_docs")
+def q_simhash(sf_dir: str):
+    docs = _rp(sf_dir, "documents", ["doc_id", "text"])
+    return dd.simhash_table(docs, "text", "doc_id", concurrency=2)
+
+
+# --------------------------------------------------------------------------
+# embeddings: similarity search + near-dup
+# --------------------------------------------------------------------------
+
+
+def _query_vectors(sf_dir: str, n: int = 5):
+    emb = _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
+    emb = emb.take(pa.array(range(n)))
+    ids = emb["vec_id"].to_numpy()
+    mat = np.stack([np.asarray(v, dtype=np.float64) for v in emb["embedding"].to_pylist()])
+    return ids, mat
+
+
+@register(
+    "knn_cosine",
+    """
+    WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+               FROM embeddings WHERE vec_id < 5)
+    SELECT qid AS query_id, vec_id AS neighbor_id, CAST(rank AS BIGINT) AS rank FROM (
+      SELECT q.qid, e.vec_id,
+        row_number() OVER (PARTITION BY q.qid
+          ORDER BY list_cosine_similarity(qe, CAST(e.embedding AS DOUBLE[])) DESC, e.vec_id) AS rank
+      FROM q, embeddings e WHERE e.vec_id != q.qid)
+    WHERE rank <= 5
+    """,
+)
+def q_knn(sf_dir: str):
+    emb = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return nn.brute_force_knn(emb, _query_vectors(sf_dir, 5), "embedding", "vec_id", k=5)
+
+
+@register(
+    "embedding_neardup",
+    """
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(b.embedding AS DOUBLE[])) > 0.3
+    """,
+)
+def q_embedding_neardup(sf_dir: str):
+    emb = _rp(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+    return dd.embedding_neardup_pairs(
+        emb, "embedding", "vec_id", "label", threshold=0.3, num_partitions=8
+    )
+
+
+@register("ivf_knn_cosine")  # approximate — rows-only check
+def q_ivf_knn(sf_dir: str):
+    emb = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return nn.ivf_knn(emb, _query_vectors(sf_dir, 5), "embedding", "vec_id", k=5)
+
+
+# --------------------------------------------------------------------------
+# flagship: the transcript windowed-feature engine (events adapter)
+# --------------------------------------------------------------------------
+
+
+@register("flagship_features")  # 37-dim windowed vector — rows-only check
+def q_flagship(sf_dir: str):
+    ev = _rp(sf_dir, "events")
+    return compute_features(
+        events_to_transcripts(ev), DEFAULT_SPECS, num_partitions=32
+    )
+
+
+def queries() -> "Dict[str, Callable[[str], Any]]":
+    return {name: q.fn for name, q in REGISTRY.items()}
+
+
+def oracle_sql() -> "Dict[str, str]":
+    return {name: q.sql for name, q in REGISTRY.items() if q.sql is not None}

@@ -1,0 +1,189 @@
+"""Point-in-time as-of join — sort-within-partition merge with a
+searchsorted (gallop) cursor.
+
+The reference's only "join" is nearest-neighbour in vector space
+(`visual/datastructures/Linear.java:138-163` exhaustive scan;
+`visual/datastructures/IVFPQ.java:408-450` partition-pruned probe).  The
+transcript engine's analog is temporal: for each right-side row
+``(key, t)`` find the LAST left-side row of the same key with
+``t' <= t`` (or ``t' < t`` when ``allow_exact_matches=False``), ties on
+equal ``t'`` resolved by the highest tiebreaker — fixed, tested rule
+(SURVEY.md §7.3).
+
+Physical plan: both sides are hash-partitioned on the key (ONE shuffle,
+same partitioner as the feature engine), tagged, unioned, and each
+partition group is merged with one global ``np.searchsorted`` over a
+conversation-separated monotone time axis — no per-key Python loops.
+Zero temporal leakage: a right row can never see a left row with
+``t' > t``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from multimedia_indexing_ray.stages.partition import (
+    DEFAULT_NUM_PARTITIONS,
+    PART_COL,
+    partition_ids,
+)
+
+SIDE_COL = "__side"
+
+
+def _prep_side(
+    ds: "ray.data.Dataset",
+    key: str,
+    on: str,
+    side: int,
+    all_fields: "list[pa.Field]",
+    num_partitions: int,
+) -> "ray.data.Dataset":
+    """Rename key/on to unified names, add side tag + partition id, and
+    pad to the union schema with typed nulls."""
+
+    def _fn(batch: pa.Table) -> pa.Table:
+        cols: dict = {}
+        n = batch.num_rows
+        for f in all_fields:
+            if f.name == "__k":
+                src = batch[key]
+                cols["__k"] = src.cast(f.type)
+            elif f.name == "__t":
+                cols["__t"] = batch[on].cast(f.type)
+            elif f.name in batch.column_names and f.name not in (key, on):
+                cols[f.name] = batch[f.name].cast(f.type)
+            else:
+                cols[f.name] = pa.nulls(n, f.type)
+        cols[SIDE_COL] = pa.array(np.full(n, side, dtype=np.int8))
+        keys = cols["__k"].to_numpy(zero_copy_only=False)
+        cols[PART_COL] = pa.array(partition_ids(keys, num_partitions))
+        return pa.table(cols)
+
+    return ds.map_batches(_fn, batch_format="pyarrow")
+
+
+def asof_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    left_key: str = "conv_id",
+    left_on: str = "ts",
+    right_key: Optional[str] = None,
+    right_on: Optional[str] = None,
+    tiebreak: Optional[str] = "turn_idx",
+    allow_exact_matches: bool = True,
+    matched_prefix: str = "matched_",
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+    keep_unmatched: bool = True,
+) -> "ray.data.Dataset":
+    """As-of join: attach, to every right row, the columns of the last
+    left row with the same key and ``left_on <= right_on``.
+
+    Output: right columns (original names) + left columns prefixed with
+    ``matched_prefix``.  Unmatched right rows keep typed nulls (or are
+    dropped when ``keep_unmatched=False`` — SQL inner-asof semantics).
+    """
+    right_key = right_key or left_key
+    right_on = right_on or left_on
+
+    l_schema = left.schema()
+    r_schema = right.schema()
+    l_fields = {n: t for n, t in zip(l_schema.names, l_schema.types)}
+    r_fields = {n: t for n, t in zip(r_schema.names, r_schema.types)}
+
+    key_type = l_fields[left_key]
+    on_type = l_fields[left_on]
+    left_payload = [n for n in l_schema.names if n not in (left_key,)]
+    right_payload = [n for n in r_schema.names if n not in (right_key, right_on)]
+
+    # union schema: __k, __t, left payload (renamed __l_*), right payload
+    fields: "list[pa.Field]" = [pa.field("__k", key_type), pa.field("__t", on_type)]
+    for n in left_payload:
+        if n != left_on:
+            fields.append(pa.field(f"__l_{n}", l_fields[n]))
+    for n in right_payload:
+        fields.append(pa.field(n, r_fields[n]))
+
+    def _rename_left(batch: pa.Table) -> pa.Table:
+        cols = {("__l_" + n if n not in (left_key, left_on) else n): batch[n] for n in batch.column_names}
+        return pa.table(cols)
+
+    lds = _prep_side(
+        left.map_batches(_rename_left, batch_format="pyarrow"),
+        left_key,
+        left_on,
+        0,
+        fields,
+        num_partitions,
+    )
+    rds = _prep_side(right, right_key, right_on, 1, fields, num_partitions)
+    unioned = lds.union(rds)
+
+    l_out_names = [n for n in left_payload if n != left_on]
+    side_of = "right" if allow_exact_matches else "left"
+
+    def _merge(table: pa.Table) -> pa.Table:
+        table = table.drop_columns([PART_COL])
+        side = table[SIDE_COL].to_numpy(zero_copy_only=False)
+        lt = table.filter(pc.equal(table[SIDE_COL], 0))
+        rt = table.filter(pc.equal(table[SIDE_COL], 1))
+        # sort left by (key, t, tiebreak)
+        sort_keys = [("__k", "ascending"), ("__t", "ascending")]
+        tb_col = f"__l_{tiebreak}" if tiebreak else None
+        if tb_col and tb_col in lt.column_names:
+            sort_keys.append((tb_col, "ascending"))
+        lt = lt.take(pc.sort_indices(lt, sort_keys=sort_keys))
+
+        k_l = lt["__k"].to_numpy(zero_copy_only=False)
+        k_r = rt["__k"].to_numpy(zero_copy_only=False)
+        t_l = lt["__t"].cast(pa.int64()).to_numpy() if lt.num_rows else np.empty(0, np.int64)
+        t_r = rt["__t"].cast(pa.int64()).to_numpy() if rt.num_rows else np.empty(0, np.int64)
+
+        # shared dense codes across both sides
+        cats = np.unique(np.concatenate([k_l, k_r]))
+        c_l = np.searchsorted(cats, k_l)
+        c_r = np.searchsorted(cats, k_r)
+        # per-code min t over both sides -> overflow-safe adjusted axis
+        base = np.full(len(cats), np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(base, c_l, t_l)
+        np.minimum.at(base, c_r, t_r)
+        rel_l = t_l - base[c_l]
+        rel_r = t_r - base[c_r]
+        span = int(max(rel_l.max(initial=0), rel_r.max(initial=0)))
+        step = span + 2
+        if step * (len(cats) + 1) >= 2**62:
+            raise OverflowError("asof_join adjusted axis overflow; raise num_partitions")
+        adj_l = c_l * step + rel_l
+        adj_r = c_r * step + rel_r
+
+        idx = np.searchsorted(adj_l, adj_r, side=side_of) - 1
+        clamped = np.clip(idx, 0, max(len(adj_l) - 1, 0))
+        valid = (idx >= 0) & (len(adj_l) > 0)
+        if len(adj_l):
+            valid &= c_l[clamped] == c_r
+
+        out_cols: dict = {right_key: rt["__k"], right_on: rt["__t"]}
+        for n in right_payload:
+            out_cols[n] = rt[n]
+        vmask = pa.array(valid)
+        take_idx = pa.array(clamped.astype(np.int64))
+        for n in [left_on] + l_out_names:
+            src = lt["__t"] if n == left_on else lt[f"__l_{n}"]
+            if lt.num_rows:
+                taken = src.take(take_idx).combine_chunks()
+                col = pc.if_else(vmask, taken, pa.scalar(None, src.type))
+            else:
+                col = pa.nulls(rt.num_rows, src.type)
+            out_cols[f"{matched_prefix}{n}"] = col
+        out = pa.table(out_cols)
+        if not keep_unmatched:
+            out = out.filter(vmask)
+        return out
+
+    return unioned.groupby(PART_COL).map_groups(_merge, batch_format="pyarrow")

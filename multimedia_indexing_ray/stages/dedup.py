@@ -1,0 +1,315 @@
+"""Deduplication operators: exact, key-based, MinHash-LSH, SimHash,
+embedding near-dup.
+
+The reference's only dedup is the exact already-indexed gate
+(`visual/datastructures/AbstractSearchStructure.java:237-240` +
+`visual/examples/FolderIndexingMT.java:109-112`); the approximate family
+here is the training-data-pipeline extension (public algorithms: Broder
+minhash/LSH, Charikar simhash).
+
+Scale notes: every variant is ONE shuffle on a content/bucket hash with
+vectorized per-batch sketching before it; sketches are carried through the
+shuffle instead of text wherever possible.
+"""
+
+from __future__ import annotations
+
+from itertools import combinations
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from multimedia_indexing_ray.functions import text as tx
+from multimedia_indexing_ray.stages.partition import (
+    DEFAULT_NUM_PARTITIONS,
+    map_partitions_by_key,
+    stable_hash,
+)
+
+
+def add_fingerprint(ds: "ray.data.Dataset", text_col: str, out_col: str = "fp") -> "ray.data.Dataset":
+    def _fn(batch: pa.Table) -> pa.Table:
+        fps = tx.md5_fingerprint(batch[text_col].to_pylist())
+        return batch.append_column(out_col, pa.array(fps, pa.string()))
+
+    return ds.map_batches(_fn, batch_format="pyarrow")
+
+
+def exact_dedup_stats(
+    ds: "ray.data.Dataset",
+    text_col: str,
+    id_col: str,
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+) -> "ray.data.Dataset":
+    """Per distinct text: MIN(id) and copy count.  Hash-partition on the
+    md5 fingerprint; group on the full text within partition (collision
+    safe)."""
+    with_fp = add_fingerprint(ds, text_col)
+
+    def kernel(table: pa.Table) -> pa.Table:
+        df = table.select([id_col, text_col]).to_pandas()
+        g = df.groupby(text_col, sort=False)[id_col].agg(["min", "size"]).reset_index()
+        return pa.table(
+            {
+                id_col: pa.array(g["min"].to_numpy(), pa.int64()),
+                "n_copies": pa.array(g["size"].to_numpy(), pa.int64()),
+            }
+        )
+
+    return map_partitions_by_key(with_fp, "fp", kernel, num_partitions)
+
+
+def dedup_by_key(
+    ds: "ray.data.Dataset",
+    keys: Sequence[str],
+    order_by: Sequence[str],
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+) -> "ray.data.Dataset":
+    """Keep the FIRST row per key group under `order_by` — the idempotent
+    ingest gate (FIXTURES.md T3: first-by-ts wins on duplicated
+    (conv_id, turn_idx))."""
+    keys = list(keys)
+
+    def _add_gkey(batch: pa.Table) -> pa.Table:
+        h = np.zeros(batch.num_rows, dtype=np.uint64)
+        for k in keys:
+            h = h * np.uint64(1000003) ^ stable_hash(batch[k].to_numpy(zero_copy_only=False))
+        return batch.append_column("__gkey", pa.array(h.astype(np.int64)))
+
+    def kernel(table: pa.Table) -> pa.Table:
+        sort_keys = [(k, "ascending") for k in [*keys, *order_by]]
+        t = table.take(pc.sort_indices(table, sort_keys=sort_keys))
+        df_keys = [t[k].to_numpy(zero_copy_only=False) for k in keys]
+        change = np.zeros(t.num_rows, dtype=bool)
+        if t.num_rows:
+            change[0] = True
+            for arr in df_keys:
+                change[1:] |= arr[1:] != arr[:-1]
+        return t.filter(pa.array(change)).drop_columns(["__gkey"])
+
+    return map_partitions_by_key(ds.map_batches(_add_gkey, batch_format="pyarrow"), "__gkey", kernel, num_partitions)
+
+
+class MinHashSketcher:
+    """Actor-pool stage: per-doc minhash signatures + LSH band explosion.
+
+    State (hash family) built once per actor (`__init__`) — the codebook-
+    singleton pattern (`visual/vectorization/ImageVectorization.java:52-65`).
+    """
+
+    def __init__(self, text_col: str, id_col: str, num_hashes: int = 64, bands: int = 16, shingle_k: int = 3):
+        self.text_col = text_col
+        self.id_col = id_col
+        self.num_hashes = num_hashes
+        self.bands = bands
+        self.rows_per_band = num_hashes // bands
+        self.shingle_k = shingle_k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, band_ids, band_hashes, sigs = [], [], [], []
+        texts = batch[self.text_col].to_pylist()
+        id_vals = batch[self.id_col].to_pylist()
+        for doc_id, text in zip(id_vals, texts):
+            sig = tx.minhash_signature(
+                tx.shingles(tx.tokenize(text), self.shingle_k), self.num_hashes
+            )
+            sig_bytes = sig.tobytes()
+            for b in range(self.bands):
+                chunk = sig[b * self.rows_per_band : (b + 1) * self.rows_per_band]
+                import hashlib
+
+                digest = hashlib.blake2b(chunk.tobytes(), digest_size=8).digest()
+                ids.append(doc_id)
+                band_ids.append(b)
+                band_hashes.append(int.from_bytes(digest, "little") & 0x7FFFFFFFFFFFFFFF)
+                sigs.append(sig_bytes)
+        return pa.table(
+            {
+                self.id_col: pa.array(ids, pa.int64()),
+                "band_id": pa.array(band_ids, pa.int32()),
+                "band_hash": pa.array(band_hashes, pa.int64()),
+                "sig": pa.array(sigs, pa.binary()),
+            }
+        )
+
+
+def minhash_lsh_pairs(
+    ds: "ray.data.Dataset",
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    threshold: float = 0.8,
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+    concurrency: int = 4,
+) -> "ray.data.Dataset":
+    """Candidate near-duplicate pairs (a_id < b_id) whose signature-
+    estimated Jaccard >= threshold.  shingle->minhash->band->bucket
+    groupby->verify, signatures carried through the shuffle (no text)."""
+    exploded = ds.map_batches(
+        MinHashSketcher(text_col, id_col, num_hashes, bands, shingle_k),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+    def _bucket_key(batch: pa.Table) -> pa.Table:
+        h = stable_hash(batch["band_id"].to_numpy()) * np.uint64(31) ^ stable_hash(
+            batch["band_hash"].to_numpy()
+        )
+        return batch.append_column("__bkey", pa.array(h.astype(np.int64)))
+
+    def kernel(table: pa.Table) -> pa.Table:
+        df = table.to_pandas()
+        a_ids, b_ids, est = [], [], []
+        for (_, _), g in df.groupby(["band_id", "band_hash"], sort=False):
+            if len(g) < 2:
+                continue
+            uniq = g.drop_duplicates(subset=[id_col]).sort_values(id_col)
+            recs = list(zip(uniq[id_col], uniq["sig"]))
+            for (ia, sa), (ib, sb) in combinations(recs, 2):
+                va = np.frombuffer(sa, dtype=np.uint64)
+                vb = np.frombuffer(sb, dtype=np.uint64)
+                e = float((va == vb).mean())
+                if e >= threshold:
+                    a_ids.append(ia)
+                    b_ids.append(ib)
+                    est.append(e)
+        return pa.table(
+            {
+                "a_id": pa.array(a_ids, pa.int64()),
+                "b_id": pa.array(b_ids, pa.int64()),
+                "est_jaccard": pa.array(est, pa.float64()),
+            }
+        )
+
+    pairs = map_partitions_by_key(
+        exploded.map_batches(_bucket_key, batch_format="pyarrow"), "__bkey", kernel, num_partitions
+    )
+    # same pair can surface from multiple bands -> exact dedup on the pair
+    return dedup_by_key(pairs, ["a_id", "b_id"], ["est_jaccard"], num_partitions)
+
+
+class SimHasher:
+    """Actor-pool stage computing 64-bit SimHash per document."""
+
+    def __init__(self, text_col: str, id_col: str):
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_col].to_pylist()
+        hashes = [int(tx.simhash64(tx.tokenize(t))) for t in texts]
+        return pa.table(
+            {
+                self.id_col: batch[self.id_col],
+                "simhash": pa.array(np.array(hashes, dtype=np.uint64).astype(np.int64)),
+            }
+        )
+
+
+def simhash_table(ds: "ray.data.Dataset", text_col: str, id_col: str, concurrency: int = 4) -> "ray.data.Dataset":
+    return ds.map_batches(SimHasher(text_col, id_col), batch_format="pyarrow", concurrency=concurrency)
+
+
+def simhash_pairs(
+    ds: "ray.data.Dataset",
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+) -> "ray.data.Dataset":
+    """Near-dup pairs by SimHash: band on 4x16-bit chunks (any pair within
+    hamming<=3 of a 64-bit hash shares at least one exact 16-bit chunk),
+    verify hamming distance in-bucket."""
+    sims = simhash_table(ds, text_col, id_col)
+
+    def _explode(batch: pa.Table) -> pa.Table:
+        h = batch["simhash"].to_numpy().astype(np.uint64)
+        ids = batch[id_col].to_numpy()
+        out_id, out_chunk, out_key, out_h = [], [], [], []
+        for c in range(4):
+            chunk = (h >> np.uint64(16 * c)) & np.uint64(0xFFFF)
+            out_id.append(ids)
+            out_chunk.append(np.full(len(h), c, dtype=np.int64))
+            out_key.append(chunk.astype(np.int64) * 4 + c)
+            out_h.append(h)
+        return pa.table(
+            {
+                id_col: pa.array(np.concatenate(out_id), pa.int64()),
+                "bucket": pa.array(np.concatenate(out_key), pa.int64()),
+                "simhash": pa.array(np.concatenate(out_h).astype(np.int64)),
+            }
+        )
+
+    def kernel(table: pa.Table) -> pa.Table:
+        df = table.to_pandas()
+        a_ids, b_ids, dist = [], [], []
+        for _, g in df.groupby("bucket", sort=False):
+            if len(g) < 2:
+                continue
+            uniq = g.drop_duplicates(subset=[id_col]).sort_values(id_col)
+            recs = list(zip(uniq[id_col], uniq["simhash"].astype(np.uint64)))
+            for (ia, ha), (ib, hb) in combinations(recs, 2):
+                d = int(tx.hamming64(np.array([ha]), np.array([hb]))[0])
+                if d <= max_hamming:
+                    a_ids.append(int(ia))
+                    b_ids.append(int(ib))
+                    dist.append(d)
+        return pa.table(
+            {
+                "a_id": pa.array(a_ids, pa.int64()),
+                "b_id": pa.array(b_ids, pa.int64()),
+                "hamming": pa.array(dist, pa.int64()),
+            }
+        )
+
+    pairs = map_partitions_by_key(
+        sims.map_batches(_explode, batch_format="pyarrow"), "bucket", kernel, num_partitions
+    )
+    return dedup_by_key(pairs, ["a_id", "b_id"], ["hamming"], num_partitions)
+
+
+def embedding_neardup_pairs(
+    ds: "ray.data.Dataset",
+    vec_col: str,
+    id_col: str,
+    block_col: str,
+    threshold: float = 0.95,
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+) -> "ray.data.Dataset":
+    """Near-duplicate pairs by embedding cosine within a blocking key
+    (e.g. label or LSH bucket): all-pairs cosine per block, vectorized."""
+
+    def kernel(table: pa.Table) -> pa.Table:
+        # a hash partition may hold several blocks — group per block value
+        t = table.take(
+            pc.sort_indices(table, sort_keys=[(block_col, "ascending"), (id_col, "ascending")])
+        )
+        blocks = t[block_col].to_numpy(zero_copy_only=False)
+        ids_all = t[id_col].to_numpy()
+        mat_all = np.stack([np.asarray(v, dtype=np.float64) for v in t[vec_col].to_pylist()])
+        a_out, b_out = [], []
+        bstarts = np.concatenate(
+            [[0], np.flatnonzero(blocks[1:] != blocks[:-1]) + 1, [len(blocks)]]
+        )
+        for s, e in zip(bstarts[:-1], bstarts[1:]):
+            ids, mat = ids_all[s:e], mat_all[s:e]
+            norms = np.linalg.norm(mat, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            unit = mat / norms
+            sims = unit @ unit.T
+            iu = np.triu_indices(len(ids), k=1)
+            mask = sims[iu] > threshold
+            a_out.append(ids[iu[0][mask]])
+            b_out.append(ids[iu[1][mask]])
+        a = np.concatenate(a_out) if a_out else np.empty(0, np.int64)
+        b = np.concatenate(b_out) if b_out else np.empty(0, np.int64)
+        return pa.table({"a_id": pa.array(a, pa.int64()), "b_id": pa.array(b, pa.int64())})
+
+    return map_partitions_by_key(ds, block_col, kernel, num_partitions)

@@ -1,0 +1,279 @@
+"""Generic keyed temporal operators over any (key, ts) table.
+
+The transcript feature engine (stages/features.py) is specialised to the
+transcript schema; these are the same segmented kernels exposed over an
+arbitrary keyed event table — one hash-partition shuffle on the key, then
+vectorized per-partition numpy (SURVEY.md §2.5 A1 "sort-within-partition +
+vectorized segmented reduction" mapping).
+
+Integer outputs are int64 and time deltas stay in microseconds so results
+are bit-identical to a SQL oracle (no float round-trips).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from multimedia_indexing_ray.functions import segments as sg
+from multimedia_indexing_ray.stages.partition import (
+    DEFAULT_NUM_PARTITIONS,
+    map_partitions_by_key,
+)
+
+_US = 1_000_000
+
+
+def _sort_table(table: pa.Table, key: str, on: str, tiebreak: Optional[str]) -> pa.Table:
+    keys = [(key, "ascending"), (on, "ascending")]
+    if tiebreak:
+        keys.append((tiebreak, "ascending"))
+    return table.take(pc.sort_indices(table, sort_keys=keys))
+
+
+def _codes(table: pa.Table, key: str) -> np.ndarray:
+    return pc.dictionary_encode(table[key].combine_chunks()).indices.to_numpy()
+
+
+def _ts_us(table: pa.Table, on: str) -> np.ndarray:
+    return table[on].cast(pa.int64()).to_numpy()
+
+
+def keyed_turn_features(
+    ds: "ray.data.Dataset",
+    key: str,
+    on: str,
+    tiebreak: Optional[str] = None,
+    id_cols: Sequence[str] = (),
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+) -> "ray.data.Dataset":
+    """Per-row gap_us (0 at first row of key) and rn (0-based row number
+    under (key, on, tiebreak) ordering)."""
+
+    def kernel(table: pa.Table) -> pa.Table:
+        t = _sort_table(table, key, on, tiebreak)
+        codes = _codes(t, key)
+        starts = sg.segment_starts(codes)
+        gap = sg.seg_gap_us(_ts_us(t, on), starts)
+        rn = sg.rel_index(starts, t.num_rows)
+        cols = {c: t[c] for c in [*id_cols, key] if c in t.column_names}
+        cols["gap_us"] = pa.array(gap, pa.int64())
+        cols["rn"] = pa.array(rn, pa.int64())
+        return pa.table(cols)
+
+    return map_partitions_by_key(ds, key, kernel, num_partitions)
+
+
+def keyed_sessionize(
+    ds: "ray.data.Dataset",
+    key: str,
+    on: str,
+    gap_s: float,
+    tiebreak: Optional[str] = None,
+    id_cols: Sequence[str] = (),
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+) -> "ray.data.Dataset":
+    """0-based session ordinal per key; new session iff gap STRICTLY
+    exceeds the threshold (inactivity-gap sessionization)."""
+    thr_us = int(gap_s * _US)
+
+    def kernel(table: pa.Table) -> pa.Table:
+        t = _sort_table(table, key, on, tiebreak)
+        codes = _codes(t, key)
+        starts = sg.segment_starts(codes)
+        gap = sg.seg_gap_us(_ts_us(t, on), starts)
+        bound = sg.session_boundaries(gap.astype(np.float64), starts, float(thr_us))
+        gid = sg.group_index(bound)
+        conv_bound = np.zeros(t.num_rows, dtype=bool)
+        conv_bound[starts] = True
+        gid0 = gid[sg.group_start_rows(conv_bound)]
+        cols = {c: t[c] for c in [*id_cols, key] if c in t.column_names}
+        cols["session_id"] = pa.array((gid - gid0).astype(np.int64), pa.int64())
+        return pa.table(cols)
+
+    return map_partitions_by_key(ds, key, kernel, num_partitions)
+
+
+def keyed_lag_lead(
+    ds: "ray.data.Dataset",
+    key: str,
+    on: str,
+    value_col: str,
+    lags: Sequence[int] = (1,),
+    leads: Sequence[int] = (),
+    fill: float = 0.0,
+    tiebreak: Optional[str] = None,
+    id_cols: Sequence[str] = (),
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+) -> "ray.data.Dataset":
+    def kernel(table: pa.Table) -> pa.Table:
+        t = _sort_table(table, key, on, tiebreak)
+        codes = _codes(t, key)
+        starts = sg.segment_starts(codes)
+        x = t[value_col].cast(pa.float64()).to_numpy()
+        cols = {c: t[c] for c in [*id_cols, key] if c in t.column_names}
+        for k in lags:
+            cols[f"lag{k}_{value_col}"] = pa.array(sg.seg_lag(x, starts, k, fill))
+        for k in leads:
+            cols[f"lead{k}_{value_col}"] = pa.array(sg.seg_lead(x, starts, k, fill))
+        return pa.table(cols)
+
+    return map_partitions_by_key(ds, key, kernel, num_partitions)
+
+
+def keyed_backfill(
+    ds: "ray.data.Dataset",
+    key: str,
+    on: str,
+    value_col: str,
+    where_col: str,
+    where_value: str,
+    out_col: str,
+    fill: float = 0.0,
+    tiebreak: Optional[str] = None,
+    id_cols: Sequence[str] = (),
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+) -> "ray.data.Dataset":
+    """Carry forward the last value where ``where_col == where_value``
+    (the backfill/fill-forward primitive)."""
+
+    def kernel(table: pa.Table) -> pa.Table:
+        t = _sort_table(table, key, on, tiebreak)
+        codes = _codes(t, key)
+        starts = sg.segment_starts(codes)
+        x = t[value_col].cast(pa.float64()).to_numpy(zero_copy_only=False)
+        valid = pc.equal(t[where_col], where_value).to_numpy(zero_copy_only=False)
+        valid = np.asarray(valid, dtype=bool)
+        cols = {c: t[c] for c in [*id_cols, key] if c in t.column_names}
+        cols[out_col] = pa.array(sg.seg_ffill(x, valid, starts, fill))
+        return pa.table(cols)
+
+    return map_partitions_by_key(ds, key, kernel, num_partitions)
+
+
+def keyed_sliding(
+    ds: "ray.data.Dataset",
+    key: str,
+    on: str,
+    value_col: str,
+    width_s: float,
+    closed: str = "both",
+    tiebreak: Optional[str] = None,
+    id_cols: Sequence[str] = (),
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+) -> "ray.data.Dataset":
+    """Per-row sliding count + sum over the trailing window.
+
+    closed="both" matches SQL ``RANGE BETWEEN width PRECEDING AND CURRENT
+    ROW`` (peer rows with equal ts are all included)."""
+    width_us = int(width_s * _US)
+
+    def kernel(table: pa.Table) -> pa.Table:
+        t = _sort_table(table, key, on, tiebreak)
+        codes = _codes(t, key)
+        starts = sg.segment_starts(codes)
+        ts = _ts_us(t, on)
+        adj = sg.adjusted_ts(ts, starts, width_us + 1)
+        hi = sg.visible_hi(adj)
+        lo = sg.sliding_lo(adj, width_us, closed)
+        x = t[value_col].cast(pa.float64()).to_numpy(zero_copy_only=False)
+        vals = np.stack([np.ones_like(x), x], axis=1)
+        sums = sg.range_sums(sg.prefix_sums(vals), lo, hi)
+        cols = {c: t[c] for c in [*id_cols, key] if c in t.column_names}
+        cols[f"cnt_{value_col}"] = pa.array(sums[:, 0].astype(np.int64), pa.int64())
+        cols[f"sum_{value_col}"] = pa.array(sums[:, 1])
+        return pa.table(cols)
+
+    return map_partitions_by_key(ds, key, kernel, num_partitions)
+
+
+def keyed_tumbling_agg(
+    ds: "ray.data.Dataset",
+    key: str,
+    on: str,
+    value_col: str,
+    width_s: float,
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+) -> "ray.data.Dataset":
+    """Grouped aggregate per (key, tumbling window): n, sum, mean.
+
+    The shuffle key stays the entity key — windows of one key never cross
+    partitions, so this is a partial-aggregation-free single pass
+    (pre-aggregation pattern: no second global shuffle needed)."""
+    width_us = int(width_s * _US)
+
+    def kernel(table: pa.Table) -> pa.Table:
+        t = _sort_table(table, key, on, None)
+        codes = _codes(t, key)
+        ts = _ts_us(t, on)
+        win = ts // width_us
+        n = t.num_rows
+        bound = np.zeros(n, dtype=bool)
+        if n:
+            bound[0] = True
+            bound[1:] = (codes[1:] != codes[:-1]) | (win[1:] != win[:-1])
+        gstarts = np.flatnonzero(bound)
+        x = t[value_col].cast(pa.float64()).to_numpy(zero_copy_only=False)
+        sums = np.add.reduceat(x, gstarts) if n else np.empty(0)
+        counts = np.diff(np.concatenate([gstarts, [n]])) if n else np.empty(0, np.int64)
+        cols = {
+            key: t[key].take(pa.array(gstarts)),
+            "window_start": pa.array((win[gstarts] * width_us), pa.int64()).cast(
+                pa.timestamp("us")
+            ),
+            "n_events": pa.array(counts.astype(np.int64), pa.int64()),
+            f"sum_{value_col}": pa.array(sums),
+            f"mean_{value_col}": pa.array(sums / counts if n else sums),
+        }
+        return pa.table(cols)
+
+    return map_partitions_by_key(ds, key, kernel, num_partitions)
+
+
+def keyed_session_stats(
+    ds: "ray.data.Dataset",
+    key: str,
+    on: str,
+    value_col: str,
+    gap_s: float,
+    tiebreak: Optional[str] = None,
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+) -> "ray.data.Dataset":
+    """Per (key, session): n_events, duration_us, sum, mean."""
+    thr_us = float(gap_s * _US)
+
+    def kernel(table: pa.Table) -> pa.Table:
+        t = _sort_table(table, key, on, tiebreak)
+        codes = _codes(t, key)
+        starts = sg.segment_starts(codes)
+        ts = _ts_us(t, on)
+        gap = sg.seg_gap_us(ts, starts)
+        bound = sg.session_boundaries(gap.astype(np.float64), starts, thr_us)
+        n = t.num_rows
+        gstarts = np.flatnonzero(bound)
+        gid = sg.group_index(bound)
+        conv_bound = np.zeros(n, dtype=bool)
+        conv_bound[starts] = True
+        gid0 = gid[sg.group_start_rows(conv_bound)]
+        session_id = (gid - gid0).astype(np.int64)
+        ends = np.concatenate([gstarts[1:], [n]]) if n else np.empty(0, np.int64)
+        x = t[value_col].cast(pa.float64()).to_numpy(zero_copy_only=False)
+        sums = np.add.reduceat(x, gstarts) if n else np.empty(0)
+        counts = (ends - gstarts).astype(np.int64) if n else np.empty(0, np.int64)
+        duration = ts[ends - 1] - ts[gstarts] if n else np.empty(0, np.int64)
+        cols = {
+            key: t[key].take(pa.array(gstarts)),
+            "session_id": pa.array(session_id[gstarts], pa.int64()),
+            "n_events": pa.array(counts, pa.int64()),
+            "duration_us": pa.array(duration, pa.int64()),
+            f"sum_{value_col}": pa.array(sums),
+            f"mean_{value_col}": pa.array(sums / counts if n else sums),
+        }
+        return pa.table(cols)
+
+    return map_partitions_by_key(ds, key, kernel, num_partitions)

@@ -1,0 +1,123 @@
+"""As-of join conformance vs the naive oracle (tie rule, leakage probes,
+unknown keys, unmatched handling)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from multimedia_indexing_ray.fixtures import generate_asof_queries
+from tests.oracle import oracle_asof
+
+QKEYS = ["conv_id", "ts"]
+
+
+def _engine_asof(ray_session, turns_table, queries_table, **kw):
+    import ray.data as rd
+
+    from multimedia_indexing_ray.stages.asof_join import asof_join
+
+    out = asof_join(
+        rd.from_arrow(turns_table),
+        rd.from_arrow(queries_table),
+        left_key="conv_id",
+        left_on="ts",
+        tiebreak="turn_idx",
+        num_partitions=5,
+        **kw,
+    ).to_pandas()
+    return out.sort_values(QKEYS, kind="mergesort").reset_index(drop=True)
+
+
+def test_asof_matches_oracle(ray_session, smoke_table):
+    queries = generate_asof_queries(smoke_table, n_queries=300)
+    engine = _engine_asof(ray_session, smoke_table, queries)
+    oracle = (
+        oracle_asof(smoke_table.to_pandas(), queries.to_pandas())
+        .sort_values(QKEYS, kind="mergesort")
+        .reset_index(drop=True)
+    )
+    assert len(engine) == len(oracle) == queries.num_rows
+    assert engine["conv_id"].tolist() == oracle["conv_id"].tolist()
+    e_ts = engine["matched_ts"].astype("datetime64[us]")
+    o_ts = oracle["matched_ts"].astype("datetime64[us]")
+    assert e_ts.isna().tolist() == o_ts.isna().tolist()
+    assert e_ts.dropna().tolist() == o_ts.dropna().tolist()
+    e_ti = engine["matched_turn_idx"].astype("float64")
+    o_ti = oracle["matched_turn_idx"].astype("float64")
+    np.testing.assert_array_equal(e_ti.fillna(-1).to_numpy(), o_ti.fillna(-1).to_numpy())
+
+
+def test_asof_tie_rule_duplicate_ts(ray_session, smoke_table):
+    """conv-000001 has two turns at the same ts: query at that ts must
+    match the HIGHER turn_idx."""
+    import pyarrow.compute as pc
+
+    c1 = smoke_table.filter(pc.equal(smoke_table["conv_id"], "conv-000001"))
+    ts_dup = c1["ts"][0]
+    queries = pa.table({"conv_id": pa.array(["conv-000001"]), "ts": pa.array([ts_dup.as_py()], pa.timestamp("us"))})
+    engine = _engine_asof(ray_session, smoke_table, queries)
+    assert engine["matched_turn_idx"][0] == max(c1["turn_idx"].to_pylist())
+
+
+def test_asof_strict_excludes_exact(ray_session, smoke_table):
+    """allow_exact_matches=False must never match a turn at exactly ts."""
+    import pyarrow.compute as pc
+
+    c0 = smoke_table.filter(pc.equal(smoke_table["conv_id"], "conv-000000"))
+    t0 = c0["ts"][0].as_py()
+    queries = pa.table(
+        {"conv_id": pa.array(["conv-000000"] * 2), "ts": pa.array([t0, t0 + pd.Timedelta(1, "us")], pa.timestamp("us"))}
+    )
+    engine = _engine_asof(ray_session, smoke_table, queries, allow_exact_matches=False)
+    engine = engine.sort_values("ts").reset_index(drop=True)
+    assert pd.isna(engine["matched_ts"][0])  # exact ts excluded
+    assert not pd.isna(engine["matched_ts"][1])  # 1us later sees it
+
+
+def test_asof_drop_unmatched(ray_session, smoke_table):
+    queries = generate_asof_queries(smoke_table, n_queries=200)
+    kept = _engine_asof(ray_session, smoke_table, queries, keep_unmatched=False)
+    full = _engine_asof(ray_session, smoke_table, queries)
+    assert len(kept) == (~full["matched_ts"].isna()).sum()
+    assert not kept["matched_ts"].isna().any()
+
+
+def test_asof_cross_schema_keys(ray_session):
+    """Different key/on column names on each side (orders x events shape)."""
+    import ray.data as rd
+
+    from multimedia_indexing_ray.stages.asof_join import asof_join
+
+    left = pa.table(
+        {
+            "user_id": pa.array([1, 1, 2], pa.int64()),
+            "ts": pa.array([10, 20, 15], pa.timestamp("us")),
+            "value": pa.array([1.0, 2.0, 3.0]),
+            "event_id": pa.array([100, 101, 102], pa.int64()),
+        }
+    )
+    right = pa.table(
+        {
+            "o_custkey": pa.array([1, 2, 3], pa.int64()),
+            "o_orderdate": pa.array([25, 14, 99], pa.timestamp("us")),
+        }
+    )
+    out = (
+        asof_join(
+            rd.from_arrow(left),
+            rd.from_arrow(right),
+            left_key="user_id",
+            left_on="ts",
+            right_key="o_custkey",
+            right_on="o_orderdate",
+            tiebreak="event_id",
+            num_partitions=3,
+        )
+        .to_pandas()
+        .sort_values("o_custkey")
+        .reset_index(drop=True)
+    )
+    mv = out["matched_value"]
+    assert mv[0] == 2.0  # user 1 @25 -> event @20
+    assert pd.isna(mv[1])  # user 2 @14 -> only event is @15 (future)
+    assert pd.isna(mv[2])  # user 3 unknown key
