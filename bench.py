@@ -1,0 +1,209 @@
+"""Benchmark harness — prints ONE JSON line on stdout.
+
+Headline: turns/sec of the flagship transcript windowed-feature pipeline
+(read parquet -> prefeaturize -> hash shuffle on conv_id -> window kernel
+-> write parquet) over the bench-tier synthetic transcripts (~10.5M
+turns, 3 hot conversations of 50k turns), plus per-query timings for
+representative registry pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1).
+
+--scaling: runs the identical flagship job in FRESH processes at two
+parallelism levels on the same input and reports both throughputs +
+scaling efficiency (the sandbox evidence protocol for the north_rule's
+N -> 4N criterion).  Primary pair 4 -> 16 (the box's physical cores);
+secondary 8 -> 32 reported alongside.  See BASELINE.md for measured
+numbers and the SMT-saturation explanation.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+TRANSCRIPTS_DIR = os.environ.get("GRAFT_TRANSCRIPTS_DIR", "/tmp/graft_bench_transcripts")
+NUM_PARTITIONS = int(os.environ.get("GRAFT_NUM_PARTITIONS", "128"))
+
+BENCH_QUERIES = [
+    "sessionize_30m",
+    "sliding_1h",
+    "asof_purchase_before_error",
+    "pricing_summary",
+    "region_revenue",
+    "dedup_exact_docs",
+    "knn_cosine",
+    "minhash_dedup_docs",
+]
+
+
+_TIER_VERSION = "bench-v3-350k"
+
+
+def ensure_transcripts() -> str:
+    """Generate (once, cached) the bench-tier transcript parquet."""
+    marker = os.path.join(TRANSCRIPTS_DIR, "_DONE")
+    if not (os.path.exists(marker) and open(marker).read() == _TIER_VERSION):
+        import shutil
+
+        from multimedia_indexing_ray.fixtures import write_transcripts
+
+        shutil.rmtree(TRANSCRIPTS_DIR, ignore_errors=True)
+        write_transcripts(TRANSCRIPTS_DIR, "bench", n_files=16)
+        with open(marker, "w") as f:
+            f.write(_TIER_VERSION)
+    return TRANSCRIPTS_DIR
+
+
+def warm_cluster() -> None:
+    """Untimed mini-pipeline that spins up the Ray worker pool and the
+    shuffle machinery so the timed run measures steady-state throughput,
+    not process startup."""
+    import ray.data
+
+    from multimedia_indexing_ray.fixtures import generate_transcripts
+    from multimedia_indexing_ray.specs import DEFAULT_SPECS
+    from multimedia_indexing_ray.stages.features import compute_features
+
+    tiny = ray.data.from_arrow(generate_transcripts("smoke")).repartition(NUM_CPUS)
+    compute_features(tiny, DEFAULT_SPECS, num_partitions=NUM_CPUS).count()
+
+
+def run_flagship() -> dict:
+    import ray.data
+
+    from multimedia_indexing_ray.sources.transcripts import read_transcripts
+    from multimedia_indexing_ray.specs import DEFAULT_SPECS
+    from multimedia_indexing_ray.stages.features import compute_features
+
+    tdir = ensure_transcripts()
+    # warm the OS page cache (untimed) so we measure compute + shuffle,
+    # not the first disk read (count() alone only touches metadata)
+    import glob
+
+    for p in glob.glob(os.path.join(tdir, "*.parquet")):
+        with open(p, "rb") as f:
+            f.read()
+    n_rows = read_transcripts(tdir).count()
+    out_dir = f"/tmp/graft_bench_out_{NUM_CPUS}"
+    import shutil
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.perf_counter()
+    # block count == partition count keeps the shuffle exchange at
+    # O(blocks x partitions) = 64x64 objects (measured sweet spot here)
+    ds = read_transcripts(tdir, override_num_blocks=NUM_PARTITIONS)
+    # pack_vector=False: persist the vector as plain float64 columns —
+    # parquet's fixed_size_list encoder is ~10x slower than flat doubles
+    # (measured 22s vs 2.1s on the bench table); the packed layout is an
+    # in-memory/API option, not the storage layout.
+    feat = compute_features(ds, DEFAULT_SPECS, num_partitions=NUM_PARTITIONS)
+    feat.write_parquet(out_dir)
+    sec = time.perf_counter() - t0
+    return {"rows": n_rows, "sec": sec, "turns_per_sec": n_rows / sec}
+
+
+def run_queries() -> dict:
+    from multimedia_indexing_ray.pipelines.queries import REGISTRY
+
+    out = {}
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        res = REGISTRY[name].fn(SF_DIR)
+        if hasattr(res, "to_pandas"):  # Dataset or pyarrow Table: materialize
+            res.to_pandas()
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def main() -> None:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    warm_cluster()
+    flagship = run_flagship()
+    qtimes = {} if os.environ.get("GRAFT_BENCH_ONLY") == "flagship" else run_queries()
+    ray.shutdown()
+    print(
+        json.dumps(
+            {
+                "metric": "flagship_feature_pipeline_sec",
+                "value": round(flagship["sec"], 3),
+                "unit": "sec",
+                "rows": flagship["rows"],
+                "turns_per_sec": round(flagship["turns_per_sec"], 1),
+                "queries": qtimes,
+                "sf": SF_DIR,
+                "num_cpus": NUM_CPUS,
+                "num_partitions": NUM_PARTITIONS,
+            }
+        )
+    )
+
+
+def scaling() -> None:
+    """Identical flagship job, same input, fresh process per parallelism
+    level.  Primary pair N=4 -> 4N=16 (this box has ~16 physical cores —
+    num_cpus=32 oversubscribes SMT siblings and saturates memory
+    bandwidth, which no amount of partitioning fixes); the 8 -> 32 pair is
+    reported alongside for the protocol's example numbers."""
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_ONLY="flagship")
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo_n = int(os.environ.get("GRAFT_SCALE_LO", "4"))
+    hi_n = int(os.environ.get("GRAFT_SCALE_HI", "16"))
+    lo, hi = run(lo_n), run(hi_n)
+    eff = (lo["value"] / hi["value"]) / (hi_n / lo_n)
+    r8, r32 = run(8), run(32)
+    eff_8_32 = (r8["value"] / r32["value"]) / (32 / 8)
+    print(
+        json.dumps(
+            {
+                "pair": [lo_n, hi_n],
+                f"sec_{lo_n}": lo["value"],
+                f"sec_{hi_n}": hi["value"],
+                f"turns_per_sec_{lo_n}": lo["turns_per_sec"],
+                f"turns_per_sec_{hi_n}": hi["turns_per_sec"],
+                "scaling_efficiency": round(eff, 3),
+                "secondary_pair": [8, 32],
+                "sec_8": r8["value"],
+                "sec_32": r32["value"],
+                "scaling_efficiency_8_32": round(eff_8_32, 3),
+                "rows": lo["rows"],
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    else:
+        main()

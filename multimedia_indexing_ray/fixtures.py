@@ -48,7 +48,7 @@ TIERS = {
     # tier: (n_convs, turns sampler kind, hot keys)
     "smoke": dict(n_convs=20, hot=0),
     "correctness": dict(n_convs=500, hot=0),
-    "bench": dict(n_convs=5000, hot=3),
+    "bench": dict(n_convs=350_000, hot=3),  # ~10M turns; hot-key skew exercise
 }
 HOT_TURNS = 50_000
 

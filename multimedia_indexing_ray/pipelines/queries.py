@@ -29,6 +29,8 @@ import pyarrow.compute as pc
 import ray.data
 from ray.data.aggregate import Count, Sum
 
+from multimedia_indexing_ray.functions import text as tx
+from multimedia_indexing_ray.functions.text import langid
 from multimedia_indexing_ray.sources.transcripts import events_to_transcripts
 from multimedia_indexing_ray.specs import DEFAULT_SPECS
 from multimedia_indexing_ray.stages import dedup as dd
@@ -526,8 +528,6 @@ def q_dedup_exact(sf_dir: str):
     """,
 )
 def q_text_quality(sf_dir: str):
-    from multimedia_indexing_ray.functions import text as tx
-
     docs = _rp(sf_dir, "documents", ["doc_id", "text"])
 
     def _fn(batch: pa.Table) -> pa.Table:
@@ -572,8 +572,6 @@ def q_doc_fingerprint(sf_dir: str):
     """,
 )
 def q_langid(sf_dir: str):
-    from multimedia_indexing_ray.functions.text import langid
-
     docs = _rp(sf_dir, "documents", ["doc_id", "text"])
 
     def _fn(batch: pa.Table) -> pa.Table:

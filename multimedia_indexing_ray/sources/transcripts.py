@@ -32,11 +32,21 @@ def _paths(source: Union[str, Sequence[str]]) -> Union[str, list]:
 def read_transcripts(
     source: Union[str, Sequence[str]],
     columns: Optional[Sequence[str]] = None,
+    override_num_blocks: Optional[int] = None,
 ) -> "ray.data.Dataset":
     """Read transcript Parquet with column pruning at the read layer
     (S1/S6 analog — file discovery + fixed framing,
-    `visual/utilities/FeatureIO.java:36-58`)."""
-    return ray.data.read_parquet(_paths(source), columns=list(columns) if columns else None)
+    `visual/utilities/FeatureIO.java:36-58`).
+
+    ``override_num_blocks``: cap read parallelism so the downstream
+    key shuffle exchanges O(blocks x partitions) objects — let it default
+    and a small-block read explodes the shuffle into hundreds of
+    thousands of tiny objects (measured 3-8x slowdown)."""
+    return ray.data.read_parquet(
+        _paths(source),
+        columns=list(columns) if columns else None,
+        override_num_blocks=override_num_blocks,
+    )
 
 
 def validate_batch(batch: pa.Table) -> pa.Table:

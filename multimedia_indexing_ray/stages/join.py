@@ -29,6 +29,7 @@ from multimedia_indexing_ray.stages.partition import (
     DEFAULT_NUM_PARTITIONS,
     PART_COL,
     partition_ids,
+    stable_hash,
 )
 
 SIDE_COL = "__side"
@@ -105,8 +106,6 @@ def hash_join(
                 else:
                     cols[f.name] = pa.nulls(n, f.type)
             cols[SIDE_COL] = pa.array(np.full(n, side, dtype=np.int8))
-            from multimedia_indexing_ray.stages.partition import stable_hash
-
             h = np.zeros(n, dtype=np.uint64)
             for k in key_cols:
                 vals = batch[k].to_numpy(zero_copy_only=False)

@@ -1,0 +1,116 @@
+"""Dedup operator tests: T3 first-by-key gate, exact stats, minhash/
+simhash near-dup detection on planted duplicates, embedding near-dup."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from multimedia_indexing_ray.fixtures import generate_dup_transcripts
+
+
+def test_dedup_by_key_first_by_ts(ray_session):
+    """T3: duplicated (conv_id, turn_idx) -> first-by-ts wins."""
+    import ray.data as rd
+
+    from multimedia_indexing_ray.stages.dedup import dedup_by_key
+
+    dup = generate_dup_transcripts()
+    out = dedup_by_key(
+        rd.from_arrow(dup), ["conv_id", "turn_idx"], ["ts"], num_partitions=5
+    ).to_pandas()
+    df = dup.to_pandas()
+    # expected: pandas groupby first-by-ts
+    exp = (
+        df.sort_values(["conv_id", "turn_idx", "ts"], kind="mergesort")
+        .drop_duplicates(subset=["conv_id", "turn_idx"], keep="first")
+        .sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    got = out.sort_values(["conv_id", "turn_idx"], kind="mergesort").reset_index(drop=True)
+    assert len(got) == len(exp)
+    assert got["text"].tolist() == exp["text"].tolist()
+    assert not got["text"].str.endswith("DUPLICATE-VARIANT").any() or (
+        # a key-dup variant survives only if its ts was earliest — the
+        # fixture adds +1s so the original always wins
+        False
+    )
+
+
+def _planted_docs():
+    base = [
+        "the quick brown fox jumps over the lazy dog again and again today",
+        "completely different text about ray data pipelines and arrow tables",
+        "a third document mentioning windowed aggregation over conversations",
+    ]
+    docs = []
+    for i, t in enumerate(base):
+        docs.append({"doc_id": i, "text": t})
+    # near-duplicate of doc 0 (one token changed)
+    docs.append({"doc_id": 100, "text": base[0].replace("lazy", "sleepy")})
+    # exact duplicate of doc 1
+    docs.append({"doc_id": 101, "text": base[1]})
+    return pa.Table.from_pylist(docs)
+
+
+def test_minhash_finds_planted_near_dups(ray_session):
+    import ray.data as rd
+
+    from multimedia_indexing_ray.stages.dedup import minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(
+        rd.from_arrow(_planted_docs()), "text", "doc_id", threshold=0.5, num_partitions=4, concurrency=1
+    ).to_pandas()
+    found = set(map(tuple, pairs[["a_id", "b_id"]].to_numpy()))
+    assert (0, 100) in found  # near-dup
+    assert (1, 101) in found  # exact dup
+    assert not any({a, b} == {0, 1} for a, b in found)  # unrelated not paired
+
+
+def test_simhash_pairs_detect_exact_and_near(ray_session):
+    import ray.data as rd
+
+    from multimedia_indexing_ray.stages.dedup import simhash_pairs
+
+    pairs = simhash_pairs(
+        rd.from_arrow(_planted_docs()), "text", "doc_id", max_hamming=6, num_partitions=4
+    ).to_pandas()
+    found = set(map(tuple, pairs[["a_id", "b_id"]].to_numpy()))
+    assert (1, 101) in found  # exact dup -> hamming 0
+    assert (0, 100) in found  # near-dup -> small hamming
+
+
+def test_exact_dedup_stats(ray_session):
+    import ray.data as rd
+
+    from multimedia_indexing_ray.stages.dedup import exact_dedup_stats
+
+    out = exact_dedup_stats(
+        rd.from_arrow(_planted_docs()), "text", "doc_id", num_partitions=4
+    ).to_pandas()
+    assert len(out) == 4  # 5 docs, one exact dup collapses
+    row = out[out["doc_id"] == 1]
+    assert row["n_copies"].iloc[0] == 2
+
+
+def test_embedding_neardup_blocked(ray_session):
+    import ray.data as rd
+
+    from multimedia_indexing_ray.stages.dedup import embedding_neardup_pairs
+
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((20, 8)).astype(np.float32)
+    vecs[7] = vecs[3] + 0.001  # planted near-dup, same label block
+    labels = np.zeros(20, dtype=np.int32)
+    labels[10:] = 1
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(20), pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in vecs]),
+            "label": pa.array(labels),
+        }
+    )
+    pairs = embedding_neardup_pairs(
+        rd.from_arrow(t), "embedding", "vec_id", "label", threshold=0.99, num_partitions=3
+    ).to_pandas()
+    assert (3, 7) in set(map(tuple, pairs[["a_id", "b_id"]].to_numpy()))

@@ -1,0 +1,49 @@
+"""features_at: the full flagship composition (windows + as-of) vs the
+composed oracle — features at arbitrary probe timestamps, zero leakage."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from multimedia_indexing_ray.fixtures import generate_asof_queries
+from multimedia_indexing_ray.specs import DEFAULT_SPECS
+from tests.oracle import oracle_asof, oracle_features
+
+FEATURES = list(DEFAULT_SPECS.feature_columns())
+
+
+def test_features_at_matches_composed_oracle(ray_session, smoke_table):
+    import ray.data as rd
+
+    from multimedia_indexing_ray.pipelines.features import features_at
+
+    queries = generate_asof_queries(smoke_table, n_queries=200)
+    got = (
+        features_at(rd.from_arrow(smoke_table), rd.from_arrow(queries), num_partitions=6)
+        .to_pandas()
+        .sort_values(["conv_id", "ts"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    assert len(got) == queries.num_rows
+
+    # oracle: per-turn features + as-of match per probe
+    of = oracle_features(smoke_table.to_pandas(), DEFAULT_SPECS)
+    oa = oracle_asof(smoke_table.to_pandas(), queries.to_pandas())
+    of_keyed = of.set_index(["conv_id", "turn_idx"])
+    oa = oa.sort_values(["conv_id", "ts"], kind="mergesort").reset_index(drop=True)
+
+    assert got["conv_id"].tolist() == oa["conv_id"].tolist()
+    m_got = got["matched_turn_idx"]
+    m_exp = oa["matched_turn_idx"]
+    assert m_got.isna().tolist() == m_exp.isna().tolist()
+    for i in range(len(got)):
+        if pd.isna(m_exp[i]):
+            # unmatched probes carry nulls in every matched feature column
+            assert pd.isna(got.loc[i, "matched_text_len"])
+            continue
+        exp_row = of_keyed.loc[(oa.loc[i, "conv_id"], int(m_exp[i]))]
+        for c in FEATURES:
+            np.testing.assert_allclose(
+                got.loc[i, f"matched_{c}"], exp_row[c], rtol=1e-9, atol=1e-12,
+                err_msg=f"row {i} feature {c}",
+            )

@@ -1,0 +1,72 @@
+"""Similarity search tests: brute-force exactness vs naive numpy; IVF
+recall sanity."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _emb_table(n=200, d=16, seed=5):
+    rng = np.random.default_rng(seed)
+    mat = rng.standard_normal((n, d))
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n), pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in mat]),
+        }
+    )
+    return t, mat
+
+
+def _naive_topk(mat, q_ids, q_mat, k):
+    unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    qu = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    out = {}
+    for qid, q in zip(q_ids, qu):
+        sims = unit @ q
+        order = sorted(range(len(mat)), key=lambda i: (-sims[i], i))
+        out[qid] = [i for i in order if i != qid][:k]
+    return out
+
+
+def test_brute_force_matches_naive(ray_session):
+    import ray.data as rd
+
+    from multimedia_indexing_ray.stages.knn import brute_force_knn
+
+    t, mat = _emb_table()
+    q_ids = np.array([0, 1, 2])
+    res = brute_force_knn(
+        rd.from_arrow(t).repartition(6), (q_ids, mat[q_ids]), "embedding", "vec_id", k=5
+    ).to_pandas()
+    expected = _naive_topk(mat, q_ids, mat[q_ids], 5)
+    for qid in q_ids:
+        got = (
+            res[res["query_id"] == qid].sort_values("rank")["neighbor_id"].tolist()
+        )
+        assert got == expected[qid], f"query {qid}"
+
+
+def test_ivf_recall_reasonable(ray_session):
+    import ray.data as rd
+
+    from multimedia_indexing_ray.stages.knn import ivf_knn
+
+    t, mat = _emb_table(400, 16)
+    q_ids = np.array([0, 1, 2, 3])
+    res = ivf_knn(
+        rd.from_arrow(t).repartition(4),
+        (q_ids, mat[q_ids]),
+        "embedding",
+        "vec_id",
+        k=5,
+        n_lists=8,
+        probe=4,
+    ).to_pandas()
+    expected = _naive_topk(mat, q_ids, mat[q_ids], 5)
+    hits = total = 0
+    for qid in q_ids:
+        got = set(res[res["query_id"] == qid]["neighbor_id"].tolist())
+        hits += len(got & set(expected[qid]))
+        total += 5
+    assert hits / total >= 0.5  # probing half the lists -> decent recall
