@@ -24,9 +24,11 @@ import pyarrow.compute as pc
 
 import ray.data
 
+from multimedia_indexing_ray.functions import segments as sg
 from multimedia_indexing_ray.functions.turns import base_turn_features
 from multimedia_indexing_ray.functions.window_kernel import compute_window_features
 from multimedia_indexing_ray.specs import DEFAULT_SPECS, FeatureSpecs
+from multimedia_indexing_ray.stages.hotkeys import CHUNK_COL, EMIT_COL
 from multimedia_indexing_ray.stages.partition import (
     DEFAULT_NUM_PARTITIONS,
     map_partitions_by_key,
@@ -80,12 +82,53 @@ class WindowKernelFn:
         self.lead_cols = specs.lead_columns()
 
     def __call__(self, table: pa.Table) -> pa.Table:
-        idx = pc.sort_indices(table, sort_keys=SORT_KEYS)
+        split = CHUNK_COL in table.column_names
+        sort_keys = list(SORT_KEYS)
+        if split:
+            sort_keys.insert(1, (CHUNK_COL, "ascending"))
+        idx = pc.sort_indices(table, sort_keys=sort_keys)
         t = table.take(idx)
-        codes = pc.dictionary_encode(t["conv_id"].combine_chunks()).indices.to_numpy()
+        conv_codes = pc.dictionary_encode(t["conv_id"].combine_chunks()).indices.to_numpy()
+        if split:
+            # segment = (conversation, chunk): chunks are independent
+            # sub-conversations (split only at > safe-gap boundaries)
+            chunk = t[CHUNK_COL].to_numpy()
+            change = np.zeros(len(conv_codes), dtype=np.int64)
+            if len(change):
+                change[1:] = (conv_codes[1:] != conv_codes[:-1]) | (chunk[1:] != chunk[:-1])
+            codes = np.cumsum(change)
+        else:
+            codes = conv_codes
         ts_us = t["ts"].cast(pa.int64()).to_numpy()
         feats = {name: t[name].to_numpy() for name in BASE_PRE_COLS}
         out = compute_window_features(codes, ts_us, feats, self.specs)
+
+        if split:
+            # cumulative session ordinals: rebase each chunk-segment on its
+            # first EMITTED row and add the plan's per-chunk offset
+            emit = t[EMIT_COL].to_numpy()
+            starts = sg.segment_starts(codes)
+            n = len(codes)
+            counts = sg.segment_counts(starts, n)
+            pos = np.where(emit, np.arange(n), n + 1)
+            first_emit = np.minimum.reduceat(pos, starts) if n else np.empty(0, np.int64)
+            first_emit = np.clip(first_emit, 0, max(n - 1, 0))
+            seg_of = np.repeat(np.arange(len(starts)), counts)
+            for spec in self.specs.session:
+                col = f"{spec.name}_session_idx"
+                offcol = f"__sessoff_{spec.name}"
+                raw = out[col]
+                raw0 = raw[first_emit][seg_of]
+                offs = (
+                    t[offcol].to_numpy()
+                    if offcol in t.column_names
+                    else np.zeros(n, dtype=np.int64)
+                )
+                out[col] = raw - raw0 + offs.astype(np.float64)
+            keep = np.flatnonzero(emit)
+            keep_arr = pa.array(keep)
+            t = t.take(keep_arr)
+            out = {k: v[keep] for k, v in out.items()}
 
         cols = {
             "conv_id": t["conv_id"],
@@ -114,12 +157,32 @@ def compute_features(
     include_text: bool = False,
     pack_vector: bool = False,
     shuffle_strategy: str = "sort",
+    split_hot: bool = False,
+    hot_threshold: int = 20_000,
+    target_chunk_rows: int = 10_000,
 ) -> "ray.data.Dataset":
-    """Full transcript feature pipeline over a transcript Dataset."""
+    """Full transcript feature pipeline over a transcript Dataset.
+
+    split_hot=True enables salted-key skew splitting: conversations over
+    `hot_threshold` rows are chunked at safe gaps (see stages/hotkeys.py)
+    so no partition group is dominated by one conversation; output is
+    bit-identical to the unsplit pipeline (tested)."""
     pre = ds.map_batches(
         lambda b: prefeaturize(b, include_text), batch_format="pyarrow"
     )
     kernel = WindowKernelFn(specs, include_text, pack_vector)
+    part_key = "conv_id"
+    if split_hot:
+        from multimedia_indexing_ray.stages.hotkeys import assign_chunks, build_split_plan
+
+        # plan from the RAW dataset: select_columns pushes the projection
+        # into the parquet read, so the two plan passes never decode text
+        plan = build_split_plan(
+            ds, specs, hot_threshold=hot_threshold, target_chunk_rows=target_chunk_rows
+        )
+        if not plan.empty:
+            pre = assign_chunks(pre, plan)
+            part_key = ["conv_id", CHUNK_COL]
     return map_partitions_by_key(
-        pre, "conv_id", kernel, num_partitions=num_partitions, strategy=shuffle_strategy
+        pre, part_key, kernel, num_partitions=num_partitions, strategy=shuffle_strategy
     )

@@ -1,0 +1,230 @@
+"""Hot-conversation (skew) splitting — salted keys with exact semantics.
+
+The reference only MEASURES inverted-list skew (min/max/avg occupancy,
+`visual/datastructures/IVFPQ.java:654-673`) and never rebalances; here
+skew handling is a first-class stage (north_rule: "explicit ... salted-key
+skew splitting for hot conversations").
+
+Scheme (zero-semantic-drift, tested against the unsplit pipeline):
+
+- A conversation is HOT when its row count exceeds ``hot_threshold``
+  (found with a cheap partial-count groupby).
+- Split points are chosen ONLY at inactivity gaps strictly greater than
+  ``safe_gap = max(max window width, every session threshold)``: no
+  sliding/tumbling window and no session can span such a gap, so window
+  and session-so-far features are chunk-local by construction.
+- Positional features still cross the gap, so each chunk replicates
+  CONTEXT rows (emit=False): the trailing ``k_lag`` rows of the previous
+  chunk (for lag-k and gap) and the leading ``k_lead`` rows of the next
+  chunk (for lead-k labels).
+- ``session_idx`` is the only cumulative feature: the plan carries, per
+  chunk and per session spec, the number of sessions that started before
+  the chunk (every split gap starts a session, so offsets are exact).
+- A hot conversation with NO safe gap cannot be split without unbounded
+  replication; it stays whole (logged in the plan) — bounded-state
+  caveat documented in SURVEY.md §7.3.
+
+The plan is built from ONLY the hot conversations' (ts, turn_idx)
+columns (a driver-side pandas pass over a by-definition-small subset) and
+broadcast to the chunk-assignment stage via the task closure.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from multimedia_indexing_ray.specs import FeatureSpecs
+
+CHUNK_COL = "__chunk"
+EMIT_COL = "__emit"
+_US = 1_000_000
+
+
+@dataclass
+class ConvSplitPlan:
+    boundaries_us: np.ndarray  # sorted split timestamps (chunk c = rows in [b[c-1], b[c]))
+    head_ctx_min_us: np.ndarray  # per boundary: min ts replicated INTO the next chunk
+    tail_ctx_max_us: np.ndarray  # per boundary: max ts replicated INTO the prev chunk
+    session_offsets: Dict[str, np.ndarray]  # spec name -> sessions started before chunk c
+
+
+@dataclass
+class SplitPlan:
+    convs: Dict[str, ConvSplitPlan] = field(default_factory=dict)
+    unsplittable: "list[str]" = field(default_factory=list)
+
+    @property
+    def empty(self) -> bool:
+        return not self.convs
+
+
+def find_hot_candidates(
+    ds: "ray.data.Dataset", key: str, hot_threshold: int, assumed_blocks: int = 512
+) -> "list[str]":
+    """SUPERSET of the conversations with > hot_threshold rows, in one
+    pass with NO shuffle: a conversation with more than T total rows over
+    at most B blocks has >= T/B rows in some block (pigeonhole), so each
+    block only reports its locally-heavy keys and the driver sums those
+    tiny partials.  Exact counts are confirmed later from the detail rows."""
+    cutoff = max(1, hot_threshold // assumed_blocks)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        df = batch.select([key]).to_pandas()
+        g = df.groupby(key, sort=False).size()
+        g = g[g >= cutoff].reset_index(name="n")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = ds.map_batches(_partial, batch_format="pyarrow").to_pandas()
+    if parts.empty:
+        return []
+    totals = parts.groupby(key, sort=False)["n"].sum()
+    # a candidate must at least be plausible: its REPORTED sum can
+    # undercount (blocks below the cutoff are silent), so keep any key
+    # whose reported sum exceeds half the threshold
+    return sorted(totals[totals > hot_threshold // 2].index.tolist())
+
+
+def build_split_plan(
+    ds: "ray.data.Dataset",
+    specs: FeatureSpecs,
+    hot_threshold: int = 20_000,
+    target_chunk_rows: int = 10_000,
+    key: str = "conv_id",
+    on: str = "ts",
+) -> SplitPlan:
+    plan = SplitPlan()
+    # ONE projection-pruned read: the slim (key, ts, turn_idx) view is
+    # materialized so the candidate pass and the detail pass share it
+    # (~20 bytes/row in the object store; spills if needed)
+    slim = ds.select_columns([key, on, "turn_idx"]).materialize()
+    hot = find_hot_candidates(slim, key, hot_threshold)
+    if not hot:
+        return plan
+
+    safe_gap_us = int(
+        max(
+            [specs.max_window_width_s()] + [s.gap_s for s in specs.session],
+        )
+        * _US
+    ) + 1
+    # +1: lag_k of a derived-from-previous-row feature (gap_s) needs the
+    # k-th previous row's OWN predecessor to compute its gap correctly
+    k_lag = specs.max_lag_depth() + 1
+    k_lead = max([l.k for l in specs.leads], default=0)
+
+    hot_set = set(hot)
+
+    def _filter_hot(batch: pa.Table) -> pa.Table:
+        m = pc.is_in(batch[key], value_set=pa.array(sorted(hot_set)))
+        return batch.filter(m).select([key, on, "turn_idx"])
+
+    # projection-pruned pass 2: detail rows for the (few) candidates only
+    hot_df = slim.map_batches(_filter_hot, batch_format="pyarrow").to_pandas()
+    hot_df["__ts"] = hot_df[on].astype("datetime64[us]").astype("int64")
+    hot_df = hot_df.sort_values([key, "__ts", "turn_idx"], kind="mergesort")
+
+    for conv, g in hot_df.groupby(key, sort=False):
+        if len(g) <= hot_threshold:
+            continue  # candidate superset member that isn't actually hot
+        ts = g["__ts"].to_numpy()
+        n = len(ts)
+        gaps = np.diff(ts)
+        candidates = np.flatnonzero(gaps > safe_gap_us) + 1  # row idx that STARTS a chunk
+        if len(candidates) == 0:
+            plan.unsplittable.append(conv)
+            continue
+        # greedy: take the next candidate once the running chunk >= target
+        chosen = []
+        last = 0
+        for c in candidates:
+            if c - last >= target_chunk_rows:
+                chosen.append(c)
+                last = c
+        if not chosen:
+            plan.unsplittable.append(conv)
+            continue
+        chosen_arr = np.array(chosen, dtype=np.int64)
+        boundaries = ts[chosen_arr]
+        head_ctx_min = ts[np.maximum(chosen_arr - k_lag, 0)]
+        tail_idx = np.minimum(chosen_arr + max(k_lead, 1) - 1, n - 1)
+        tail_ctx_max = ts[tail_idx] if k_lead > 0 else boundaries - 1  # empty range if no leads
+        offsets: Dict[str, np.ndarray] = {}
+        for spec in specs.session:
+            thr = spec.gap_s * _US
+            is_start = np.concatenate([[True], gaps > thr])
+            cum = np.cumsum(is_start)  # sessions started up to and incl. row i
+            # sessions started BEFORE each chunk's first row
+            offsets[spec.name] = np.concatenate([[0], cum[chosen_arr - 1]]).astype(np.int64)
+        plan.convs[conv] = ConvSplitPlan(
+            boundaries_us=boundaries,
+            head_ctx_min_us=head_ctx_min,
+            tail_ctx_max_us=tail_ctx_max,
+            session_offsets=offsets,
+        )
+    return plan
+
+
+def assign_chunks(ds: "ray.data.Dataset", plan: SplitPlan, key: str = "conv_id", on: str = "ts") -> "ray.data.Dataset":
+    """Add __chunk / __emit (+ per-spec __sessoff_*) columns; hot rows near
+    a boundary are REPLICATED into the neighbouring chunk with emit=False.
+    Cold conversations pass through with chunk 0."""
+    spec_names = sorted(
+        {name for p in plan.convs.values() for name in p.session_offsets}
+    )
+
+    def _assign(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        conv = batch[key].to_numpy(zero_copy_only=False)
+        ts = batch[on].cast(pa.int64()).to_numpy()
+        chunk = np.zeros(n, dtype=np.int32)
+        offs = {s: np.zeros(n, dtype=np.int64) for s in spec_names}
+        extra_idx: "list[np.ndarray]" = []
+        extra_chunk: "list[np.ndarray]" = []
+        extra_offs: Dict[str, "list[np.ndarray]"] = {s: [] for s in spec_names}
+        for cid, p in plan.convs.items():
+            m = conv == cid
+            if not m.any():
+                continue
+            rows = np.flatnonzero(m)
+            t = ts[rows]
+            c = np.searchsorted(p.boundaries_us, t, side="right").astype(np.int32)
+            chunk[rows] = c
+            for s in spec_names:
+                offs[s][rows] = p.session_offsets[s][c]
+            # head context: rows in [head_ctx_min[i], boundaries[i]) -> chunk i+1
+            for i, b in enumerate(p.boundaries_us):
+                hm = (t >= p.head_ctx_min_us[i]) & (t < b)
+                tm = (t >= b) & (t <= p.tail_ctx_max_us[i])
+                for mask, target in ((hm, i + 1), (tm, i)):
+                    if mask.any():
+                        sel = rows[mask]
+                        extra_idx.append(sel)
+                        extra_chunk.append(np.full(len(sel), target, dtype=np.int32))
+                        for s in spec_names:
+                            extra_offs[s].append(
+                                np.full(len(sel), p.session_offsets[s][target], dtype=np.int64)
+                            )
+        emit = np.ones(n, dtype=bool)
+        out = batch.append_column(CHUNK_COL, pa.array(chunk))
+        for s in spec_names:
+            out = out.append_column(f"__sessoff_{s}", pa.array(offs[s]))
+        out = out.append_column(EMIT_COL, pa.array(emit))
+        if extra_idx:
+            idx = np.concatenate(extra_idx)
+            ctx = batch.take(pa.array(idx))
+            ctx = ctx.append_column(CHUNK_COL, pa.array(np.concatenate(extra_chunk)))
+            for s in spec_names:
+                ctx = ctx.append_column(f"__sessoff_{s}", pa.array(np.concatenate(extra_offs[s])))
+            ctx = ctx.append_column(EMIT_COL, pa.array(np.zeros(len(idx), dtype=bool)))
+            out = pa.concat_tables([out, ctx])
+        return out
+
+    return ds.map_batches(_assign, batch_format="pyarrow")

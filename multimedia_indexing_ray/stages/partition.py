@@ -43,14 +43,26 @@ def partition_ids(keys: np.ndarray, num_partitions: int) -> np.ndarray:
     return (stable_hash(keys) % np.uint64(num_partitions)).astype(np.int32)
 
 
+def multi_key_partition_ids(
+    batch: pa.Table, keys: "list[str]", num_partitions: int
+) -> np.ndarray:
+    h = np.zeros(batch.num_rows, dtype=np.uint64)
+    for k in keys:
+        h = h * np.uint64(1000003) ^ stable_hash(batch[k].to_numpy(zero_copy_only=False))
+    return (h % np.uint64(num_partitions)).astype(np.int32)
+
+
 def add_partition_column(
     ds: "ray.data.Dataset",
-    key: str,
+    key,
     num_partitions: int = DEFAULT_NUM_PARTITIONS,
 ) -> "ray.data.Dataset":
+    keys = [key] if isinstance(key, str) else list(key)
+
     def _add(batch: pa.Table) -> pa.Table:
-        vals = batch[key].to_numpy(zero_copy_only=False)
-        return batch.append_column(PART_COL, pa.array(partition_ids(vals, num_partitions)))
+        return batch.append_column(
+            PART_COL, pa.array(multi_key_partition_ids(batch, keys, num_partitions))
+        )
 
     return ds.map_batches(_add, batch_format="pyarrow")
 

@@ -1,0 +1,114 @@
+"""Hot-conversation splitting: split output must be IDENTICAL to the
+unsplit pipeline (windows, sessions, lags, leads), and the partition load
+must actually flatten."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from multimedia_indexing_ray.fixtures import TRANSCRIPT_SCHEMA
+from multimedia_indexing_ray.specs import DEFAULT_SPECS
+
+KEYS = ["conv_id", "ts", "turn_idx"]
+ALL_COLS = list(DEFAULT_SPECS.feature_columns()) + list(DEFAULT_SPECS.lead_columns())
+
+
+def _hot_table(n_turns=4000, seed=11):
+    """One hot conversation with periodic safe gaps + a cold conversation."""
+    rng = np.random.default_rng(seed)
+    gaps = rng.exponential(45.0, n_turns)
+    gaps[0] = 0.0
+    # a safe gap (> max window and session threshold) every ~400 rows
+    gaps[np.arange(400, n_turns, 400)] = 7200.0 + rng.uniform(0, 100, len(np.arange(400, n_turns, 400)))
+    ts = np.datetime64("2026-01-01", "us") + (np.cumsum(gaps * 1e6)).astype("timedelta64[us]")
+    rows = {
+        "conv_id": ["conv-hot"] * n_turns + ["conv-cold"] * 5,
+        "turn_idx": np.concatenate([np.arange(n_turns), np.arange(5)]).astype(np.int32),
+        "role": (["user", "assistant"] * (n_turns // 2 + 3))[: n_turns + 5],
+        "text": [f"text number {i} alpha beta" for i in range(n_turns + 5)],
+        "tool": [None] * (n_turns + 5),
+        "ts": np.concatenate(
+            [ts, np.datetime64("2026-02-01", "us") + np.arange(5) * np.timedelta64(60, "s")]
+        ),
+    }
+    t = pa.table(
+        {
+            "conv_id": pa.array(rows["conv_id"], pa.string()),
+            "turn_idx": pa.array(rows["turn_idx"], pa.int32()),
+            "role": pa.array(rows["role"], pa.string()),
+            "text": pa.array(rows["text"], pa.string()),
+            "tool": pa.array(rows["tool"], pa.string()),
+            "ts": pa.array(rows["ts"], pa.timestamp("us")),
+        },
+        schema=TRANSCRIPT_SCHEMA,
+    )
+    perm = np.random.default_rng(seed + 1).permutation(t.num_rows)
+    return t.take(pa.array(perm))
+
+
+def _features(ray_session, table, **kw):
+    import ray.data as rd
+
+    from multimedia_indexing_ray.stages.features import compute_features
+
+    out = compute_features(rd.from_arrow(table), DEFAULT_SPECS, num_partitions=6, **kw)
+    return out.to_pandas().sort_values(KEYS, kind="mergesort").reset_index(drop=True)
+
+
+def test_split_identical_to_unsplit(ray_session):
+    t = _hot_table()
+    base = _features(ray_session, t)
+    split = _features(
+        ray_session, t, split_hot=True, hot_threshold=1000, target_chunk_rows=500
+    )
+    assert len(base) == len(split) == t.num_rows
+    assert base["conv_id"].tolist() == split["conv_id"].tolist()
+    assert base["turn_idx"].tolist() == split["turn_idx"].tolist()
+    for c in ALL_COLS:
+        np.testing.assert_allclose(
+            base[c].to_numpy(), split[c].to_numpy(), rtol=0, atol=0, err_msg=c
+        )
+
+
+def test_plan_builds_and_flattens(ray_session):
+    import ray.data as rd
+
+    from multimedia_indexing_ray.stages.features import prefeaturize
+    from multimedia_indexing_ray.stages.hotkeys import build_split_plan
+
+    t = _hot_table()
+    pre = rd.from_arrow(t).map_batches(prefeaturize, batch_format="pyarrow")
+    plan = build_split_plan(pre, DEFAULT_SPECS, hot_threshold=1000, target_chunk_rows=500)
+    assert "conv-hot" in plan.convs
+    p = plan.convs["conv-hot"]
+    assert len(p.boundaries_us) >= 3  # real splitting happened
+    # session offsets strictly increase (each split gap starts a session)
+    off = p.session_offsets["sess_1800s"]
+    assert np.all(np.diff(off) >= 1)
+
+
+def test_unsplittable_conv_stays_whole(ray_session):
+    """A continuous hot conversation (no safe gap) must not be split."""
+    import ray.data as rd
+
+    from multimedia_indexing_ray.stages.features import prefeaturize
+    from multimedia_indexing_ray.stages.hotkeys import build_split_plan
+
+    n = 3000
+    ts = np.datetime64("2026-01-01", "us") + np.arange(n) * np.timedelta64(10, "s")
+    t = pa.table(
+        {
+            "conv_id": pa.array(["conv-dense"] * n, pa.string()),
+            "turn_idx": pa.array(np.arange(n, dtype=np.int32), pa.int32()),
+            "role": pa.array(["user"] * n, pa.string()),
+            "text": pa.array(["x"] * n, pa.string()),
+            "tool": pa.array([None] * n, pa.string()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+        },
+        schema=TRANSCRIPT_SCHEMA,
+    )
+    pre = rd.from_arrow(t).map_batches(prefeaturize, batch_format="pyarrow")
+    plan = build_split_plan(pre, DEFAULT_SPECS, hot_threshold=1000, target_chunk_rows=500)
+    assert plan.convs == {}
+    assert "conv-dense" in plan.unsplittable
