@@ -673,3 +673,131 @@ def queries() -> "Dict[str, Callable[[str], Any]]":
 
 def oracle_sql() -> "Dict[str, str]":
     return {name: q.sql for name, q in REGISTRY.items() if q.sql is not None}
+
+
+# --------------------------------------------------------------------------
+# sampling / limits / per-group top-k (SURVEY.md §2.6 K1/K7/K8/K9 analogs)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "limit_sample",
+    "SELECT event_id, ts FROM events ORDER BY ts, event_id LIMIT 100",
+)
+def q_limit_sample(sf_dir: str):
+    """Prefix sampling (K9): first n rows under the stable ordering."""
+    ev = _rp(sf_dir, "events", ["event_id", "ts"])
+    return ev.sort(["ts", "event_id"]).limit(100)
+
+
+@register(
+    "sample_hash",
+    """
+    SELECT event_id FROM events
+    WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 1) IN ('0', '1')
+    """,
+)
+def q_sample_hash(sf_dir: str):
+    """Deterministic ~12.5% sample by content hash (K8 rejection-sampling
+    analog: same rows on every run, any partitioning)."""
+    import hashlib
+
+    ev = _rp(sf_dir, "events", ["event_id"])
+
+    def _fn(batch: pa.Table) -> pa.Table:
+        ids = batch["event_id"].to_pylist()
+        keep = [hashlib.md5(str(i).encode()).hexdigest()[0] in ("0", "1") for i in ids]
+        return batch.filter(pa.array(keep))
+
+    return ev.map_batches(_fn, batch_format="pyarrow")
+
+
+@register(
+    "topk_per_user",
+    """
+    SELECT event_id, user_id, value, CAST(rnk AS BIGINT) AS rnk FROM (
+      SELECT event_id, user_id, value,
+        row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rnk
+      FROM events)
+    WHERE rnk <= 3
+    """,
+)
+def q_topk_per_user(sf_dir: str):
+    """Bounded-heap top-k per entity (K1 analog), vectorized per partition."""
+    from multimedia_indexing_ray.functions import segments as sg
+    from multimedia_indexing_ray.stages.partition import map_partitions_by_key
+
+    ev = _rp(sf_dir, "events", ["event_id", "user_id", "value"])
+
+    def kernel(table: pa.Table) -> pa.Table:
+        t = table.take(
+            pc.sort_indices(
+                table,
+                sort_keys=[
+                    ("user_id", "ascending"),
+                    ("value", "descending"),
+                    ("event_id", "ascending"),
+                ],
+            )
+        )
+        codes = pc.dictionary_encode(t["user_id"].combine_chunks()).indices.to_numpy()
+        starts = sg.segment_starts(codes)
+        rel = sg.rel_index(starts, t.num_rows)
+        out = t.filter(pa.array(rel < 3))
+        rnk = rel[rel < 3] + 1
+        return out.append_column("rnk", pa.array(rnk.astype(np.int64), pa.int64()))
+
+    return map_partitions_by_key(ev, "user_id", kernel, num_partitions=32)
+
+
+@register("ngram_jaccard_pairs")  # exact-verified near-dup — rows-only
+def q_ngram_jaccard(sf_dir: str):
+    """MinHash-LSH candidates verified with EXACT n-gram Jaccard (text
+    lookup broadcast; at scale this verify side becomes a hash join)."""
+    import ray as _ray
+
+    from multimedia_indexing_ray.functions import text as _tx
+
+    docs = _rp(sf_dir, "documents", ["doc_id", "text"])
+    cand = dd.minhash_lsh_pairs(
+        docs, "text", "doc_id", threshold=0.3, num_partitions=16, concurrency=2
+    )
+    texts = _pq(sf_dir, "documents", ["doc_id", "text"])
+    lookup_ref = _ray.put(dict(zip(texts["doc_id"].to_pylist(), texts["text"].to_pylist())))
+
+    def _verify(batch: pa.Table) -> pa.Table:
+        lookup = _ray.get(lookup_ref)
+        a = batch["a_id"].to_pylist()
+        b = batch["b_id"].to_pylist()
+        jac = [
+            _tx.jaccard(
+                set(_tx.shingles(_tx.tokenize(lookup[x]), 3)),
+                set(_tx.shingles(_tx.tokenize(lookup[y]), 3)),
+            )
+            for x, y in zip(a, b)
+        ]
+        out = batch.append_column("jaccard", pa.array(jac, pa.float64()))
+        return out.filter(pc.greater(out["jaccard"], 0.3))
+
+    return cand.map_batches(_verify, batch_format="pyarrow")
+
+
+@register("winnow_fingerprint_docs")  # rolling-hash fingerprint — rows-only
+def q_winnow(sf_dir: str):
+    docs = _rp(sf_dir, "documents", ["doc_id", "text"])
+
+    def _fn(batch: pa.Table) -> pa.Table:
+        from multimedia_indexing_ray.functions.text import winnow_fingerprints
+
+        fps = [winnow_fingerprints(t) for t in batch["text"].to_pylist()]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_fingerprints": pa.array([len(f) for f in fps], pa.int64()),
+                "min_fingerprint": pa.array(
+                    [min(f) if f else 0 for f in fps], pa.uint64()
+                ),
+            }
+        )
+
+    return docs.map_batches(_fn, batch_format="pyarrow")

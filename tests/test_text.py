@@ -1,0 +1,75 @@
+"""Text-analysis kernel unit tests (RE2 parity semantics, determinism)."""
+
+import re
+
+import numpy as np
+import pyarrow as pa
+
+from multimedia_indexing_ray.functions import text as tx
+
+
+def test_token_char_punct_counts():
+    arr = pa.array(["  a  bb  ccc ", "", "x,y;z!", "héllo wörld"])
+    np.testing.assert_array_equal(tx.token_count(arr), [3, 0, 1, 2])
+    np.testing.assert_array_equal(tx.char_count(arr), [13, 0, 6, 11])
+    np.testing.assert_array_equal(tx.punct_count(arr), [0, 0, 3, 0])
+
+
+def test_stopword_count_word_boundaries():
+    arr = pa.array(["the theme of a cat", "another band"])
+    # 'the' matches, 'theme' must not; 'of'/'a' match; 'another' not
+    np.testing.assert_array_equal(tx.stopword_count(arr), [3, 0])
+
+
+def test_langid_deterministic_tie_first_wins():
+    arr = pa.array(["the cat is here", "der hund ist da", "zz qq ww"])
+    np.testing.assert_array_equal(tx.langid(arr), ["en", "de", "und"])
+
+
+def test_shingles_and_jaccard():
+    s1 = set(tx.shingles(tx.tokenize("a b c d"), 3))
+    s2 = set(tx.shingles(tx.tokenize("a b c e"), 3))
+    assert s1 == {"a b c", "b c d"}
+    assert tx.jaccard(s1, s1) == 1.0
+    assert tx.jaccard(s1, s2) == 1 / 3
+    assert tx.jaccard(set(), set()) == 1.0
+
+
+def test_minhash_similarity_estimate():
+    t1 = tx.tokenize("the quick brown fox jumps over the lazy dog " * 5)
+    t2 = tx.tokenize("the quick brown fox leaps over the lazy dog " * 5)
+    s1 = tx.minhash_signature(tx.shingles(t1), 128)
+    s2 = tx.minhash_signature(tx.shingles(t2), 128)
+    est = (s1 == s2).mean()
+    true = tx.jaccard(set(tx.shingles(t1)), set(tx.shingles(t2)))
+    assert abs(est - true) < 0.2
+    # deterministic
+    np.testing.assert_array_equal(s1, tx.minhash_signature(tx.shingles(t1), 128))
+
+
+def test_simhash_properties():
+    a = tx.simhash64(tx.tokenize("alpha beta gamma delta epsilon"))
+    b = tx.simhash64(tx.tokenize("alpha beta gamma delta zeta"))
+    c = tx.simhash64(tx.tokenize("completely unrelated words here now"))
+    assert a == tx.simhash64(tx.tokenize("alpha beta gamma delta epsilon"))
+    assert tx.hamming64(np.array([a]), np.array([b]))[0] < tx.hamming64(
+        np.array([a]), np.array([c])
+    )[0]
+    assert tx.simhash64([]) == np.uint64(0)
+
+
+def test_winnow_fingerprints():
+    fps = tx.winnow_fingerprints("the quick brown fox jumps over the lazy dog")
+    assert fps == tx.winnow_fingerprints("the quick brown fox jumps over the lazy dog")
+    assert len(fps) >= 1
+    # a small edit changes few fingerprints
+    fps2 = tx.winnow_fingerprints("the quick brown fox jumps over the lazy cat")
+    overlap = len(set(fps) & set(fps2)) / max(len(set(fps) | set(fps2)), 1)
+    assert overlap > 0.5
+    assert tx.winnow_fingerprints("ab") == []
+
+
+def test_md5_fingerprint_matches_hashlib():
+    import hashlib
+
+    assert tx.md5_fingerprint(["abc"]) == [hashlib.md5(b"abc").hexdigest()]
