@@ -103,7 +103,9 @@ def run_flagship() -> dict:
     # parquet's fixed_size_list encoder is ~10x slower than flat doubles
     # (measured 22s vs 2.1s on the bench table); the packed layout is an
     # in-memory/API option, not the storage layout.
-    feat = compute_features(ds, DEFAULT_SPECS, num_partitions=NUM_PARTITIONS)
+    feat = compute_features(
+        ds, DEFAULT_SPECS, num_partitions=NUM_PARTITIONS, split_hot=True
+    )
     feat.write_parquet(out_dir)
     sec = time.perf_counter() - t0
     return {"rows": n_rows, "sec": sec, "turns_per_sec": n_rows / sec}

@@ -434,8 +434,20 @@ def q_top_customers(sf_dir: str):
 def q_region_revenue(sf_dir: str):
     li = _rp(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
     orders = _rp(sf_dir, "orders", ["o_orderkey", "o_custkey"])
-    # big x big: bucketed hash join; dims: one pre-joined broadcast map
-    li_ord = hash_join(li, orders, left_on="l_orderkey", right_on="o_orderkey", num_partitions=32)
+
+    # combiner BEFORE the exchange: collapse lineitem to one partial
+    # revenue row per orderkey per batch (4-7x fewer shuffled rows)
+    def _pre_agg(batch: pa.Table) -> pa.Table:
+        df = batch.select(["l_orderkey"]).to_pandas()
+        price = batch["l_extendedprice"].to_numpy()
+        disc = batch["l_discount"].to_numpy()
+        df["revenue_cents"] = _cents(price * (1 - disc)).astype(np.int64)
+        g = df.groupby("l_orderkey", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    li_partial = li.map_batches(_pre_agg, batch_format="pyarrow")
+    # big x big: bucketed hash join on the pre-aggregated left side
+    li_ord = hash_join(li_partial, orders, left_on="l_orderkey", right_on="o_orderkey", num_partitions=32)
     cust = _pq(sf_dir, "customer", ["c_custkey", "c_nationkey"])
     nation = _pq(sf_dir, "nation", ["n_nationkey", "n_regionkey"])
     region = _pq(sf_dir, "region", ["r_regionkey", "r_name"])
@@ -447,9 +459,7 @@ def q_region_revenue(sf_dir: str):
 
     def _partial(batch: pa.Table) -> pa.Table:
         df = batch.select(["r_name"]).to_pandas()
-        price = batch["l_extendedprice"].to_numpy()
-        disc = batch["l_discount"].to_numpy()
-        df["revenue_cents"] = _cents(price * (1 - disc)).astype(np.int64)
+        df["revenue_cents"] = batch["revenue_cents"].to_numpy()
         g = df.groupby("r_name", sort=False).sum().reset_index()
         return pa.Table.from_pandas(g, preserve_index=False)
 
@@ -590,7 +600,7 @@ def q_langid(sf_dir: str):
 def q_minhash(sf_dir: str):
     docs = _rp(sf_dir, "documents", ["doc_id", "text"])
     return dd.minhash_lsh_pairs(
-        docs, "text", "doc_id", threshold=0.5, num_partitions=16, concurrency=2
+        docs, "text", "doc_id", threshold=0.5, num_partitions=16, concurrency=8
     )
 
 
