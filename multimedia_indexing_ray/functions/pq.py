@@ -1,0 +1,161 @@
+"""Product quantization — encode / ADC / SDC kernels.
+
+Faithful numpy re-expression of the reference's PQ machinery:
+
+- subvector split + per-subspace nearest-centroid encode
+  (`visual/datastructures/PQ.java:232-268`);
+- byte packing with the -128 offset so 256 centroid ids fit a signed
+  byte (`PQ.java:544-558`) — quirk replicated (codes stored int8);
+- ADC: per-query lookup table [m][ks] of subvector->centroid squared
+  distances, database scan is O(m) adds per code (`PQ.java:290-322`);
+- SDC: symmetric code-to-code tables (`PQ.java:334-374`);
+- per-subspace k-means learning with best-of-n repeats by SSE and the
+  sentinel-1000 padding for empty clusters
+  (`visual/quantization/ProductQuantizationLearning.java:46-308`).
+
+All kernels operate on (n, d) float64 matrices, vectorized.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+SENTINEL = 1000.0  # reference pads missing k-means clusters with 1000s
+
+
+@dataclass
+class PQModel:
+    centroids: np.ndarray  # (m, ks, d_sub)
+
+    @property
+    def m(self) -> int:
+        return self.centroids.shape[0]
+
+    @property
+    def ks(self) -> int:
+        return self.centroids.shape[1]
+
+    @property
+    def d_sub(self) -> int:
+        return self.centroids.shape[2]
+
+
+def _kmeans(sample: np.ndarray, k: int, seed: int, iters: int = 25) -> "tuple[np.ndarray, float]":
+    rng = np.random.default_rng(seed)
+    n = len(sample)
+    cent = sample[rng.choice(n, min(k, n), replace=False)].astype(np.float64)
+    assign = np.zeros(n, dtype=np.int64)
+    for _ in range(iters):
+        d = ((sample[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(len(cent)):
+            mask = assign == c
+            if mask.any():
+                cent[c] = sample[mask].mean(axis=0)
+    sse = float(((sample - cent[assign]) ** 2).sum())
+    if len(cent) < k:  # sentinel padding quirk (ProductQuantizationLearning)
+        pad = np.full((k - len(cent), sample.shape[1]), SENTINEL)
+        cent = np.vstack([cent, pad])
+    return cent, sse
+
+
+def fit_pq(
+    sample: np.ndarray,
+    m: int,
+    ks: int = 256,
+    seed: int = 1,
+    repeats: int = 1,
+    iters: int = 25,
+) -> PQModel:
+    """Learn per-subspace codebooks; best-of-`repeats` by SSE per subspace
+    (the reference's numKmeansRepeats)."""
+    sample = np.asarray(sample, dtype=np.float64)
+    n, d = sample.shape
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    d_sub = d // m
+    cents = np.empty((m, ks, d_sub))
+    for j in range(m):
+        sub = sample[:, j * d_sub : (j + 1) * d_sub]
+        best = None
+        for r in range(repeats):
+            cent, sse = _kmeans(sub, ks, seed + 31 * j + 7 * r, iters)
+            if best is None or sse < best[1]:
+                best = (cent, sse)
+        cents[j] = best[0]
+    return PQModel(centroids=cents)
+
+
+def pq_encode(mat: np.ndarray, model: PQModel) -> np.ndarray:
+    """(n, d) -> (n, m) int8 codes (centroid id - 128, byte-offset quirk)."""
+    mat = np.asarray(mat, dtype=np.float64)
+    n = len(mat)
+    codes = np.empty((n, model.m), dtype=np.int16)
+    d_sub = model.d_sub
+    for j in range(model.m):
+        sub = mat[:, j * d_sub : (j + 1) * d_sub]
+        # ||x - c||^2 = ||x||^2 - 2 x.c + ||c||^2; argmin over c
+        c = model.centroids[j]
+        d = -2.0 * (sub @ c.T) + (c**2).sum(axis=1)[None, :]
+        codes[:, j] = d.argmin(axis=1)
+    if model.ks <= 256:
+        return (codes - 128).astype(np.int8)  # PQ.java:552-558 offset
+    return codes
+
+
+def pq_code_ids(codes: np.ndarray, ks: int) -> np.ndarray:
+    """Undo the byte offset -> centroid ids (n, m) int64."""
+    ids = codes.astype(np.int64)
+    if ks <= 256 and codes.dtype == np.int8:
+        ids = ids + 128
+    return ids
+
+
+def pq_decode(codes: np.ndarray, model: PQModel) -> np.ndarray:
+    ids = pq_code_ids(codes, model.ks)
+    n = len(ids)
+    out = np.empty((n, model.m * model.d_sub))
+    for j in range(model.m):
+        out[:, j * model.d_sub : (j + 1) * model.d_sub] = model.centroids[j][ids[:, j]]
+    return out
+
+
+def adc_table(query: np.ndarray, model: PQModel) -> np.ndarray:
+    """(m, ks) squared distances from the query's subvectors to every
+    centroid — computed once per query (PQ.java:290-322)."""
+    q = np.asarray(query, dtype=np.float64)
+    d_sub = model.d_sub
+    table = np.empty((model.m, model.ks))
+    for j in range(model.m):
+        diff = model.centroids[j] - q[j * d_sub : (j + 1) * d_sub][None, :]
+        table[j] = (diff**2).sum(axis=1)
+    return table
+
+
+def adc_distances(codes: np.ndarray, table: np.ndarray, ks: int) -> np.ndarray:
+    """Approximate squared L2 per database code: O(m) table adds per row,
+    vectorized as one fancy-index gather + sum."""
+    ids = pq_code_ids(codes, ks)
+    m = table.shape[0]
+    return table[np.arange(m)[None, :], ids].sum(axis=1)
+
+
+def sdc_tables(model: PQModel) -> np.ndarray:
+    """(m, ks, ks) symmetric centroid-to-centroid squared distances
+    (PQ.java:334-374)."""
+    out = np.empty((model.m, model.ks, model.ks))
+    for j in range(model.m):
+        c = model.centroids[j]
+        d = ((c[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        out[j] = d
+    return out
+
+
+def sdc_distances(codes_a: np.ndarray, codes_b: np.ndarray, tables: np.ndarray, ks: int) -> np.ndarray:
+    """Approximate distance between two code matrices, row-wise."""
+    ia = pq_code_ids(codes_a, ks)
+    ib = pq_code_ids(codes_b, ks)
+    m = tables.shape[0]
+    return tables[np.arange(m)[None, :], ia, ib].sum(axis=1)

@@ -811,3 +811,18 @@ def q_winnow(sf_dir: str):
         )
 
     return docs.map_batches(_fn, batch_format="pyarrow")
+
+
+@register("pq_knn_l2")  # ADC-scanned PQ codes (PQ.java analog) — rows-only
+def q_pq_knn(sf_dir: str):
+    emb = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return nn.pq_knn(emb, _query_vectors(sf_dir, 5), "embedding", "vec_id", k=5, m=8, ks=64)
+
+
+@register("ivfpq_knn_l2")  # coarse lists + residual PQ (IVFPQ analog) — rows-only
+def q_ivfpq_knn(sf_dir: str):
+    emb = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return nn.ivfpq_knn(
+        emb, _query_vectors(sf_dir, 5), "embedding", "vec_id",
+        k=5, n_lists=8, probe=3, m=8, ks=64,
+    )

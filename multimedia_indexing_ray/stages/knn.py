@@ -193,3 +193,175 @@ def ivf_knn(
         return df[["query_id", "neighbor_id", "rank"]]
 
     return candidates.groupby("query_id").map_groups(_final, batch_format="pandas")
+
+
+def pq_knn(
+    ds: "ray.data.Dataset",
+    queries: "Tuple[np.ndarray, np.ndarray]",
+    vec_col: str,
+    id_col: str,
+    k: int = 5,
+    m: int = 8,
+    ks: int = 256,
+    sample_size: int = 2048,
+    seed: int = 1,
+    exclude_self: bool = True,
+) -> "ray.data.Dataset":
+    """Approximate top-k by squared L2 over PQ codes with ADC scanning —
+    the PQ index analog (`visual/datastructures/PQ.java:290-322`): the
+    codebook is learned on a driver-side sample, broadcast once, and each
+    batch is encoded + scanned with one table-gather per query."""
+    from multimedia_indexing_ray.functions import pq as pqf
+
+    q_ids, q_mat = queries
+    sample = []
+    for batch in ds.iter_batches(batch_size=sample_size, batch_format="pyarrow"):
+        sample.append(_batch_matrix(batch, vec_col))
+        if sum(len(s) for s in sample) >= sample_size:
+            break
+    model = pqf.fit_pq(np.concatenate(sample)[:sample_size], m=m, ks=ks, seed=seed)
+    qm = np.asarray(q_mat, dtype=np.float64)
+    tables = np.stack([pqf.adc_table(q, model) for q in qm])  # (nq, m, ks)
+    ref = ray.put((np.asarray(q_ids, dtype=np.int64), tables, model))
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        qi, tabs, mdl = ray.get(ref)
+        mat = _batch_matrix(batch, vec_col)
+        ids = batch[id_col].to_numpy()
+        codes = pqf.pq_encode(mat, mdl)
+        out_q, out_n, out_s = [], [], []
+        for row, qid in enumerate(qi):
+            d = pqf.adc_distances(codes, tabs[row], mdl.ks)
+            mask = ids != qid if exclude_self else np.ones(len(ids), dtype=bool)
+            cand = np.flatnonzero(mask)
+            if len(cand) == 0:
+                continue
+            kk = min(k, len(cand))
+            top = cand[np.argpartition(d[cand], kk - 1)[:kk]]
+            out_q.append(np.full(kk, qid, dtype=np.int64))
+            out_n.append(ids[top])
+            out_s.append(d[top])
+        if not out_q:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "neighbor_id": pa.array([], pa.int64()),
+                    "adc_dist": pa.array([], pa.float64()),
+                }
+            )
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                "neighbor_id": pa.array(np.concatenate(out_n), pa.int64()),
+                "adc_dist": pa.array(np.concatenate(out_s), pa.float64()),
+            }
+        )
+
+    candidates = ds.map_batches(_partial, batch_format="pyarrow")
+
+    def _final(df):
+        df = df.sort_values(["adc_dist", "neighbor_id"], ascending=[True, True], kind="mergesort")
+        df = df.head(k).reset_index(drop=True)
+        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        return df[["query_id", "neighbor_id", "rank"]]
+
+    return candidates.groupby("query_id").map_groups(_final, batch_format="pandas")
+
+
+def ivfpq_knn(
+    ds: "ray.data.Dataset",
+    queries: "Tuple[np.ndarray, np.ndarray]",
+    vec_col: str,
+    id_col: str,
+    k: int = 5,
+    n_lists: int = 16,
+    probe: int = 4,
+    m: int = 8,
+    ks: int = 256,
+    sample_size: int = 2048,
+    seed: int = 1,
+    exclude_self: bool = True,
+) -> "ray.data.Dataset":
+    """The reference's flagship structure re-expressed: coarse k-means
+    lists + PQ over RESIDUALS (centroid - v sign convention,
+    `visual/datastructures/IVFPQ.java:642-648`), query probes `probe`
+    nearest lists with a per-(query, list) ADC table
+    (`IVFPQ.java:408-450`)."""
+    from multimedia_indexing_ray.functions import pq as pqf
+    from multimedia_indexing_ray.functions.normalize import residual
+
+    q_ids, q_mat = queries
+    sample = []
+    for batch in ds.iter_batches(batch_size=sample_size, batch_format="pyarrow"):
+        sample.append(_batch_matrix(batch, vec_col))
+        if sum(len(s) for s in sample) >= sample_size:
+            break
+    smp = np.concatenate(sample)[:sample_size]
+    coarse = kmeans_fit(smp, n_lists, seed)
+    d = ((smp[:, None, :] - coarse[None, :, :]) ** 2).sum(axis=2)
+    assign = d.argmin(axis=1)
+    model = pqf.fit_pq(residual(smp, coarse, assign), m=m, ks=ks, seed=seed)
+
+    qm = np.asarray(q_mat, dtype=np.float64)
+    qd = ((qm[:, None, :] - coarse[None, :, :]) ** 2).sum(axis=2)
+    probed = np.argsort(qd, axis=1)[:, :probe]  # (nq, probe)
+    # per (query, probed list) ADC table over the query's residual to that list
+    tabs = np.stack(
+        [
+            np.stack([pqf.adc_table(coarse[lst] - q, model) for lst in probed[i]])
+            for i, q in enumerate(qm)
+        ]
+    )  # (nq, probe, m, ks)
+    ref = ray.put((np.asarray(q_ids, dtype=np.int64), coarse, probed, tabs, model))
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        qi, cc, pr, tb, mdl = ray.get(ref)
+        mat = _batch_matrix(batch, vec_col)
+        ids = batch[id_col].to_numpy()
+        dd = ((mat[:, None, :] - cc[None, :, :]) ** 2).sum(axis=2)
+        asn = dd.argmin(axis=1)
+        codes = pqf.pq_encode(residual(mat, cc, asn), mdl)
+        out_q, out_n, out_s = [], [], []
+        for row, qid in enumerate(qi):
+            best_d: "list[np.ndarray]" = []
+            best_i: "list[np.ndarray]" = []
+            for w, lst in enumerate(pr[row]):
+                sel = np.flatnonzero((asn == lst) & ((ids != qid) if exclude_self else True))
+                if len(sel) == 0:
+                    continue
+                best_d.append(pqf.adc_distances(codes[sel], tb[row, w], mdl.ks))
+                best_i.append(sel)
+            if not best_d:
+                continue
+            dall = np.concatenate(best_d)
+            iall = np.concatenate(best_i)
+            kk = min(k, len(dall))
+            top = np.argpartition(dall, kk - 1)[:kk]
+            out_q.append(np.full(kk, qid, dtype=np.int64))
+            out_n.append(ids[iall[top]])
+            out_s.append(dall[top])
+        if not out_q:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "neighbor_id": pa.array([], pa.int64()),
+                    "adc_dist": pa.array([], pa.float64()),
+                }
+            )
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                "neighbor_id": pa.array(np.concatenate(out_n), pa.int64()),
+                "adc_dist": pa.array(np.concatenate(out_s), pa.float64()),
+            }
+        )
+
+    candidates = ds.map_batches(_partial, batch_format="pyarrow")
+
+    def _final(df):
+        df = df.sort_values(["adc_dist", "neighbor_id"], ascending=[True, True], kind="mergesort")
+        df = df.head(k).reset_index(drop=True)
+        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        return df[["query_id", "neighbor_id", "rank"]]
+
+    return candidates.groupby("query_id").map_groups(_final, batch_format="pandas")

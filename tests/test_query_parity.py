@@ -9,7 +9,9 @@ import numpy as np
 import pandas as pd
 import pytest
 
-SF_DIR = "/root/testdata/sf0.001"
+import os as _os
+
+SF_DIR = _os.environ.get("GRAFT_PARITY_SF", "/root/testdata/sf0.001")
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
