@@ -797,9 +797,7 @@ def q_winnow(sf_dir: str):
     docs = _rp(sf_dir, "documents", ["doc_id", "text"])
 
     def _fn(batch: pa.Table) -> pa.Table:
-        from multimedia_indexing_ray.functions.text import winnow_fingerprints
-
-        fps = [winnow_fingerprints(t) for t in batch["text"].to_pylist()]
+        fps = [tx.winnow_fingerprints(t) for t in batch["text"].to_pylist()]
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
