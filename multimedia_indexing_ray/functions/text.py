@@ -142,3 +142,16 @@ def jaccard(a: set, b: set) -> float:
     if not a and not b:
         return 1.0
     return len(a & b) / len(a | b)
+
+
+def normalize_nfc_truncate(texts: "list[str]", max_chars: int) -> "tuple[list[str], list[int]]":
+    """NFC-normalize + truncate to max_chars codepoints (the text analog
+    of the reference's max-pixels rescale, `visual/extraction/ImageScaling.java:96-155`).
+
+    Uses unicodedata (matches DuckDB's nfc_normalize); pyarrow's
+    utf8_normalize was observed NOT to compose in this environment.
+    """
+    import unicodedata
+
+    norm = [unicodedata.normalize("NFC", t) for t in texts]
+    return [t[:max_chars] for t in norm], [len(t) for t in norm]

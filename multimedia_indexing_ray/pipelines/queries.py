@@ -824,3 +824,28 @@ def q_ivfpq_knn(sf_dir: str):
         emb, _query_vectors(sf_dir, 5), "embedding", "vec_id",
         k=5, n_lists=8, probe=3, m=8, ks=64,
     )
+
+
+@register(
+    "text_normalize",
+    """
+    SELECT doc_id, left(nfc_normalize(text), 64) AS norm_text,
+      CAST(length(nfc_normalize(text)) AS BIGINT) AS norm_len
+    FROM documents
+    """,
+)
+def q_text_normalize(sf_dir: str):
+    """M2/M3 analog: NFC normalization + max-length truncation per doc."""
+    docs = _rp(sf_dir, "documents", ["doc_id", "text"])
+
+    def _fn(batch: pa.Table) -> pa.Table:
+        trunc, lens = tx.normalize_nfc_truncate(batch["text"].to_pylist(), 64)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "norm_text": pa.array(trunc, pa.string()),
+                "norm_len": pa.array(lens, pa.int64()),
+            }
+        )
+
+    return docs.map_batches(_fn, batch_format="pyarrow")
