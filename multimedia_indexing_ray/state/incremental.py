@@ -1,0 +1,225 @@
+"""Incremental per-conversation window state — the streaming/serving path.
+
+The reference's aggregator holds per-item running state while descriptors
+stream through worker pools (`visual/vectorization/ImageVectorizer.java`
+completion-service loop; ST2 codebook/window state in SURVEY.md §2.3).
+The batch engine computes whole partitions at once; this module is the
+complementary INCREMENTAL mode: rows arrive per conversation in
+nondecreasing ``(ts, turn_idx)`` order (micro-batches / a serving tail)
+and each appended turn immediately yields its point-in-time feature
+vector — bit-identical to the batch kernel's output (tested).
+
+Memory is BOUNDED per conversation (SURVEY.md §7.3 actor-state-size
+concern): the row buffer only keeps rows within the largest window
+horizon of the latest timestamp, plus the deepest lag context.  Lead
+(label-side) columns need future rows and are NOT produced in
+incremental mode.
+
+``ShardedIncrementalFeaturizer`` runs N ``@ray.remote`` actors, each
+owning a hash shard of conversations — the long-lived stateful-actor
+pattern for state the Dataset API cannot express (a mutable index).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import numpy as np
+import pyarrow as pa
+
+from multimedia_indexing_ray.functions.turns import base_turn_features
+from multimedia_indexing_ray.specs import TUMBLING_ORIGIN_US, DEFAULT_SPECS, FeatureSpecs
+
+_US = 1_000_000
+
+_BASE = ("text_len", "n_tokens", "is_user", "is_assistant", "is_system", "is_tool_role", "has_tool")
+
+
+class ConversationWindowState:
+    """Running window/session state for ONE conversation."""
+
+    def __init__(self, specs: FeatureSpecs):
+        self.specs = specs
+        self.horizon_us = int(specs.max_window_width_s() * _US) + 1
+        self.k_keep = specs.max_lag_depth() + 1
+        # ring buffer of recent rows: ts + base features + gap
+        self.ts: List[int] = []
+        self.feat: List[np.ndarray] = []  # rows of [_BASE order] values
+        self.gap_s: List[float] = []
+        self.last_ts: Optional[int] = None
+        self.n_seen = 0
+        # per-session-spec running state
+        self.sess = {
+            s.name: {"idx": -1, "start_ts": 0, "count": 0.0} for s in specs.session
+        }
+        # per-tumbling-spec current-window accumulators [count, sum_tl, sum_tok]
+        self.tumb = {t.name: {"win": None, "acc": np.zeros(3)} for t in specs.tumbling}
+
+    def _evict(self) -> None:
+        if not self.ts:
+            return
+        cutoff = self.ts[-1] - self.horizon_us
+        drop = 0
+        while drop < len(self.ts) - self.k_keep and self.ts[drop] < cutoff:
+            drop += 1
+        if drop:
+            del self.ts[:drop]
+            del self.feat[:drop]
+            del self.gap_s[:drop]
+
+    def _cond_value(self, condition, row: np.ndarray) -> float:
+        if condition is None:
+            return 1.0
+        kind, value = condition
+        if kind == "role":
+            name = f"is_{value}" if value != "tool" else "is_tool_role"
+            return row[_BASE.index(name)]
+        if kind == "tool_notnull":
+            return row[_BASE.index("has_tool")]
+        raise ValueError(condition)
+
+    def append(self, ts_us: int, base_row: np.ndarray) -> "Dict[str, float]":
+        """Append one turn (nondecreasing ts) -> its feature dict."""
+        if self.last_ts is not None and ts_us < self.last_ts:
+            raise ValueError("incremental appends must be in nondecreasing ts order")
+        gap = 0.0 if self.last_ts is None else (ts_us - self.last_ts) / _US
+        out: "Dict[str, float]" = {}
+        if self.specs.include_base:
+            for i, name in enumerate(_BASE[:2]):
+                out[name] = float(base_row[i])
+            out["gap_s"] = gap
+            for i, name in enumerate(_BASE[2:], start=2):
+                out[name] = float(base_row[i])
+
+        self.ts.append(ts_us)
+        self.feat.append(base_row)
+        self.gap_s.append(gap)
+        self.last_ts = ts_us
+        self.n_seen += 1
+
+        ts_arr = np.asarray(self.ts, dtype=np.int64)
+        fmat = np.stack(self.feat)
+
+        for spec in self.specs.sliding:
+            w = int(spec.width_s * _US)
+            lo = ts_us - w
+            vis = (ts_arr > lo) if spec.closed == "right" else (ts_arr >= lo)
+            vis &= ts_arr <= ts_us
+            cond = np.array([self._cond_value(spec.condition, r) for r in fmat])
+            sel = vis & (cond > 0)
+            cnt = float(sel.sum())
+            stl = float(fmat[sel, _BASE.index("text_len")].sum())
+            stk = float(fmat[sel, _BASE.index("n_tokens")].sum())
+            out[f"{spec.name}_count"] = cnt
+            out[f"{spec.name}_sum_text_len"] = stl
+            out[f"{spec.name}_mean_text_len"] = stl / cnt if cnt else 0.0
+            out[f"{spec.name}_sum_n_tokens"] = stk
+
+        for spec in self.specs.tumbling:
+            st = self.tumb[spec.name]
+            win = (ts_us - TUMBLING_ORIGIN_US) // int(spec.width_s * _US)
+            if st["win"] != win:
+                st["win"] = win
+                st["acc"] = np.zeros(3)
+            c = self._cond_value(spec.condition, base_row)
+            if c > 0:
+                st["acc"] += [
+                    1.0,
+                    base_row[_BASE.index("text_len")],
+                    base_row[_BASE.index("n_tokens")],
+                ]
+            cnt, stl, stk = st["acc"]
+            out[f"{spec.name}_count"] = cnt
+            out[f"{spec.name}_sum_text_len"] = stl
+            out[f"{spec.name}_mean_text_len"] = stl / cnt if cnt else 0.0
+            out[f"{spec.name}_sum_n_tokens"] = stk
+
+        for spec in self.specs.session:
+            st = self.sess[spec.name]
+            if st["idx"] < 0 or gap > spec.gap_s:
+                st["idx"] += 1
+                st["start_ts"] = ts_us
+                st["count"] = 0.0
+            st["count"] += 1.0
+            out[f"{spec.name}_turns_so_far"] = st["count"]
+            out[f"{spec.name}_duration_so_far_s"] = (ts_us - st["start_ts"]) / _US
+            out[f"{spec.name}_session_idx"] = float(st["idx"])
+
+        feats_by_name = {
+            "text_len": [r[_BASE.index("text_len")] for r in self.feat],
+            "n_tokens": [r[_BASE.index("n_tokens")] for r in self.feat],
+            "gap_s": self.gap_s,
+        }
+        rel = len(self.ts) - 1
+        for spec in self.specs.lags:
+            j = rel - spec.k
+            if self.n_seen - 1 - spec.k < 0:
+                out[spec.columns[0]] = 0.0
+            elif j >= 0:
+                out[spec.columns[0]] = float(feats_by_name[spec.feature][j])
+            else:  # lag row was evicted — horizon too small for this spec
+                raise RuntimeError("lag context evicted; raise k_keep")
+        self._evict()
+        return out
+
+
+class IncrementalFeaturizer:
+    """Holds ConversationWindowState per conv; usable directly or as the
+    body of a @ray.remote actor shard."""
+
+    def __init__(self, specs: FeatureSpecs = DEFAULT_SPECS):
+        self.specs = specs
+        self.states: "Dict[str, ConversationWindowState]" = {}
+
+    def append_batch(self, batch: pa.Table) -> pa.Table:
+        """Rows must be globally nondecreasing in ts per conversation
+        across calls.  Returns one feature row per input row."""
+        import pyarrow.compute as pc
+
+        idx = pc.sort_indices(
+            batch, sort_keys=[("conv_id", "ascending"), ("ts", "ascending"), ("turn_idx", "ascending")]
+        )
+        t = batch.take(idx)
+        base = base_turn_features(t)
+        fmat = np.stack([base[n] for n in _BASE], axis=1)
+        conv = t["conv_id"].to_pylist()
+        ts = t["ts"].cast(pa.int64()).to_numpy()
+        rows = []
+        for i, cid in enumerate(conv):
+            st = self.states.get(cid)
+            if st is None:
+                st = self.states[cid] = ConversationWindowState(self.specs)
+            rows.append(st.append(int(ts[i]), fmat[i]))
+        cols: dict = {
+            "conv_id": t["conv_id"],
+            "turn_idx": t["turn_idx"],
+            "ts": t["ts"],
+        }
+        for name in self.specs.feature_columns():
+            cols[name] = pa.array([r[name] for r in rows], pa.float64())
+        return pa.table(cols)
+
+
+def sharded_incremental(
+    specs: FeatureSpecs = DEFAULT_SPECS, num_shards: int = 4
+) -> "tuple[list, object]":
+    """Create `num_shards` long-lived actors each owning a conv-hash
+    shard, plus a `route(batch) -> list[ObjectRef]` function.  This is the
+    raw-actor escape hatch for shared mutable state (SURVEY.md §2.3 ST5)."""
+    import ray
+
+    from multimedia_indexing_ray.stages.partition import partition_ids
+
+    Actor = ray.remote(IncrementalFeaturizer)
+    actors = [Actor.remote(specs) for _ in range(num_shards)]
+
+    def route(batch: pa.Table) -> "list":
+        pids = partition_ids(batch["conv_id"].to_numpy(zero_copy_only=False), num_shards)
+        refs = []
+        for s in range(num_shards):
+            sel = np.flatnonzero(pids == s)
+            if len(sel):
+                refs.append(actors[s].append_batch.remote(batch.take(pa.array(sel))))
+        return refs
+
+    return actors, route

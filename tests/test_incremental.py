@@ -1,0 +1,104 @@
+"""Incremental (streaming-append) mode vs the batch engine.
+
+Semantics note (documented in state/incremental.py): incremental mode is
+CAUSAL — a row's features are computed when it arrives, so a row cannot
+see a LATER-arriving row with the same timestamp, while the batch
+engine's ts-visibility rule makes equal-ts rows mutually visible.  The
+two modes agree exactly on all conversations without duplicate
+timestamps (the overwhelming case); the duplicate-ts divergence is
+asserted explicitly below.
+"""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+from multimedia_indexing_ray.specs import DEFAULT_SPECS
+from multimedia_indexing_ray.state.incremental import IncrementalFeaturizer
+
+KEYS = ["conv_id", "ts", "turn_idx"]
+FEATURES = list(DEFAULT_SPECS.feature_columns())
+
+
+def _no_dup_ts(table: pa.Table) -> pa.Table:
+    df = table.to_pandas()
+    dup_convs = set(
+        df[df.duplicated(subset=["conv_id", "ts"], keep=False)]["conv_id"].unique()
+    )
+    return pa.Table.from_pandas(df[~df["conv_id"].isin(dup_convs)], preserve_index=False)
+
+
+def test_incremental_matches_batch(ray_session, smoke_table):
+    import ray.data as rd
+
+    from multimedia_indexing_ray.stages.features import compute_features
+
+    clean = _no_dup_ts(smoke_table)
+    batch_out = (
+        compute_features(rd.from_arrow(clean), DEFAULT_SPECS, num_partitions=4)
+        .to_pandas()
+        .sort_values(KEYS, kind="mergesort")
+        .reset_index(drop=True)
+    )
+
+    # feed in global ts order (=> per-conv nondecreasing), micro-batches of 37
+    inc = IncrementalFeaturizer(DEFAULT_SPECS)
+    ordered = clean.take(pc.sort_indices(clean, sort_keys=[("ts", "ascending"), ("conv_id", "ascending"), ("turn_idx", "ascending")]))
+    outs = []
+    for start in range(0, ordered.num_rows, 37):
+        outs.append(inc.append_batch(ordered.slice(start, 37)).to_pandas())
+    inc_out = (
+        pd.concat(outs, ignore_index=True)
+        .sort_values(KEYS, kind="mergesort")
+        .reset_index(drop=True)
+    )
+    assert len(inc_out) == len(batch_out)
+    for c in FEATURES:
+        np.testing.assert_allclose(
+            inc_out[c].to_numpy(), batch_out[c].to_numpy(), rtol=1e-9, atol=1e-12,
+            err_msg=c,
+        )
+
+
+def test_duplicate_ts_divergence_is_causal(ray_session, smoke_table):
+    """conv-000001 has two equal-ts turns: batch mode gives both rows
+    count=2 in the 300s window; incremental gives the first-arriving row
+    count=1 (it cannot see the future)."""
+    c1 = smoke_table.filter(pc.equal(smoke_table["conv_id"], "conv-000001"))
+    c1 = c1.take(pc.sort_indices(c1, sort_keys=[("turn_idx", "ascending")]))
+    inc = IncrementalFeaturizer(DEFAULT_SPECS)
+    out = inc.append_batch(c1).to_pandas().sort_values("turn_idx")
+    assert out["slide_300s_all_count"].tolist() == [1.0, 2.0]
+
+
+def test_memory_bounded_buffer():
+    """The per-conversation buffer must not grow with conversation length."""
+    from multimedia_indexing_ray.state.incremental import ConversationWindowState
+
+    st = ConversationWindowState(DEFAULT_SPECS)
+    base = np.array([10.0, 2.0, 1.0, 0.0, 0.0, 0.0, 0.0])
+    t0 = 1_700_000_000_000_000
+    for i in range(5000):
+        st.append(t0 + i * 120 * 1_000_000, base)  # 2-min cadence
+    # horizon = 3600s -> at most ~30 rows + lag context retained
+    assert len(st.ts) < 50
+
+
+def test_sharded_actors(ray_session, smoke_table):
+    import ray
+
+    from multimedia_indexing_ray.state.incremental import sharded_incremental
+
+    clean = _no_dup_ts(smoke_table)
+    ordered = clean.take(pc.sort_indices(clean, sort_keys=[("ts", "ascending"), ("conv_id", "ascending"), ("turn_idx", "ascending")]))
+    actors, route = sharded_incremental(DEFAULT_SPECS, num_shards=3)
+    results = []
+    for start in range(0, ordered.num_rows, 50):
+        results.extend(route(ordered.slice(start, 50)))
+    tables = ray.get(results)
+    total = sum(t.num_rows for t in tables)
+    assert total == ordered.num_rows
+    for a in actors:
+        ray.kill(a)
