@@ -849,3 +849,26 @@ def q_text_normalize(sf_dir: str):
         )
 
     return docs.map_batches(_fn, batch_format="pyarrow")
+
+
+@register(
+    "knn_with_metadata",
+    """
+    WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+               FROM embeddings WHERE vec_id < 5)
+    SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, label FROM (
+      SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+        row_number() OVER (PARTITION BY q.qid
+          ORDER BY list_cosine_similarity(qe, CAST(e.embedding AS DOUBLE[])) DESC, e.vec_id) AS rank,
+        e.label
+      FROM q, embeddings e WHERE e.vec_id != q.qid)
+    WHERE rank <= 5
+    """,
+)
+def q_knn_with_metadata(sf_dir: str):
+    """Result decoration (J2/J3 analog): top-k neighbours joined with a
+    broadcast side-metadata table (label), no shuffle."""
+    emb = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
+    top = nn.brute_force_knn(emb, _query_vectors(sf_dir, 5), "embedding", "vec_id", k=5)
+    meta = _pq(sf_dir, "embeddings", ["vec_id", "label"])
+    return broadcast_join(top, meta, keys="neighbor_id", right_keys="vec_id")
