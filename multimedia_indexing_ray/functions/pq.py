@@ -42,7 +42,9 @@ class PQModel:
         return self.centroids.shape[2]
 
 
-def _kmeans(sample: np.ndarray, k: int, seed: int, iters: int = 25) -> "tuple[np.ndarray, float]":
+def _kmeans(
+    sample: np.ndarray, k: int, seed: int, iters: int = 25, pad_sentinel: bool = True
+) -> "tuple[np.ndarray, float]":
     rng = np.random.default_rng(seed)
     n = len(sample)
     cent = sample[rng.choice(n, min(k, n), replace=False)].astype(np.float64)
@@ -55,7 +57,7 @@ def _kmeans(sample: np.ndarray, k: int, seed: int, iters: int = 25) -> "tuple[np
             if mask.any():
                 cent[c] = sample[mask].mean(axis=0)
     sse = float(((sample - cent[assign]) ** 2).sum())
-    if len(cent) < k:  # sentinel padding quirk (ProductQuantizationLearning)
+    if pad_sentinel and len(cent) < k:  # sentinel quirk (ProductQuantizationLearning)
         pad = np.full((k - len(cent), sample.shape[1]), SENTINEL)
         cent = np.vstack([cent, pad])
     return cent, sse

@@ -71,6 +71,24 @@ def checkpointed_map_partitions(
     writing), to exercise kill-and-resume.
     """
     os.makedirs(os.path.join(out_dir, MANIFEST_DIR), exist_ok=True)
+    # partition assignment is a function of num_partitions: resuming with a
+    # different modulus would silently skip rows (old done-set applied to
+    # new partition ids), so the job config is pinned in the output dir
+    job_path = os.path.join(out_dir, MANIFEST_DIR, "_job.json")
+    if os.path.exists(job_path):
+        with open(job_path) as f:
+            prior = json.load(f)
+        if prior.get("num_partitions") != num_partitions:
+            raise ValueError(
+                f"{out_dir} was written with num_partitions="
+                f"{prior.get('num_partitions')}; resuming with "
+                f"{num_partitions} would drop data — use the same value or "
+                "a fresh out_dir"
+            )
+    else:
+        with open(job_path + ".tmp", "w") as f:
+            json.dump({"num_partitions": num_partitions, "key": key}, f)
+        os.replace(job_path + ".tmp", job_path)
     done = completed_partitions(out_dir) if resume else set()
     fault = set(fault_pids or ())
 

@@ -130,7 +130,6 @@ def asof_join(
 
     def _merge(table: pa.Table) -> pa.Table:
         table = table.drop_columns([PART_COL])
-        side = table[SIDE_COL].to_numpy(zero_copy_only=False)
         lt = table.filter(pc.equal(table[SIDE_COL], 0))
         rt = table.filter(pc.equal(table[SIDE_COL], 1))
         # sort left by (key, t, tiebreak)

@@ -14,6 +14,7 @@ shuffle instead of text wherever possible.
 
 from __future__ import annotations
 
+import hashlib
 from itertools import combinations
 from typing import Sequence
 
@@ -121,8 +122,6 @@ class MinHashSketcher:
             sig_bytes = sig.tobytes()
             for b in range(self.bands):
                 chunk = sig[b * self.rows_per_band : (b + 1) * self.rows_per_band]
-                import hashlib
-
                 digest = hashlib.blake2b(chunk.tobytes(), digest_size=8).digest()
                 ids.append(doc_id)
                 band_ids.append(b)

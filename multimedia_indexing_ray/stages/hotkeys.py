@@ -66,30 +66,29 @@ class SplitPlan:
         return not self.convs
 
 
-def find_hot_candidates(
-    ds: "ray.data.Dataset", key: str, hot_threshold: int, assumed_blocks: int = 512
+def find_hot_conversations(
+    ds: "ray.data.Dataset", key: str, hot_threshold: int
 ) -> "list[str]":
-    """SUPERSET of the conversations with > hot_threshold rows, in one
-    pass with NO shuffle: a conversation with more than T total rows over
-    at most B blocks has >= T/B rows in some block (pigeonhole), so each
-    block only reports its locally-heavy keys and the driver sums those
-    tiny partials.  Exact counts are confirmed later from the detail rows."""
-    cutoff = max(1, hot_threshold // assumed_blocks)
+    """EXACT set of conversations with > hot_threshold rows: per-batch
+    partial counts (the combiner) -> one small groupby over (key, n)
+    partials -> driver filter.  Correct regardless of how rows are spread
+    across blocks (a per-block cutoff heuristic can miss hot keys when
+    their rows scatter thinly — reviewed and removed)."""
+    from ray.data.aggregate import Sum
 
     def _partial(batch: pa.Table) -> pa.Table:
         df = batch.select([key]).to_pandas()
-        g = df.groupby(key, sort=False).size()
-        g = g[g >= cutoff].reset_index(name="n")
+        g = df.groupby(key, sort=False).size().reset_index(name="n")
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    parts = ds.map_batches(_partial, batch_format="pyarrow").to_pandas()
-    if parts.empty:
-        return []
-    totals = parts.groupby(key, sort=False)["n"].sum()
-    # a candidate must at least be plausible: its REPORTED sum can
-    # undercount (blocks below the cutoff are silent), so keep any key
-    # whose reported sum exceeds half the threshold
-    return sorted(totals[totals > hot_threshold // 2].index.tolist())
+    totals = (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby(key)
+        .aggregate(Sum("n", alias_name="n"))
+        .filter(expr=f"n > {int(hot_threshold)}")
+        .to_pandas()
+    )
+    return sorted(totals[key].tolist())
 
 
 def build_split_plan(
@@ -105,7 +104,7 @@ def build_split_plan(
     # materialized so the candidate pass and the detail pass share it
     # (~20 bytes/row in the object store; spills if needed)
     slim = ds.select_columns([key, on, "turn_idx"]).materialize()
-    hot = find_hot_candidates(slim, key, hot_threshold)
+    hot = find_hot_conversations(slim, key, hot_threshold)
     if not hot:
         return plan
 
@@ -132,8 +131,6 @@ def build_split_plan(
     hot_df = hot_df.sort_values([key, "__ts", "turn_idx"], kind="mergesort")
 
     for conv, g in hot_df.groupby(key, sort=False):
-        if len(g) <= hot_threshold:
-            continue  # candidate superset member that isn't actually hot
         ts = g["__ts"].to_numpy()
         n = len(ts)
         gaps = np.diff(ts)

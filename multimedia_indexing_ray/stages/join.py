@@ -46,6 +46,10 @@ def broadcast_join(
 
     The small table is put in the object store once; tasks read it
     zero-copy.  Never re-shipped per batch."""
+    if join_type not in ("inner", "left outer", "left semi", "left anti"):
+        # per-batch application would duplicate unmatched small-side rows
+        # for right/full outer joins (once per batch)
+        raise ValueError(f"broadcast_join does not support join_type={join_type!r}")
     keys = [keys] if isinstance(keys, str) else list(keys)
     rkeys = (
         keys
@@ -86,15 +90,14 @@ def hash_join(
     if overlap:
         raise ValueError(f"hash_join payload name collision: {sorted(overlap)}")
 
+    # union schema: left fields then right fields not already present
     fields = [pa.field(n, t) for n, t in zip(l_schema.names, l_schema.types)]
+    have = {f.name for f in fields}
     fields += [
         pa.field(n, t)
         for n, t in zip(r_schema.names, r_schema.types)
-        if n not in r_names or n not in [f.name for f in fields]
+        if n not in have
     ]
-    # dedupe fields while keeping order
-    seen = set()
-    fields = [f for f in fields if not (f.name in seen or seen.add(f.name))]
 
     def _prep(side: int, key_cols: "list[str]"):
         def _fn(batch: pa.Table) -> pa.Table:

@@ -68,7 +68,11 @@ def brute_force_knn(
             if len(cand_idx) == 0:
                 continue
             kk = min(k, len(cand_idx))
-            top = cand_idx[np.argpartition(-s[cand_idx], kk - 1)[:kk]]
+            # deterministic tie rule (cos desc, id asc) must hold at the
+            # batch boundary too, else a tied lower-id neighbor can be
+            # dropped before the global merge
+            order = np.lexsort((ids[cand_idx], -s[cand_idx]))[:kk]
+            top = cand_idx[order]
             out_q.append(np.full(kk, qid, dtype=np.int64))
             out_n.append(ids[top])
             out_s.append(s[top])
@@ -104,17 +108,12 @@ def kmeans_fit(
 ) -> np.ndarray:
     """Plain seeded Lloyd k-means on a driver-side sample — the coarse-
     quantizer learning analog (`visual/quantization/CoarseQuantizerLearning.java:39-72`,
-    which used Weka SimpleKMeans with a fixed seed)."""
-    rng = np.random.default_rng(seed)
-    n = len(sample)
-    cent = sample[rng.choice(n, min(n_clusters, n), replace=False)].astype(np.float64)
-    for _ in range(iters):
-        d = ((sample[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
-        assign = d.argmin(axis=1)
-        for c in range(len(cent)):
-            m = assign == c
-            if m.any():
-                cent[c] = sample[m].mean(axis=0)
+    which used Weka SimpleKMeans with a fixed seed).  Delegates to the
+    single Lloyd implementation in functions/pq.py (no sentinel padding
+    for the coarse quantizer)."""
+    from multimedia_indexing_ray.functions.pq import _kmeans
+
+    cent, _ = _kmeans(np.asarray(sample, dtype=np.float64), n_clusters, seed, iters, pad_sentinel=False)
     return cent
 
 
@@ -164,7 +163,7 @@ def ivf_knn(
                 continue
             s = unit[cand] @ qmu[row]
             kk = min(k, len(cand))
-            top = np.argpartition(-s, kk - 1)[:kk]
+            top = np.lexsort((ids[cand], -s))[:kk]
             out_q.append(np.full(kk, qid, dtype=np.int64))
             out_n.append(ids[cand[top]])
             out_s.append(s[top])
@@ -237,7 +236,8 @@ def pq_knn(
             if len(cand) == 0:
                 continue
             kk = min(k, len(cand))
-            top = cand[np.argpartition(d[cand], kk - 1)[:kk]]
+            order = np.lexsort((ids[cand], d[cand]))[:kk]
+            top = cand[order]
             out_q.append(np.full(kk, qid, dtype=np.int64))
             out_n.append(ids[top])
             out_s.append(d[top])
@@ -336,7 +336,7 @@ def ivfpq_knn(
             dall = np.concatenate(best_d)
             iall = np.concatenate(best_i)
             kk = min(k, len(dall))
-            top = np.argpartition(dall, kk - 1)[:kk]
+            top = np.lexsort((ids[iall], dall))[:kk]
             out_q.append(np.full(kk, qid, dtype=np.int64))
             out_n.append(ids[iall[top]])
             out_s.append(dall[top])

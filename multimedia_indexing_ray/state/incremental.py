@@ -7,7 +7,11 @@ The batch engine computes whole partitions at once; this module is the
 complementary INCREMENTAL mode: rows arrive per conversation in
 nondecreasing ``(ts, turn_idx)`` order (micro-batches / a serving tail)
 and each appended turn immediately yields its point-in-time feature
-vector — bit-identical to the batch kernel's output (tested).
+vector.  Semantics are CAUSAL: a row cannot see a later-arriving row
+with the SAME timestamp, whereas the batch kernel's ts-visibility rule
+makes equal-ts rows mutually visible — so the two modes agree exactly on
+every conversation without duplicate timestamps (tested), and diverge
+only on equal-ts ties (also tested, explicitly).
 
 Memory is BOUNDED per conversation (SURVEY.md §7.3 actor-state-size
 concern): the row buffer only keeps rows within the largest window

@@ -70,3 +70,31 @@ def test_ivf_recall_reasonable(ray_session):
         hits += len(got & set(expected[qid]))
         total += 5
     assert hits / total >= 0.5  # probing half the lists -> decent recall
+
+
+def test_tied_scores_resolved_by_lowest_id(ray_session):
+    """Planted duplicate embeddings straddle batch boundaries: the top-k
+    must keep the LOWEST neighbor_ids among ties (batch-level partial
+    top-k must apply the same tie rule as the global merge)."""
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from multimedia_indexing_ray.stages.knn import brute_force_knn
+
+    rng = np.random.default_rng(0)
+    mat = rng.standard_normal((200, 8))
+    q = mat[0]
+    dup_ids = [13, 44, 91, 120, 160, 199]  # scattered across partitions
+    for i in dup_ids:
+        mat[i] = q  # cosine exactly 1.0 with the query
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(200), pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in mat]),
+        }
+    )
+    res = brute_force_knn(
+        rd.from_arrow(t).repartition(8), (np.array([0]), mat[[0]]), "embedding", "vec_id", k=4
+    ).to_pandas()
+    assert res.sort_values("rank")["neighbor_id"].tolist() == sorted(dup_ids)[:4]

@@ -55,7 +55,7 @@ def test_kill_and_resume_identical(ray_session, smoke_dir, tmp_path):
 def test_manifest_lineage_and_metrics(ray_session, smoke_dir, tmp_path):
     out = str(tmp_path / "m")
     run_feature_job(smoke_dir, out, num_partitions=4)
-    manifests = sorted(glob.glob(os.path.join(out, "_manifests", "*.json")))
+    manifests = sorted(glob.glob(os.path.join(out, "_manifests", "part-*.json")))
     assert 1 <= len(manifests) <= 4  # empty hash buckets write no manifest
     m = json.load(open(manifests[0]))
     assert m["rows_in"] == m["rows_out"] > 0
@@ -70,3 +70,12 @@ def test_noop_resume(ray_session, smoke_dir, tmp_path):
     s2 = run_feature_job(smoke_dir, out, num_partitions=4)
     assert s2["partitions_processed"] == 0
     assert s2["partitions_done_previously"] == s1["partitions_processed"]
+
+
+def test_resume_rejects_changed_num_partitions(ray_session, smoke_dir, tmp_path):
+    """Resuming with a different partition modulus would silently skip
+    rows; the runner must refuse."""
+    out = str(tmp_path / "p")
+    run_feature_job(smoke_dir, out, num_partitions=4)
+    with pytest.raises(ValueError, match="num_partitions"):
+        run_feature_job(smoke_dir, out, num_partitions=8)
