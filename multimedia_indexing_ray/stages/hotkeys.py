@@ -66,23 +66,45 @@ class SplitPlan:
         return not self.convs
 
 
-def find_hot_conversations(
+def find_hot_candidates(
     ds: "ray.data.Dataset", key: str, hot_threshold: int
 ) -> "list[str]":
-    """EXACT set of conversations with > hot_threshold rows: per-batch
-    partial counts (the combiner) -> one small groupby over (key, n)
-    partials -> driver filter.  Correct regardless of how rows are spread
-    across blocks (a per-block cutoff heuristic can miss hot keys when
-    their rows scatter thinly — reviewed and removed)."""
+    """GUARANTEED superset of the keys with > hot_threshold rows.
+
+    Pigeonhole with the TRUE block count B (ds must be materialized so
+    num_blocks() is exact and map_batches(batch_size=None) sees whole
+    blocks): a key with more than T rows over B blocks has >= ceil(T/B)
+    rows in at least one block, so per-block reporting at that cutoff
+    cannot miss a hot key.  Candidates are verified EXACTLY downstream
+    from their detail rows (build_split_plan), so false positives only
+    cost a little extra driver work.
+
+    When blocks are so numerous that the cutoff degenerates (< 8), fall
+    back to an exact partial-count groupby (one small shuffle)."""
+    num_blocks = ds.num_blocks() if hasattr(ds, "num_blocks") else None
+    cutoff = max(1, -(-hot_threshold // num_blocks)) if num_blocks else 1
+
+    if cutoff >= 8:
+        def _partial(batch: pa.Table) -> pa.Table:
+            df = batch.select([key]).to_pandas()
+            g = df.groupby(key, sort=False).size()
+            g = g[g >= cutoff].reset_index(name="n")
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        parts = ds.map_batches(
+            _partial, batch_format="pyarrow", batch_size=None
+        ).to_pandas()
+        return sorted(parts[key].unique().tolist()) if len(parts) else []
+
     from ray.data.aggregate import Sum
 
-    def _partial(batch: pa.Table) -> pa.Table:
+    def _partial_all(batch: pa.Table) -> pa.Table:
         df = batch.select([key]).to_pandas()
         g = df.groupby(key, sort=False).size().reset_index(name="n")
         return pa.Table.from_pandas(g, preserve_index=False)
 
     totals = (
-        ds.map_batches(_partial, batch_format="pyarrow")
+        ds.map_batches(_partial_all, batch_format="pyarrow")
         .groupby(key)
         .aggregate(Sum("n", alias_name="n"))
         .filter(expr=f"n > {int(hot_threshold)}")
@@ -104,7 +126,7 @@ def build_split_plan(
     # materialized so the candidate pass and the detail pass share it
     # (~20 bytes/row in the object store; spills if needed)
     slim = ds.select_columns([key, on, "turn_idx"]).materialize()
-    hot = find_hot_conversations(slim, key, hot_threshold)
+    hot = find_hot_candidates(slim, key, hot_threshold)
     if not hot:
         return plan
 
@@ -131,6 +153,8 @@ def build_split_plan(
     hot_df = hot_df.sort_values([key, "__ts", "turn_idx"], kind="mergesort")
 
     for conv, g in hot_df.groupby(key, sort=False):
+        if len(g) <= hot_threshold:
+            continue  # pigeonhole candidate that isn't actually hot
         ts = g["__ts"].to_numpy()
         n = len(ts)
         gaps = np.diff(ts)
