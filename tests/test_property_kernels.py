@@ -1,0 +1,141 @@
+"""Property-based tests (hypothesis): segmented kernels vs brute force.
+
+Randomized segments/timestamps/values; each vectorized kernel must match
+an obviously-correct O(n^2) reference on every generated case.
+"""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from multimedia_indexing_ray.functions import segments as sg
+
+
+@st.composite
+def segmented_data(draw, max_segs=5, max_len=12):
+    n_segs = draw(st.integers(1, max_segs))
+    lens = [draw(st.integers(1, max_len)) for _ in range(n_segs)]
+    codes = np.repeat(np.arange(n_segs), lens)
+    n = len(codes)
+    # nondecreasing ts within segments, arbitrary gaps
+    ts = np.empty(n, dtype=np.int64)
+    i = 0
+    for L in lens:
+        start = draw(st.integers(0, 10**9))
+        gaps = [draw(st.integers(0, 10**7)) for _ in range(L)]
+        ts[i : i + L] = start + np.cumsum(gaps) - gaps[0]
+        i += L
+    vals = np.array([draw(st.integers(-100, 100)) for _ in range(n)], dtype=np.float64)
+    return codes, ts, vals
+
+
+@settings(max_examples=60, deadline=None)
+@given(segmented_data(), st.integers(1, 4), st.floats(-5, 5))
+def test_lag_lead_property(data, k, fill):
+    codes, ts, vals = data
+    starts = sg.segment_starts(codes)
+    lag = sg.seg_lag(vals, starts, k, fill)
+    lead = sg.seg_lead(vals, starts, k, fill)
+    for i in range(len(vals)):
+        seg = codes[i]
+        j = i - k
+        exp = vals[j] if j >= 0 and codes[j] == seg else fill
+        assert lag[i] == exp, f"lag at {i}"
+        j = i + k
+        exp = vals[j] if j < len(vals) and codes[j] == seg else fill
+        assert lead[i] == exp, f"lead at {i}"
+
+
+@settings(max_examples=60, deadline=None)
+@given(segmented_data())
+def test_gap_property(data):
+    codes, ts, _ = data
+    starts = sg.segment_starts(codes)
+    gap = sg.seg_gap_us(ts, starts)
+    for i in range(len(ts)):
+        if i == 0 or codes[i] != codes[i - 1]:
+            assert gap[i] == 0
+        else:
+            assert gap[i] == ts[i] - ts[i - 1]
+
+
+@settings(max_examples=60, deadline=None)
+@given(segmented_data(), st.integers(0, 10**7))
+def test_sliding_window_property(data, width):
+    codes, ts, vals = data
+    starts = sg.segment_starts(codes)
+    adj = sg.adjusted_ts(ts, starts, width + 1)
+    hi = sg.visible_hi(adj)
+    lo = sg.sliding_lo(adj, width, "right")
+    sums = sg.range_sums(sg.prefix_sums(vals[:, None]), lo, hi)[:, 0]
+    for i in range(len(ts)):
+        exp = sum(
+            vals[j]
+            for j in range(len(ts))
+            if codes[j] == codes[i] and ts[i] - width < ts[j] <= ts[i]
+        )
+        assert sums[i] == exp, f"window sum at {i}"
+
+
+@settings(max_examples=60, deadline=None)
+@given(segmented_data(), st.floats(0, 10**6))
+def test_session_property(data, thr):
+    codes, ts, _ = data
+    starts = sg.segment_starts(codes)
+    gap = sg.seg_gap_us(ts, starts).astype(np.float64)
+    b = sg.session_boundaries(gap, starts, thr)
+    gid = sg.group_index(b)
+    for i in range(len(ts)):
+        if i == 0 or codes[i] != codes[i - 1]:
+            assert b[i]
+        else:
+            assert b[i] == (gap[i] > thr)
+        if i > 0:
+            assert gid[i] == gid[i - 1] + int(b[i])
+
+
+@settings(max_examples=60, deadline=None)
+@given(segmented_data(), st.floats(-5, 5))
+def test_ffill_property(data, fill):
+    codes, ts, vals = data
+    starts = sg.segment_starts(codes)
+    valid = vals > 0
+    out = sg.seg_ffill(vals, valid, starts, fill)
+    for i in range(len(vals)):
+        exp = fill
+        for j in range(i, -1, -1):
+            if codes[j] != codes[i]:
+                break
+            if valid[j]:
+                exp = vals[j]
+                break
+        assert out[i] == exp, f"ffill at {i}"
+
+
+@settings(max_examples=40, deadline=None)
+@given(segmented_data(), segmented_data())
+def test_asof_searchsorted_property(left, right):
+    """The asof index math on an adjusted axis matches a nested-loop asof."""
+    l_codes, l_ts, _ = left
+    r_codes, r_ts, _ = right
+    cats = np.unique(np.concatenate([l_codes, r_codes]))
+    c_l = np.searchsorted(cats, l_codes)
+    c_r = np.searchsorted(cats, r_codes)
+    base = np.full(len(cats), np.iinfo(np.int64).max, dtype=np.int64)
+    np.minimum.at(base, c_l, l_ts)
+    np.minimum.at(base, c_r, r_ts)
+    rel_l = l_ts - base[c_l]
+    rel_r = r_ts - base[c_r]
+    step = int(max(rel_l.max(initial=0), rel_r.max(initial=0))) + 2
+    adj_l = c_l * step + rel_l
+    adj_r = c_r * step + rel_r
+    order = np.argsort(adj_l, kind="stable")
+    adj_l_s, c_l_s, l_ts_s = adj_l[order], c_l[order], l_ts[order]
+    idx = np.searchsorted(adj_l_s, adj_r, side="right") - 1
+    for r in range(len(r_ts)):
+        cands = [j for j in range(len(l_ts)) if c_l[j] == c_r[r] and l_ts[j] <= r_ts[r]]
+        if not cands:
+            assert idx[r] < 0 or c_l_s[idx[r]] != c_r[r]
+        else:
+            assert idx[r] >= 0 and c_l_s[idx[r]] == c_r[r]
+            assert l_ts_s[idx[r]] == max(l_ts[j] for j in cands)
