@@ -186,3 +186,56 @@ def compute_features(
     return map_partitions_by_key(
         pre, part_key, kernel, num_partitions=num_partitions, strategy=shuffle_strategy
     )
+
+
+def normalize_feature_blocks(
+    ds: "ray.data.Dataset",
+    specs: FeatureSpecs = DEFAULT_SPECS,
+    normalizations_on: bool = True,
+) -> "ray.data.Dataset":
+    """multiVLAD-style block normalization of the packed `features` column
+    (`visual/aggregation/VladAggregatorMultipleVocabularies.java:42-101`):
+    signed power(0.5) + L2 per spec block, concat, final L2 when there is
+    more than one block — with the reference's zero-vector->all-ones L2
+    quirk.  `normalizations_on=False` returns the raw concatenation, like
+    the reference's `normalizationsOn` flag."""
+    from multimedia_indexing_ray.functions.normalize import l2_normalize, ssr_normalize
+
+    # block boundaries in vector order: base | each sliding | each tumbling
+    # | each session | lags (base and per-spec groups are the "vocabularies")
+    cols = specs.feature_columns()
+    blocks: "list[tuple[int, int]]" = []
+    pos = 0
+    groups = []
+    if specs.include_base:
+        groups.append(len([c for c in cols[:8]]))
+    for s in specs.sliding:
+        groups.append(len(s.columns))
+    for t in specs.tumbling:
+        groups.append(len(t.columns))
+    for s in specs.session:
+        groups.append(len(s.columns))
+    if specs.lags:
+        groups.append(sum(len(l.columns) for l in specs.lags))
+    for g in groups:
+        blocks.append((pos, pos + g))
+        pos += g
+    assert pos == specs.dim
+
+    def _fn(batch: pa.Table) -> pa.Table:
+        col = batch["features"].combine_chunks()
+        d = col.type.list_size
+        mat = col.flatten().to_numpy(zero_copy_only=False).reshape(-1, d)
+        if normalizations_on:
+            parts = [ssr_normalize(mat[:, a:b]) for a, b in blocks]
+            out = np.concatenate(parts, axis=1)
+            if len(blocks) > 1:
+                out = l2_normalize(out)
+        else:
+            out = mat
+        norm_col = pa.FixedSizeListArray.from_arrays(
+            pa.array(out.reshape(-1), pa.float64()), d
+        )
+        return batch.drop_columns(["features"]).append_column("features", norm_col)
+
+    return ds.map_batches(_fn, batch_format="pyarrow")
