@@ -872,3 +872,33 @@ def q_knn_with_metadata(sf_dir: str):
     top = nn.brute_force_knn(emb, _query_vectors(sf_dir, 5), "embedding", "vec_id", k=5)
     meta = _pq(sf_dir, "embeddings", ["vec_id", "label"])
     return broadcast_join(top, meta, keys="neighbor_id", right_keys="vec_id")
+
+
+@register(
+    "asof_next_purchase_after_error",
+    """
+    SELECT e.event_id, e.user_id, p.value AS next_value, p.event_id AS next_event_id
+    FROM events e LEFT JOIN LATERAL (
+      SELECT value, event_id FROM events p
+      WHERE p.user_id = e.user_id AND p.event_type = 'purchase' AND p.ts >= e.ts
+      ORDER BY p.ts ASC, p.event_id ASC LIMIT 1) p ON true
+    WHERE e.event_type = 'error'
+    """,
+)
+def q_asof_forward(sf_dir: str):
+    """Forward as-of: FIRST purchase at or after each error (label-side
+    next-event join; direction='forward', ties -> lowest event_id)."""
+    ev = _rp(sf_dir, "events", ["event_id", "user_id", "ts", "value", "event_type"])
+    purchases = ev.filter(expr="event_type == 'purchase'").drop_columns(["event_type"])
+    errors = ev.filter(expr="event_type == 'error'").drop_columns(["event_type", "value"])
+    joined = asof_join(
+        purchases,
+        errors,
+        left_key="user_id",
+        left_on="ts",
+        tiebreak="event_id",
+        direction="forward",
+        matched_prefix="next_",
+        num_partitions=32,
+    )
+    return joined.select_columns(["event_id", "user_id", "next_value", "next_event_id"])

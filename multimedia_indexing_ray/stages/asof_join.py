@@ -78,17 +78,23 @@ def asof_join(
     right_on: Optional[str] = None,
     tiebreak: Optional[str] = "turn_idx",
     allow_exact_matches: bool = True,
+    direction: str = "backward",
     matched_prefix: str = "matched_",
     num_partitions: int = DEFAULT_NUM_PARTITIONS,
     keep_unmatched: bool = True,
 ) -> "ray.data.Dataset":
-    """As-of join: attach, to every right row, the columns of the last
-    left row with the same key and ``left_on <= right_on``.
+    """As-of join: attach, to every right row, the columns of the LAST
+    left row with ``left_on <= right_on`` (direction="backward") or the
+    FIRST left row with ``left_on >= right_on`` (direction="forward"),
+    same key; exact matches excluded when ``allow_exact_matches=False``.
+    Ties on equal time: highest tiebreaker backward, lowest forward.
 
     Output: right columns (original names) + left columns prefixed with
     ``matched_prefix``.  Unmatched right rows keep typed nulls (or are
     dropped when ``keep_unmatched=False`` — SQL inner-asof semantics).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(direction)
     right_key = right_key or left_key
     right_on = right_on or left_on
 
@@ -126,7 +132,10 @@ def asof_join(
     unioned = lds.union(rds)
 
     l_out_names = [n for n in left_payload if n != left_on]
-    side_of = "right" if allow_exact_matches else "left"
+    if direction == "backward":
+        side_of = "right" if allow_exact_matches else "left"
+    else:
+        side_of = "left" if allow_exact_matches else "right"
 
     def _merge(table: pa.Table) -> pa.Table:
         table = table.drop_columns([PART_COL])
@@ -161,9 +170,13 @@ def asof_join(
         adj_l = c_l * step + rel_l
         adj_r = c_r * step + rel_r
 
-        idx = np.searchsorted(adj_l, adj_r, side=side_of) - 1
+        if direction == "backward":
+            idx = np.searchsorted(adj_l, adj_r, side=side_of) - 1
+            valid = (idx >= 0) & (len(adj_l) > 0)
+        else:
+            idx = np.searchsorted(adj_l, adj_r, side=side_of)
+            valid = idx < len(adj_l)
         clamped = np.clip(idx, 0, max(len(adj_l) - 1, 0))
-        valid = (idx >= 0) & (len(adj_l) > 0)
         if len(adj_l):
             valid &= c_l[clamped] == c_r
 

@@ -121,3 +121,46 @@ def test_asof_cross_schema_keys(ray_session):
     assert mv[0] == 2.0  # user 1 @25 -> event @20
     assert pd.isna(mv[1])  # user 2 @14 -> only event is @15 (future)
     assert pd.isna(mv[2])  # user 3 unknown key
+
+
+def test_asof_forward_direction(ray_session):
+    """Forward as-of: first left row with ts >= query ts, ties lowest id."""
+    import ray.data as rd
+
+    from multimedia_indexing_ray.stages.asof_join import asof_join
+
+    left = pa.table(
+        {
+            "user_id": pa.array([1, 1, 1, 2], pa.int64()),
+            "ts": pa.array([10, 20, 20, 5], pa.timestamp("us")),
+            "value": pa.array([1.0, 2.0, 3.0, 4.0]),
+            "event_id": pa.array([100, 102, 101, 103], pa.int64()),
+        }
+    )
+    right = pa.table(
+        {
+            "user_id": pa.array([1, 1, 2, 3], pa.int64()),
+            "ts": pa.array([15, 25, 1, 1], pa.timestamp("us")),
+        }
+    )
+    out = (
+        asof_join(
+            rd.from_arrow(left),
+            rd.from_arrow(right),
+            left_key="user_id",
+            left_on="ts",
+            tiebreak="event_id",
+            direction="forward",
+            num_partitions=3,
+        )
+        .to_pandas()
+        .sort_values(["user_id", "ts"])
+        .reset_index(drop=True)
+    )
+    # user1@15 -> first ts>=15 is ts=20, tie -> event_id 101 (value 3.0)
+    assert out.loc[0, "matched_event_id"] == 101 and out.loc[0, "matched_value"] == 3.0
+    # user1@25 -> nothing at/after 25
+    assert pd.isna(out.loc[1, "matched_value"])
+    # user2@1 -> ts=5 (value 4.0); user3 unknown -> null
+    assert out.loc[2, "matched_value"] == 4.0
+    assert pd.isna(out.loc[3, "matched_value"])
