@@ -902,3 +902,34 @@ def q_asof_forward(sf_dir: str):
         num_partitions=32,
     )
     return joined.select_columns(["event_id", "user_id", "next_value", "next_event_id"])
+
+
+@register(
+    "range_join_purchases_near_errors",
+    """
+    SELECT e.event_id AS event_id, e.user_id AS user_id,
+           p.event_id AS near_event_id, p.value AS near_value
+    FROM events e JOIN events p
+      ON p.user_id = e.user_id AND p.event_type = 'purchase'
+     AND p.ts >= e.ts - INTERVAL 1 HOUR AND p.ts <= e.ts + INTERVAL 1 HOUR
+    WHERE e.event_type = 'error'
+    """,
+)
+def q_range_join(sf_dir: str):
+    """Temporal range join: every purchase within +-1h of each error."""
+    from multimedia_indexing_ray.stages.asof_join import range_join
+
+    ev = _rp(sf_dir, "events", ["event_id", "user_id", "ts", "value", "event_type"])
+    purchases = ev.filter(expr="event_type == 'purchase'").drop_columns(["event_type"])
+    errors = ev.filter(expr="event_type == 'error'").drop_columns(["event_type", "value"])
+    joined = range_join(
+        purchases,
+        errors,
+        left_key="user_id",
+        left_on="ts",
+        lower_s=-3600.0,
+        upper_s=3600.0,
+        matched_prefix="near_",
+        num_partitions=32,
+    )
+    return joined.select_columns(["event_id", "user_id", "near_event_id", "near_value"])

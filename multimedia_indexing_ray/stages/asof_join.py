@@ -199,3 +199,116 @@ def asof_join(
         return out
 
     return unioned.groupby(PART_COL).map_groups(_merge, batch_format="pyarrow")
+
+
+def range_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    left_key: str = "conv_id",
+    left_on: str = "ts",
+    right_key: Optional[str] = None,
+    right_on: Optional[str] = None,
+    lower_s: float = 0.0,
+    upper_s: float = 0.0,
+    matched_prefix: str = "matched_",
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+) -> "ray.data.Dataset":
+    """Temporal range (interval) join: for every right row at time t,
+    emit one output row per left row of the same key with
+    ``t + lower_s <= t' <= t + upper_s`` (inner semantics — unmatched
+    right rows are dropped).  Same physical plan as asof_join, with the
+    adjusted-axis margin widened so interval bounds cannot cross key
+    segments; matches gathered with a vectorized repeat/arange expansion
+    (no per-row Python loops)."""
+    right_key = right_key or left_key
+    right_on = right_on or left_on
+    lower_us = int(lower_s * 1_000_000)
+    upper_us = int(upper_s * 1_000_000)
+    if lower_us > upper_us:
+        raise ValueError("lower_s must be <= upper_s")
+
+    l_schema = left.schema()
+    r_schema = right.schema()
+    l_fields = {n: t for n, t in zip(l_schema.names, l_schema.types)}
+    r_fields = {n: t for n, t in zip(r_schema.names, r_schema.types)}
+    key_type = l_fields[left_key]
+    on_type = l_fields[left_on]
+    left_payload = [n for n in l_schema.names if n != left_key]
+    right_payload = [n for n in r_schema.names if n not in (right_key, right_on)]
+
+    fields: "list[pa.Field]" = [pa.field("__k", key_type), pa.field("__t", on_type)]
+    for n in left_payload:
+        if n != left_on:
+            fields.append(pa.field(f"__l_{n}", l_fields[n]))
+    for n in right_payload:
+        fields.append(pa.field(n, r_fields[n]))
+
+    def _rename_left(batch: pa.Table) -> pa.Table:
+        cols = {
+            ("__l_" + n if n not in (left_key, left_on) else n): batch[n]
+            for n in batch.column_names
+        }
+        return pa.table(cols)
+
+    lds = _prep_side(
+        left.map_batches(_rename_left, batch_format="pyarrow"),
+        left_key, left_on, 0, fields, num_partitions,
+    )
+    rds = _prep_side(right, right_key, right_on, 1, fields, num_partitions)
+    l_out_names = [n for n in left_payload if n != left_on]
+    margin = max(abs(lower_us), abs(upper_us))
+
+    def _merge(table: pa.Table) -> pa.Table:
+        table = table.drop_columns([PART_COL])
+        lt = table.filter(pc.equal(table[SIDE_COL], 0))
+        rt = table.filter(pc.equal(table[SIDE_COL], 1))
+        lt = lt.take(pc.sort_indices(lt, sort_keys=[("__k", "ascending"), ("__t", "ascending")]))
+        k_l = lt["__k"].to_numpy(zero_copy_only=False)
+        k_r = rt["__k"].to_numpy(zero_copy_only=False)
+        t_l = lt["__t"].cast(pa.int64()).to_numpy() if lt.num_rows else np.empty(0, np.int64)
+        t_r = rt["__t"].cast(pa.int64()).to_numpy() if rt.num_rows else np.empty(0, np.int64)
+        cats = np.unique(np.concatenate([k_l, k_r]))
+        c_l = np.searchsorted(cats, k_l)
+        c_r = np.searchsorted(cats, k_r)
+        base = np.full(len(cats), np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(base, c_l, t_l)
+        np.minimum.at(base, c_r, t_r)
+        rel_l = t_l - base[c_l]
+        rel_r = t_r - base[c_r]
+        span = int(max(rel_l.max(initial=0), rel_r.max(initial=0)))
+        step = span + margin + 2  # interval bounds may not cross segments
+        if step * (len(cats) + 1) >= 2**62:
+            raise OverflowError("range_join adjusted axis overflow; raise num_partitions")
+        adj_l = c_l * step + rel_l
+        adj_r = c_r * step + rel_r
+        lo = np.searchsorted(adj_l, adj_r + lower_us, side="left")
+        hi = np.searchsorted(adj_l, adj_r + upper_us, side="right")
+        counts = np.maximum(hi - lo, 0)
+        total = int(counts.sum())
+        if total == 0:
+            cols = {right_key: rt["__k"].slice(0, 0), right_on: rt["__t"].slice(0, 0)}
+            for n in right_payload:
+                cols[n] = rt[n].slice(0, 0)
+            for n in [left_on] + l_out_names:
+                src = lt["__t"] if n == left_on else lt[f"__l_{n}"]
+                cols[f"{matched_prefix}{n}"] = src.slice(0, 0)
+            return pa.table(cols)
+        # vectorized expansion: right row i repeated counts[i] times,
+        # matched left indices lo[i] .. hi[i]-1
+        r_idx = np.repeat(np.arange(len(t_r)), counts)
+        excl = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        l_idx = np.repeat(lo, counts) + (np.arange(total) - np.repeat(excl, counts))
+        r_take = pa.array(r_idx.astype(np.int64))
+        l_take = pa.array(l_idx.astype(np.int64))
+        cols = {
+            right_key: rt["__k"].take(r_take),
+            right_on: rt["__t"].take(r_take),
+        }
+        for n in right_payload:
+            cols[n] = rt[n].take(r_take)
+        for n in [left_on] + l_out_names:
+            src = lt["__t"] if n == left_on else lt[f"__l_{n}"]
+            cols[f"{matched_prefix}{n}"] = src.take(l_take)
+        return pa.table(cols)
+
+    return lds.union(rds).groupby(PART_COL).map_groups(_merge, batch_format="pyarrow")

@@ -164,3 +164,43 @@ def test_asof_forward_direction(ray_session):
     # user2@1 -> ts=5 (value 4.0); user3 unknown -> null
     assert out.loc[2, "matched_value"] == 4.0
     assert pd.isna(out.loc[3, "matched_value"])
+
+
+def test_range_join_inclusive_bounds_and_multimatch(ray_session):
+    import ray.data as rd
+
+    from multimedia_indexing_ray.stages.asof_join import range_join
+
+    left = pa.table(
+        {
+            "user_id": pa.array([1, 1, 1, 2], pa.int64()),
+            "ts": pa.array([0, 5_000_000, 10_000_000, 5_000_000], pa.timestamp("us")),
+            "event_id": pa.array([100, 101, 102, 103], pa.int64()),
+        }
+    )
+    right = pa.table(
+        {
+            "user_id": pa.array([1, 2, 3], pa.int64()),
+            "ts": pa.array([5_000_000, 99_000_000, 0], pa.timestamp("us")),
+        }
+    )
+    out = (
+        range_join(
+            rd.from_arrow(left),
+            rd.from_arrow(right),
+            left_key="user_id",
+            left_on="ts",
+            lower_s=-5.0,
+            upper_s=5.0,
+            num_partitions=3,
+        )
+        .to_pandas()
+        .sort_values(["user_id", "matched_event_id"])
+        .reset_index(drop=True)
+    )
+    # user1 @5s with [-5s, +5s]: matches events at 0, 5, 10 (inclusive both ends)
+    assert out[out["user_id"] == 1]["matched_event_id"].tolist() == [100, 101, 102]
+    # user2 @99s: no matches (its event at 5s is out of range) -> dropped
+    assert (out["user_id"] != 2).all()
+    # user3 unknown key -> dropped; never bleeds into user1's segment
+    assert set(out["user_id"]) == {1}
