@@ -23,8 +23,10 @@ def csv_to_parquet(
     ds = ray.data.read_csv(src)
     if columns:
         ds = ds.select_columns(list(columns))
+    ds = ds.materialize()
     ds.write_parquet(out_dir)
-    return ray.data.read_parquet(out_dir).count()
+    return ds.count()  # count the converted input, not the (possibly
+    # pre-populated) output directory
 
 
 def parquet_to_csv(
@@ -34,5 +36,6 @@ def parquet_to_csv(
 ) -> int:
     """Streaming Parquet -> CSV (inspection/export); returns row count."""
     ds = ray.data.read_parquet(src, columns=list(columns) if columns else None)
+    ds = ds.materialize()
     ds.write_csv(out_dir)
-    return ray.data.read_csv(out_dir).count()
+    return ds.count()

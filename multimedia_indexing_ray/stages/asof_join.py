@@ -1,26 +1,32 @@
-"""Point-in-time as-of join — sort-within-partition merge with a
-searchsorted (gallop) cursor.
+"""Point-in-time as-of join and temporal range join — sort-within-
+partition merges with a searchsorted (gallop) cursor.
 
 The reference's only "join" is nearest-neighbour in vector space
 (`visual/datastructures/Linear.java:138-163` exhaustive scan;
 `visual/datastructures/IVFPQ.java:408-450` partition-pruned probe).  The
-transcript engine's analog is temporal: for each right-side row
-``(key, t)`` find the LAST left-side row of the same key with
-``t' <= t`` (or ``t' < t`` when ``allow_exact_matches=False``), ties on
-equal ``t'`` resolved by the highest tiebreaker — fixed, tested rule
-(SURVEY.md §7.3).
+transcript engine's analogs are temporal:
 
-Physical plan: both sides are hash-partitioned on the key (ONE shuffle,
-same partitioner as the feature engine), tagged, unioned, and each
-partition group is merged with one global ``np.searchsorted`` over a
-conversation-separated monotone time axis — no per-key Python loops.
-Zero temporal leakage: a right row can never see a left row with
-``t' > t``.
+- ``asof_join``: for each right row ``(key, t)``, the LAST left row with
+  ``t' <= t`` (direction="backward"; ties -> highest tiebreaker) or the
+  FIRST with ``t' >= t`` (direction="forward"; ties -> lowest), exact
+  matches excluded when ``allow_exact_matches=False``.
+- ``range_join``: every left row with ``t + lower <= t' <= t + upper``
+  (inclusive; inner semantics), expanded vectorized.
+
+Physical plan (shared): both sides hash-partitioned on the key (ONE
+shuffle, same partitioner as the feature engine), tagged, unioned; each
+partition group merged with global ``np.searchsorted`` over a
+key-segment-separated monotone time axis — no per-key Python loops.
+Zero temporal leakage: a backward match can never see ``t' > t``.
+
+Temporal columns are normalised to microseconds inside the merge, so
+second-denominated offsets are correct for any timestamp unit; plain
+numeric "time" columns are used as-is (offsets then share their unit).
 """
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional
 
 import numpy as np
 import pyarrow as pa
@@ -53,8 +59,7 @@ def _prep_side(
         n = batch.num_rows
         for f in all_fields:
             if f.name == "__k":
-                src = batch[key]
-                cols["__k"] = src.cast(f.type)
+                cols["__k"] = batch[key].cast(f.type)
             elif f.name == "__t":
                 cols["__t"] = batch[on].cast(f.type)
             elif f.name in batch.column_names and f.name not in (key, on):
@@ -67,6 +72,71 @@ def _prep_side(
         return pa.table(cols)
 
     return ds.map_batches(_fn, batch_format="pyarrow")
+
+
+def _build_sides(left, right, left_key, left_on, right_key, right_on, num_partitions):
+    """Shared side preparation: union schema, left-payload renaming,
+    per-side prep.  Returns (lds, rds, l_out_names, right_payload,
+    on_is_temporal)."""
+    l_schema = left.schema()
+    r_schema = right.schema()
+    l_fields = {n: t for n, t in zip(l_schema.names, l_schema.types)}
+    r_fields = {n: t for n, t in zip(r_schema.names, r_schema.types)}
+    key_type = l_fields[left_key]
+    on_type = l_fields[left_on]
+    left_payload = [n for n in l_schema.names if n != left_key]
+    right_payload = [n for n in r_schema.names if n not in (right_key, right_on)]
+
+    fields: "list[pa.Field]" = [pa.field("__k", key_type), pa.field("__t", on_type)]
+    for n in left_payload:
+        if n != left_on:
+            fields.append(pa.field(f"__l_{n}", l_fields[n]))
+    for n in right_payload:
+        fields.append(pa.field(n, r_fields[n]))
+
+    def _rename_left(batch: pa.Table) -> pa.Table:
+        cols = {
+            ("__l_" + n if n not in (left_key, left_on) else n): batch[n]
+            for n in batch.column_names
+        }
+        return pa.table(cols)
+
+    lds = _prep_side(
+        left.map_batches(_rename_left, batch_format="pyarrow"),
+        left_key, left_on, 0, fields, num_partitions,
+    )
+    rds = _prep_side(right, right_key, right_on, 1, fields, num_partitions)
+    l_out_names = [n for n in left_payload if n != left_on]
+    on_is_temporal = pa.types.is_temporal(on_type)
+    return lds, rds, l_out_names, right_payload, on_is_temporal
+
+
+def _t_int64(col: "pa.ChunkedArray", temporal: bool) -> np.ndarray:
+    """__t column -> int64 numpy, normalised to MICROSECONDS when the
+    column is temporal (so second-denominated offsets are unit-safe)."""
+    if col.length() == 0:
+        return np.empty(0, np.int64)
+    if temporal:
+        col = col.cast(pa.timestamp("us"))
+    return col.cast(pa.int64()).to_numpy()
+
+
+def _adjusted_pair(k_l, k_r, t_l, t_r, margin: int, op_name: str):
+    """Fold both sides onto one key-segment-separated monotone int64 axis
+    (shared overflow-safe math).  Returns (adj_l, adj_r, c_l, c_r)."""
+    cats = np.unique(np.concatenate([k_l, k_r]))
+    c_l = np.searchsorted(cats, k_l)
+    c_r = np.searchsorted(cats, k_r)
+    base = np.full(len(cats), np.iinfo(np.int64).max, dtype=np.int64)
+    np.minimum.at(base, c_l, t_l)
+    np.minimum.at(base, c_r, t_r)
+    rel_l = t_l - base[c_l]
+    rel_r = t_r - base[c_r]
+    span = int(max(rel_l.max(initial=0), rel_r.max(initial=0)))
+    step = span + margin + 2
+    if step * (len(cats) + 1) >= 2**62:
+        raise OverflowError(f"{op_name} adjusted axis overflow; raise num_partitions")
+    return c_l * step + rel_l, c_r * step + rel_r, c_l, c_r
 
 
 def asof_join(
@@ -97,41 +167,9 @@ def asof_join(
         raise ValueError(direction)
     right_key = right_key or left_key
     right_on = right_on or left_on
-
-    l_schema = left.schema()
-    r_schema = right.schema()
-    l_fields = {n: t for n, t in zip(l_schema.names, l_schema.types)}
-    r_fields = {n: t for n, t in zip(r_schema.names, r_schema.types)}
-
-    key_type = l_fields[left_key]
-    on_type = l_fields[left_on]
-    left_payload = [n for n in l_schema.names if n not in (left_key,)]
-    right_payload = [n for n in r_schema.names if n not in (right_key, right_on)]
-
-    # union schema: __k, __t, left payload (renamed __l_*), right payload
-    fields: "list[pa.Field]" = [pa.field("__k", key_type), pa.field("__t", on_type)]
-    for n in left_payload:
-        if n != left_on:
-            fields.append(pa.field(f"__l_{n}", l_fields[n]))
-    for n in right_payload:
-        fields.append(pa.field(n, r_fields[n]))
-
-    def _rename_left(batch: pa.Table) -> pa.Table:
-        cols = {("__l_" + n if n not in (left_key, left_on) else n): batch[n] for n in batch.column_names}
-        return pa.table(cols)
-
-    lds = _prep_side(
-        left.map_batches(_rename_left, batch_format="pyarrow"),
-        left_key,
-        left_on,
-        0,
-        fields,
-        num_partitions,
+    lds, rds, l_out_names, right_payload, temporal = _build_sides(
+        left, right, left_key, left_on, right_key, right_on, num_partitions
     )
-    rds = _prep_side(right, right_key, right_on, 1, fields, num_partitions)
-    unioned = lds.union(rds)
-
-    l_out_names = [n for n in left_payload if n != left_on]
     if direction == "backward":
         side_of = "right" if allow_exact_matches else "left"
     else:
@@ -141,7 +179,6 @@ def asof_join(
         table = table.drop_columns([PART_COL])
         lt = table.filter(pc.equal(table[SIDE_COL], 0))
         rt = table.filter(pc.equal(table[SIDE_COL], 1))
-        # sort left by (key, t, tiebreak)
         sort_keys = [("__k", "ascending"), ("__t", "ascending")]
         tb_col = f"__l_{tiebreak}" if tiebreak else None
         if tb_col and tb_col in lt.column_names:
@@ -150,25 +187,9 @@ def asof_join(
 
         k_l = lt["__k"].to_numpy(zero_copy_only=False)
         k_r = rt["__k"].to_numpy(zero_copy_only=False)
-        t_l = lt["__t"].cast(pa.int64()).to_numpy() if lt.num_rows else np.empty(0, np.int64)
-        t_r = rt["__t"].cast(pa.int64()).to_numpy() if rt.num_rows else np.empty(0, np.int64)
-
-        # shared dense codes across both sides
-        cats = np.unique(np.concatenate([k_l, k_r]))
-        c_l = np.searchsorted(cats, k_l)
-        c_r = np.searchsorted(cats, k_r)
-        # per-code min t over both sides -> overflow-safe adjusted axis
-        base = np.full(len(cats), np.iinfo(np.int64).max, dtype=np.int64)
-        np.minimum.at(base, c_l, t_l)
-        np.minimum.at(base, c_r, t_r)
-        rel_l = t_l - base[c_l]
-        rel_r = t_r - base[c_r]
-        span = int(max(rel_l.max(initial=0), rel_r.max(initial=0)))
-        step = span + 2
-        if step * (len(cats) + 1) >= 2**62:
-            raise OverflowError("asof_join adjusted axis overflow; raise num_partitions")
-        adj_l = c_l * step + rel_l
-        adj_r = c_r * step + rel_r
+        t_l = _t_int64(lt["__t"], temporal)
+        t_r = _t_int64(rt["__t"], temporal)
+        adj_l, adj_r, c_l, c_r = _adjusted_pair(k_l, k_r, t_l, t_r, 0, "asof_join")
 
         if direction == "backward":
             idx = np.searchsorted(adj_l, adj_r, side=side_of) - 1
@@ -198,7 +219,7 @@ def asof_join(
             out = out.filter(vmask)
         return out
 
-    return unioned.groupby(PART_COL).map_groups(_merge, batch_format="pyarrow")
+    return lds.union(rds).groupby(PART_COL).map_groups(_merge, batch_format="pyarrow")
 
 
 def range_join(
@@ -215,48 +236,25 @@ def range_join(
 ) -> "ray.data.Dataset":
     """Temporal range (interval) join: for every right row at time t,
     emit one output row per left row of the same key with
-    ``t + lower_s <= t' <= t + upper_s`` (inner semantics — unmatched
-    right rows are dropped).  Same physical plan as asof_join, with the
-    adjusted-axis margin widened so interval bounds cannot cross key
-    segments; matches gathered with a vectorized repeat/arange expansion
-    (no per-row Python loops)."""
+    ``t + lower_s <= t' <= t + upper_s`` (inclusive; inner semantics —
+    unmatched right rows are dropped).
+
+    Offsets are SECONDS for temporal `on` columns (any timestamp unit —
+    values are normalised to microseconds); for plain numeric columns the
+    offsets are used in the column's own unit.  Matches are gathered with
+    a vectorized repeat/arange expansion; the adjusted-axis margin covers
+    the interval so probes cannot cross key segments."""
     right_key = right_key or left_key
     right_on = right_on or left_on
-    lower_us = int(lower_s * 1_000_000)
-    upper_us = int(upper_s * 1_000_000)
-    if lower_us > upper_us:
+    if lower_s > upper_s:
         raise ValueError("lower_s must be <= upper_s")
-
-    l_schema = left.schema()
-    r_schema = right.schema()
-    l_fields = {n: t for n, t in zip(l_schema.names, l_schema.types)}
-    r_fields = {n: t for n, t in zip(r_schema.names, r_schema.types)}
-    key_type = l_fields[left_key]
-    on_type = l_fields[left_on]
-    left_payload = [n for n in l_schema.names if n != left_key]
-    right_payload = [n for n in r_schema.names if n not in (right_key, right_on)]
-
-    fields: "list[pa.Field]" = [pa.field("__k", key_type), pa.field("__t", on_type)]
-    for n in left_payload:
-        if n != left_on:
-            fields.append(pa.field(f"__l_{n}", l_fields[n]))
-    for n in right_payload:
-        fields.append(pa.field(n, r_fields[n]))
-
-    def _rename_left(batch: pa.Table) -> pa.Table:
-        cols = {
-            ("__l_" + n if n not in (left_key, left_on) else n): batch[n]
-            for n in batch.column_names
-        }
-        return pa.table(cols)
-
-    lds = _prep_side(
-        left.map_batches(_rename_left, batch_format="pyarrow"),
-        left_key, left_on, 0, fields, num_partitions,
+    lds, rds, l_out_names, right_payload, temporal = _build_sides(
+        left, right, left_key, left_on, right_key, right_on, num_partitions
     )
-    rds = _prep_side(right, right_key, right_on, 1, fields, num_partitions)
-    l_out_names = [n for n in left_payload if n != left_on]
-    margin = max(abs(lower_us), abs(upper_us))
+    scale = 1_000_000 if temporal else 1
+    lower = int(lower_s * scale)
+    upper = int(upper_s * scale)
+    margin = max(abs(lower), abs(upper))
 
     def _merge(table: pa.Table) -> pa.Table:
         table = table.drop_columns([PART_COL])
@@ -265,24 +263,11 @@ def range_join(
         lt = lt.take(pc.sort_indices(lt, sort_keys=[("__k", "ascending"), ("__t", "ascending")]))
         k_l = lt["__k"].to_numpy(zero_copy_only=False)
         k_r = rt["__k"].to_numpy(zero_copy_only=False)
-        t_l = lt["__t"].cast(pa.int64()).to_numpy() if lt.num_rows else np.empty(0, np.int64)
-        t_r = rt["__t"].cast(pa.int64()).to_numpy() if rt.num_rows else np.empty(0, np.int64)
-        cats = np.unique(np.concatenate([k_l, k_r]))
-        c_l = np.searchsorted(cats, k_l)
-        c_r = np.searchsorted(cats, k_r)
-        base = np.full(len(cats), np.iinfo(np.int64).max, dtype=np.int64)
-        np.minimum.at(base, c_l, t_l)
-        np.minimum.at(base, c_r, t_r)
-        rel_l = t_l - base[c_l]
-        rel_r = t_r - base[c_r]
-        span = int(max(rel_l.max(initial=0), rel_r.max(initial=0)))
-        step = span + margin + 2  # interval bounds may not cross segments
-        if step * (len(cats) + 1) >= 2**62:
-            raise OverflowError("range_join adjusted axis overflow; raise num_partitions")
-        adj_l = c_l * step + rel_l
-        adj_r = c_r * step + rel_r
-        lo = np.searchsorted(adj_l, adj_r + lower_us, side="left")
-        hi = np.searchsorted(adj_l, adj_r + upper_us, side="right")
+        t_l = _t_int64(lt["__t"], temporal)
+        t_r = _t_int64(rt["__t"], temporal)
+        adj_l, adj_r, _, _ = _adjusted_pair(k_l, k_r, t_l, t_r, margin, "range_join")
+        lo = np.searchsorted(adj_l, adj_r + lower, side="left")
+        hi = np.searchsorted(adj_l, adj_r + upper, side="right")
         counts = np.maximum(hi - lo, 0)
         total = int(counts.sum())
         if total == 0:
@@ -293,17 +278,12 @@ def range_join(
                 src = lt["__t"] if n == left_on else lt[f"__l_{n}"]
                 cols[f"{matched_prefix}{n}"] = src.slice(0, 0)
             return pa.table(cols)
-        # vectorized expansion: right row i repeated counts[i] times,
-        # matched left indices lo[i] .. hi[i]-1
         r_idx = np.repeat(np.arange(len(t_r)), counts)
         excl = np.concatenate([[0], np.cumsum(counts)[:-1]])
         l_idx = np.repeat(lo, counts) + (np.arange(total) - np.repeat(excl, counts))
         r_take = pa.array(r_idx.astype(np.int64))
         l_take = pa.array(l_idx.astype(np.int64))
-        cols = {
-            right_key: rt["__k"].take(r_take),
-            right_on: rt["__t"].take(r_take),
-        }
+        cols = {right_key: rt["__k"].take(r_take), right_on: rt["__t"].take(r_take)}
         for n in right_payload:
             cols[n] = rt[n].take(r_take)
         for n in [left_on] + l_out_names:

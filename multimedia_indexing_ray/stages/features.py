@@ -203,12 +203,13 @@ def normalize_feature_blocks(
 
     # block boundaries in vector order: base | each sliding | each tumbling
     # | each session | lags (base and per-spec groups are the "vocabularies")
-    cols = specs.feature_columns()
+    from multimedia_indexing_ray.specs import BASE_FEATURES
+
     blocks: "list[tuple[int, int]]" = []
     pos = 0
     groups = []
     if specs.include_base:
-        groups.append(len([c for c in cols[:8]]))
+        groups.append(len(BASE_FEATURES))
     for s in specs.sliding:
         groups.append(len(s.columns))
     for t in specs.tumbling:

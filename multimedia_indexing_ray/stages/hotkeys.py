@@ -94,7 +94,33 @@ def find_hot_candidates(
         parts = ds.map_batches(
             _partial, batch_format="pyarrow", batch_size=None
         ).to_pandas()
-        return sorted(parts[key].unique().tolist()) if len(parts) else []
+        if parts.empty:
+            return []
+        cand = set(parts[key].unique().tolist())
+        # the detail pass pulls at most len(cand) x hot_threshold rows of a
+        # NON-hot candidate to the driver; when that worst case is small,
+        # skip the exact-count confirmation (one full scan saved)
+        if len(cand) * hot_threshold <= 5_000_000:
+            return sorted(cand)
+        # key-clustered layouts can flag every mid-size key as a candidate;
+        # confirm with EXACT counts restricted to the candidates so only
+        # genuinely hot keys reach the driver-side detail pass
+        cand_arr = pa.array(sorted(cand))
+
+        def _cand_counts(batch: pa.Table) -> pa.Table:
+            m = pc.is_in(batch[key], value_set=cand_arr)
+            df = batch.filter(m).select([key]).to_pandas()
+            g = df.groupby(key, sort=False).size().reset_index(name="n")
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        totals = (
+            ds.map_batches(_cand_counts, batch_format="pyarrow", batch_size=None)
+            .to_pandas()
+        )
+        if totals.empty:
+            return []
+        sums = totals.groupby(key, sort=False)["n"].sum()
+        return sorted(sums[sums > hot_threshold].index.tolist())
 
     from ray.data.aggregate import Sum
 

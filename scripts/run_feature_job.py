@@ -5,8 +5,10 @@
         --input /data/transcripts --output /data/features \
         --num-partitions 512
 
-Also runs standalone (owns its Ray session; `address="local"` in this
-sandbox — on a real cluster drop --local to auto-connect).  Resumable:
+Also runs standalone (owns its Ray session).  The Ray address comes from
+--address, else $RAY_ADDRESS, else "local" — so under `ray job submit`
+on a real cluster it connects to the cluster instead of spawning a
+private local Ray.  Resumable:
 re-running with the same output dir skips partitions whose manifests are
 already committed (and refuses a changed --num-partitions).
 """
@@ -27,6 +29,7 @@ def main() -> None:
     p.add_argument("--output", required=True, help="output dir (parquet + manifests)")
     p.add_argument("--num-partitions", type=int, default=128)
     p.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
+    p.add_argument("--address", default=None, help="Ray address (default: $RAY_ADDRESS or 'local')")
     p.add_argument("--no-resume", action="store_true")
     p.add_argument("--no-lineage", action="store_true")
     args = p.parse_args()
@@ -34,13 +37,11 @@ def main() -> None:
     import ray
 
     if not ray.is_initialized():
-        ray.init(
-            address="local",
-            num_cpus=args.num_cpus,
-            include_dashboard=False,
-            ignore_reinit_error=True,
-            logging_level="ERROR",
-        )
+        addr = args.address or os.environ.get("RAY_ADDRESS", "local")
+        kwargs = dict(ignore_reinit_error=True, logging_level="ERROR")
+        if addr == "local":
+            kwargs.update(num_cpus=args.num_cpus, include_dashboard=False)
+        ray.init(address=addr, **kwargs)
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False

@@ -10,11 +10,14 @@ def test_events_to_transcripts(ray_session):
     from multimedia_indexing_ray.fixtures import TRANSCRIPT_SCHEMA
     from multimedia_indexing_ray.sources.transcripts import events_to_transcripts
 
-    ev = rd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    import os
+
+    sf = os.environ.get("GRAFT_PARITY_SF", "/root/testdata/sf0.001")
+    ev = rd.read_parquet(f"{sf}/events.parquet")
     out = events_to_transcripts(ev)
     t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
     assert set(t.column_names) == set(TRANSCRIPT_SCHEMA.names)
-    assert t.num_rows == 1000
+    assert t.num_rows == ev.count() > 0
     # conv_id is the stringified user_id; text is never null (coalesced)
     assert t["conv_id"][0].as_py().isdigit()
     assert t.column("text").null_count == 0
