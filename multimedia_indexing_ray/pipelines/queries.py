@@ -933,3 +933,24 @@ def q_range_join(sf_dir: str):
         num_partitions=32,
     )
     return joined.select_columns(["event_id", "user_id", "near_event_id", "near_value"])
+
+
+@register(
+    "median_value_per_user",
+    "SELECT user_id, median(value) AS median_value FROM events GROUP BY 1",
+)
+def q_median(sf_dir: str):
+    """Holistic (non-decomposable) aggregate: per-key median.  Unlike the
+    cents-sum queries this cannot pre-aggregate — the key shuffle carries
+    raw values and each partition computes exact medians per key (pandas
+    linear interpolation == DuckDB quantile_cont, verified bit-exact)."""
+    from multimedia_indexing_ray.stages.partition import map_partitions_by_key
+
+    ev = _rp(sf_dir, "events", ["user_id", "value"])
+
+    def kernel(table: pa.Table) -> pa.Table:
+        df = table.to_pandas()
+        g = df.groupby("user_id", sort=False)["value"].median().reset_index(name="median_value")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return map_partitions_by_key(ev, "user_id", kernel, num_partitions=32)
