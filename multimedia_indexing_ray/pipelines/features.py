@@ -39,12 +39,23 @@ def features_at(
     specs: FeatureSpecs = DEFAULT_SPECS,
     num_partitions: int = DEFAULT_NUM_PARTITIONS,
     keep_unmatched: bool = True,
+    columns: Optional[Sequence[str]] = None,
 ) -> "ray.data.Dataset":
     """Point-in-time feature vector per (conv_id, ts) probe.
 
     Output: query columns + matched_ts / matched_turn_idx + matched_<f>
-    for every feature column (typed nulls where no turn is visible)."""
+    for every feature column (typed nulls where no turn is visible).
+
+    ``columns``: restrict which feature columns are attached — every
+    selected column crosses the co-partition exchange, so projecting to
+    the needed subset is the big serving-path lever (measured in
+    BASELINE.md; key/ts/turn_idx always carried)."""
     feats = transcript_features(source, specs, num_partitions)
+    if columns is not None:
+        keep = ["conv_id", "ts", "turn_idx"] + [
+            c for c in columns if c not in ("conv_id", "ts", "turn_idx")
+        ]
+        feats = feats.select_columns(keep)
     return asof_join(
         feats,
         queries,

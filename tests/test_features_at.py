@@ -47,3 +47,25 @@ def test_features_at_matches_composed_oracle(ray_session, smoke_table):
                 got.loc[i, f"matched_{c}"], exp_row[c], rtol=1e-9, atol=1e-12,
                 err_msg=f"row {i} feature {c}",
             )
+
+
+def test_features_at_column_projection(ray_session, smoke_table):
+    import ray.data as rd
+
+    from multimedia_indexing_ray.pipelines.features import features_at
+
+    queries = generate_asof_queries(smoke_table, n_queries=50)
+    out = features_at(
+        rd.from_arrow(smoke_table),
+        rd.from_arrow(queries),
+        num_partitions=4,
+        columns=["text_len", "sess_1800s_session_idx"],
+    ).to_pandas()
+    matched = [c for c in out.columns if c.startswith("matched_")]
+    assert sorted(matched) == [
+        "matched_sess_1800s_session_idx",
+        "matched_text_len",
+        "matched_ts",
+        "matched_turn_idx",
+    ]
+    assert len(out) == 50
