@@ -669,7 +669,133 @@ def q_ivf_knn(sf_dir: str):
 # --------------------------------------------------------------------------
 
 
-@register("flagship_features")  # 37-dim windowed vector — rows-only check
+def _flagship_sql(specs=DEFAULT_SPECS) -> str:
+    """DuckDB oracle for the full flagship vector, generated from the same
+    spec registry the engine compiles — every window family is the SQL
+    proven individually by sliding_1h / tumbling_1h / sessionize_30m /
+    lag_lead_value, composed over the events->transcript adapter mapping
+    (sources/transcripts.py:events_to_transcripts).
+
+    Bit-exactness: window sums are integer-valued float64 (prefix-sum
+    differences == direct sums below 2**53); means/durations are single
+    divisions with identical operands on both sides.  Engine sliding
+    windows are (t-W, t] (closed="right"), expressed on the microsecond
+    grid as RANGE (W-1us) PRECEDING AND CURRENT ROW."""
+    # condition mask -> SQL expression over the adapter's one-hot columns
+    def mask(cond):
+        if cond is None:
+            return None
+        kind, value = cond
+        if kind == "role":
+            return "is_tool_role" if value == "tool" else f"is_{value}"
+        if kind == "tool_notnull":
+            return "has_tool"
+        raise ValueError(cond)
+
+    sel: "list[str]" = []
+    windows: "dict[str, str]" = {
+        "wrow": "PARTITION BY conv_id ORDER BY ts, turn_idx",
+    }
+
+    def agg_exprs(name: str, w: str, m: "Optional[str]"):
+        cnt = f"SUM(1.0) OVER {w}" if m is None else f"SUM({m}) OVER {w}"
+        stl = (
+            f"SUM(text_len) OVER {w}"
+            if m is None
+            else f"SUM({m} * text_len) OVER {w}"
+        )
+        stok = (
+            f"SUM(n_tokens) OVER {w}"
+            if m is None
+            else f"SUM({m} * n_tokens) OVER {w}"
+        )
+        sel.append(f"{cnt} AS {name}_count")
+        sel.append(f"{stl} AS {name}_sum_text_len")
+        sel.append(
+            f"CASE WHEN {cnt} > 0 THEN ({stl}) / ({cnt}) ELSE 0.0 END"
+            f" AS {name}_mean_text_len"
+        )
+        sel.append(f"{stok} AS {name}_sum_n_tokens")
+
+    for s in specs.sliding:
+        w_us = int(s.width_s * 1_000_000)
+        off = w_us if s.closed == "both" else w_us - 1
+        wname = f"w_{s.name}"
+        windows[wname] = (
+            "PARTITION BY conv_id ORDER BY ts RANGE BETWEEN "
+            f"to_microseconds({off}) PRECEDING AND CURRENT ROW"
+        )
+        agg_exprs(s.name, wname, mask(s.condition))
+    for t in specs.tumbling:
+        wname = f"w_{t.name}"
+        # epoch-aligned tumbling (origin 0, width 3600s == date_trunc hour)
+        assert t.width_s == 3600.0, "oracle covers the hour-aligned spec"
+        windows[wname] = (
+            "PARTITION BY conv_id, date_trunc('hour', ts) ORDER BY ts "
+            "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+        )
+        agg_exprs(t.name, wname, mask(t.condition))
+    for s in specs.session:
+        gap_us = int(s.gap_s * 1_000_000)
+        wname = f"w_{s.name}"
+        windows[wname] = (
+            f"PARTITION BY conv_id, sess_{gap_us} ORDER BY ts "
+            "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+        )
+        sel.append(f"CAST(count(*) OVER {wname} AS DOUBLE) AS {s.name}_turns_so_far")
+        sel.append(
+            "CAST(date_diff('microsecond', "
+            f"min(ts) OVER (PARTITION BY conv_id, sess_{gap_us}), ts) AS DOUBLE)"
+            f" / 1000000.0 AS {s.name}_duration_so_far_s"
+        )
+        sel.append(f"CAST(sess_{gap_us} AS DOUBLE) AS {s.name}_session_idx")
+    for l in specs.lags:
+        sel.append(f"lag({l.feature}, {l.k}, 0.0) OVER wrow AS lag{l.k}_{l.feature}")
+    for l in specs.leads:
+        sel.append(f"lead({l.feature}, {l.k}, 0.0) OVER wrow AS lead{l.k}_{l.feature}")
+
+    sess_cols = ", ".join(
+        "CAST(SUM(CASE WHEN gap_us > {g} THEN 1 ELSE 0 END) OVER "
+        "(PARTITION BY conv_id ORDER BY ts, turn_idx ROWS UNBOUNDED PRECEDING)"
+        " AS BIGINT) AS sess_{g}".format(g=int(s.gap_s * 1_000_000))
+        for s in specs.session
+    )
+    win_clause = ", ".join(f"{n} AS ({d})" for n, d in windows.items())
+    base = ", ".join(
+        (
+            "text_len, n_tokens, gap_s, is_user, is_assistant, is_system, "
+            "is_tool_role, has_tool"
+        ).split(", ")
+    )
+    return rf"""
+    WITH t AS (
+      SELECT CAST(user_id AS VARCHAR) AS conv_id,
+             event_id AS turn_idx,
+             ts,
+             CAST(length(COALESCE(props, '')) AS DOUBLE) AS text_len,
+             CAST(len(regexp_extract_all(COALESCE(props, ''), '\S+')) AS DOUBLE) AS n_tokens,
+             CASE WHEN event_type = 'user' THEN 1.0 ELSE 0.0 END AS is_user,
+             CASE WHEN event_type = 'assistant' THEN 1.0 ELSE 0.0 END AS is_assistant,
+             CASE WHEN event_type = 'system' THEN 1.0 ELSE 0.0 END AS is_system,
+             CASE WHEN event_type = 'tool' THEN 1.0 ELSE 0.0 END AS is_tool_role,
+             CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS has_tool
+      FROM events
+    ), t2 AS (
+      SELECT *, COALESCE(date_diff('microsecond',
+        lag(ts) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx), ts), 0) AS gap_us
+      FROM t
+    ), t3 AS (
+      SELECT *, CAST(gap_us AS DOUBLE) / 1000000.0 AS gap_s, {sess_cols}
+      FROM t2
+    )
+    SELECT conv_id, turn_idx, ts, {base},
+      {", ".join(sel)}
+    FROM t3
+    WINDOW {win_clause}
+    """
+
+
+@register("flagship_features", _flagship_sql())
 def q_flagship(sf_dir: str):
     ev = _rp(sf_dir, "events")
     return compute_features(

@@ -77,10 +77,12 @@ def events_to_transcripts(ds: "ray.data.Dataset") -> "ray.data.Dataset":
         tool = pc.if_else(
             pc.equal(batch["event_type"], "purchase"), batch["event_type"], pa.scalar(None, pa.string())
         )
+        # turn_idx stays int64: event_id can exceed int32 at larger scale
+        # factors and the engine only uses it as an ordering tiebreaker
         return pa.table(
             {
                 "conv_id": conv,
-                "turn_idx": pc.cast(batch["event_id"], pa.int32()),
+                "turn_idx": batch["event_id"],
                 "role": role,
                 "text": pc.coalesce(batch["props"], pa.scalar("", pa.string())),
                 "tool": tool,
