@@ -42,20 +42,54 @@ class PQModel:
         return self.centroids.shape[2]
 
 
+def _kmeanspp_init(sample: np.ndarray, k: int, rng: np.random.Generator) -> np.ndarray:
+    """Seeded k-means++ seeding (D^2-weighted), vectorized.
+
+    The reference's learner enables Weka's kmeans++ initialisation
+    (`visual/quantization/AbstractQuantizerLearning.java:39-81`); plain
+    random init gives measurably worse codebooks at equal iterations."""
+    n = len(sample)
+    k = min(k, n)
+    chosen = np.empty(k, dtype=np.int64)
+    chosen[0] = rng.integers(n)
+    d2 = ((sample - sample[chosen[0]]) ** 2).sum(axis=1)
+    for j in range(1, k):
+        tot = d2.sum()
+        if tot <= 0:
+            chosen[j] = rng.integers(n)
+        else:
+            chosen[j] = rng.choice(n, p=d2 / tot)
+        d2 = np.minimum(d2, ((sample - sample[chosen[j]]) ** 2).sum(axis=1))
+    return sample[chosen].astype(np.float64)
+
+
 def _kmeans(
-    sample: np.ndarray, k: int, seed: int, iters: int = 25, pad_sentinel: bool = True
+    sample: np.ndarray,
+    k: int,
+    seed: int,
+    iters: int = 25,
+    pad_sentinel: bool = True,
+    init: str = "kmeans++",
 ) -> "tuple[np.ndarray, float]":
     rng = np.random.default_rng(seed)
     n = len(sample)
-    cent = sample[rng.choice(n, min(k, n), replace=False)].astype(np.float64)
+    if init == "kmeans++":
+        cent = _kmeanspp_init(sample, k, rng)
+    else:
+        cent = sample[rng.choice(n, min(k, n), replace=False)].astype(np.float64)
     assign = np.zeros(n, dtype=np.int64)
+    kk = len(cent)
     for _ in range(iters):
-        d = ((sample[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2 ; argmin drops the x term
+        d = -2.0 * (sample @ cent.T) + (cent**2).sum(axis=1)[None, :]
         assign = d.argmin(axis=1)
-        for c in range(len(cent)):
-            mask = assign == c
-            if mask.any():
-                cent[c] = sample[mask].mean(axis=0)
+        # vectorized centroid update (empty clusters keep their previous
+        # centroid — same behavior as the per-cluster loop)
+        sums = np.zeros((kk, sample.shape[1]))
+        np.add.at(sums, assign, sample)
+        counts = np.bincount(assign, minlength=kk)
+        nz = counts > 0
+        cent[nz] = sums[nz] / counts[nz, None]
     sse = float(((sample - cent[assign]) ** 2).sum())
     if pad_sentinel and len(cent) < k:  # sentinel quirk (ProductQuantizationLearning)
         pad = np.full((k - len(cent), sample.shape[1]), SENTINEL)
@@ -68,11 +102,13 @@ def fit_pq(
     m: int,
     ks: int = 256,
     seed: int = 1,
-    repeats: int = 1,
+    repeats: int = 3,
     iters: int = 25,
 ) -> PQModel:
-    """Learn per-subspace codebooks; best-of-`repeats` by SSE per subspace
-    (the reference's numKmeansRepeats)."""
+    """Learn per-subspace codebooks; kmeans++ init and best-of-`repeats`
+    by SSE per subspace (the reference's kmeans++ option +
+    numKmeansRepeats, `visual/quantization/AbstractQuantizerLearning.java:39-81`,
+    `ProductQuantizationLearning.java:46-308`)."""
     sample = np.asarray(sample, dtype=np.float64)
     n, d = sample.shape
     if d % m:

@@ -80,6 +80,44 @@ def tokenize(text: str) -> "list[str]":
     return re.findall(TOKEN_RE, text)
 
 
+# FNV-1a over Unicode code points — a stable hash BOTH numpy (vectorized,
+# no per-row loop) and DuckDB SQL (list_reduce over split(s,'') + ascii)
+# can compute bit-identically, making sketch operators oracle-checkable.
+FNV_BASIS = 2166136261
+FNV_BASIS2 = 40389339  # second pass basis for the 64-bit composition
+FNV_PRIME = 16777619
+
+
+def fnv1a32_str(strings: np.ndarray, basis: int = FNV_BASIS) -> np.ndarray:
+    """Vectorized FNV-1a-32 over each string's code points.
+
+    Empty string hashes to the basis (matches the SQL fold's init value).
+    Iterates over CHARACTER POSITIONS (max width), each step a whole-array
+    numpy op — no per-row Python."""
+    a = np.asarray(strings, dtype="U")
+    n = len(a)
+    if n == 0:
+        return np.empty(0, np.uint64)
+    width = max(a.dtype.itemsize // 4, 1)
+    cp = a.view(np.uint32).reshape(n, width).astype(np.uint64)
+    lens = (cp != 0).sum(axis=1)  # no NUL inside tokens
+    h = np.full(n, basis, dtype=np.uint64)
+    prime = np.uint64(FNV_PRIME)
+    mask32 = np.uint64(0xFFFFFFFF)
+    for p in range(int(lens.max())):
+        nh = ((h ^ cp[:, p]) * prime) & mask32
+        h = np.where(lens > p, nh, h)
+    return h
+
+
+def fnv64_str(strings: np.ndarray) -> np.ndarray:
+    """64-bit hash = (fnv32(basis1) << 32) | fnv32(basis2) — SQL:
+    CAST(pass1 AS UBIGINT) * 4294967296 + pass2."""
+    hi = fnv1a32_str(strings, FNV_BASIS)
+    lo = fnv1a32_str(strings, FNV_BASIS2)
+    return (hi << np.uint64(32)) | lo
+
+
 def shingles(tokens: "list[str]", k: int = 3) -> "list[str]":
     if len(tokens) < k:
         return [" ".join(tokens)] if tokens else []
@@ -103,10 +141,11 @@ def minhash_signature(shingle_list: "list[str]", num_hashes: int = 64) -> np.nda
 
 
 def simhash64(tokens: "list[str]") -> np.uint64:
-    """64-bit SimHash over token hashes (unweighted)."""
+    """64-bit SimHash over token hashes (unweighted, FNV-based so a DuckDB
+    oracle can recompute it)."""
     if not tokens:
         return np.uint64(0)
-    h = _hash64(np.array(tokens, dtype=object), 7)
+    h = fnv64_str(np.array(tokens, dtype=object))
     bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
         np.int64
     )
@@ -116,6 +155,46 @@ def simhash64(tokens: "list[str]") -> np.uint64:
         if votes[i] > 0:
             out |= np.uint64(1) << np.uint64(i)
     return out
+
+
+def flat_tokens(text_col) -> "tuple[np.ndarray, np.ndarray]":
+    """Whitespace tokens for a whole Arrow string column, flattened:
+    (flat object array of tokens, per-doc token counts).  Tokenization is
+    the Arrow C kernel split_pattern_regex — no per-doc Python loop; empty
+    tokens from leading/trailing whitespace are dropped (== re.findall)."""
+    if isinstance(text_col, pa.Table):
+        raise TypeError("pass a column")
+    if isinstance(text_col, pa.ChunkedArray):
+        text_col = text_col.combine_chunks()
+    toks = pc.split_pattern_regex(text_col, pattern=r"\s+")
+    n_docs = len(toks)
+    counts = np.diff(toks.offsets.to_numpy())
+    flat = toks.flatten().to_numpy(zero_copy_only=False)
+    nonempty = np.array([t != "" for t in flat], dtype=bool) if flat.dtype == object else flat != ""
+    if not nonempty.all():
+        doc_of = np.repeat(np.arange(n_docs), counts)
+        flat = flat[nonempty]
+        counts = np.bincount(doc_of[nonempty], minlength=n_docs)
+    return flat, counts.astype(np.int64)
+
+
+def simhash64_batch(text_col) -> np.ndarray:
+    """Vectorized SimHash for a whole column: tokenize (Arrow), hash
+    (vectorized FNV), per-doc bit votes via segmented reduceat.  Returns
+    int64 (two's-complement of the uint64 hash); empty docs -> 0."""
+    flat, counts = flat_tokens(text_col)
+    n_docs = len(counts)
+    sim = np.zeros(n_docs, dtype=np.uint64)
+    if len(flat):
+        h = fnv64_str(flat)
+        bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
+        contrib = 2 * bits - 1
+        nz = counts > 0
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])[nz].astype(np.int64)
+        votes = np.add.reduceat(contrib, starts, axis=0)
+        bitvals = (votes > 0).astype(np.uint64)
+        sim[nz] = (bitvals << np.arange(64, dtype=np.uint64)[None, :]).sum(axis=1)
+    return sim.astype(np.int64)
 
 
 def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
@@ -129,7 +208,7 @@ def winnow_fingerprints(text: str, k: int = 8, window: int = 4) -> "list[int]":
     if len(text) < k:
         return []
     grams = np.array([text[i : i + k] for i in range(len(text) - k + 1)], dtype=object)
-    h = _hash64(grams, 3).astype(np.uint64)
+    h = fnv1a32_str(grams)  # SQL-recomputable (substr + the same fold)
     if len(h) <= window:
         return [int(h.min())]
     from numpy.lib.stride_tricks import sliding_window_view

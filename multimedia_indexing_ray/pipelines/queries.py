@@ -505,8 +505,25 @@ def q_event_histogram(sf_dir: str):
 
 @register("distinct_users", "SELECT DISTINCT user_id FROM events")
 def q_distinct_users(sf_dir: str):
-    vals = _rp(sf_dir, "events", ["user_id"]).unique("user_id")
-    return pa.table({"user_id": pa.array(sorted(vals), pa.int64())})
+    """Distributed distinct: per-batch dedup combiner, then per-partition
+    dedup after ONE key shuffle — no driver-side `.unique()` pull."""
+    from multimedia_indexing_ray.stages.partition import map_partitions_by_key
+
+    ev = _rp(sf_dir, "events", ["user_id"])
+
+    def _batch_distinct(batch: pa.Table) -> pa.Table:
+        u = np.unique(batch["user_id"].to_numpy())
+        return pa.table({"user_id": pa.array(u, pa.int64())})
+
+    def kernel(table: pa.Table) -> pa.Table:
+        return _batch_distinct(table)
+
+    return map_partitions_by_key(
+        ev.map_batches(_batch_distinct, batch_format="pyarrow"),
+        "user_id",
+        kernel,
+        num_partitions=16,
+    )
 
 
 # --------------------------------------------------------------------------
@@ -595,7 +612,9 @@ def q_langid(sf_dir: str):
     return docs.map_batches(_fn, batch_format="pyarrow")
 
 
-# rows-only (non-SQL-expressible) document ops
+# rows-only: minhash signatures are uint64-wrap universal hashes the SQL
+# engine cannot reproduce (the banding/verify semantics are covered by the
+# SQL-oracled anchor-Jaccard and simhash entries)
 @register("minhash_dedup_docs")
 def q_minhash(sf_dir: str):
     docs = _rp(sf_dir, "documents", ["doc_id", "text"])
@@ -604,8 +623,41 @@ def q_minhash(sf_dir: str):
     )
 
 
-@register("simhash_docs")
+def _fnv_sql(s: str, basis: int) -> str:
+    """The FNV-1a-32 code-point fold as a DuckDB expression — bit-equal to
+    functions/text.py fnv1a32_str (verified)."""
+    return (
+        f"list_reduce(list_prepend(CAST({basis} AS BIGINT), "
+        f"list_transform(split({s}, ''), c -> ascii(c))), "
+        "(a, b) -> (xor(a, b) * 16777619) % 4294967296)"
+    )
+
+
+def _simhash_sql() -> str:
+    from multimedia_indexing_ray.functions.text import FNV_BASIS, FNV_BASIS2
+
+    h64 = (
+        f"CAST({_fnv_sql('t', FNV_BASIS)} AS UBIGINT) * 4294967296 + "
+        f"CAST({_fnv_sql('t', FNV_BASIS2)} AS UBIGINT)"
+    )
+    return rf"""
+    WITH tk AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents),
+    th AS (SELECT doc_id, list_transform(toks, t -> {h64}) AS hs FROM tk),
+    v AS (SELECT doc_id, CASE WHEN len(hs) = 0 THEN CAST(0 AS UBIGINT)
+      ELSE CAST(list_sum(list_transform(range(0, 64), j ->
+        CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+        THEN CAST(CAST(1 AS UBIGINT) << j AS HUGEINT) ELSE CAST(0 AS HUGEINT) END)) AS UBIGINT) END AS s
+      FROM th)
+    SELECT doc_id, CAST(CAST(s AS HUGEINT) - CASE WHEN s >= CAST('9223372036854775808' AS UBIGINT)
+      THEN CAST('18446744073709551616' AS HUGEINT) ELSE CAST(0 AS HUGEINT) END AS BIGINT) AS simhash
+    FROM v
+    """
+
+
+@register("simhash_docs", _simhash_sql())
 def q_simhash(sf_dir: str):
+    """64-bit SimHash per doc — vectorized FNV token hashing chosen so a
+    DuckDB oracle recomputes the exact hash (sketch op, hash-verified)."""
     docs = _rp(sf_dir, "documents", ["doc_id", "text"])
     return dd.simhash_table(docs, "text", "doc_id", concurrency=2)
 
@@ -658,10 +710,55 @@ def q_embedding_neardup(sf_dir: str):
     )
 
 
-@register("ivf_knn_cosine")  # approximate — rows-only check
+def _ensure_ann_index(sf_dir: str, kind: str) -> str:
+    """Build-once / query-many: the index artifact is built on first use
+    and every later call only reads the probed partitions (the reference's
+    append/open/query lifecycle, `AbstractSearchStructure.java:229-257`)."""
+    import hashlib
+
+    from multimedia_indexing_ray.stages.ann_index import build_ann_index
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    d = f"/tmp/graft_ann/{tag}/{kind}"
+    if not os.path.exists(os.path.join(d, "manifest.json")):
+        emb = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
+        # m=32/ks=256 -> 2 dims per subquantizer on the 64-d embeddings
+        # (the reference's 1024-d/m=64 uses 16; these unit vectors need the
+        # finer grid — measured recall@5 0.96 vs 0.20 at m=8/ks=64)
+        build_ann_index(emb, d, kind=kind, n_lists=8 if kind != "pq" else 1, m=32, ks=256)
+    return d
+
+
+@register("ivf_knn_cosine")  # approximate (pruned probe) — rows-only check
 def q_ivf_knn(sf_dir: str):
-    emb = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
-    return nn.ivf_knn(emb, _query_vectors(sf_dir, 5), "embedding", "vec_id", k=5)
+    from multimedia_indexing_ray.stages.ann_index import ann_search
+
+    idx = _ensure_ann_index(sf_dir, "ivf")
+    return ann_search(idx, _query_vectors(sf_dir, 5), k=5, probe=3)
+
+
+@register(
+    "ivf_knn_full_probe",
+    """
+    WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+               FROM embeddings WHERE vec_id < 5)
+    SELECT qid AS query_id, vec_id AS neighbor_id, CAST(rank AS BIGINT) AS rank FROM (
+      SELECT q.qid, e.vec_id,
+        row_number() OVER (PARTITION BY q.qid
+          ORDER BY list_cosine_similarity(qe, CAST(e.embedding AS DOUBLE[])) DESC, e.vec_id) AS rank
+      FROM q, embeddings e WHERE e.vec_id != q.qid)
+    WHERE rank <= 5
+    """,
+)
+def q_ivf_knn_full_probe(sf_dir: str):
+    """probe = n_lists scans every partition of the prebuilt IVF-flat
+    index with exact cosine — must equal exact kNN (the reference's
+    exact-vs-approx conformance idea, `visual/examples/Example.java:155-182`,
+    tightened to exactness)."""
+    from multimedia_indexing_ray.stages.ann_index import ann_search
+
+    idx = _ensure_ann_index(sf_dir, "ivf")
+    return ann_search(idx, _query_vectors(sf_dir, 5), k=5, probe=8)
 
 
 # --------------------------------------------------------------------------
@@ -826,24 +923,43 @@ def q_limit_sample(sf_dir: str):
     return ev.sort(["ts", "event_id"]).limit(100)
 
 
+def _fnv1a32(ids: np.ndarray) -> np.ndarray:
+    """Vectorized FNV-1a 32-bit over the decimal-string bytes of an int64
+    id — a stable content hash both numpy and SQL can compute exactly
+    (no per-row hashlib loop; verified bit-equal to the DuckDB
+    list_reduce expression in the oracle)."""
+    ids = np.asarray(ids, dtype=np.int64)
+    pows = 10 ** np.arange(1, 19, dtype=np.int64)  # 10..10^18
+    ndig = np.searchsorted(pows, ids, side="right") + 1  # exact digit count
+    maxd = int(ndig.max()) if len(ids) else 0
+    h = np.full(len(ids), 2166136261, dtype=np.uint64)
+    for p in range(maxd, 0, -1):  # most-significant digit first
+        digit = (ids // 10 ** (p - 1)) % 10
+        ch = (digit + 48).astype(np.uint64)  # ascii '0'..'9'
+        nh = ((h ^ ch) * np.uint64(16777619)) % np.uint64(2**32)
+        h = np.where(ndig >= p, nh, h)
+    return h
+
+
 @register(
     "sample_hash",
     """
     SELECT event_id FROM events
-    WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 1) IN ('0', '1')
+    WHERE list_reduce(
+        list_prepend(CAST(2166136261 AS BIGINT),
+          list_transform(split(CAST(event_id AS VARCHAR), ''), c -> ascii(c))),
+        (a, b) -> (xor(a, b) * 16777619) % 4294967296
+      ) % 8 = 0
     """,
 )
 def q_sample_hash(sf_dir: str):
     """Deterministic ~12.5% sample by content hash (K8 rejection-sampling
-    analog: same rows on every run, any partitioning)."""
-    import hashlib
-
+    analog: same rows on every run, any partitioning), fully vectorized."""
     ev = _rp(sf_dir, "events", ["event_id"])
 
     def _fn(batch: pa.Table) -> pa.Table:
-        ids = batch["event_id"].to_pylist()
-        keep = [hashlib.md5(str(i).encode()).hexdigest()[0] in ("0", "1") for i in ids]
-        return batch.filter(pa.array(keep))
+        h = _fnv1a32(batch["event_id"].to_numpy())
+        return batch.filter(pa.array(h % np.uint64(8) == 0))
 
     return ev.map_batches(_fn, batch_format="pyarrow")
 
@@ -886,40 +1002,55 @@ def q_topk_per_user(sf_dir: str):
     return map_partitions_by_key(ev, "user_id", kernel, num_partitions=32)
 
 
-@register("ngram_jaccard_pairs")  # exact-verified near-dup — rows-only
+@register(
+    "ngram_jaccard_pairs",
+    r"""
+    WITH tk AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents),
+    s AS (SELECT doc_id, list_distinct(
+            CASE WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[])
+                 WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                 ELSE list_transform(range(1, len(toks) - 1),
+                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS sh
+          FROM tk),
+    s2 AS (SELECT doc_id, sh, list_min(sh) AS anchor FROM s WHERE len(sh) > 0)
+    SELECT a_id, b_id, jaccard FROM (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard
+      FROM s2 a JOIN s2 b ON a.anchor = b.anchor AND a.doc_id < b.doc_id)
+    WHERE jaccard > 0.3
+    """,
+)
 def q_ngram_jaccard(sf_dir: str):
-    """MinHash-LSH candidates verified with EXACT n-gram Jaccard (text
-    lookup broadcast; at scale this verify side becomes a hash join)."""
-    import ray as _ray
-
-    from multimedia_indexing_ray.functions import text as _tx
-
+    """Exact 3-gram Jaccard near-dup pairs within anchor (min-shingle)
+    blocks — shingle sets, never text, cross the ONE shuffle; fully
+    SQL-oracled (replaces the round-1 corpus-broadcast verify)."""
     docs = _rp(sf_dir, "documents", ["doc_id", "text"])
-    cand = dd.minhash_lsh_pairs(
-        docs, "text", "doc_id", threshold=0.3, num_partitions=16, concurrency=2
-    )
-    texts = _pq(sf_dir, "documents", ["doc_id", "text"])
-    lookup_ref = _ray.put(dict(zip(texts["doc_id"].to_pylist(), texts["text"].to_pylist())))
-
-    def _verify(batch: pa.Table) -> pa.Table:
-        lookup = _ray.get(lookup_ref)
-        a = batch["a_id"].to_pylist()
-        b = batch["b_id"].to_pylist()
-        jac = [
-            _tx.jaccard(
-                set(_tx.shingles(_tx.tokenize(lookup[x]), 3)),
-                set(_tx.shingles(_tx.tokenize(lookup[y]), 3)),
-            )
-            for x, y in zip(a, b)
-        ]
-        out = batch.append_column("jaccard", pa.array(jac, pa.float64()))
-        return out.filter(pc.greater(out["jaccard"], 0.3))
-
-    return cand.map_batches(_verify, batch_format="pyarrow")
+    return dd.anchor_jaccard_pairs(docs, "text", "doc_id", threshold=0.3, num_partitions=16)
 
 
-@register("winnow_fingerprint_docs")  # rolling-hash fingerprint — rows-only
+def _winnow_sql() -> str:
+    from multimedia_indexing_ray.functions.text import FNV_BASIS
+
+    fnv_gram = _fnv_sql("substr(text, i, 8)", FNV_BASIS)
+    return rf"""
+    WITH g AS (SELECT doc_id, CASE WHEN length(text) < 8 THEN CAST([] AS BIGINT[])
+        ELSE list_transform(range(1, length(text) - 6), i -> {fnv_gram}) END AS hs
+      FROM documents),
+    w AS (SELECT doc_id, CASE WHEN len(hs) = 0 THEN CAST([] AS BIGINT[])
+        WHEN len(hs) <= 4 THEN [list_min(hs)]
+        ELSE list_distinct(list_transform(range(1, len(hs) - 2), i -> list_min(hs[i:i+3]))) END AS mins
+      FROM g)
+    SELECT doc_id, CAST(len(mins) AS BIGINT) AS n_fingerprints,
+      CAST(COALESCE(list_min(mins), 0) AS BIGINT) AS min_fingerprint
+    FROM w
+    """
+
+
+@register("winnow_fingerprint_docs", _winnow_sql())
 def q_winnow(sf_dir: str):
+    """Winnowing fingerprint (8-gram rolling FNV, window-4 min) —
+    hash-verified against a DuckDB recomputation of the same fold."""
     docs = _rp(sf_dir, "documents", ["doc_id", "text"])
 
     def _fn(batch: pa.Table) -> pa.Table:
@@ -929,7 +1060,7 @@ def q_winnow(sf_dir: str):
                 "doc_id": batch["doc_id"],
                 "n_fingerprints": pa.array([len(f) for f in fps], pa.int64()),
                 "min_fingerprint": pa.array(
-                    [min(f) if f else 0 for f in fps], pa.uint64()
+                    [int(min(f)) if f else 0 for f in fps], pa.int64()
                 ),
             }
         )
@@ -937,19 +1068,20 @@ def q_winnow(sf_dir: str):
     return docs.map_batches(_fn, batch_format="pyarrow")
 
 
-@register("pq_knn_l2")  # ADC-scanned PQ codes (PQ.java analog) — rows-only
+@register("pq_knn_l2")  # ADC scan of STORED PQ codes (PQ.java analog) — rows-only
 def q_pq_knn(sf_dir: str):
-    emb = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
-    return nn.pq_knn(emb, _query_vectors(sf_dir, 5), "embedding", "vec_id", k=5, m=8, ks=64)
+    from multimedia_indexing_ray.stages.ann_index import ann_search
+
+    idx = _ensure_ann_index(sf_dir, "pq")
+    return ann_search(idx, _query_vectors(sf_dir, 5), k=5)
 
 
-@register("ivfpq_knn_l2")  # coarse lists + residual PQ (IVFPQ analog) — rows-only
+@register("ivfpq_knn_l2")  # prebuilt coarse lists + residual PQ — rows-only
 def q_ivfpq_knn(sf_dir: str):
-    emb = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
-    return nn.ivfpq_knn(
-        emb, _query_vectors(sf_dir, 5), "embedding", "vec_id",
-        k=5, n_lists=8, probe=3, m=8, ks=64,
-    )
+    from multimedia_indexing_ray.stages.ann_index import ann_search
+
+    idx = _ensure_ann_index(sf_dir, "ivfpq")
+    return ann_search(idx, _query_vectors(sf_dir, 5), k=5, probe=3)
 
 
 @register(

@@ -41,6 +41,8 @@ from multimedia_indexing_ray.stages.partition import (
 )
 
 SIDE_COL = "__side"
+FPAY_COL = "__lpayf"  # left float64 payload packed as large_list<float64>
+FVAL_COL = "__lpayv"  # parallel bit-packed validity (large_list<bool>)
 
 
 def _prep_side(
@@ -49,12 +51,26 @@ def _prep_side(
     on: str,
     side: int,
     all_fields: "list[pa.Field]",
+    float_names: "list[str]",
     num_partitions: int,
 ) -> "ray.data.Dataset":
     """Rename key/on to unified names, add side tag + partition id, and
-    pad to the union schema with typed nulls."""
+    pad to the union schema with typed nulls.
+
+    The left side's float64 payload columns are PACKED into one
+    large_list pair (values + bit-packed validity) so probe/right rows
+    ship only empty-list offsets (~8 B/row) instead of a typed-null
+    buffer per feature column (~8 B x n_cols/row) — the serving-path
+    exchange-width fix measured in BASELINE.md.
+
+    Null join keys / times are dropped (SQL null-never-joins semantics —
+    NaN key segments would otherwise match each other)."""
+    nf = len(float_names)
 
     def _fn(batch: pa.Table) -> pa.Table:
+        ok = pc.and_(pc.is_valid(batch[key]), pc.is_valid(batch[on]))
+        if pc.any(pc.invert(ok)).as_py():
+            batch = batch.filter(ok)
         cols: dict = {}
         n = batch.num_rows
         for f in all_fields:
@@ -66,6 +82,29 @@ def _prep_side(
                 cols[f.name] = batch[f.name].cast(f.type)
             else:
                 cols[f.name] = pa.nulls(n, f.type)
+        if nf:
+            if side == 0:
+                vals = np.empty((n, nf), dtype=np.float64)
+                valid = np.empty((n, nf), dtype=bool)
+                for j, name in enumerate(float_names):
+                    c = batch[f"__l_{name}"]
+                    vals[:, j] = c.to_numpy(zero_copy_only=False)
+                    valid[:, j] = pc.is_valid(c).to_numpy(zero_copy_only=False)
+                offs = pa.array(np.arange(n + 1, dtype=np.int64) * nf)
+                cols[FPAY_COL] = pa.LargeListArray.from_arrays(
+                    offs, pa.array(vals.reshape(-1), pa.float64())
+                )
+                cols[FVAL_COL] = pa.LargeListArray.from_arrays(
+                    offs, pa.array(valid.reshape(-1), pa.bool_())
+                )
+            else:
+                offs = pa.array(np.zeros(n + 1, dtype=np.int64))
+                cols[FPAY_COL] = pa.LargeListArray.from_arrays(
+                    offs, pa.array([], pa.float64())
+                )
+                cols[FVAL_COL] = pa.LargeListArray.from_arrays(
+                    offs, pa.array([], pa.bool_())
+                )
         cols[SIDE_COL] = pa.array(np.full(n, side, dtype=np.int8))
         keys = cols["__k"].to_numpy(zero_copy_only=False)
         cols[PART_COL] = pa.array(partition_ids(keys, num_partitions))
@@ -77,7 +116,7 @@ def _prep_side(
 def _build_sides(left, right, left_key, left_on, right_key, right_on, num_partitions):
     """Shared side preparation: union schema, left-payload renaming,
     per-side prep.  Returns (lds, rds, l_out_names, right_payload,
-    on_is_temporal)."""
+    on_is_temporal, float_names)."""
     l_schema = left.schema()
     r_schema = right.schema()
     l_fields = {n: t for n, t in zip(l_schema.names, l_schema.types)}
@@ -86,10 +125,13 @@ def _build_sides(left, right, left_key, left_on, right_key, right_on, num_partit
     on_type = l_fields[left_on]
     left_payload = [n for n in l_schema.names if n != left_key]
     right_payload = [n for n in r_schema.names if n not in (right_key, right_on)]
+    float_names = [
+        n for n in left_payload if n != left_on and pa.types.is_float64(l_fields[n])
+    ]
 
     fields: "list[pa.Field]" = [pa.field("__k", key_type), pa.field("__t", on_type)]
     for n in left_payload:
-        if n != left_on:
+        if n != left_on and n not in float_names:
             fields.append(pa.field(f"__l_{n}", l_fields[n]))
     for n in right_payload:
         fields.append(pa.field(n, r_fields[n]))
@@ -103,12 +145,12 @@ def _build_sides(left, right, left_key, left_on, right_key, right_on, num_partit
 
     lds = _prep_side(
         left.map_batches(_rename_left, batch_format="pyarrow"),
-        left_key, left_on, 0, fields, num_partitions,
+        left_key, left_on, 0, fields, float_names, num_partitions,
     )
-    rds = _prep_side(right, right_key, right_on, 1, fields, num_partitions)
+    rds = _prep_side(right, right_key, right_on, 1, fields, float_names, num_partitions)
     l_out_names = [n for n in left_payload if n != left_on]
     on_is_temporal = pa.types.is_temporal(on_type)
-    return lds, rds, l_out_names, right_payload, on_is_temporal
+    return lds, rds, l_out_names, right_payload, on_is_temporal, float_names
 
 
 def _t_int64(col: "pa.ChunkedArray", temporal: bool) -> np.ndarray:
@@ -167,23 +209,44 @@ def asof_join(
         raise ValueError(direction)
     right_key = right_key or left_key
     right_on = right_on or left_on
-    lds, rds, l_out_names, right_payload, temporal = _build_sides(
+    lds, rds, l_out_names, right_payload, temporal, float_names = _build_sides(
         left, right, left_key, left_on, right_key, right_on, num_partitions
     )
     if direction == "backward":
         side_of = "right" if allow_exact_matches else "left"
     else:
         side_of = "left" if allow_exact_matches else "right"
+    tiebreak_packed = tiebreak in float_names if tiebreak else False
 
     def _merge(table: pa.Table) -> pa.Table:
         table = table.drop_columns([PART_COL])
         lt = table.filter(pc.equal(table[SIDE_COL], 0))
         rt = table.filter(pc.equal(table[SIDE_COL], 1))
+        nf = len(float_names)
+        # unpack the float payload BEFORE sorting so a float tiebreak
+        # column is sortable; after take() the gather below re-aligns
+        if nf and lt.num_rows:
+            fl = lt[FPAY_COL].combine_chunks()
+            fv = lt[FVAL_COL].combine_chunks()
+            lvals = fl.flatten().to_numpy(zero_copy_only=False).reshape(-1, nf)
+            lvalid = fv.flatten().to_numpy(zero_copy_only=False).reshape(-1, nf)
+        else:
+            lvals = np.empty((lt.num_rows, nf))
+            lvalid = np.zeros((lt.num_rows, nf), dtype=bool)
         sort_keys = [("__k", "ascending"), ("__t", "ascending")]
         tb_col = f"__l_{tiebreak}" if tiebreak else None
         if tb_col and tb_col in lt.column_names:
             sort_keys.append((tb_col, "ascending"))
-        lt = lt.take(pc.sort_indices(lt, sort_keys=sort_keys))
+        elif tiebreak_packed and lt.num_rows:
+            j = float_names.index(tiebreak)
+            lt = lt.append_column("__tb", pa.array(lvals[:, j]))
+            sort_keys.append(("__tb", "ascending"))
+        order = pc.sort_indices(lt, sort_keys=sort_keys)
+        lt = lt.take(order)
+        if nf and lt.num_rows:
+            perm = order.to_numpy(zero_copy_only=False)
+            lvals = lvals[perm]
+            lvalid = lvalid[perm]
 
         k_l = lt["__k"].to_numpy(zero_copy_only=False)
         k_r = rt["__k"].to_numpy(zero_copy_only=False)
@@ -207,6 +270,16 @@ def asof_join(
         vmask = pa.array(valid)
         take_idx = pa.array(clamped.astype(np.int64))
         for n in [left_on] + l_out_names:
+            if n in float_names:
+                if lt.num_rows:
+                    j = float_names.index(n)
+                    col = pa.array(
+                        lvals[clamped, j], pa.float64(), mask=~(valid & lvalid[clamped, j])
+                    )
+                else:
+                    col = pa.nulls(rt.num_rows, pa.float64())
+                out_cols[f"{matched_prefix}{n}"] = col
+                continue
             src = lt["__t"] if n == left_on else lt[f"__l_{n}"]
             if lt.num_rows:
                 taken = src.take(take_idx).combine_chunks()
@@ -248,10 +321,17 @@ def range_join(
     right_on = right_on or left_on
     if lower_s > upper_s:
         raise ValueError("lower_s must be <= upper_s")
-    lds, rds, l_out_names, right_payload, temporal = _build_sides(
+    lds, rds, l_out_names, right_payload, temporal, float_names = _build_sides(
         left, right, left_key, left_on, right_key, right_on, num_partitions
     )
     scale = 1_000_000 if temporal else 1
+    if not temporal and not (float(lower_s).is_integer() and float(upper_s).is_integer()):
+        # int() would silently truncate (-0.5 -> 0) and change interval
+        # semantics for plain numeric `on` columns
+        raise ValueError(
+            "range_join on a non-temporal numeric column requires integral "
+            f"lower_s/upper_s (got {lower_s}, {upper_s})"
+        )
     lower = int(lower_s * scale)
     upper = int(upper_s * scale)
     margin = max(abs(lower), abs(upper))
@@ -260,7 +340,19 @@ def range_join(
         table = table.drop_columns([PART_COL])
         lt = table.filter(pc.equal(table[SIDE_COL], 0))
         rt = table.filter(pc.equal(table[SIDE_COL], 1))
-        lt = lt.take(pc.sort_indices(lt, sort_keys=[("__k", "ascending"), ("__t", "ascending")]))
+        nf = len(float_names)
+        if nf and lt.num_rows:
+            lvals = lt[FPAY_COL].combine_chunks().flatten().to_numpy(zero_copy_only=False).reshape(-1, nf)
+            lvalid = lt[FVAL_COL].combine_chunks().flatten().to_numpy(zero_copy_only=False).reshape(-1, nf)
+        else:
+            lvals = np.empty((lt.num_rows, nf))
+            lvalid = np.zeros((lt.num_rows, nf), dtype=bool)
+        order = pc.sort_indices(lt, sort_keys=[("__k", "ascending"), ("__t", "ascending")])
+        lt = lt.take(order)
+        if nf and lt.num_rows:
+            perm = order.to_numpy(zero_copy_only=False)
+            lvals = lvals[perm]
+            lvalid = lvalid[perm]
         k_l = lt["__k"].to_numpy(zero_copy_only=False)
         k_r = rt["__k"].to_numpy(zero_copy_only=False)
         t_l = _t_int64(lt["__t"], temporal)
@@ -275,6 +367,9 @@ def range_join(
             for n in right_payload:
                 cols[n] = rt[n].slice(0, 0)
             for n in [left_on] + l_out_names:
+                if n in float_names:
+                    cols[f"{matched_prefix}{n}"] = pa.array([], pa.float64())
+                    continue
                 src = lt["__t"] if n == left_on else lt[f"__l_{n}"]
                 cols[f"{matched_prefix}{n}"] = src.slice(0, 0)
             return pa.table(cols)
@@ -287,6 +382,12 @@ def range_join(
         for n in right_payload:
             cols[n] = rt[n].take(r_take)
         for n in [left_on] + l_out_names:
+            if n in float_names:
+                j = float_names.index(n)
+                cols[f"{matched_prefix}{n}"] = pa.array(
+                    lvals[l_idx, j], pa.float64(), mask=~lvalid[l_idx, j]
+                )
+                continue
             src = lt["__t"] if n == left_on else lt[f"__l_{n}"]
             cols[f"{matched_prefix}{n}"] = src.take(l_take)
         return pa.table(cols)

@@ -14,8 +14,7 @@ shuffle instead of text wherever possible.
 
 from __future__ import annotations
 
-import hashlib
-from itertools import combinations
+import logging
 from typing import Sequence
 
 import numpy as np
@@ -31,6 +30,60 @@ from multimedia_indexing_ray.stages.partition import (
     map_partitions_by_key,
     stable_hash,
 )
+
+logger = logging.getLogger(__name__)
+
+# A degenerate LSH bucket (one band value shared by huge numbers of docs,
+# e.g. many near-empty texts) would make the in-bucket pair compare
+# O(b^2); buckets above this cap are dropped with a logged count instead
+# of exploding a partition.
+DEFAULT_BUCKET_CAP = 1024
+
+
+def _shingle_arrays(
+    text_col, k: int
+) -> "tuple[np.ndarray, np.ndarray, int]":
+    """All k-token shingles for a whole Arrow text column, vectorized.
+
+    Returns (flat shingle object array, doc index per shingle — sorted by
+    doc, n_docs).  Docs with 0 < len < k tokens contribute one joined-
+    tokens shingle (same convention as tx.shingles); empty docs none."""
+    flat, counts = tx.flat_tokens(text_col)
+    n_docs = len(counts)
+    doc_of = np.repeat(np.arange(n_docs), counts)
+    sh_parts, doc_parts = [], []
+    if len(flat) >= k:
+        idx = np.arange(len(flat) - k + 1)
+        valid = doc_of[idx] == doc_of[idx + k - 1]
+        vi = idx[valid]
+        if len(vi):
+            sep = np.full(len(vi), " ", dtype=object)
+            out = flat[vi]
+            for j in range(1, k):
+                out = out + sep + flat[vi + j]
+            sh_parts.append(out)
+            doc_parts.append(doc_of[vi])
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
+    for d in np.flatnonzero((counts > 0) & (counts < k)):  # rare short docs
+        s = starts[d]
+        sh_parts.append(np.array([" ".join(flat[s : s + counts[d]])], dtype=object))
+        doc_parts.append(np.array([d], dtype=np.int64))
+    if not sh_parts:
+        return np.empty(0, dtype=object), np.empty(0, dtype=np.int64), n_docs
+    sh = np.concatenate(sh_parts)
+    docs = np.concatenate(doc_parts)
+    order = np.argsort(docs, kind="stable")
+    return sh[order], docs[order], n_docs
+
+
+def _sig_column(sig: np.ndarray) -> pa.Array:
+    return pa.FixedSizeListArray.from_arrays(pa.array(sig.reshape(-1)), sig.shape[1])
+
+
+def _sig_matrix(col) -> np.ndarray:
+    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    h = col.type.list_size
+    return col.flatten().to_numpy(zero_copy_only=False).reshape(-1, h)
 
 
 def add_fingerprint(ds: "ray.data.Dataset", text_col: str, out_col: str = "fp") -> "ray.data.Dataset":
@@ -97,11 +150,12 @@ def dedup_by_key(
 
 
 class MinHashSketcher:
-    """Actor-pool stage: per-doc minhash signatures + LSH band explosion.
+    """Actor-pool stage: minhash signatures + LSH band explosion for a
+    whole batch — fully vectorized (no per-doc/per-band Python loops).
 
-    State (hash family) built once per actor (`__init__`) — the codebook-
-    singleton pattern (`visual/vectorization/ImageVectorization.java:52-65`).
-    """
+    State (the universal hash family) built once per actor (`__init__`) —
+    the codebook-singleton pattern
+    (`visual/vectorization/ImageVectorization.java:52-65`)."""
 
     def __init__(self, text_col: str, id_col: str, num_hashes: int = 64, bands: int = 16, shingle_k: int = 3):
         self.text_col = text_col
@@ -110,29 +164,41 @@ class MinHashSketcher:
         self.bands = bands
         self.rows_per_band = num_hashes // bands
         self.shingle_k = shingle_k
+        rng = np.random.default_rng(12345)  # same family as tx.minhash_signature
+        self.a = rng.integers(1, 2**61, num_hashes, dtype=np.uint64) | np.uint64(1)
+        self.b = rng.integers(0, 2**61, num_hashes, dtype=np.uint64)
+
+    def signatures(self, text_col) -> np.ndarray:
+        """(n_docs, num_hashes) uint64 signature matrix for a column."""
+        sh, docs, n_docs = _shingle_arrays(text_col, self.shingle_k)
+        sig = np.full((n_docs, self.num_hashes), np.uint64(2**64 - 1), dtype=np.uint64)
+        if len(sh):
+            base = tx._hash64(sh, 0)
+            vals = self.a[:, None] * base[None, :] + self.b[:, None]  # (H, S) wraps
+            seg = np.flatnonzero(np.concatenate([[True], docs[1:] != docs[:-1]]))
+            mins = np.minimum.reduceat(vals, seg, axis=1)  # (H, n_seg)
+            sig[docs[seg]] = mins.T
+        return sig
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids, band_ids, band_hashes, sigs = [], [], [], []
-        texts = batch[self.text_col].to_pylist()
-        id_vals = batch[self.id_col].to_pylist()
-        for doc_id, text in zip(id_vals, texts):
-            sig = tx.minhash_signature(
-                tx.shingles(tx.tokenize(text), self.shingle_k), self.num_hashes
-            )
-            sig_bytes = sig.tobytes()
-            for b in range(self.bands):
-                chunk = sig[b * self.rows_per_band : (b + 1) * self.rows_per_band]
-                digest = hashlib.blake2b(chunk.tobytes(), digest_size=8).digest()
-                ids.append(doc_id)
-                band_ids.append(b)
-                band_hashes.append(int.from_bytes(digest, "little") & 0x7FFFFFFFFFFFFFFF)
-                sigs.append(sig_bytes)
+        ids = batch[self.id_col].to_numpy()
+        sig = self.signatures(batch[self.text_col])
+        n_docs = len(ids)
+        # band digests: fold each band's rows with a 64-bit polynomial mix
+        sigr = sig.reshape(n_docs, self.bands, self.rows_per_band)
+        digest = sigr[:, :, 0].copy()
+        prime = np.uint64(0x100000001B3)
+        for r in range(1, self.rows_per_band):
+            digest = digest * prime ^ sigr[:, :, r]
+        band_hash = (digest & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
         return pa.table(
             {
-                self.id_col: pa.array(ids, pa.int64()),
-                "band_id": pa.array(band_ids, pa.int32()),
-                "band_hash": pa.array(band_hashes, pa.int64()),
-                "sig": pa.array(sigs, pa.binary()),
+                self.id_col: pa.array(np.repeat(ids, self.bands), pa.int64()),
+                "band_id": pa.array(
+                    np.tile(np.arange(self.bands, dtype=np.int32), n_docs)
+                ),
+                "band_hash": pa.array(band_hash.reshape(-1)),
+                "sig": _sig_column(np.repeat(sig, self.bands, axis=0)),
             }
         )
 
@@ -147,10 +213,13 @@ def minhash_lsh_pairs(
     threshold: float = 0.8,
     num_partitions: int = DEFAULT_NUM_PARTITIONS,
     concurrency: int = 4,
+    bucket_cap: int = DEFAULT_BUCKET_CAP,
 ) -> "ray.data.Dataset":
     """Candidate near-duplicate pairs (a_id < b_id) whose signature-
     estimated Jaccard >= threshold.  shingle->minhash->band->bucket
-    groupby->verify, signatures carried through the shuffle (no text)."""
+    groupby->verify, signatures carried through the shuffle (no text);
+    buckets over `bucket_cap` members are dropped with a logged count
+    (skew guard), and the in-bucket compare is one matrix equality."""
     exploded = ds.map_batches(
         MinHashSketcher(text_col, id_col, num_hashes, bands, shingle_k),
         batch_format="pyarrow",
@@ -164,26 +233,56 @@ def minhash_lsh_pairs(
         return batch.append_column("__bkey", pa.array(h.astype(np.int64)))
 
     def kernel(table: pa.Table) -> pa.Table:
-        df = table.to_pandas()
-        a_ids, b_ids, est = [], [], []
-        for (_, _), g in df.groupby(["band_id", "band_hash"], sort=False):
-            if len(g) < 2:
+        empty = pa.table(
+            {
+                "a_id": pa.array([], pa.int64()),
+                "b_id": pa.array([], pa.int64()),
+                "est_jaccard": pa.array([], pa.float64()),
+            }
+        )
+        if table.num_rows == 0:
+            return empty
+        t = table.take(
+            pc.sort_indices(
+                table,
+                sort_keys=[("band_id", "ascending"), ("band_hash", "ascending"), (id_col, "ascending")],
+            )
+        )
+        ids = t[id_col].to_numpy()
+        bid = t["band_id"].to_numpy()
+        bh = t["band_hash"].to_numpy()
+        sig = _sig_matrix(t["sig"])
+        change = np.concatenate([[True], (bid[1:] != bid[:-1]) | (bh[1:] != bh[:-1])])
+        starts = np.flatnonzero(change)
+        ends = np.concatenate([starts[1:], [len(ids)]])
+        a_out, b_out, e_out = [], [], []
+        dropped = 0
+        for s, e in zip(starts, ends):
+            if e - s < 2:
                 continue
-            uniq = g.drop_duplicates(subset=[id_col]).sort_values(id_col)
-            recs = list(zip(uniq[id_col], uniq["sig"]))
-            for (ia, sa), (ib, sb) in combinations(recs, 2):
-                va = np.frombuffer(sa, dtype=np.uint64)
-                vb = np.frombuffer(sb, dtype=np.uint64)
-                e = float((va == vb).mean())
-                if e >= threshold:
-                    a_ids.append(ia)
-                    b_ids.append(ib)
-                    est.append(e)
+            if e - s > bucket_cap:
+                dropped += 1
+                continue
+            ids_b, first = np.unique(ids[s:e], return_index=True)  # sorted unique
+            if len(ids_b) < 2:
+                continue
+            su = sig[s:e][first]
+            eq = (su[:, None, :] == su[None, :, :]).mean(axis=2)
+            iu = np.triu_indices(len(ids_b), 1)
+            est = eq[iu]
+            m = est >= threshold
+            a_out.append(ids_b[iu[0][m]])
+            b_out.append(ids_b[iu[1][m]])
+            e_out.append(est[m])
+        if dropped:
+            logger.warning("minhash_lsh_pairs: dropped %d oversize buckets (> %d)", dropped, bucket_cap)
+        if not a_out:
+            return empty
         return pa.table(
             {
-                "a_id": pa.array(a_ids, pa.int64()),
-                "b_id": pa.array(b_ids, pa.int64()),
-                "est_jaccard": pa.array(est, pa.float64()),
+                "a_id": pa.array(np.concatenate(a_out), pa.int64()),
+                "b_id": pa.array(np.concatenate(b_out), pa.int64()),
+                "est_jaccard": pa.array(np.concatenate(e_out), pa.float64()),
             }
         )
 
@@ -195,19 +294,19 @@ def minhash_lsh_pairs(
 
 
 class SimHasher:
-    """Actor-pool stage computing 64-bit SimHash per document."""
+    """Actor-pool stage computing 64-bit SimHash per document —
+    vectorized over the whole batch (Arrow tokenizer + FNV hashing +
+    segmented bit votes; see tx.simhash64_batch)."""
 
     def __init__(self, text_col: str, id_col: str):
         self.text_col = text_col
         self.id_col = id_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch[self.text_col].to_pylist()
-        hashes = [int(tx.simhash64(tx.tokenize(t))) for t in texts]
         return pa.table(
             {
                 self.id_col: batch[self.id_col],
-                "simhash": pa.array(np.array(hashes, dtype=np.uint64).astype(np.int64)),
+                "simhash": pa.array(tx.simhash64_batch(batch[self.text_col])),
             }
         )
 
@@ -247,24 +346,53 @@ def simhash_pairs(
         )
 
     def kernel(table: pa.Table) -> pa.Table:
-        df = table.to_pandas()
-        a_ids, b_ids, dist = [], [], []
-        for _, g in df.groupby("bucket", sort=False):
-            if len(g) < 2:
+        empty = pa.table(
+            {
+                "a_id": pa.array([], pa.int64()),
+                "b_id": pa.array([], pa.int64()),
+                "hamming": pa.array([], pa.int64()),
+            }
+        )
+        if table.num_rows == 0:
+            return empty
+        t = table.take(
+            pc.sort_indices(table, sort_keys=[("bucket", "ascending"), (id_col, "ascending")])
+        )
+        ids = t[id_col].to_numpy()
+        bk = t["bucket"].to_numpy()
+        hs = t["simhash"].to_numpy().astype(np.uint64)
+        starts = np.flatnonzero(np.concatenate([[True], bk[1:] != bk[:-1]]))
+        ends = np.concatenate([starts[1:], [len(ids)]])
+        a_out, b_out, d_out = [], [], []
+        dropped = 0
+        for s, e in zip(starts, ends):
+            if e - s < 2:
                 continue
-            uniq = g.drop_duplicates(subset=[id_col]).sort_values(id_col)
-            recs = list(zip(uniq[id_col], uniq["simhash"].astype(np.uint64)))
-            for (ia, ha), (ib, hb) in combinations(recs, 2):
-                d = int(tx.hamming64(np.array([ha]), np.array([hb]))[0])
-                if d <= max_hamming:
-                    a_ids.append(int(ia))
-                    b_ids.append(int(ib))
-                    dist.append(d)
+            if e - s > DEFAULT_BUCKET_CAP:
+                dropped += 1
+                continue
+            ids_b, first = np.unique(ids[s:e], return_index=True)
+            if len(ids_b) < 2:
+                continue
+            hu = hs[s:e][first]
+            x = hu[:, None] ^ hu[None, :]  # (b, b) uint64
+            # vectorized popcount: view as bytes, unpack bits, sum
+            ham = np.unpackbits(x.view(np.uint8).reshape(len(ids_b), len(ids_b), 8), axis=2).sum(axis=2)
+            iu = np.triu_indices(len(ids_b), 1)
+            d = ham[iu]
+            m = d <= max_hamming
+            a_out.append(ids_b[iu[0][m]])
+            b_out.append(ids_b[iu[1][m]])
+            d_out.append(d[m].astype(np.int64))
+        if dropped:
+            logger.warning("simhash_pairs: dropped %d oversize buckets (> %d)", dropped, DEFAULT_BUCKET_CAP)
+        if not a_out:
+            return empty
         return pa.table(
             {
-                "a_id": pa.array(a_ids, pa.int64()),
-                "b_id": pa.array(b_ids, pa.int64()),
-                "hamming": pa.array(dist, pa.int64()),
+                "a_id": pa.array(np.concatenate(a_out), pa.int64()),
+                "b_id": pa.array(np.concatenate(b_out), pa.int64()),
+                "hamming": pa.array(np.concatenate(d_out), pa.int64()),
             }
         )
 
@@ -272,6 +400,120 @@ def simhash_pairs(
         sims.map_batches(_explode, batch_format="pyarrow"), "bucket", kernel, num_partitions
     )
     return dedup_by_key(pairs, ["a_id", "b_id"], ["hamming"], num_partitions)
+
+
+class ShingleAnchor:
+    """Actor-pool stage: per-doc DISTINCT k-token shingle set + anchor
+    (lexicographic min shingle) — the blocking key for exact n-gram
+    Jaccard.  Near-identical docs share their min shingle with high
+    probability, and the blocking rule is deterministic on both engine
+    and SQL sides, so the pair output is oracle-checkable."""
+
+    def __init__(self, text_col: str, id_col: str, k: int = 3):
+        self.text_col = text_col
+        self.id_col = id_col
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                self.id_col: pa.array([], pa.int64()),
+                "anchor": pa.array([], pa.string()),
+                "sh": pa.array([], pa.list_(pa.string())),
+            }
+        )
+        ids = batch[self.id_col].to_numpy()
+        sh, docs, _ = _shingle_arrays(batch[self.text_col], self.k)
+        if len(sh) == 0:
+            return empty
+        df = pd.DataFrame({"d": docs, "s": sh}).drop_duplicates()
+        df = df.sort_values(["d", "s"], kind="mergesort")
+        d2 = df["d"].to_numpy()
+        s2 = df["s"].to_numpy()
+        seg = np.flatnonzero(np.concatenate([[True], d2[1:] != d2[:-1]]))
+        counts = np.diff(np.concatenate([seg, [len(d2)]]))
+        offsets = np.concatenate([[0], np.cumsum(counts)])
+        sh_col = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()), pa.array(s2.tolist(), pa.string())
+        )
+        return pa.table(
+            {
+                self.id_col: pa.array(ids[d2[seg]], pa.int64()),
+                "anchor": pa.array(s2[seg].tolist(), pa.string()),
+                "sh": sh_col,
+            }
+        )
+
+
+def anchor_jaccard_pairs(
+    ds: "ray.data.Dataset",
+    text_col: str,
+    id_col: str,
+    shingle_k: int = 3,
+    threshold: float = 0.3,
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+    concurrency: int = 4,
+    bucket_cap: int = DEFAULT_BUCKET_CAP,
+) -> "ray.data.Dataset":
+    """Exact n-gram-Jaccard near-dup pairs within anchor blocks: ONE
+    shuffle on the anchor key, shingle SETS (never text) cross the wire,
+    all-pairs verification inside bounded blocks.  Replaces the round-1
+    broadcast-the-whole-corpus verify (a driver-side materialization)."""
+    from itertools import combinations
+
+    sk = ds.map_batches(
+        ShingleAnchor(text_col, id_col, shingle_k),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+    def kernel(table: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "a_id": pa.array([], pa.int64()),
+                "b_id": pa.array([], pa.int64()),
+                "jaccard": pa.array([], pa.float64()),
+            }
+        )
+        if table.num_rows == 0:
+            return empty
+        t = table.take(
+            pc.sort_indices(table, sort_keys=[("anchor", "ascending"), (id_col, "ascending")])
+        )
+        ids = t[id_col].to_numpy()
+        anchors = t["anchor"].to_numpy(zero_copy_only=False)
+        sets = [set(v) for v in t["sh"].to_pylist()]
+        starts = np.flatnonzero(np.concatenate([[True], anchors[1:] != anchors[:-1]]))
+        ends = np.concatenate([starts[1:], [len(ids)]])
+        a_out, b_out, j_out = [], [], []
+        dropped = 0
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            if e - s > bucket_cap:
+                dropped += 1
+                continue
+            for i, j in combinations(range(s, e), 2):
+                inter = len(sets[i] & sets[j])
+                union = len(sets[i] | sets[j])
+                jac = inter / union if union else 1.0
+                if jac > threshold:
+                    a_out.append(int(ids[i]))
+                    b_out.append(int(ids[j]))
+                    j_out.append(jac)
+        if dropped:
+            logger.warning("anchor_jaccard_pairs: dropped %d oversize blocks (> %d)", dropped, bucket_cap)
+        if not a_out:
+            return empty
+        return pa.table(
+            {
+                "a_id": pa.array(a_out, pa.int64()),
+                "b_id": pa.array(b_out, pa.int64()),
+                "jaccard": pa.array(j_out, pa.float64()),
+            }
+        )
+
+    return map_partitions_by_key(sk, "anchor", kernel, num_partitions)
 
 
 def embedding_neardup_pairs(

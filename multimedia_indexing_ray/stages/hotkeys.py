@@ -82,6 +82,7 @@ def find_hot_candidates(
     When blocks are so numerous that the cutoff degenerates (< 8), fall
     back to an exact partial-count groupby (one small shuffle)."""
     num_blocks = ds.num_blocks() if hasattr(ds, "num_blocks") else None
+    # a materialized EMPTY dataset reports 0 blocks -> guard the division
     cutoff = max(1, -(-hot_threshold // num_blocks)) if num_blocks else 1
 
     if cutoff >= 8:

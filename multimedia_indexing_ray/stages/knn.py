@@ -104,17 +104,24 @@ def brute_force_knn(
 
 
 def kmeans_fit(
-    sample: np.ndarray, n_clusters: int, seed: int = 1, iters: int = 20
+    sample: np.ndarray, n_clusters: int, seed: int = 1, iters: int = 20, repeats: int = 3
 ) -> np.ndarray:
-    """Plain seeded Lloyd k-means on a driver-side sample — the coarse-
-    quantizer learning analog (`visual/quantization/CoarseQuantizerLearning.java:39-72`,
-    which used Weka SimpleKMeans with a fixed seed).  Delegates to the
+    """Seeded kmeans++ Lloyd with best-of-`repeats` by SSE on a driver-side
+    sample — the coarse-quantizer learning analog
+    (`visual/quantization/CoarseQuantizerLearning.java:39-72` +
+    `AbstractQuantizerLearning.java:39-81`: Weka SimpleKMeans, kmeans++
+    option, fixed seed, best of numKmeansRepeats).  Delegates to the
     single Lloyd implementation in functions/pq.py (no sentinel padding
     for the coarse quantizer)."""
     from multimedia_indexing_ray.functions.pq import _kmeans
 
-    cent, _ = _kmeans(np.asarray(sample, dtype=np.float64), n_clusters, seed, iters, pad_sentinel=False)
-    return cent
+    smp = np.asarray(sample, dtype=np.float64)
+    best = None
+    for r in range(repeats):
+        cent, sse = _kmeans(smp, n_clusters, seed + 7 * r, iters, pad_sentinel=False)
+        if best is None or sse < best[1]:
+            best = (cent, sse)
+    return best[0]
 
 
 def ivf_knn(
