@@ -14,13 +14,26 @@ from __future__ import annotations
 
 from typing import Optional, Sequence, Union
 
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
 import ray.data
 
 from multimedia_indexing_ray.sources.transcripts import read_transcripts
 from multimedia_indexing_ray.specs import DEFAULT_SPECS, FeatureSpecs
-from multimedia_indexing_ray.stages.asof_join import asof_join
-from multimedia_indexing_ray.stages.features import compute_features
-from multimedia_indexing_ray.stages.partition import DEFAULT_NUM_PARTITIONS
+from multimedia_indexing_ray.stages.asof_join import _adjusted_pair, asof_join
+from multimedia_indexing_ray.stages.features import (
+    BASE_PRE_COLS,
+    WindowKernelFn,
+    compute_features,
+    prefeaturize,
+)
+from multimedia_indexing_ray.stages.partition import (
+    DEFAULT_NUM_PARTITIONS,
+    PART_COL,
+    partition_ids,
+)
 
 
 def transcript_features(
@@ -40,28 +53,137 @@ def features_at(
     num_partitions: int = DEFAULT_NUM_PARTITIONS,
     keep_unmatched: bool = True,
     columns: Optional[Sequence[str]] = None,
+    fused: bool = True,
 ) -> "ray.data.Dataset":
     """Point-in-time feature vector per (conv_id, ts) probe.
 
     Output: query columns + matched_ts / matched_turn_idx + matched_<f>
     for every feature column (typed nulls where no turn is visible).
 
-    ``columns``: restrict which feature columns are attached — every
-    selected column crosses the co-partition exchange, so projecting to
-    the needed subset is the big serving-path lever (measured in
-    BASELINE.md; key/ts/turn_idx always carried)."""
-    feats = transcript_features(source, specs, num_partitions)
+    ``fused=True`` (default): ONE co-partition exchange carries slim
+    per-turn prefeatures + probes; the window features are computed AND
+    matched inside the same partition kernel, so the 37-col vector never
+    crosses the wire (the round-1 two-phase plan shipped every turn's
+    full vector through a second exchange — 3+ GB at bench scale — and
+    was bandwidth-bound at 42-44k probes/sec; see BASELINE.md).
+
+    ``fused=False``: generic path — materialized feature table as-of
+    joined with the probes (use when the feature table is precomputed).
+
+    ``columns``: restrict which feature columns are attached."""
+    if not fused:
+        feats = transcript_features(source, specs, num_partitions)
+        if columns is not None:
+            keep = ["conv_id", "ts", "turn_idx"] + [
+                c for c in columns if c not in ("conv_id", "ts", "turn_idx")
+            ]
+            feats = feats.select_columns(keep)
+        return asof_join(
+            feats,
+            queries,
+            left_key="conv_id",
+            left_on="ts",
+            tiebreak="turn_idx",
+            num_partitions=num_partitions,
+            keep_unmatched=keep_unmatched,
+        )
+    ds = source if isinstance(source, ray.data.Dataset) else read_transcripts(source)
+    probe_payload = [n for n in queries.schema().names if n not in ("conv_id", "ts")]
+    probe_types = dict(zip(queries.schema().names, queries.schema().types))
+    feat_cols = [c for c in (*specs.feature_columns(), *specs.lead_columns())]
     if columns is not None:
-        keep = ["conv_id", "ts", "turn_idx"] + [
-            c for c in columns if c not in ("conv_id", "ts", "turn_idx")
-        ]
-        feats = feats.select_columns(keep)
-    return asof_join(
-        feats,
-        queries,
-        left_key="conv_id",
-        left_on="ts",
-        tiebreak="turn_idx",
-        num_partitions=num_partitions,
-        keep_unmatched=keep_unmatched,
+        feat_cols = [c for c in feat_cols if c in set(columns)]
+
+    def _prep_turns(batch: pa.Table) -> pa.Table:
+        t = prefeaturize(batch)
+        n = t.num_rows
+        cols = {c: t[c] for c in t.column_names}
+        for pcol in probe_payload:
+            cols[f"__q_{pcol}"] = pa.nulls(n, probe_types[pcol])
+        cols["__side"] = pa.array(np.zeros(n, dtype=np.int8))
+        cols[PART_COL] = pa.array(
+            partition_ids(t["conv_id"].to_numpy(zero_copy_only=False), num_partitions)
+        )
+        return pa.table(cols)
+
+    turn_pad = {
+        "turn_idx": pa.int64(),
+        **{c: pa.float64() for c in BASE_PRE_COLS},
+    }
+
+    def _prep_probes(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        cols = {"conv_id": batch["conv_id"].cast(pa.string()), "ts": batch["ts"]}
+        for c, typ in turn_pad.items():
+            cols[c] = pa.nulls(n, typ)
+        for pcol in probe_payload:
+            cols[f"__q_{pcol}"] = batch[pcol]
+        cols["__side"] = pa.array(np.ones(n, dtype=np.int8))
+        cols[PART_COL] = pa.array(
+            partition_ids(cols["conv_id"].to_numpy(zero_copy_only=False), num_partitions)
+        )
+        return pa.table(cols)
+
+    def _cast_turn_idx(batch: pa.Table) -> pa.Table:
+        i = batch.column_names.index("turn_idx")
+        return batch.set_column(i, "turn_idx", batch["turn_idx"].cast(pa.int64()))
+
+    turns = ds.map_batches(_cast_turn_idx, batch_format="pyarrow").map_batches(
+        _prep_turns, batch_format="pyarrow"
+    )
+    probes = queries.map_batches(_prep_probes, batch_format="pyarrow")
+    kernel = WindowKernelFn(specs)
+
+    def _serve(table: pa.Table) -> pa.Table:
+        table = table.drop_columns([PART_COL])
+        side = table["__side"].to_numpy(zero_copy_only=False)
+        tmask = pa.array(side == 0)
+        turn_cols = ["conv_id", "turn_idx", "ts", *BASE_PRE_COLS]
+        tt = table.filter(tmask).select(turn_cols)
+        qt = table.filter(pc.invert(tmask))
+        ft = kernel(tt)  # sorted by (conv_id, ts, turn_idx)
+        n_l = ft.num_rows
+        n_r = qt.num_rows
+        k_l = ft["conv_id"].to_numpy(zero_copy_only=False) if n_l else np.empty(0, object)
+        k_r = qt["conv_id"].to_numpy(zero_copy_only=False) if n_r else np.empty(0, object)
+        t_l = ft["ts"].cast(pa.int64()).to_numpy() if n_l else np.empty(0, np.int64)
+        t_r = qt["ts"].cast(pa.int64()).to_numpy() if n_r else np.empty(0, np.int64)
+        if n_l and n_r:
+            adj_l, adj_r, c_l, c_r = _adjusted_pair(
+                k_l, k_r, t_l, t_r, 0, "features_at"
+            )
+            idx = np.searchsorted(adj_l, adj_r, side="right") - 1
+            valid = idx >= 0
+            clamped = np.clip(idx, 0, n_l - 1)
+            valid &= c_l[clamped] == c_r
+        else:
+            valid = np.zeros(n_r, dtype=bool)
+            clamped = np.zeros(n_r, dtype=np.int64)
+        out: dict = {"conv_id": qt["conv_id"], "ts": qt["ts"]}
+        for pcol in probe_payload:
+            out[pcol] = qt[f"__q_{pcol}"]
+        vmask = pa.array(valid)
+        if n_l:
+            out["matched_ts"] = pc.if_else(
+                vmask, ft["ts"].take(pa.array(clamped)).combine_chunks(),
+                pa.scalar(None, ft.schema.field("ts").type),
+            )
+            ti = ft["turn_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
+            out["matched_turn_idx"] = pa.array(ti[clamped], pa.int64(), mask=~valid)
+            for c in feat_cols:
+                out[f"matched_{c}"] = pa.array(
+                    ft[c].to_numpy()[clamped], pa.float64(), mask=~valid
+                )
+        else:
+            out["matched_ts"] = pa.nulls(n_r, pa.timestamp("us"))
+            out["matched_turn_idx"] = pa.nulls(n_r, pa.int64())
+            for c in feat_cols:
+                out[f"matched_{c}"] = pa.nulls(n_r, pa.float64())
+        res = pa.table(out)
+        if not keep_unmatched:
+            res = res.filter(vmask)
+        return res
+
+    return turns.union(probes).groupby(PART_COL).map_groups(
+        _serve, batch_format="pyarrow"
     )

@@ -918,9 +918,18 @@ def oracle_sql() -> "Dict[str, str]":
     "SELECT event_id, ts FROM events ORDER BY ts, event_id LIMIT 100",
 )
 def q_limit_sample(sf_dir: str):
-    """Prefix sampling (K9): first n rows under the stable ordering."""
+    """Prefix sampling (K9): first n rows under the stable ordering —
+    per-block partial top-100, then one tiny merge (no all-to-all sort
+    just to take a head; same pattern as brute_force_knn)."""
     ev = _rp(sf_dir, "events", ["event_id", "ts"])
-    return ev.sort(["ts", "event_id"]).limit(100)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(batch, sort_keys=[("ts", "ascending"), ("event_id", "ascending")])
+        return batch.take(idx.slice(0, 100))
+
+    partials = ev.map_batches(_partial, batch_format="pyarrow")
+    # the residual sort runs over <= 100 x n_blocks rows, not the table
+    return partials.sort(["ts", "event_id"]).limit(100)
 
 
 def _fnv1a32(ids: np.ndarray) -> np.ndarray:

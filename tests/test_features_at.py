@@ -49,6 +49,38 @@ def test_features_at_matches_composed_oracle(ray_session, smoke_table):
             )
 
 
+def test_fused_equals_unfused(ray_session, smoke_table):
+    """The single-exchange fused serving path must agree with the generic
+    two-phase (feature table + as-of join) path row for row."""
+    import ray.data as rd
+
+    from multimedia_indexing_ray.pipelines.features import features_at
+
+    queries = generate_asof_queries(smoke_table, n_queries=150)
+    kw = dict(num_partitions=5)
+    a = (
+        features_at(rd.from_arrow(smoke_table), rd.from_arrow(queries), fused=True, **kw)
+        .to_pandas()
+        .sort_values(["conv_id", "ts"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    b = (
+        features_at(rd.from_arrow(smoke_table), rd.from_arrow(queries), fused=False, **kw)
+        .to_pandas()
+        .sort_values(["conv_id", "ts"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    common = [c for c in a.columns if c in set(b.columns)]
+    for c in common:
+        av, bv = a[c], b[c]
+        if av.dtype.kind == "f" or bv.dtype.kind == "f":
+            av, bv = av.astype(float), bv.astype(float)
+            assert av.isna().equals(bv.isna()), c
+            np.testing.assert_allclose(av.fillna(0), bv.fillna(0), rtol=0, atol=0, err_msg=c)
+        else:
+            assert av.tolist() == bv.tolist(), c
+
+
 def test_features_at_column_projection(ray_session, smoke_table):
     import ray.data as rd
 
