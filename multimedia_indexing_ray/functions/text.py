@@ -17,6 +17,11 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 TOKEN_RE = r"\S+"
+# BPE-ish pre-tokenizer (GPT-2 style, minus the RE2-unsupported
+# lookahead and the whitespace-run branch): contraction suffixes,
+# space-prefixed letter/digit runs, space-prefixed symbol runs.
+# RE2-compatible so the pyarrow kernel and DuckDB count identically.
+BPE_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+"
 PUNCT_RE = r"[.,!?;:]"
 STOPWORDS = ("the", "and", "of", "a", "to", "in", "is", "it")
 STOP_RE = r"\b(" + "|".join(STOPWORDS) + r")\b"
@@ -34,6 +39,12 @@ LANG_MARKERS = {
 
 def token_count(text) -> np.ndarray:
     return pc.count_substring_regex(text, TOKEN_RE).to_numpy(zero_copy_only=False).astype(np.int64)
+
+
+def bpe_token_count(text) -> np.ndarray:
+    """Count of BPE-ish pre-tokens — the cheap token-budget estimator
+    for training-data pipelines."""
+    return pc.count_substring_regex(text, BPE_RE).to_numpy(zero_copy_only=False).astype(np.int64)
 
 
 def char_count(text) -> np.ndarray:

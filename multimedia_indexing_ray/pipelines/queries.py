@@ -83,6 +83,16 @@ def _add_value_cents(batch: pa.Table) -> pa.Table:
 _CENTS_SQL = "CAST(FLOOR({col}*100+0.5) AS BIGINT)"
 
 
+def _pa_group_sum(table: pa.Table, keys: "list[str]", sum_cols: "list[str]") -> pa.Table:
+    """Per-batch combiner: Arrow-native grouped sum (no pandas round-trip
+    — `pa.TableGroupBy` keeps the batch zero-copy)."""
+    g = pa.TableGroupBy(table, keys).aggregate([(c, "sum") for c in sum_cols])
+    cols = {k: g[k] for k in keys}
+    for c in sum_cols:
+        cols[c] = g[f"{c}_sum"]
+    return pa.table(cols)
+
+
 # --------------------------------------------------------------------------
 # keyed temporal operators over `events` (key = user_id; the conversation-
 # key analog; ordering tie rule = (ts, event_id) everywhere)
@@ -338,20 +348,24 @@ def q_pricing_summary(sf_dir: str):
     def _partial(batch: pa.Table) -> pa.Table:
         m = pc.less_equal(batch["l_shipdate"], pa.scalar(np.datetime64("1998-09-02", "us")))
         t = batch.filter(m)
-        df = t.select(["l_returnflag", "l_linestatus"]).to_pandas()
         qty = t["l_quantity"].to_numpy()
         price = t["l_extendedprice"].to_numpy()
         disc = t["l_discount"].to_numpy()
-        df["sum_qty"] = qty.astype(np.int64)
-        df["sum_base_price_cents"] = _cents(price).astype(np.int64)
-        df["sum_disc_price_cents"] = _cents(price * (1 - disc)).astype(np.int64)
-        df["count_order"] = 1
-        g = (
-            df.groupby(["l_returnflag", "l_linestatus"], sort=False)
-            .sum()
-            .reset_index()
+        t2 = pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "sum_qty": pa.array(qty.astype(np.int64)),
+                "sum_base_price_cents": pa.array(_cents(price).astype(np.int64)),
+                "sum_disc_price_cents": pa.array(_cents(price * (1 - disc)).astype(np.int64)),
+                "count_order": pa.array(np.ones(t.num_rows, np.int64)),
+            }
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _pa_group_sum(
+            t2,
+            ["l_returnflag", "l_linestatus"],
+            ["sum_qty", "sum_base_price_cents", "sum_disc_price_cents", "count_order"],
+        )
 
     partials = li.map_batches(_partial, batch_format="pyarrow")
     agg = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
@@ -392,10 +406,15 @@ def q_top_customers(sf_dir: str):
     orders = _rp(sf_dir, "orders", ["o_custkey", "o_totalprice"])
 
     def _partial(batch: pa.Table) -> pa.Table:
-        df = batch.select(["o_custkey"]).to_pandas()
-        df["total_spend_cents"] = _cents(batch["o_totalprice"].to_numpy()).astype(np.int64)
-        g = df.groupby("o_custkey", sort=False).sum().reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        t2 = pa.table(
+            {
+                "o_custkey": batch["o_custkey"],
+                "total_spend_cents": pa.array(
+                    _cents(batch["o_totalprice"].to_numpy()).astype(np.int64)
+                ),
+            }
+        )
+        return _pa_group_sum(t2, ["o_custkey"], ["total_spend_cents"])
 
     agg = (
         orders.map_batches(_partial, batch_format="pyarrow")
@@ -438,12 +457,15 @@ def q_region_revenue(sf_dir: str):
     # combiner BEFORE the exchange: collapse lineitem to one partial
     # revenue row per orderkey per batch (4-7x fewer shuffled rows)
     def _pre_agg(batch: pa.Table) -> pa.Table:
-        df = batch.select(["l_orderkey"]).to_pandas()
         price = batch["l_extendedprice"].to_numpy()
         disc = batch["l_discount"].to_numpy()
-        df["revenue_cents"] = _cents(price * (1 - disc)).astype(np.int64)
-        g = df.groupby("l_orderkey", sort=False).sum().reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        t2 = pa.table(
+            {
+                "l_orderkey": batch["l_orderkey"],
+                "revenue_cents": pa.array(_cents(price * (1 - disc)).astype(np.int64)),
+            }
+        )
+        return _pa_group_sum(t2, ["l_orderkey"], ["revenue_cents"])
 
     li_partial = li.map_batches(_pre_agg, batch_format="pyarrow")
     # big x big: bucketed hash join on the pre-aggregated left side
@@ -458,10 +480,9 @@ def q_region_revenue(sf_dir: str):
     joined = broadcast_join(li_ord, dim, keys="o_custkey", right_keys="c_custkey")
 
     def _partial(batch: pa.Table) -> pa.Table:
-        df = batch.select(["r_name"]).to_pandas()
-        df["revenue_cents"] = batch["revenue_cents"].to_numpy()
-        g = df.groupby("r_name", sort=False).sum().reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _pa_group_sum(
+            batch.select(["r_name", "revenue_cents"]), ["r_name"], ["revenue_cents"]
+        )
 
     agg = (
         joined.map_batches(_partial, batch_format="pyarrow")
@@ -488,9 +509,8 @@ def q_event_histogram(sf_dir: str):
     ev = _rp(sf_dir, "events", ["event_type"])
 
     def _partial(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        g = df.groupby("event_type", sort=False).size().reset_index(name="n")
-        return pa.Table.from_pandas(g, preserve_index=False)
+        t2 = batch.append_column("n", pa.array(np.ones(batch.num_rows, np.int64)))
+        return _pa_group_sum(t2, ["event_type"], ["n"])
 
     agg = (
         ev.map_batches(_partial, batch_format="pyarrow")
@@ -566,6 +586,33 @@ def q_text_quality(sf_dir: str):
                 "n_tokens": pa.array(tx.token_count(text), pa.int64()),
                 "n_punct": pa.array(tx.punct_count(text), pa.int64()),
                 "stop_count": pa.array(tx.stopword_count(text), pa.int64()),
+            }
+        )
+
+    return docs.map_batches(_fn, batch_format="pyarrow")
+
+
+@register(
+    "token_count_bpe",
+    r"""
+    SELECT doc_id,
+      CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens_ws,
+      CAST(len(regexp_extract_all(text,
+        '''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+')) AS BIGINT) AS n_tokens_bpe
+    FROM documents
+    """,
+)
+def q_token_count_bpe(sf_dir: str):
+    """Token counting: whitespace + BPE-ish pre-tokenizer regex (the
+    token-budget estimator; same RE2 pattern on both sides)."""
+    docs = _rp(sf_dir, "documents", ["doc_id", "text"])
+
+    def _fn(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens_ws": pa.array(tx.token_count(batch["text"]), pa.int64()),
+                "n_tokens_bpe": pa.array(tx.bpe_token_count(batch["text"]), pa.int64()),
             }
         )
 
@@ -727,6 +774,19 @@ def _ensure_ann_index(sf_dir: str, kind: str) -> str:
         # finer grid — measured recall@5 0.96 vs 0.20 at m=8/ks=64)
         build_ann_index(emb, d, kind=kind, n_lists=8 if kind != "pq" else 1, m=32, ks=256)
     return d
+
+
+@register("embedding_neardup_lsh")  # SRP-LSH blocked near-dup — rows-only
+def q_embedding_neardup_lsh(sf_dir: str):
+    """The no-natural-blocking-key scale path: signed-random-projection
+    band buckets instead of the label column (approximate candidate
+    generation -> rows-only check; the exact-blocked variant above is the
+    hash-verified one)."""
+    emb = _rp(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+    dim = 64
+    return dd.embedding_neardup_lsh(
+        emb, "embedding", "vec_id", dim, threshold=0.3, num_partitions=8
+    )
 
 
 @register("ivf_knn_cosine")  # approximate (pruned probe) — rows-only check

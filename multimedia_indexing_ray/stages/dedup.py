@@ -25,6 +25,7 @@ import pyarrow.compute as pc
 import ray.data
 
 from multimedia_indexing_ray.functions import text as tx
+from multimedia_indexing_ray.stages.knn import _batch_matrix, _unit
 from multimedia_indexing_ray.stages.partition import (
     DEFAULT_NUM_PARTITIONS,
     map_partitions_by_key,
@@ -554,3 +555,114 @@ def embedding_neardup_pairs(
         return pa.table({"a_id": pa.array(a, pa.int64()), "b_id": pa.array(b, pa.int64())})
 
     return map_partitions_by_key(ds, block_col, kernel, num_partitions)
+
+
+class SrpBander:
+    """Actor-pool stage: signed-random-projection LSH bands for an
+    embedding column.  `n_bands` bands of `bits_per_band` hyperplane
+    signs each; two vectors collide in a band with probability
+    (1 - theta/pi)^bits — near-dups (small angle) collide in >= 1 band
+    w.h.p.  Projection matrix is seeded actor state (built once)."""
+
+    def __init__(self, vec_col: str, id_col: str, dim: int, n_bands: int = 4,
+                 bits_per_band: int = 4, seed: int = 1):
+        self.vec_col = vec_col
+        self.id_col = id_col
+        self.n_bands = n_bands
+        self.bits = bits_per_band
+        rng = np.random.default_rng(seed)
+        self.planes = rng.normal(size=(dim, n_bands * bits_per_band))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mat = _batch_matrix(batch, self.vec_col)
+        ids = batch[self.id_col].to_numpy()
+        signs = (mat @ self.planes > 0).astype(np.int64)  # (n, bands*bits)
+        weights = 1 << np.arange(self.bits, dtype=np.int64)
+        codes = signs.reshape(len(ids), self.n_bands, self.bits) @ weights  # (n, bands)
+        bucket = codes * self.n_bands + np.arange(self.n_bands, dtype=np.int64)[None, :]
+        n = len(ids)
+        return pa.table(
+            {
+                self.id_col: pa.array(np.repeat(ids, self.n_bands), pa.int64()),
+                "bucket": pa.array(bucket.reshape(-1)),
+                self.vec_col: batch[self.vec_col]
+                .combine_chunks()
+                .take(pa.array(np.repeat(np.arange(n, dtype=np.int64), self.n_bands))),
+            }
+        )
+
+
+def embedding_neardup_lsh(
+    ds: "ray.data.Dataset",
+    vec_col: str,
+    id_col: str,
+    dim: int,
+    threshold: float = 0.95,
+    n_bands: int = 4,
+    bits_per_band: int = 4,
+    seed: int = 1,
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+    concurrency: int = 4,
+    bucket_cap: int = DEFAULT_BUCKET_CAP,
+) -> "ray.data.Dataset":
+    """Embedding-cosine near-dup pairs blocked by SRP-LSH band buckets —
+    the 100-TB path when no natural blocking key (label) exists: the only
+    shuffle is on the bucket hash, all-pairs cosine runs inside bounded
+    buckets (cap + logged drops), pairs deduped across bands."""
+    banded = ds.map_batches(
+        SrpBander(vec_col, id_col, dim, n_bands, bits_per_band, seed),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+    def kernel(table: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "a_id": pa.array([], pa.int64()),
+                "b_id": pa.array([], pa.int64()),
+                "cos_sim": pa.array([], pa.float64()),
+            }
+        )
+        if table.num_rows == 0:
+            return empty
+        t = table.take(
+            pc.sort_indices(table, sort_keys=[("bucket", "ascending"), (id_col, "ascending")])
+        )
+        ids = t[id_col].to_numpy()
+        bk = t["bucket"].to_numpy()
+        mat = _batch_matrix(t, vec_col)
+        starts = np.flatnonzero(np.concatenate([[True], bk[1:] != bk[:-1]]))
+        ends = np.concatenate([starts[1:], [len(ids)]])
+        a_out, b_out, s_out = [], [], []
+        dropped = 0
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            if e - s > bucket_cap:
+                dropped += 1
+                continue
+            ids_b, first = np.unique(ids[s:e], return_index=True)
+            if len(ids_b) < 2:
+                continue
+            unit = _unit(mat[s:e][first])
+            sims = unit @ unit.T
+            iu = np.triu_indices(len(ids_b), 1)
+            sv = sims[iu]
+            m = sv > threshold
+            a_out.append(ids_b[iu[0][m]])
+            b_out.append(ids_b[iu[1][m]])
+            s_out.append(sv[m])
+        if dropped:
+            logger.warning("embedding_neardup_lsh: dropped %d oversize buckets (> %d)", dropped, bucket_cap)
+        if not a_out:
+            return empty
+        return pa.table(
+            {
+                "a_id": pa.array(np.concatenate(a_out), pa.int64()),
+                "b_id": pa.array(np.concatenate(b_out), pa.int64()),
+                "cos_sim": pa.array(np.concatenate(s_out), pa.float64()),
+            }
+        )
+
+    pairs = map_partitions_by_key(banded, "bucket", kernel, num_partitions)
+    return dedup_by_key(pairs, ["a_id", "b_id"], ["cos_sim"], num_partitions)

@@ -114,3 +114,64 @@ def test_embedding_neardup_blocked(ray_session):
         rd.from_arrow(t), "embedding", "vec_id", "label", threshold=0.99, num_partitions=3
     ).to_pandas()
     assert (3, 7) in set(map(tuple, pairs[["a_id", "b_id"]].to_numpy()))
+
+
+def test_embedding_neardup_lsh_finds_planted_pairs(ray_session):
+    """Planted near-identical vectors must surface from the SRP-LSH
+    blocked path (no label key), with no false positives at a high
+    threshold."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from multimedia_indexing_ray.stages.dedup import embedding_neardup_lsh
+
+    rng = np.random.default_rng(7)
+    dim = 32
+    base = rng.normal(size=(40, dim))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    dups = base[:10] + rng.normal(scale=0.01, size=(10, dim))  # 100+i ~= i
+    mat = np.vstack([base, dups])
+    ids = np.concatenate([np.arange(40), 100 + np.arange(10)])
+    t = pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(mat.reshape(-1), pa.float64()), dim
+            ),
+        }
+    )
+    out = embedding_neardup_lsh(
+        rd.from_arrow(t), "embedding", "vec_id", dim,
+        threshold=0.99, n_bands=8, bits_per_band=4, num_partitions=4,
+    ).to_pandas()
+    got = set(zip(out["a_id"], out["b_id"]))
+    planted = {(i, 100 + i) for i in range(10)}
+    assert got == planted, (planted - got, got - planted)
+
+
+def test_embedding_neardup_lsh_bucket_cap(ray_session):
+    """A degenerate bucket (every vector identical direction) is dropped
+    at the cap instead of doing O(b^2) work."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from multimedia_indexing_ray.stages.dedup import embedding_neardup_lsh
+
+    dim = 8
+    mat = np.tile(np.ones((1, dim)), (300, 1))
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(300), pa.int64()),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(mat.reshape(-1), pa.float64()), dim
+            ),
+        }
+    )
+    out = embedding_neardup_lsh(
+        rd.from_arrow(t), "embedding", "vec_id", dim,
+        threshold=0.5, n_bands=2, bits_per_band=2,
+        num_partitions=2, bucket_cap=100,
+    ).to_pandas()
+    assert len(out) == 0  # all buckets oversize -> dropped, not exploded
