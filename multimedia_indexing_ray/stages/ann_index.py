@@ -225,6 +225,31 @@ def index_stats(index_dir: str) -> dict:
     }
 
 
+def dump_index(index_dir: str, out_path: str, limit: Optional[int] = None) -> int:
+    """Export the index records to CSV for inspection — the S11 dump
+    analog (`Linear.java:300-313` toCSV / `IVFPQ.java:738-752`
+    dumpIidToIvfpqDB).  Codes/vectors are rendered as
+    space-separated ints/floats.  Returns rows written."""
+    manifest, _, _ = _load_index(index_dir)
+    id_col = manifest["id_col"]
+    payload = manifest["vec_col"] if manifest["kind"] == "ivf" else CODE
+    written = 0
+    with open(out_path, "w") as f:
+        f.write(f"{id_col},list_id,{payload}\n")
+        for seg in manifest["segments"]:
+            for p in _probed_paths(index_dir, {"segments": [seg]}, range(manifest["n_lists"])):
+                t = papq.read_table(p, columns=[id_col, LID, payload])
+                ids = t[id_col].to_numpy()
+                lids = t[LID].to_numpy()
+                rows = t[payload].to_pylist()  # list or fixed_size_list
+                for i in range(t.num_rows):
+                    f.write(f"{ids[i]},{lids[i]},{' '.join(map(str, rows[i]))}\n")
+                    written += 1
+                    if limit is not None and written >= limit:
+                        return written
+    return written
+
+
 def _probed_paths(index_dir: str, manifest: dict, lists) -> "list[str]":
     paths = []
     for seg in manifest["segments"]:

@@ -117,3 +117,14 @@ def test_ivfpq_full_probe_reasonable(indexes, brute):
     assert high-but-not-necessarily-exact agreement."""
     res = ann_search(indexes["ivfpq"], _queries(), k=5, probe=8).to_pandas()
     assert _recall(res, brute) >= 0.8
+
+
+def test_dump_index(indexes, tmp_path):
+    from multimedia_indexing_ray.stages.ann_index import dump_index
+
+    out = str(tmp_path / "dump.csv")
+    n = dump_index(indexes["ivf"], out, limit=50)
+    assert n == 50
+    lines = open(out).read().strip().splitlines()
+    assert lines[0].startswith("vec_id,list_id,")
+    assert len(lines) == 51
