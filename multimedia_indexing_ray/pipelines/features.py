@@ -25,6 +25,7 @@ from multimedia_indexing_ray.specs import DEFAULT_SPECS, FeatureSpecs
 from multimedia_indexing_ray.stages.asof_join import _adjusted_pair, asof_join
 from multimedia_indexing_ray.stages.features import (
     BASE_PRE_COLS,
+    PRE_DTYPES,
     WindowKernelFn,
     compute_features,
     prefeaturize,
@@ -108,7 +109,7 @@ def features_at(
 
     turn_pad = {
         "turn_idx": pa.int64(),
-        **{c: pa.float64() for c in BASE_PRE_COLS},
+        **{c: PRE_DTYPES[c] for c in BASE_PRE_COLS},
     }
 
     def _prep_probes(batch: pa.Table) -> pa.Table:

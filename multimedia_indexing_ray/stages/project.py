@@ -74,6 +74,53 @@ def fit_projection(
     return ProjectionModel(mean=mean, eigenvalues=eig[:k], components=vt[:k], whiten=whiten)
 
 
+def fit_projection_distributed(
+    ds: "ray.data.Dataset",
+    columns: Sequence[str],
+    k: int,
+    whiten: bool = False,
+) -> ProjectionModel:
+    """EXACT full-dataset PCA — the 100-TB path: each batch emits one
+    (n, sum_x, sum_xxT) partial row (d + d^2 floats, tiny); the driver
+    reduces the partials and eigendecomposes the d x d covariance.  No
+    sampling bias, no full-dataset pull — only one small row per block
+    reaches the driver.
+
+    Eigenvector sign is fixed so the largest-|component| entry is
+    positive (deterministic across LAPACK builds)."""
+    cols = list(columns)
+    d = len(cols)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        mat = np.column_stack(
+            [batch[c].to_numpy(zero_copy_only=False) for c in cols]
+        ).astype(np.float64)
+        sx = mat.sum(axis=0)
+        sxx = mat.T @ mat
+        return pa.table(
+            {
+                "n": pa.array([batch.num_rows], pa.int64()),
+                "sum_x": pa.array([sx.tolist()]),
+                "sum_xxT": pa.array([sxx.reshape(-1).tolist()]),
+            }
+        )
+
+    parts = ds.select_columns(cols).map_batches(_partial, batch_format="pyarrow").take_all()
+    n = sum(p["n"] for p in parts)
+    sx = np.sum([np.asarray(p["sum_x"]) for p in parts], axis=0)
+    sxx = np.sum([np.asarray(p["sum_xxT"]).reshape(d, d) for p in parts], axis=0)
+    mean = sx / n
+    cov = (sxx - n * np.outer(mean, mean)) / max(n - 1, 1)
+    eig, vec = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(eig)[::-1][:k]
+    eig = eig[order]
+    comp = vec[:, order].T  # (k, d)
+    flip = np.sign(comp[np.arange(len(comp)), np.abs(comp).argmax(axis=1)])
+    flip[flip == 0] = 1.0
+    comp = comp * flip[:, None]
+    return ProjectionModel(mean=mean, eigenvalues=eig, components=comp, whiten=whiten)
+
+
 class Projector:
     """Actor-pool stage: project feature columns to `features_proj`.
 
@@ -104,6 +151,8 @@ def project_features(
     return ds.map_batches(
         Projector,
         batch_format="pyarrow",
-        concurrency=concurrency,
+        # autoscaling (1, n): a fixed pool the size of the cluster can pin
+        # every CPU on idle actors and starve upstream read tasks
+        concurrency=(1, concurrency),
         fn_constructor_args=(ref, list(columns)),
     )

@@ -72,3 +72,30 @@ def test_projection_roundtrip(ray_session):
     model2 = fit_projection(ds, df.columns, k=2, whiten=False, sample_size=2000, seed=1)
     proj = model2.project(x)
     assert proj.var(axis=0).sum() / x.var(axis=0).sum() > 0.99
+
+
+def test_fit_projection_distributed_exact(ray_session):
+    """Distributed covariance PCA == direct numpy eigendecomposition on
+    the same data (exact, not sampled), across multiple blocks."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from multimedia_indexing_ray.stages.project import fit_projection_distributed
+
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(500, 6)) @ np.diag([5, 3, 2, 1, 0.5, 0.1])
+    ds = rd.from_pandas(pd.DataFrame(x, columns=list("abcdef"))).repartition(7)
+    m = fit_projection_distributed(ds, list("abcdef"), k=3)
+
+    mean = x.mean(axis=0)
+    cov = np.cov(x, rowvar=False)
+    eig, vec = np.linalg.eigh(cov)
+    order = np.argsort(eig)[::-1][:3]
+    np.testing.assert_allclose(m.mean, mean, rtol=1e-9)
+    np.testing.assert_allclose(m.eigenvalues, eig[order], rtol=1e-9)
+    # compare subspaces via projection magnitudes (sign-fixed rows)
+    comp = vec[:, order].T
+    flip = np.sign(comp[np.arange(3), np.abs(comp).argmax(axis=1)])
+    comp = comp * flip[:, None]
+    np.testing.assert_allclose(m.components, comp, rtol=1e-7, atol=1e-9)
