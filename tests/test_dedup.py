@@ -175,3 +175,37 @@ def test_embedding_neardup_lsh_bucket_cap(ray_session):
         num_partitions=2, bucket_cap=100,
     ).to_pandas()
     assert len(out) == 0  # all buckets oversize -> dropped, not exploded
+
+
+def test_minhash_planted_skew_bucket_completes(ray_session):
+    """One degenerate band bucket with thousands of members (identical
+    docs) must be dropped at the cap, not explode O(b^2) — and distinct
+    near-dup pairs elsewhere must still be found."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from multimedia_indexing_ray.stages.dedup import minhash_lsh_pairs
+
+    n_skew = 5000
+    texts = ["the same degenerate document text repeated here"] * n_skew
+    # two planted near-dup docs (distinct from the skew blob)
+    texts += [
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        "alpha beta gamma delta epsilon zeta eta theta iota lambda",
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    out = minhash_lsh_pairs(
+        rd.from_arrow(t), "text", "doc_id",
+        threshold=0.5, num_partitions=4, concurrency=2, bucket_cap=512,
+    ).to_pandas()
+    pair = (n_skew, n_skew + 1)
+    got = set(zip(out["a_id"], out["b_id"]))
+    assert pair in got
+    # nothing from the capped degenerate bucket
+    assert all(a >= n_skew for a, _ in got)
