@@ -228,6 +228,60 @@ def winnow_fingerprints(text: str, k: int = 8, window: int = 4) -> "list[int]":
     return sorted(set(int(v) for v in mins))
 
 
+def winnow_batch(texts: "list[str]", k: int = 8, window: int = 4) -> "tuple[np.ndarray, np.ndarray]":
+    """Vectorized winnowing over a whole batch: one codepoint matrix for
+    all docs, FNV over k-gram windows in k vector steps, window-min via a
+    stride view — no per-doc Python.  Returns (n_fingerprints int64,
+    min_fingerprint int64) per doc, identical to winnow_fingerprints."""
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    n = len(texts)
+    n_fp = np.zeros(n, dtype=np.int64)
+    min_fp = np.zeros(n, dtype=np.int64)
+    if n == 0:
+        return n_fp, min_fp
+    a = np.asarray(texts, dtype="U")
+    width = max(a.dtype.itemsize // 4, 1)
+    if width < k:
+        return n_fp, min_fp
+    cp = a.view(np.uint32).reshape(n, width).astype(np.uint64)
+    lens = (cp != 0).sum(axis=1)
+    # FNV-1a over each k-codepoint window: k vector steps on (n, width-k+1)
+    grams = sliding_window_view(cp, k, axis=1)  # (n, width-k+1, k) view
+    h = np.full(grams.shape[:2], FNV_BASIS, dtype=np.uint64)
+    prime = np.uint64(FNV_PRIME)
+    mask32 = np.uint64(0xFFFFFFFF)
+    for j in range(k):
+        h = ((h ^ grams[:, :, j]) * prime) & mask32
+    n_grams = np.maximum(lens - k + 1, 0)
+    pos = np.arange(h.shape[1])[None, :]
+    invalid = pos >= n_grams[:, None]
+    h = np.where(invalid, np.uint64(2**63), h)  # sentinel > any fnv32
+    # window-of-`window` minima over valid gram positions
+    if h.shape[1] >= window:
+        wmins = sliding_window_view(h, window, axis=1).min(axis=2)
+    else:
+        wmins = h.min(axis=1, keepdims=True)
+    n_mins = np.where(n_grams > window, n_grams - window + 1, (n_grams > 0).astype(np.int64))
+    # short docs (<= window grams): single fingerprint = min of all grams
+    few = (n_grams > 0) & (n_grams <= window)
+    many = n_grams > window
+    if many.any():
+        wm = wmins[many]
+        mpos = np.arange(wm.shape[1])[None, :]
+        wm = np.where(mpos >= n_mins[many][:, None], np.uint64(2**63), wm)
+        srt = np.sort(wm, axis=1)
+        valid = srt < np.uint64(2**63)
+        uniq = valid.copy()
+        uniq[:, 1:] &= srt[:, 1:] != srt[:, :-1]
+        n_fp[many] = uniq.sum(axis=1)
+        min_fp[many] = srt[:, 0].astype(np.int64)
+    if few.any():
+        min_fp[few] = h[few].min(axis=1).astype(np.int64)  # h sentinel-masked
+        n_fp[few] = 1
+    return n_fp, min_fp
+
+
 def jaccard(a: set, b: set) -> float:
     if not a and not b:
         return 1.0

@@ -1123,14 +1123,12 @@ def q_winnow(sf_dir: str):
     docs = _rp(sf_dir, "documents", ["doc_id", "text"])
 
     def _fn(batch: pa.Table) -> pa.Table:
-        fps = [tx.winnow_fingerprints(t) for t in batch["text"].to_pylist()]
+        n_fp, min_fp = tx.winnow_batch(batch["text"].to_pylist())
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
-                "n_fingerprints": pa.array([len(f) for f in fps], pa.int64()),
-                "min_fingerprint": pa.array(
-                    [int(min(f)) if f else 0 for f in fps], pa.int64()
-                ),
+                "n_fingerprints": pa.array(n_fp, pa.int64()),
+                "min_fingerprint": pa.array(min_fp, pa.int64()),
             }
         )
 

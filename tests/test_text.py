@@ -73,3 +73,22 @@ def test_md5_fingerprint_matches_hashlib():
     import hashlib
 
     assert tx.md5_fingerprint(["abc"]) == [hashlib.md5(b"abc").hexdigest()]
+
+
+def test_winnow_batch_parity():
+    """Vectorized batch winnowing == the per-doc reference, including
+    short-doc edge cases."""
+    import numpy as np
+
+    from multimedia_indexing_ray.functions.text import winnow_batch, winnow_fingerprints
+
+    texts = [
+        "", "short", "exactly8", "nine char!", "x" * 7, "x" * 8, "x" * 12,
+        "the quick brown fox jumps over the lazy dog and runs away fast",
+        "unicode éèê test string with enough characters",
+    ]
+    n_fp, min_fp = winnow_batch(texts)
+    for i, t in enumerate(texts):
+        fps = winnow_fingerprints(t)
+        assert n_fp[i] == len(fps), (i, t)
+        assert min_fp[i] == (min(fps) if fps else 0), (i, t)
