@@ -204,3 +204,52 @@ def test_range_join_inclusive_bounds_and_multimatch(ray_session):
     assert (out["user_id"] != 2).all()
     # user3 unknown key -> dropped; never bleeds into user1's segment
     assert set(out["user_id"]) == {1}
+
+
+def test_asof_null_keys_dropped(ray_session):
+    """SQL semantics: null join keys / times never match (previously NaN
+    key segments could match each other)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from multimedia_indexing_ray.stages.asof_join import asof_join
+
+    ts = pa.array(pd.to_datetime(["2024-01-01 00:00:00", "2024-01-01 01:00:00"]))
+    left = pa.table(
+        {
+            "k": pa.array([1, None], pa.int64()),
+            "ts": ts,
+            "v": pa.array([10.0, 20.0]),
+        }
+    )
+    right = pa.table(
+        {
+            "k": pa.array([1, None], pa.int64()),
+            "ts": pa.array(pd.to_datetime(["2024-01-01 02:00:00"] * 2)),
+        }
+    )
+    out = asof_join(
+        rd.from_arrow(left), rd.from_arrow(right),
+        left_key="k", left_on="ts", tiebreak=None, num_partitions=2,
+    ).to_pandas()
+    # null-key right row was dropped; the valid one matched v=10
+    assert len(out) == 1
+    assert out["k"].tolist() == [1]
+    assert out["matched_v"].tolist() == [10.0]
+
+
+def test_range_join_fractional_numeric_offsets_raise(ray_session):
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from multimedia_indexing_ray.stages.asof_join import range_join
+
+    t = pa.table({"k": pa.array([1], pa.int64()), "t": pa.array([5], pa.int64())})
+    with pytest.raises(ValueError, match="integral"):
+        range_join(
+            rd.from_arrow(t), rd.from_arrow(t),
+            left_key="k", left_on="t", lower_s=-0.5, upper_s=0.5,
+        )
