@@ -1034,6 +1034,41 @@ def q_sample_hash(sf_dir: str):
 
 
 @register(
+    "split_assign",
+    """
+    SELECT event_id, split_id,
+      CASE WHEN split_id < 8 THEN 'train' WHEN split_id = 8 THEN 'val'
+           ELSE 'test' END AS split
+    FROM (SELECT event_id,
+      CAST(list_reduce(
+        list_prepend(CAST(2166136261 AS BIGINT),
+          list_transform(split(CAST(event_id AS VARCHAR), ''), c -> ascii(c))),
+        (a, b) -> (xor(a, b) * 16777619) % 4294967296
+      ) % 10 AS BIGINT) AS split_id FROM events)
+    """,
+)
+def q_split_assign(sf_dir: str):
+    """Deterministic train/val/test assignment by content hash — the K8
+    'numSamples independent seeded outputs' analog
+    (`visual/quantization/SampleLocalFeatures.java:49-95`): same row ->
+    same split on every run, any partitioning, no coordination."""
+    ev = _rp(sf_dir, "events", ["event_id"])
+
+    def _fn(batch: pa.Table) -> pa.Table:
+        sid = (_fnv1a32(batch["event_id"].to_numpy()) % np.uint64(10)).astype(np.int64)
+        split = np.where(sid < 8, "train", np.where(sid == 8, "val", "test"))
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "split_id": pa.array(sid, pa.int64()),
+                "split": pa.array(split.astype(object), pa.string()),
+            }
+        )
+
+    return ev.map_batches(_fn, batch_format="pyarrow")
+
+
+@register(
     "topk_per_user",
     """
     SELECT event_id, user_id, value, CAST(rnk AS BIGINT) AS rnk FROM (

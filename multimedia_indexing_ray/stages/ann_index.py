@@ -225,6 +225,39 @@ def index_stats(index_dir: str) -> dict:
     }
 
 
+def reindex(
+    index_dir_in: str,
+    index_dir_out: str,
+    kind: str,
+    n_lists: int = 16,
+    m: int = 8,
+    ks: int = 256,
+    sample_size: int = 2048,
+    seed: int = 1,
+) -> dict:
+    """Re-encode an existing IVF-FLAT artifact (which stores raw vectors)
+    into another index kind — the `IndexTransformation.main` chain
+    (`visual/examples/IndexTransformation.java:61-125`: Linear ->
+    small/PQ/IVFPQ) without touching the original source data."""
+    manifest, _, _ = _load_index(index_dir_in)
+    if manifest["kind"] != "ivf":
+        raise ValueError("reindex source must be an ivf (raw-vector) index")
+    paths = _probed_paths(index_dir_in, manifest, range(manifest["n_lists"]))
+    ds = ray.data.read_parquet(paths, columns=[manifest["id_col"], manifest["vec_col"]])
+    return build_ann_index(
+        ds,
+        index_dir_out,
+        vec_col=manifest["vec_col"],
+        id_col=manifest["id_col"],
+        kind=kind,
+        n_lists=n_lists,
+        m=m,
+        ks=ks,
+        sample_size=sample_size,
+        seed=seed,
+    )
+
+
 def dump_index(index_dir: str, out_path: str, limit: Optional[int] = None) -> int:
     """Export the index records to CSV for inspection — the S11 dump
     analog (`Linear.java:300-313` toCSV / `IVFPQ.java:738-752`

@@ -128,3 +128,15 @@ def test_dump_index(indexes, tmp_path):
     lines = open(out).read().strip().splitlines()
     assert lines[0].startswith("vec_id,list_id,")
     assert len(lines) == 51
+
+
+def test_reindex_ivf_to_ivfpq(indexes, brute, tmp_path):
+    """IndexTransformation analog: rebuild an IVFPQ index from an
+    existing IVF-flat artifact's stored vectors; results stay accurate."""
+    from multimedia_indexing_ray.stages.ann_index import ann_search, reindex
+
+    out = str(tmp_path / "reidx")
+    man = reindex(indexes["ivf"], out, kind="ivfpq", n_lists=8, m=32, ks=256)
+    assert man["kind"] == "ivfpq"
+    res = ann_search(out, _queries(), k=5, probe=8).to_pandas()
+    assert _recall(res, brute) >= 0.8
