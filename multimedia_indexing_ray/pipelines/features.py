@@ -71,7 +71,13 @@ def features_at(
     ``fused=False``: generic path — materialized feature table as-of
     joined with the probes (use when the feature table is precomputed).
 
-    ``columns``: restrict which feature columns are attached."""
+    ``columns``: restrict which feature columns are attached.
+
+    Partitioning note: the fused kernel holds one hash partition's turns
+    + probes; unlike ``compute_features(split_hot=True)`` it does not
+    chunk hot conversations (a probe would need routing to the right
+    chunk) — size ``num_partitions`` so the largest conversation's turns
+    fit a worker, same bound as the unsplit flagship."""
     if not fused:
         feats = transcript_features(source, specs, num_partitions)
         if columns is not None:
