@@ -21,10 +21,17 @@ def text_len(text: pa.ChunkedArray | pa.Array) -> np.ndarray:
 
 
 def n_tokens(text: pa.ChunkedArray | pa.Array) -> np.ndarray:
-    """Whitespace-delimited token count (maximal runs of non-space)."""
-    return (
-        pc.count_substring_regex(text, TOKEN_RE).to_numpy(zero_copy_only=False).astype(np.float64)
+    """Whitespace-delimited token count (maximal runs of non-space).
+
+    trim + split_whitespace is ~2x the regex-count kernel on the bench
+    table and verified count-identical to `\\S+` matching (the DuckDB
+    oracle's regexp_extract_all)."""
+    trimmed = pc.utf8_trim_whitespace(text)
+    lens = pc.list_value_length(pc.utf8_split_whitespace(trimmed)).to_numpy(
+        zero_copy_only=False
     )
+    empty = pc.equal(pc.utf8_length(trimmed), 0).to_numpy(zero_copy_only=False)
+    return np.where(empty, 0, lens).astype(np.float64)
 
 
 def role_onehots(role: pa.ChunkedArray | pa.Array) -> dict:
