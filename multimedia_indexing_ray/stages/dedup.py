@@ -101,22 +101,23 @@ def exact_dedup_stats(
     id_col: str,
     num_partitions: int = DEFAULT_NUM_PARTITIONS,
 ) -> "ray.data.Dataset":
-    """Per distinct text: MIN(id) and copy count.  Hash-partition on the
-    md5 fingerprint; group on the full text within partition (collision
-    safe)."""
-    with_fp = add_fingerprint(ds, text_col)
+    """Per distinct text: MIN(id) and copy count.  Hash-partition
+    directly on the text (the partitioner stable-hashes key values — no
+    per-row md5 loop needed); group on the full text within partition
+    (collision safe)."""
 
     def kernel(table: pa.Table) -> pa.Table:
-        df = table.select([id_col, text_col]).to_pandas()
-        g = df.groupby(text_col, sort=False)[id_col].agg(["min", "size"]).reset_index()
+        g = pa.TableGroupBy(table.select([id_col, text_col]), text_col).aggregate(
+            [(id_col, "min"), (id_col, "count")]
+        )
         return pa.table(
             {
-                id_col: pa.array(g["min"].to_numpy(), pa.int64()),
-                "n_copies": pa.array(g["size"].to_numpy(), pa.int64()),
+                id_col: g[f"{id_col}_min"].cast(pa.int64()),
+                "n_copies": g[f"{id_col}_count"].cast(pa.int64()),
             }
         )
 
-    return map_partitions_by_key(with_fp, "fp", kernel, num_partitions)
+    return map_partitions_by_key(ds, text_col, kernel, num_partitions)
 
 
 def dedup_by_key(
