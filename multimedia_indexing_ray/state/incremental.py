@@ -174,6 +174,10 @@ class IncrementalFeaturizer:
     def __init__(self, specs: FeatureSpecs = DEFAULT_SPECS):
         self.specs = specs
         self.states: "Dict[str, ConversationWindowState]" = {}
+        # latest computed vector per conversation — the live point-lookup
+        # surface (the reference's open-index query loop,
+        # `visual/examples/YFCC100MExample.java:64-195`)
+        self.last: "Dict[str, dict]" = {}
 
     def append_batch(self, batch: pa.Table) -> pa.Table:
         """Rows must be globally nondecreasing in ts per conversation
@@ -189,11 +193,14 @@ class IncrementalFeaturizer:
         conv = t["conv_id"].to_pylist()
         ts = t["ts"].cast(pa.int64()).to_numpy()
         rows = []
+        ti = t["turn_idx"].to_numpy(zero_copy_only=False)
         for i, cid in enumerate(conv):
             st = self.states.get(cid)
             if st is None:
                 st = self.states[cid] = ConversationWindowState(self.specs)
-            rows.append(st.append(int(ts[i]), fmat[i]))
+            row = st.append(int(ts[i]), fmat[i])
+            rows.append(row)
+            self.last[cid] = {"ts": int(ts[i]), "turn_idx": int(ti[i]), **row}
         cols: dict = {
             "conv_id": t["conv_id"],
             "turn_idx": t["turn_idx"],
@@ -201,6 +208,25 @@ class IncrementalFeaturizer:
         }
         for name in self.specs.feature_columns():
             cols[name] = pa.array([r[name] for r in rows], pa.float64())
+        return pa.table(cols)
+
+
+    def current(self, conv_ids) -> pa.Table:
+        """Point lookup: latest feature vector per requested conversation
+        (typed nulls for unseen convs) — the streaming analog of
+        ``features_at`` at 'now'."""
+        cols: dict = {"conv_id": pa.array(list(conv_ids), pa.string())}
+        rows = [self.last.get(c) for c in conv_ids]
+        cols["matched_ts"] = pa.array(
+            [None if r is None else r["ts"] for r in rows], pa.int64()
+        ).cast(pa.timestamp("us"))
+        cols["matched_turn_idx"] = pa.array(
+            [None if r is None else r["turn_idx"] for r in rows], pa.int64()
+        )
+        for name in self.specs.feature_columns():
+            cols[f"matched_{name}"] = pa.array(
+                [None if r is None else r[name] for r in rows], pa.float64()
+            )
         return pa.table(cols)
 
 

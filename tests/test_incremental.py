@@ -102,3 +102,32 @@ def test_sharded_actors(ray_session, smoke_table):
     assert total == ordered.num_rows
     for a in actors:
         ray.kill(a)
+
+
+def test_current_point_lookup(ray_session, smoke_table):
+    """Live point lookup returns each conversation's latest vector and
+    agrees with the batch engine's last row per conversation."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from multimedia_indexing_ray.specs import DEFAULT_SPECS
+    from multimedia_indexing_ray.state.incremental import IncrementalFeaturizer
+
+    # dedupe equal-ts ties away (modes legitimately diverge there)
+    df = smoke_table.to_pandas().drop_duplicates(subset=["conv_id", "ts"])
+    import pyarrow as pa
+
+    t = pa.Table.from_pandas(df, preserve_index=False)
+    inc = IncrementalFeaturizer(DEFAULT_SPECS)
+    batch_out = inc.append_batch(t)
+    convs = sorted(set(t["conv_id"].to_pylist()))[:5]
+    cur = inc.current(convs + ["never-seen-conv"])
+    assert cur.num_rows == 6
+    assert cur["matched_ts"][5].as_py() is None
+    bo = batch_out.to_pandas().sort_values(["conv_id", "ts", "turn_idx"])
+    for i, c in enumerate(convs):
+        last = bo[bo["conv_id"] == c].iloc[-1]
+        assert cur["matched_turn_idx"][i].as_py() == last["turn_idx"]
+        np.testing.assert_allclose(
+            cur["matched_text_len"][i].as_py(), last["text_len"], rtol=0
+        )
