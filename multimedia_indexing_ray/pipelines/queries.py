@@ -766,7 +766,9 @@ def _ensure_ann_index(sf_dir: str, kind: str) -> str:
     from multimedia_indexing_ray.stages.ann_index import build_ann_index
 
     tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    d = f"/tmp/graft_ann/{tag}/{kind}"
+    # version key: a cached artifact built by older code must never be
+    # reused after an encoder/model change
+    d = f"/tmp/graft_ann/v2/{tag}/{kind}"
     if not os.path.exists(os.path.join(d, "manifest.json")):
         emb = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
         # m=32/ks=256 -> 2 dims per subquantizer on the 64-d embeddings
