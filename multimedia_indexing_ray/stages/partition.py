@@ -22,6 +22,7 @@ Two shuffle strategies:
 
 from __future__ import annotations
 
+import logging
 from typing import Callable, Optional
 
 import numpy as np
@@ -30,8 +31,14 @@ import pyarrow as pa
 
 import ray.data
 
+logger = logging.getLogger(__name__)
+
 PART_COL = "__part"
 DEFAULT_NUM_PARTITIONS = 64
+# A partition group is held as ONE Arrow table in one worker; warn when a
+# group's bytes approach a worker-heap-sized fraction so the operator
+# (num_partitions) can be resized BEFORE an OOM at larger scale.
+PARTITION_BYTES_WARN = 2 * 1024**3
 
 
 def stable_hash(values: np.ndarray) -> np.ndarray:
@@ -83,6 +90,12 @@ def map_partitions_by_key(
     """
 
     def _apply(table: pa.Table) -> pa.Table:
+        if table.nbytes > PARTITION_BYTES_WARN:
+            logger.warning(
+                "partition group holds %.1f GiB in one worker (key=%s); "
+                "raise num_partitions (now %d) to bound per-group memory",
+                table.nbytes / 1024**3, key, num_partitions,
+            )
         return fn(table.drop_columns([PART_COL]))
 
     with_part = add_partition_column(ds, key, num_partitions)
