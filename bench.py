@@ -28,7 +28,13 @@ sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-TRANSCRIPTS_DIR = os.environ.get("GRAFT_TRANSCRIPTS_DIR", "/tmp/graft_bench_transcripts")
+# GRAFT_BENCH_TIER=bench4x runs the ~42M-turn amortization tier (4x data,
+# same job) — used for the scaling-at-size evidence in BASELINE.md
+TIER = os.environ.get("GRAFT_BENCH_TIER", "bench")
+TRANSCRIPTS_DIR = os.environ.get(
+    "GRAFT_TRANSCRIPTS_DIR",
+    "/tmp/graft_bench_transcripts" if TIER == "bench" else f"/tmp/graft_{TIER}_transcripts",
+)
 NUM_PARTITIONS = int(os.environ.get("GRAFT_NUM_PARTITIONS", "128"))
 
 BENCH_QUERIES = [
@@ -45,21 +51,22 @@ BENCH_QUERIES = [
 ]
 
 
-_TIER_VERSION = "bench-v3-350k"
+_TIER_VERSION = "bench-v3-350k"  # per-tier marker content
 
 
 def ensure_transcripts() -> str:
     """Generate (once, cached) the bench-tier transcript parquet."""
     marker = os.path.join(TRANSCRIPTS_DIR, "_DONE")
-    if not (os.path.exists(marker) and open(marker).read() == _TIER_VERSION):
+    want = _TIER_VERSION if TIER == "bench" else f"{TIER}-v1"
+    if not (os.path.exists(marker) and open(marker).read() == want):
         import shutil
 
         from multimedia_indexing_ray.fixtures import write_transcripts
 
         shutil.rmtree(TRANSCRIPTS_DIR, ignore_errors=True)
-        write_transcripts(TRANSCRIPTS_DIR, "bench", n_files=16)
+        write_transcripts(TRANSCRIPTS_DIR, TIER, n_files=16 if TIER == "bench" else 64)
         with open(marker, "w") as f:
-            f.write(_TIER_VERSION)
+            f.write(want)
     return TRANSCRIPTS_DIR
 
 

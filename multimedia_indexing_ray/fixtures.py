@@ -49,6 +49,7 @@ TIERS = {
     "smoke": dict(n_convs=20, hot=0),
     "correctness": dict(n_convs=500, hot=0),
     "bench": dict(n_convs=350_000, hot=3),  # ~10M turns; hot-key skew exercise
+    "bench4x": dict(n_convs=1_400_000, hot=6),  # ~42M turns; amortization tier
 }
 HOT_TURNS = 50_000
 
@@ -164,6 +165,27 @@ def write_transcripts(out_dir: str, tier: str = "smoke", seed: int = SEED, n_fil
     import pyarrow.parquet as pq
 
     os.makedirs(out_dir, exist_ok=True)
+    if tier == "bench4x":
+        # 4 seeded bench generations with disjoint conv-id namespaces —
+        # one 42M-row table would overflow 32-bit string offsets and RAM
+        import pyarrow.compute as _pc
+
+        paths = []
+        per = max(n_files // 4, 1)
+        for g in range(4):
+            t = generate_transcripts("bench", seed + 17 * g)
+            t = t.set_column(
+                0,
+                "conv_id",
+                _pc.replace_substring_regex(t["conv_id"], "^conv", f"g{g}conv"),
+            )
+            n = t.num_rows
+            bounds = np.linspace(0, n, per + 1).astype(int)
+            for i in range(per):
+                p = os.path.join(out_dir, f"transcripts-{g}{i:03d}.parquet")
+                pq.write_table(t.slice(bounds[i], bounds[i + 1] - bounds[i]), p)
+                paths.append(p)
+        return paths
     table = generate_transcripts(tier, seed)
     n = table.num_rows
     bounds = np.linspace(0, n, n_files + 1).astype(int)
