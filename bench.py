@@ -7,12 +7,14 @@ turns, 3 hot conversations of 50k turns), plus per-query timings for
 representative registry pipelines over $GRAFT_SF_DIR (default
 /root/testdata/sf0.1).
 
---scaling: runs the identical flagship job in FRESH processes at two
-parallelism levels on the same input and reports both throughputs +
-scaling efficiency (the sandbox evidence protocol for the north_rule's
-N -> 4N criterion).  Primary pair 4 -> 16 (the box's physical cores);
-secondary 8 -> 32 reported alongside.  See BASELINE.md for measured
-numbers and the SMT-saturation explanation.
+--scaling: runs the identical flagship job in FRESH processes at several
+parallelism levels on the same input and reports throughputs + scaling
+efficiency (the sandbox evidence protocol for the north_rule's N -> 4N
+criterion).  Levels are INTERLEAVED in time and the per-level minimum is
+kept: this VM's throughput swings 3-4x with co-tenant load on a minutes
+timescale, so sequential per-level measurement mixes health regimes.
+See BASELINE.md for the full analysis (Ray-free contention probe,
+push-based-shuffle A/B, 4x-input amortization).
 """
 
 from __future__ import annotations
@@ -185,10 +187,8 @@ def main() -> None:
 
 def scaling() -> None:
     """Identical flagship job, same input, fresh process per parallelism
-    level.  Primary pair N=4 -> 4N=16 (this box has ~16 physical cores —
-    num_cpus=32 oversubscribes SMT siblings and saturates memory
-    bandwidth, which no amount of partitioning fixes); the 8 -> 32 pair is
-    reported alongside for the protocol's example numbers."""
+    level; levels interleaved in time, per-level minimum kept (see module
+    docstring).  Primary pair N=4 -> 4N=16; 8 -> 32 reported alongside."""
 
     repeats = int(os.environ.get("GRAFT_SCALE_REPEATS", "3"))
 
