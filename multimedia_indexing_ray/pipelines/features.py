@@ -97,6 +97,18 @@ def features_at(
     ds = source if isinstance(source, ray.data.Dataset) else read_transcripts(source)
     probe_payload = [n for n in queries.schema().names if n not in ("conv_id", "ts")]
     probe_types = dict(zip(queries.schema().names, queries.schema().types))
+    if columns is not None:
+        # prune the SPEC REGISTRY to the requested columns so the kernel
+        # computes only the needed window families (not compute-all-drop)
+        want = set(columns)
+        specs = FeatureSpecs(
+            sliding=tuple(s for s in specs.sliding if want & set(s.columns)),
+            tumbling=tuple(t for t in specs.tumbling if want & set(t.columns)),
+            session=tuple(s for s in specs.session if want & set(s.columns)),
+            lags=tuple(l for l in specs.lags if want & set(l.columns)),
+            leads=tuple(l for l in specs.leads if want & set(l.columns)),
+            include_base=specs.include_base,
+        )
     feat_cols = [c for c in (*specs.feature_columns(), *specs.lead_columns())]
     if columns is not None:
         feat_cols = [c for c in feat_cols if c in set(columns)]

@@ -101,3 +101,15 @@ def test_features_at_column_projection(ray_session, smoke_table):
         "matched_turn_idx",
     ]
     assert len(out) == 50
+
+    # spec pruning must not change values: compare vs the full compute
+    full = features_at(
+        rd.from_arrow(smoke_table), rd.from_arrow(queries), num_partitions=4
+    ).to_pandas()
+    key = ["conv_id", "ts"]
+    a = out.sort_values(key, kind="mergesort").reset_index(drop=True)
+    b = full.sort_values(key, kind="mergesort").reset_index(drop=True)
+    for c in ["matched_text_len", "matched_sess_1800s_session_idx", "matched_turn_idx"]:
+        av, bv = a[c].astype(float), b[c].astype(float)
+        assert av.isna().equals(bv.isna()), c
+        np.testing.assert_allclose(av.fillna(0), bv.fillna(0), rtol=0, atol=0, err_msg=c)
