@@ -32,6 +32,13 @@ def main() -> None:
     p.add_argument("--address", default=None, help="Ray address (default: $RAY_ADDRESS or 'local')")
     p.add_argument("--no-resume", action="store_true")
     p.add_argument("--no-lineage", action="store_true")
+    p.add_argument(
+        "--shuffle",
+        default="push",
+        choices=["push", "sort"],
+        help="push-based shuffle measured ~40%% faster than the sort "
+        "shuffle for the co-partition exchange (BASELINE.md)",
+    )
     args = p.parse_args()
 
     import ray
@@ -45,6 +52,8 @@ def main() -> None:
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
+    if args.shuffle == "push":
+        DataContext.get_current().use_push_based_shuffle = True
 
     from multimedia_indexing_ray.pipelines.runner import run_feature_job
 
