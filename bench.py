@@ -123,6 +123,31 @@ def run_flagship() -> dict:
     return {"rows": n_rows, "sec": sec, "turns_per_sec": n_rows / sec}
 
 
+def run_serving() -> dict:
+    """Fused point-in-time serving (features_at): ~1.3M probes against
+    the bench table, all 37 columns attached."""
+    import numpy as np
+    import pyarrow as pa
+
+    from multimedia_indexing_ray.pipelines.features import features_at
+    from multimedia_indexing_ray.sources.transcripts import read_transcripts
+
+    tdir = ensure_transcripts()
+    probe_src = read_transcripts(tdir, columns=["conv_id", "ts"], override_num_blocks=64)
+
+    def _mk(batch: "pa.Table") -> "pa.Table":
+        h = (np.arange(batch.num_rows) * 2654435761) % 2**32
+        t = batch.filter(pa.array(h % 8 == 0))  # ~1/8 of turns as probes
+        ts = t["ts"].cast(pa.int64()).to_numpy() + 1_000_000
+        return pa.table({"conv_id": t["conv_id"], "ts": pa.array(ts).cast(pa.timestamp("us"))})
+
+    probes = probe_src.map_batches(_mk, batch_format="pyarrow")
+    t0 = time.perf_counter()
+    n = features_at(tdir, probes, num_partitions=NUM_PARTITIONS).count()
+    sec = time.perf_counter() - t0
+    return {"probes": n, "sec": round(sec, 3), "probes_per_sec": round(n / sec, 1)}
+
+
 def run_queries() -> dict:
     from multimedia_indexing_ray.pipelines.queries import REGISTRY
 
@@ -166,7 +191,9 @@ def main() -> None:
 
     warm_cluster()
     flagship = run_flagship()
-    qtimes = {} if os.environ.get("GRAFT_BENCH_ONLY") == "flagship" else run_queries()
+    flagship_only = os.environ.get("GRAFT_BENCH_ONLY") == "flagship"
+    qtimes = {} if flagship_only else run_queries()
+    serving = {} if flagship_only else run_serving()
     ray.shutdown()
     print(
         json.dumps(
@@ -177,6 +204,7 @@ def main() -> None:
                 "rows": flagship["rows"],
                 "turns_per_sec": round(flagship["turns_per_sec"], 1),
                 "queries": qtimes,
+                "serving": serving,
                 "sf": SF_DIR,
                 "num_cpus": NUM_CPUS,
                 "num_partitions": NUM_PARTITIONS,
