@@ -49,8 +49,11 @@ TIERS = {
     "smoke": dict(n_convs=20, hot=0),
     "correctness": dict(n_convs=500, hot=0),
     "bench": dict(n_convs=350_000, hot=3),  # ~10M turns; hot-key skew exercise
-    "bench4x": dict(n_convs=1_400_000, hot=6),  # ~42M turns; amortization tier
 }
+# "bench4x" (~42M turns) is a WRITE-ONLY tier handled by
+# write_transcripts as 4 seeded bench generations with disjoint conv-id
+# namespaces: a single 42M-row table would overflow 32-bit string
+# offsets and RAM, so generate_transcripts refuses it.
 HOT_TURNS = 50_000
 
 
@@ -89,6 +92,11 @@ def _segment_cumsum(x: np.ndarray, starts: np.ndarray) -> np.ndarray:
 
 def generate_transcripts(tier: str = "smoke", seed: int = SEED) -> pa.Table:
     """Generate the T1 transcript table for a tier, already shuffled."""
+    if tier == "bench4x":
+        raise ValueError(
+            "bench4x is write-only (one table would overflow 32-bit string "
+            "offsets); use write_transcripts(out_dir, 'bench4x')"
+        )
     cfg = TIERS[tier]
     rng = np.random.default_rng(seed)
     n_convs = cfg["n_convs"]

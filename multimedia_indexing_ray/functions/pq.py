@@ -60,8 +60,11 @@ def _kmeanspp_init(sample: np.ndarray, k: int, rng: np.random.Generator) -> np.n
             chosen[j] = rng.integers(n)
         else:
             # inverse-CDF draw (rng.choice(p=...) renormalizes per call —
-            # measurably slower at ks=256 across 96 subspace fits)
-            chosen[j] = np.searchsorted(cum, rng.random() * tot, side="right")
+            # measurably slower at ks=256 across 96 subspace fits);
+            # clamp: a draw rounding up to exactly tot would index n
+            chosen[j] = min(
+                int(np.searchsorted(cum, rng.random() * tot, side="right")), n - 1
+            )
         d2 = np.minimum(d2, ((sample - sample[chosen[j]]) ** 2).sum(axis=1))
     return sample[chosen].astype(np.float64)
 

@@ -40,8 +40,11 @@ LANG_MARKERS = {
 def token_count(text) -> np.ndarray:
     """Whitespace token count — trim+split kernel, count-identical to
     `\\S+` regex matching (verified; ~2x faster)."""
-    trimmed = pc.utf8_trim_whitespace(text)
-    lens = pc.list_value_length(pc.utf8_split_whitespace(trimmed)).to_numpy(
+    # ascii_* variants: RE2's \s is ASCII-only, so the unicode-aware
+    # utf8_split_whitespace would split on NBSP/em-space and diverge from
+    # the `\S+` oracle (verified with U+00A0 / U+2003)
+    trimmed = pc.ascii_trim_whitespace(text)
+    lens = pc.list_value_length(pc.ascii_split_whitespace(trimmed)).to_numpy(
         zero_copy_only=False
     )
     empty = pc.equal(pc.utf8_length(trimmed), 0).to_numpy(zero_copy_only=False)
@@ -187,8 +190,11 @@ def flat_tokens(text_col) -> "tuple[np.ndarray, np.ndarray]":
     toks = pc.split_pattern_regex(text_col, pattern=r"\s+")
     n_docs = len(toks)
     counts = np.diff(toks.offsets.to_numpy())
-    flat = toks.flatten().to_numpy(zero_copy_only=False)
-    nonempty = np.array([t != "" for t in flat], dtype=bool) if flat.dtype == object else flat != ""
+    vals = toks.flatten()
+    # empty-token mask computed by the Arrow kernel (not a per-token
+    # Python comprehension over an object array)
+    nonempty = pc.greater(pc.utf8_length(vals), 0).to_numpy(zero_copy_only=False)
+    flat = vals.to_numpy(zero_copy_only=False)
     if not nonempty.all():
         doc_of = np.repeat(np.arange(n_docs), counts)
         flat = flat[nonempty]

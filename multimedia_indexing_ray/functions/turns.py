@@ -26,8 +26,11 @@ def n_tokens(text: pa.ChunkedArray | pa.Array) -> np.ndarray:
     trim + split_whitespace is ~2x the regex-count kernel on the bench
     table and verified count-identical to `\\S+` matching (the DuckDB
     oracle's regexp_extract_all)."""
-    trimmed = pc.utf8_trim_whitespace(text)
-    lens = pc.list_value_length(pc.utf8_split_whitespace(trimmed)).to_numpy(
+    # ascii_* variants: RE2's \s is ASCII-only, so the unicode-aware
+    # utf8_split_whitespace would split on NBSP/em-space and diverge from
+    # the `\S+` oracle (verified with U+00A0 / U+2003)
+    trimmed = pc.ascii_trim_whitespace(text)
+    lens = pc.list_value_length(pc.ascii_split_whitespace(trimmed)).to_numpy(
         zero_copy_only=False
     )
     empty = pc.equal(pc.utf8_length(trimmed), 0).to_numpy(zero_copy_only=False)

@@ -114,6 +114,9 @@ def features_at(
         feat_cols = [c for c in feat_cols if c in set(columns)]
 
     def _prep_turns(batch: pa.Table) -> pa.Table:
+        ok = pc.and_(pc.is_valid(batch["conv_id"]), pc.is_valid(batch["ts"]))
+        if pc.any(pc.invert(ok)).as_py():
+            batch = batch.filter(ok)
         t = prefeaturize(batch)
         n = t.num_rows
         cols = {c: t[c] for c in t.column_names}
@@ -131,6 +134,12 @@ def features_at(
     }
 
     def _prep_probes(batch: pa.Table) -> pa.Table:
+        # null conv_id/ts probes are dropped (SQL null-never-joins — same
+        # contract as the unfused asof path; a None key would also break
+        # the np.unique segment fold in the kernel)
+        ok = pc.and_(pc.is_valid(batch["conv_id"]), pc.is_valid(batch["ts"]))
+        if pc.any(pc.invert(ok)).as_py():
+            batch = batch.filter(ok)
         n = batch.num_rows
         cols = {"conv_id": batch["conv_id"].cast(pa.string()), "ts": batch["ts"]}
         for c, typ in turn_pad.items():

@@ -765,9 +765,14 @@ def _ensure_ann_index(sf_dir: str, kind: str) -> str:
 
     from multimedia_indexing_ray.stages.ann_index import build_ann_index
 
-    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    # version key: a cached artifact built by older code must never be
-    # reused after an encoder/model change
+    # cache key = path + data fingerprint (mtime, size) + code version:
+    # regenerated data at the same path or an encoder/model change must
+    # never serve a stale artifact
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    tag = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:12]
     d = f"/tmp/graft_ann/v2/{tag}/{kind}"
     if not os.path.exists(os.path.join(d, "manifest.json")):
         emb = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])

@@ -165,6 +165,25 @@ def append_to_index(
 
 
 def _append_segment(ds, out_dir, manifest, coarse, pq_model, concurrency) -> dict:
+    # exclusive writer lock: two concurrent builders/appenders would both
+    # pick the same data-NNN segment and double-count each other's files
+    # (the atomic manifest rename only protects against crashes)
+    lock = os.path.join(out_dir, ".build_lock")
+    try:
+        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        raise RuntimeError(
+            f"index build/append already in progress on {out_dir} "
+            f"(stale lock? remove {lock})"
+        )
+    try:
+        return _append_segment_locked(ds, out_dir, manifest, coarse, pq_model, concurrency)
+    finally:
+        os.close(fd)
+        os.unlink(lock)
+
+
+def _append_segment_locked(ds, out_dir, manifest, coarse, pq_model, concurrency) -> dict:
     seg = f"data-{len(manifest['segments']):03d}"
     seg_dir = os.path.join(out_dir, seg)
     model_ref = ray.put((coarse, pq_model))

@@ -204,6 +204,9 @@ def asof_join(
     Output: right columns (original names) + left columns prefixed with
     ``matched_prefix``.  Unmatched right rows keep typed nulls (or are
     dropped when ``keep_unmatched=False`` — SQL inner-asof semantics).
+    Rows with a NULL key or NULL time on either side are DROPPED before
+    the merge (SQL null-never-joins), so the output can have fewer rows
+    than ``right`` even with ``keep_unmatched=True``.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(direction)

@@ -80,37 +80,51 @@ def fit_projection_distributed(
     k: int,
     whiten: bool = False,
 ) -> ProjectionModel:
-    """EXACT full-dataset PCA — the 100-TB path: each batch emits one
-    (n, sum_x, sum_xxT) partial row (d + d^2 floats, tiny); the driver
-    reduces the partials and eigendecomposes the d x d covariance.  No
-    sampling bias, no full-dataset pull — only one small row per block
-    reaches the driver.
+    """EXACT full-dataset PCA — the 100-TB path, two passes:
 
-    Eigenvector sign is fixed so the largest-|component| entry is
-    positive (deterministic across LAPACK builds)."""
+    1. mean: each batch emits one (n, sum_x) row; driver reduces.
+    2. centered covariance: each batch emits sum((x-mean)^T (x-mean))
+       against the broadcast mean — NOT the one-pass
+       (sum_xxT - n*mean*mean^T) form, which catastrophically cancels
+       for columns with large offset relative to spread.
+
+    Only one small partial row per block reaches the driver.  Eigenvector
+    sign is fixed so the largest-|component| entry is positive
+    (deterministic across LAPACK builds)."""
+    import ray as _ray
+
     cols = list(columns)
     d = len(cols)
+    slim = ds.select_columns(cols)
 
-    def _partial(batch: pa.Table) -> pa.Table:
+    def _mean_partial(batch: pa.Table) -> pa.Table:
         mat = np.column_stack(
             [batch[c].to_numpy(zero_copy_only=False) for c in cols]
         ).astype(np.float64)
-        sx = mat.sum(axis=0)
-        sxx = mat.T @ mat
         return pa.table(
             {
                 "n": pa.array([batch.num_rows], pa.int64()),
-                "sum_x": pa.array([sx.tolist()]),
-                "sum_xxT": pa.array([sxx.reshape(-1).tolist()]),
+                "sum_x": pa.array([mat.sum(axis=0).tolist()]),
             }
         )
 
-    parts = ds.select_columns(cols).map_batches(_partial, batch_format="pyarrow").take_all()
-    n = sum(p["n"] for p in parts)
-    sx = np.sum([np.asarray(p["sum_x"]) for p in parts], axis=0)
-    sxx = np.sum([np.asarray(p["sum_xxT"]).reshape(d, d) for p in parts], axis=0)
-    mean = sx / n
-    cov = (sxx - n * np.outer(mean, mean)) / max(n - 1, 1)
+    mparts = slim.map_batches(_mean_partial, batch_format="pyarrow").take_all()
+    n = sum(p["n"] for p in mparts)
+    mean = np.sum([np.asarray(p["sum_x"]) for p in mparts], axis=0) / n
+    mean_ref = _ray.put(mean)
+
+    def _cov_partial(batch: pa.Table) -> pa.Table:
+        m = _ray.get(mean_ref)
+        mat = np.column_stack(
+            [batch[c].to_numpy(zero_copy_only=False) for c in cols]
+        ).astype(np.float64)
+        xc = mat - m
+        return pa.table({"sum_cc": pa.array([(xc.T @ xc).reshape(-1).tolist()])})
+
+    cparts = slim.map_batches(_cov_partial, batch_format="pyarrow").take_all()
+    cov = np.sum([np.asarray(p["sum_cc"]).reshape(d, d) for p in cparts], axis=0) / max(
+        n - 1, 1
+    )
     eig, vec = np.linalg.eigh(cov)  # ascending
     order = np.argsort(eig)[::-1][:k]
     eig = eig[order]

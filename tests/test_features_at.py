@@ -113,3 +113,27 @@ def test_features_at_column_projection(ray_session, smoke_table):
         av, bv = a[c].astype(float), b[c].astype(float)
         assert av.isna().equals(bv.isna()), c
         np.testing.assert_allclose(av.fillna(0), bv.fillna(0), rtol=0, atol=0, err_msg=c)
+
+
+def test_fused_null_probes_dropped(ray_session, smoke_table):
+    """A probe with null conv_id or null ts is dropped (SQL
+    null-never-joins), not a partition-wide crash."""
+    import pyarrow as pa
+
+    from multimedia_indexing_ray.pipelines.features import features_at
+
+    import ray.data as rd
+
+    good = smoke_table["conv_id"][0].as_py()
+    ts0 = smoke_table["ts"][0].as_py()
+    probes = pa.table(
+        {
+            "conv_id": pa.array([good, None, good], pa.string()),
+            "ts": pa.array([ts0, ts0, None], pa.timestamp("us")),
+        }
+    )
+    out = features_at(
+        rd.from_arrow(smoke_table), rd.from_arrow(probes), num_partitions=2
+    ).to_pandas()
+    assert len(out) == 1
+    assert out["conv_id"].tolist() == [good]

@@ -99,3 +99,21 @@ def test_fit_projection_distributed_exact(ray_session):
     flip = np.sign(comp[np.arange(3), np.abs(comp).argmax(axis=1)])
     comp = comp * flip[:, None]
     np.testing.assert_allclose(m.components, comp, rtol=1e-7, atol=1e-9)
+
+
+def test_fit_projection_distributed_large_offsets(ray_session):
+    """Two-pass centered covariance survives the catastrophic-cancellation
+    regime (column means ~1e9, spread ~1) that the one-pass
+    sum_xxT - n*mean*meanT form cannot."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from multimedia_indexing_ray.stages.project import fit_projection_distributed
+
+    rng = np.random.default_rng(5)
+    x = rng.normal(size=(400, 4)) + np.array([1e9, 1e9, 5e8, 0.0])
+    ds = rd.from_pandas(pd.DataFrame(x, columns=list("abcd"))).repartition(5)
+    m = fit_projection_distributed(ds, list("abcd"), k=2)
+    eig = np.sort(np.linalg.eigvalsh(np.cov(x, rowvar=False)))[::-1][:2]
+    np.testing.assert_allclose(m.eigenvalues, eig, rtol=1e-9)
