@@ -247,7 +247,7 @@ def scaling() -> None:
     # windows (this VM's throughput swings 3-4x with co-tenant load on a
     # minutes timescale; sequential per-level runs can land different
     # levels in different regimes); best-of per level.
-    levels = [lo_n, hi_n, 8, 32]
+    levels = list(dict.fromkeys([lo_n, hi_n, 8, 32]))
     for _ in range(repeats):
         for n in levels:
             record(run_once(n))

@@ -179,7 +179,8 @@ def write_transcripts(out_dir: str, tier: str = "smoke", seed: int = SEED, n_fil
         import pyarrow.compute as _pc
 
         paths = []
-        per = max(n_files // 4, 1)
+        # distribute n_files across the 4 groups as evenly as possible
+        per_group = [max(1, n_files // 4 + (1 if g < n_files % 4 else 0)) for g in range(4)]
         for g in range(4):
             t = generate_transcripts("bench", seed + 17 * g)
             t = t.set_column(
@@ -188,6 +189,7 @@ def write_transcripts(out_dir: str, tier: str = "smoke", seed: int = SEED, n_fil
                 _pc.replace_substring_regex(t["conv_id"], "^conv", f"g{g}conv"),
             )
             n = t.num_rows
+            per = per_group[g]
             bounds = np.linspace(0, n, per + 1).astype(int)
             for i in range(per):
                 p = os.path.join(out_dir, f"transcripts-{g}{i:03d}.parquet")

@@ -38,17 +38,11 @@ LANG_MARKERS = {
 
 
 def token_count(text) -> np.ndarray:
-    """Whitespace token count — trim+split kernel, count-identical to
-    `\\S+` regex matching (verified; ~2x faster)."""
-    # ascii_* variants: RE2's \s is ASCII-only, so the unicode-aware
-    # utf8_split_whitespace would split on NBSP/em-space and diverge from
-    # the `\S+` oracle (verified with U+00A0 / U+2003)
-    trimmed = pc.ascii_trim_whitespace(text)
-    lens = pc.list_value_length(pc.ascii_split_whitespace(trimmed)).to_numpy(
-        zero_copy_only=False
-    )
-    empty = pc.equal(pc.utf8_length(trimmed), 0).to_numpy(zero_copy_only=False)
-    return np.where(empty, 0, lens).astype(np.int64)
+    """Whitespace token count — the `\\S+` RE2 kernel, the ONLY variant
+    bit-identical to the DuckDB oracle: utf8_split_whitespace also splits
+    on NBSP/em-space and ascii_split_whitespace also splits on vertical
+    tab, both diverging from RE2's \s = [\t\n\f\r ] (verified)."""
+    return pc.count_substring_regex(text, TOKEN_RE).to_numpy(zero_copy_only=False).astype(np.int64)
 
 
 def bpe_token_count(text) -> np.ndarray:
@@ -112,9 +106,12 @@ FNV_PRIME = 16777619
 def fnv1a32_str(strings: np.ndarray, basis: int = FNV_BASIS) -> np.ndarray:
     """Vectorized FNV-1a-32 over each string's code points.
 
-    Empty string hashes to the basis (matches the SQL fold's init value).
-    Iterates over CHARACTER POSITIONS (max width), each step a whole-array
-    numpy op — no per-row Python."""
+    Empty-string convention matches the DuckDB fold exactly: DuckDB's
+    split('', '') yields [''] with ascii('') = 0, i.e. ONE fold step with
+    code point 0 — so an empty string hashes to (basis ^ 0) * prime,
+    NOT the bare basis (verified against the SQL).  Iterates over
+    CHARACTER POSITIONS (max width), each step a whole-array numpy op —
+    no per-row Python."""
     a = np.asarray(strings, dtype="U")
     n = len(a)
     if n == 0:
@@ -125,9 +122,12 @@ def fnv1a32_str(strings: np.ndarray, basis: int = FNV_BASIS) -> np.ndarray:
     h = np.full(n, basis, dtype=np.uint64)
     prime = np.uint64(FNV_PRIME)
     mask32 = np.uint64(0xFFFFFFFF)
-    for p in range(int(lens.max())):
+    for p in range(int(lens.max()) if n else 0):
         nh = ((h ^ cp[:, p]) * prime) & mask32
         h = np.where(lens > p, nh, h)
+    empty = lens == 0
+    if empty.any():
+        h = np.where(empty, (np.uint64(basis) * prime) & mask32, h)
     return h
 
 
@@ -241,11 +241,43 @@ def winnow_fingerprints(text: str, k: int = 8, window: int = 4) -> "list[int]":
     return sorted(set(int(v) for v in mins))
 
 
-def winnow_batch(texts: "list[str]", k: int = 8, window: int = 4) -> "tuple[np.ndarray, np.ndarray]":
-    """Vectorized winnowing over a whole batch: one codepoint matrix for
-    all docs, FNV over k-gram windows in k vector steps, window-min via a
-    stride view — no per-doc Python.  Returns (n_fingerprints int64,
-    min_fingerprint int64) per doc, identical to winnow_fingerprints."""
+def winnow_batch(
+    texts: "list[str]", k: int = 8, window: int = 4, cell_budget: int = 32_000_000
+) -> "tuple[np.ndarray, np.ndarray]":
+    """Vectorized winnowing over a whole batch: codepoint matrices, FNV
+    over k-gram windows in k vector steps, window-min via a stride view —
+    no per-doc Python.  Returns (n_fingerprints int64, min_fingerprint
+    int64) per doc, identical to winnow_fingerprints.
+
+    The 'U' matrix pads every doc to the longest doc's width, so docs are
+    processed in LENGTH-SORTED chunks bounded by ``cell_budget`` cells —
+    one long document cannot inflate the whole batch's memory n_docs-fold."""
+    n = len(texts)
+    n_fp = np.zeros(n, dtype=np.int64)
+    min_fp = np.zeros(n, dtype=np.int64)
+    if n == 0:
+        return n_fp, min_fp
+    lens_all = np.fromiter((len(t) for t in texts), dtype=np.int64, count=n)
+    order = np.argsort(lens_all, kind="stable")
+    start = 0
+    while start < n:
+        end = start + 1
+        width = max(int(lens_all[order[end - 1]]), 1)
+        while end < n:
+            w = max(int(lens_all[order[end]]), 1)
+            if (end - start + 1) * w > cell_budget:
+                break
+            width = w
+            end += 1
+        idx = order[start:end]
+        nf, mf = _winnow_chunk([texts[i] for i in idx], k, window)
+        n_fp[idx] = nf
+        min_fp[idx] = mf
+        start = end
+    return n_fp, min_fp
+
+
+def _winnow_chunk(texts: "list[str]", k: int, window: int) -> "tuple[np.ndarray, np.ndarray]":
     from numpy.lib.stride_tricks import sliding_window_view
 
     n = len(texts)

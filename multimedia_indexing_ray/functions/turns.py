@@ -23,18 +23,14 @@ def text_len(text: pa.ChunkedArray | pa.Array) -> np.ndarray:
 def n_tokens(text: pa.ChunkedArray | pa.Array) -> np.ndarray:
     """Whitespace-delimited token count (maximal runs of non-space).
 
-    trim + split_whitespace is ~2x the regex-count kernel on the bench
-    table and verified count-identical to `\\S+` matching (the DuckDB
-    oracle's regexp_extract_all)."""
-    # ascii_* variants: RE2's \s is ASCII-only, so the unicode-aware
-    # utf8_split_whitespace would split on NBSP/em-space and diverge from
-    # the `\S+` oracle (verified with U+00A0 / U+2003)
-    trimmed = pc.ascii_trim_whitespace(text)
-    lens = pc.list_value_length(pc.ascii_split_whitespace(trimmed)).to_numpy(
-        zero_copy_only=False
+    Stays on the `\\S+` RE2 kernel: the split_whitespace variants
+    (utf8_* splits NBSP/em-space, ascii_* splits vertical tab) both
+    diverge from RE2's \s = [\t\n\f\r ] and would break the
+    bit-exact DuckDB oracle parity of every n_tokens-derived window
+    feature (verified)."""
+    return (
+        pc.count_substring_regex(text, TOKEN_RE).to_numpy(zero_copy_only=False).astype(np.float64)
     )
-    empty = pc.equal(pc.utf8_length(trimmed), 0).to_numpy(zero_copy_only=False)
-    return np.where(empty, 0, lens).astype(np.float64)
 
 
 def role_onehots(role: pa.ChunkedArray | pa.Array) -> dict:

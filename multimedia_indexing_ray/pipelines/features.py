@@ -141,9 +141,16 @@ def features_at(
         if pc.any(pc.invert(ok)).as_py():
             batch = batch.filter(ok)
         n = batch.num_rows
-        cols = {"conv_id": batch["conv_id"].cast(pa.string()), "ts": batch["ts"]}
-        for c, typ in turn_pad.items():
-            cols[c] = pa.nulls(n, typ)
+        # SAME column order as _prep_turns (conv_id, turn_idx, ts, base...)
+        # so the union blocks share one schema (mixed orders trip Ray's
+        # schema unification warning and rely on by-name fixup)
+        cols = {
+            "conv_id": batch["conv_id"].cast(pa.string()),
+            "turn_idx": pa.nulls(n, turn_pad["turn_idx"]),
+            "ts": batch["ts"],
+        }
+        for c in BASE_PRE_COLS:
+            cols[c] = pa.nulls(n, turn_pad[c])
         for pcol in probe_payload:
             cols[f"__q_{pcol}"] = batch[pcol]
         cols["__side"] = pa.array(np.ones(n, dtype=np.int8))

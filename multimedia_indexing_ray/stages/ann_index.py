@@ -52,6 +52,8 @@ def _sample_matrix(ds: "ray.data.Dataset", vec_col: str, sample_size: int) -> np
         tot += len(out[-1])
         if tot >= sample_size:
             break
+    if not out:
+        raise ValueError("cannot build an ANN index from zero vectors")
     return np.concatenate(out)[:sample_size]
 
 
@@ -184,8 +186,15 @@ def _append_segment(ds, out_dir, manifest, coarse, pq_model, concurrency) -> dic
 
 
 def _append_segment_locked(ds, out_dir, manifest, coarse, pq_model, concurrency) -> dict:
+    import shutil
+
     seg = f"data-{len(manifest['segments']):03d}"
     seg_dir = os.path.join(out_dir, seg)
+    # a crashed earlier attempt may have left a partial segment dir the
+    # manifest never committed; stale files would be double-counted and
+    # double-served (write_parquet appends UUID-named files)
+    if os.path.exists(seg_dir):
+        shutil.rmtree(seg_dir)
     model_ref = ray.put((coarse, pq_model))
     enc = ds.map_batches(
         _Encoder,

@@ -455,12 +455,18 @@ def anchor_jaccard_pairs(
     threshold: float = 0.3,
     num_partitions: int = DEFAULT_NUM_PARTITIONS,
     concurrency: int = 4,
-    bucket_cap: int = DEFAULT_BUCKET_CAP,
+    bucket_cap: "int | None" = None,
 ) -> "ray.data.Dataset":
     """Exact n-gram-Jaccard near-dup pairs within anchor blocks: ONE
     shuffle on the anchor key, shingle SETS (never text) cross the wire,
-    all-pairs verification inside bounded blocks.  Replaces the round-1
-    broadcast-the-whole-corpus verify (a driver-side materialization)."""
+    all-pairs verification inside blocks.  Replaces the round-1
+    broadcast-the-whole-corpus verify (a driver-side materialization).
+
+    ``bucket_cap`` defaults to None (NO cap): this operator is exact and
+    SQL-oracled, and a cap would silently drop pairs the oracle computes.
+    Pass a cap only for uncurated corpora where mass-duplicate anchors
+    are expected AND oracle parity is not required (run exact dedup
+    first instead where possible)."""
     from itertools import combinations
 
     sk = ds.map_batches(
@@ -492,7 +498,7 @@ def anchor_jaccard_pairs(
         for s, e in zip(starts, ends):
             if e - s < 2:
                 continue
-            if e - s > bucket_cap:
+            if bucket_cap is not None and e - s > bucket_cap:
                 dropped += 1
                 continue
             for i, j in combinations(range(s, e), 2):
