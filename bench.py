@@ -109,7 +109,7 @@ def run_flagship() -> dict:
     shutil.rmtree(out_dir, ignore_errors=True)
     t0 = time.perf_counter()
     # block count == partition count keeps the shuffle exchange at
-    # O(blocks x partitions) = 64x64 objects (measured sweet spot here)
+    # O(blocks x partitions) objects (128x128 measured sweet spot here)
     ds = read_transcripts(tdir, override_num_blocks=NUM_PARTITIONS)
     # pack_vector=False: persist the vector as plain float64 columns —
     # parquet's fixed_size_list encoder is ~10x slower than flat doubles
