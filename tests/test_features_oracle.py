@@ -89,3 +89,47 @@ def test_packed_vector_layout(ray_session, smoke_table, oracle_df):
     assert mats.shape == (len(oracle_df), D)
     oracle_mat = oracle_df[list(DEFAULT_SPECS.feature_columns())].to_numpy()
     np.testing.assert_allclose(mats, oracle_mat, rtol=1e-9, atol=1e-12)
+
+
+def test_custom_spec_registry_matches_oracle(ray_session, smoke_table):
+    """The spec registry is a user-extension surface (SURVEY.md §2.10):
+    a NON-default configuration (closed='both' sliding, two session
+    thresholds, deep lags, n_tokens windows) must match the naive oracle
+    too — guards against DEFAULT_SPECS-shaped assumptions in the kernel."""
+    import numpy as np
+    import ray.data as rd
+
+    from multimedia_indexing_ray.specs import (
+        FeatureSpecs,
+        LagSpec,
+        LeadSpec,
+        SessionSpec,
+        SlidingSpec,
+        TumblingSpec,
+    )
+    from multimedia_indexing_ray.stages.features import compute_features
+    from tests.oracle import oracle_features
+
+    specs = FeatureSpecs(
+        sliding=(
+            SlidingSpec("s60_both", 60.0, None, closed="both"),
+            SlidingSpec("s600_sys", 600.0, ("role", "system")),
+        ),
+        tumbling=(TumblingSpec("t900", 900.0, ("role", "user")),),
+        session=(SessionSpec("sA", 300.0), SessionSpec("sB", 7200.0)),
+        lags=(LagSpec("n_tokens", 5), LagSpec("gap_s", 1)),
+        leads=(LeadSpec("gap_s", 2),),
+    )
+    got = (
+        compute_features(rd.from_arrow(smoke_table), specs, num_partitions=4)
+        .to_pandas()
+        .sort_values(KEYS, kind="mergesort")
+        .reset_index(drop=True)
+    )
+    exp = oracle_features(smoke_table.to_pandas(), specs)
+    cols = list(specs.feature_columns()) + list(specs.lead_columns())
+    assert len(got) == len(exp)
+    for c in cols:
+        np.testing.assert_allclose(
+            got[c].to_numpy(), exp[c].to_numpy(), rtol=1e-9, atol=1e-12, err_msg=c
+        )
