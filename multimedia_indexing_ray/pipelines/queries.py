@@ -773,13 +773,28 @@ def _ensure_ann_index(sf_dir: str, kind: str) -> str:
     tag = hashlib.md5(
         f"{os.path.abspath(sf_dir)}|{st.st_mtime_ns}|{st.st_size}".encode()
     ).hexdigest()[:12]
-    d = f"/tmp/graft_ann/v2/{tag}/{kind}"
+    root = "/tmp/graft_ann/v2"
+    d = f"{root}/{tag}/{kind}"
     if not os.path.exists(os.path.join(d, "manifest.json")):
+        # prune stale sibling tags for the SAME source dir (regenerated
+        # data changes the fingerprint, so old artifacts never get read
+        # again — without this, data refreshes accumulate unbounded disk)
+        import shutil
+
+        srcname = os.path.abspath(sf_dir)
+        if os.path.isdir(root):
+            for t in os.listdir(root):
+                mark = os.path.join(root, t, "src.txt")
+                if t != tag and os.path.exists(mark) and open(mark).read() == srcname:
+                    shutil.rmtree(os.path.join(root, t), ignore_errors=True)
         emb = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
         # m=32/ks=256 -> 2 dims per subquantizer on the 64-d embeddings
         # (the reference's 1024-d/m=64 uses 16; these unit vectors need the
         # finer grid — measured recall@5 0.96 vs 0.20 at m=8/ks=64)
         build_ann_index(emb, d, kind=kind, n_lists=8 if kind != "pq" else 1, m=32, ks=256)
+        os.makedirs(f"{root}/{tag}", exist_ok=True)
+        with open(f"{root}/{tag}/src.txt", "w") as f:
+            f.write(srcname)
     return d
 
 
@@ -1005,6 +1020,11 @@ def _fnv1a32(ids: np.ndarray) -> np.ndarray:
     (no per-row hashlib loop; verified bit-equal to the DuckDB
     list_reduce expression in the oracle)."""
     ids = np.asarray(ids, dtype=np.int64)
+    if len(ids) and ids.min() < 0:
+        # the digit fold below has no '-' character and a wrong length for
+        # negatives — it would silently diverge from the SQL oracle's
+        # CAST(id AS VARCHAR); fail loudly instead of mis-sampling
+        raise ValueError("_fnv1a32 requires non-negative ids")
     pows = 10 ** np.arange(1, 19, dtype=np.int64)  # 10..10^18
     ndig = np.searchsorted(pows, ids, side="right") + 1  # exact digit count
     maxd = int(ndig.max()) if len(ids) else 0
@@ -1318,6 +1338,8 @@ def q_median(sf_dir: str):
     def kernel(table: pa.Table) -> pa.Table:
         df = table.to_pandas()
         g = df.groupby("user_id", sort=False)["value"].median().reset_index(name="median_value")
-        return pa.Table.from_pandas(g, preserve_index=False)
+        # strip pandas schema metadata: an unhashable metadata dict defeats
+        # Ray's schema dedup (logged per exchange task)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     return map_partitions_by_key(ev, "user_id", kernel, num_partitions=32)

@@ -37,7 +37,7 @@ import ray.data
 
 from multimedia_indexing_ray.functions import pq as pqf
 from multimedia_indexing_ray.functions.normalize import residual
-from multimedia_indexing_ray.stages.knn import _batch_matrix, _unit, kmeans_fit
+from multimedia_indexing_ray.stages.knn import _batch_matrix, _unit, kmeans_fit, topk_merge as _topk_merge
 
 LID = "lid"
 CODE = "code"
@@ -73,11 +73,13 @@ def _codes_matrix(col: "pa.ChunkedArray") -> np.ndarray:
 class _Encoder:
     """Actor-pool stage: assign list id + (optionally) PQ-encode a batch.
 
-    Model loaded once per actor from the object store (ST1-ST3 singleton
-    pattern, `visual/vectorization/ImageVectorization.java:52-65`)."""
+    Model passed BY VALUE in the constructor (it is small: coarse
+    centroids + PQ codebooks, ~100s of KB) — an ObjectRef constructor arg
+    would make actor restarts unrecoverable if the ref is lost
+    (ray#53727); ST1-ST3 singleton pattern,
+    `visual/vectorization/ImageVectorization.java:52-65`."""
 
-    def __init__(self, model_ref, kind: str, vec_col: str, id_col: str):
-        coarse, pq_model = ray.get(model_ref)
+    def __init__(self, coarse, pq_model, kind: str, vec_col: str, id_col: str):
         self.coarse = coarse
         self.pq_model = pq_model
         self.kind = kind
@@ -171,18 +173,49 @@ def _append_segment(ds, out_dir, manifest, coarse, pq_model, concurrency) -> dic
     # pick the same data-NNN segment and double-count each other's files
     # (the atomic manifest rename only protects against crashes)
     lock = os.path.join(out_dir, ".build_lock")
-    try:
+
+    def _try_acquire():
         fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        os.write(fd, str(os.getpid()).encode())
+        return fd
+
+    try:
+        fd = _try_acquire()
     except FileExistsError:
-        raise RuntimeError(
-            f"index build/append already in progress on {out_dir} "
-            f"(stale lock? remove {lock})"
-        )
+        # a SIGKILL/OOM during a build would otherwise leave the lock
+        # forever; reclaim it when the recorded owner PID is dead
+        try:
+            owner = int(open(lock).read().strip() or "0")
+        except (OSError, ValueError):
+            owner = 0
+        if owner and _pid_alive(owner):
+            raise RuntimeError(
+                f"index build/append already in progress on {out_dir} "
+                f"(held by live pid {owner}; lock file {lock})"
+            )
+        try:
+            os.unlink(lock)  # dead owner (or unreadable lock): reclaim
+            fd = _try_acquire()
+        except (FileNotFoundError, FileExistsError):
+            raise RuntimeError(
+                f"index build/append lock on {out_dir} contended during "
+                f"stale-lock reclaim; retry ({lock})"
+            )
     try:
         return _append_segment_locked(ds, out_dir, manifest, coarse, pq_model, concurrency)
     finally:
         os.close(fd)
         os.unlink(lock)
+
+
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True
+    return True
 
 
 def _append_segment_locked(ds, out_dir, manifest, coarse, pq_model, concurrency) -> dict:
@@ -195,10 +228,9 @@ def _append_segment_locked(ds, out_dir, manifest, coarse, pq_model, concurrency)
     # double-served (write_parquet appends UUID-named files)
     if os.path.exists(seg_dir):
         shutil.rmtree(seg_dir)
-    model_ref = ray.put((coarse, pq_model))
     enc = ds.map_batches(
         _Encoder,
-        fn_constructor_args=(model_ref, manifest["kind"], manifest["vec_col"], manifest["id_col"]),
+        fn_constructor_args=(coarse, pq_model, manifest["kind"], manifest["vec_col"], manifest["id_col"]),
         batch_format="pyarrow",
         # autoscaling pool: a FIXED pool the size of the cluster would
         # pin every CPU on idle actors and starve the read/write tasks
@@ -481,16 +513,3 @@ def _pack(out_q, out_n, out_s, score_col: str) -> pa.Table:
     )
 
 
-def _topk_merge(candidates: "ray.data.Dataset", k: int, score_col: str, ascending: bool):
-    """Tiny global merge of per-batch partial top-k (the BoundedPriorityQueue
-    drain, `visual/utilities/Answer.java:8-60`)."""
-
-    def _final(df):
-        df = df.sort_values(
-            [score_col, "neighbor_id"], ascending=[ascending, True], kind="mergesort"
-        )
-        df = df.head(k).reset_index(drop=True)
-        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
-        return df[["query_id", "neighbor_id", "rank"]]
-
-    return candidates.groupby("query_id").map_groups(_final, batch_format="pandas")

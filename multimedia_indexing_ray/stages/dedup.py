@@ -323,10 +323,13 @@ def simhash_pairs(
     id_col: str,
     max_hamming: int = 3,
     num_partitions: int = DEFAULT_NUM_PARTITIONS,
+    bucket_cap: int = DEFAULT_BUCKET_CAP,
 ) -> "ray.data.Dataset":
     """Near-dup pairs by SimHash: band on 4x16-bit chunks (any pair within
     hamming<=3 of a 64-bit hash shares at least one exact 16-bit chunk),
-    verify hamming distance in-bucket."""
+    verify hamming distance in-bucket.  Buckets over ``bucket_cap`` are
+    dropped with a logged count — heavily-duplicated corpora land exactly
+    there, so callers can raise the cap to recover those pairs."""
     sims = simhash_table(ds, text_col, id_col)
 
     def _explode(batch: pa.Table) -> pa.Table:
@@ -370,7 +373,7 @@ def simhash_pairs(
         for s, e in zip(starts, ends):
             if e - s < 2:
                 continue
-            if e - s > DEFAULT_BUCKET_CAP:
+            if e - s > bucket_cap:
                 dropped += 1
                 continue
             ids_b, first = np.unique(ids[s:e], return_index=True)
@@ -387,7 +390,7 @@ def simhash_pairs(
             b_out.append(ids_b[iu[1][m]])
             d_out.append(d[m].astype(np.int64))
         if dropped:
-            logger.warning("simhash_pairs: dropped %d oversize buckets (> %d)", dropped, DEFAULT_BUCKET_CAP)
+            logger.warning("simhash_pairs: dropped %d oversize buckets (> %d)", dropped, bucket_cap)
         if not a_out:
             return empty
         return pa.table(

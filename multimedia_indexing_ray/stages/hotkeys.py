@@ -90,7 +90,9 @@ def find_hot_candidates(
             df = batch.select([key]).to_pandas()
             g = df.groupby(key, sort=False).size()
             g = g[g >= cutoff].reset_index(name="n")
-            return pa.Table.from_pandas(g, preserve_index=False)
+            # strip pandas schema metadata: an unhashable metadata dict defeats
+            # Ray's schema dedup (logged per exchange task)
+            return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
         parts = ds.map_batches(
             _partial, batch_format="pyarrow", batch_size=None
@@ -112,7 +114,9 @@ def find_hot_candidates(
             m = pc.is_in(batch[key], value_set=cand_arr)
             df = batch.filter(m).select([key]).to_pandas()
             g = df.groupby(key, sort=False).size().reset_index(name="n")
-            return pa.Table.from_pandas(g, preserve_index=False)
+            # strip pandas schema metadata: an unhashable metadata dict defeats
+            # Ray's schema dedup (logged per exchange task)
+            return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
         totals = (
             ds.map_batches(_cand_counts, batch_format="pyarrow", batch_size=None)
@@ -128,7 +132,9 @@ def find_hot_candidates(
     def _partial_all(batch: pa.Table) -> pa.Table:
         df = batch.select([key]).to_pandas()
         g = df.groupby(key, sort=False).size().reset_index(name="n")
-        return pa.Table.from_pandas(g, preserve_index=False)
+        # strip pandas schema metadata: an unhashable metadata dict defeats
+        # Ray's schema dedup (logged per exchange task)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     totals = (
         ds.map_batches(_partial_all, batch_format="pyarrow")

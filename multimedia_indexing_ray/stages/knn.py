@@ -39,6 +39,31 @@ def _batch_matrix(table: pa.Table, vec_col: str) -> np.ndarray:
     return np.stack([np.asarray(v, dtype=np.float64) for v in col.to_pylist()])
 
 
+def topk_merge(
+    candidates: "ray.data.Dataset", k: int, score_col: str, ascending: bool
+) -> "ray.data.Dataset":
+    """Tiny global merge of per-batch partial top-k candidates into the
+    final (query_id, neighbor_id, rank) — the BoundedPriorityQueue drain
+    (`visual/utilities/Answer.java:8-60`).  Arrow-native: a pandas
+    map_groups here would attach unhashable pandas schema metadata that
+    defeats Ray's schema dedup on every later exchange."""
+
+    def _final(t: pa.Table) -> pa.Table:
+        s = t[score_col].to_numpy()
+        nid = t["neighbor_id"].to_numpy()
+        # same tie rule as the per-batch partials: score, then neighbor_id
+        order = np.lexsort((nid, s if ascending else -s))[:k]
+        return pa.table(
+            {
+                "query_id": t["query_id"].take(pa.array(order)).combine_chunks(),
+                "neighbor_id": pa.array(nid[order], pa.int64()),
+                "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+            }
+        )
+
+    return candidates.groupby("query_id").map_groups(_final, batch_format="pyarrow")
+
+
 def brute_force_knn(
     ds: "ray.data.Dataset",
     queries: "Tuple[np.ndarray, np.ndarray]",
@@ -93,14 +118,7 @@ def brute_force_knn(
         )
 
     candidates = ds.map_batches(_partial, batch_format="pyarrow")
-
-    def _final(df):
-        df = df.sort_values(["cos_sim", "neighbor_id"], ascending=[False, True], kind="mergesort")
-        df = df.head(k).reset_index(drop=True)
-        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
-        return df[["query_id", "neighbor_id", "rank"]]
-
-    return candidates.groupby("query_id").map_groups(_final, batch_format="pandas")
+    return topk_merge(candidates, k, "cos_sim", ascending=False)
 
 
 def kmeans_fit(
@@ -191,14 +209,7 @@ def ivf_knn(
         )
 
     candidates = ds.map_batches(_partial, batch_format="pyarrow")
-
-    def _final(df):
-        df = df.sort_values(["cos_sim", "neighbor_id"], ascending=[False, True], kind="mergesort")
-        df = df.head(k).reset_index(drop=True)
-        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
-        return df[["query_id", "neighbor_id", "rank"]]
-
-    return candidates.groupby("query_id").map_groups(_final, batch_format="pandas")
+    return topk_merge(candidates, k, "cos_sim", ascending=False)
 
 
 def pq_knn(
@@ -265,14 +276,7 @@ def pq_knn(
         )
 
     candidates = ds.map_batches(_partial, batch_format="pyarrow")
-
-    def _final(df):
-        df = df.sort_values(["adc_dist", "neighbor_id"], ascending=[True, True], kind="mergesort")
-        df = df.head(k).reset_index(drop=True)
-        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
-        return df[["query_id", "neighbor_id", "rank"]]
-
-    return candidates.groupby("query_id").map_groups(_final, batch_format="pandas")
+    return topk_merge(candidates, k, "adc_dist", ascending=True)
 
 
 def ivfpq_knn(
@@ -364,11 +368,4 @@ def ivfpq_knn(
         )
 
     candidates = ds.map_batches(_partial, batch_format="pyarrow")
-
-    def _final(df):
-        df = df.sort_values(["adc_dist", "neighbor_id"], ascending=[True, True], kind="mergesort")
-        df = df.head(k).reset_index(drop=True)
-        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
-        return df[["query_id", "neighbor_id", "rank"]]
-
-    return candidates.groupby("query_id").map_groups(_final, batch_format="pandas")
+    return topk_merge(candidates, k, "adc_dist", ascending=True)
