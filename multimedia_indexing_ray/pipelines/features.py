@@ -23,6 +23,11 @@ import ray.data
 from multimedia_indexing_ray.sources.transcripts import read_transcripts
 from multimedia_indexing_ray.specs import DEFAULT_SPECS, FeatureSpecs
 from multimedia_indexing_ray.stages.asof_join import _adjusted_pair, asof_join
+from multimedia_indexing_ray.stages.hotkeys import (
+    CHUNK_COL,
+    EMIT_COL,
+    plan_spec_names as _plan_spec_names,
+)
 from multimedia_indexing_ray.stages.features import (
     BASE_PRE_COLS,
     PRE_DTYPES,
@@ -33,8 +38,14 @@ from multimedia_indexing_ray.stages.features import (
 from multimedia_indexing_ray.stages.partition import (
     DEFAULT_NUM_PARTITIONS,
     PART_COL,
+    PARTITION_BYTES_WARN,
+    multi_key_partition_ids,
     partition_ids,
 )
+
+import logging
+
+logger = logging.getLogger(__name__)
 
 
 def transcript_features(
@@ -55,6 +66,9 @@ def features_at(
     keep_unmatched: bool = True,
     columns: Optional[Sequence[str]] = None,
     fused: bool = True,
+    split_hot: bool = False,
+    hot_threshold: int = 20_000,
+    target_chunk_rows: int = 10_000,
 ) -> "ray.data.Dataset":
     """Point-in-time feature vector per (conv_id, ts) probe.
 
@@ -73,11 +87,15 @@ def features_at(
 
     ``columns``: restrict which feature columns are attached.
 
-    Partitioning note: the fused kernel holds one hash partition's turns
-    + probes; unlike ``compute_features(split_hot=True)`` it does not
-    chunk hot conversations (a probe would need routing to the right
-    chunk) — size ``num_partitions`` so the largest conversation's turns
-    fit a worker, same bound as the unsplit flagship."""
+    ``split_hot=True`` (fused only): hot conversations are chunked at
+    safe gaps exactly like ``compute_features(split_hot=True)``, and each
+    PROBE is routed to its chunk by ``searchsorted(boundaries, probe_ts)``
+    — a probe's backward as-of match is always inside its own chunk
+    (every chunk's first turn sits exactly ON the boundary timestamp), so
+    the fused kernel needs only that chunk's turns.  Without it the fused
+    kernel holds one hash partition's whole conversations, so a
+    mega-conversation plus its probe load lands on one worker (the probe
+    prunes/partitions work, `visual/datastructures/IVFPQ.java:408-450`)."""
     if not fused:
         feats = transcript_features(source, specs, num_partitions)
         if columns is not None:
@@ -95,6 +113,15 @@ def features_at(
             keep_unmatched=keep_unmatched,
         )
     ds = source if isinstance(source, ray.data.Dataset) else read_transcripts(source)
+    plan = None
+    if split_hot:
+        from multimedia_indexing_ray.stages.hotkeys import build_split_plan
+
+        p = build_split_plan(
+            ds, specs, hot_threshold=hot_threshold, target_chunk_rows=target_chunk_rows
+        )
+        if not p.empty:
+            plan = p
     probe_payload = [n for n in queries.schema().names if n not in ("conv_id", "ts")]
     probe_types = dict(zip(queries.schema().names, queries.schema().types))
     if columns is not None:
@@ -123,9 +150,10 @@ def features_at(
         for pcol in probe_payload:
             cols[f"__q_{pcol}"] = pa.nulls(n, probe_types[pcol])
         cols["__side"] = pa.array(np.zeros(n, dtype=np.int8))
-        cols[PART_COL] = pa.array(
-            partition_ids(t["conv_id"].to_numpy(zero_copy_only=False), num_partitions)
-        )
+        if plan is None:
+            cols[PART_COL] = pa.array(
+                partition_ids(t["conv_id"].to_numpy(zero_copy_only=False), num_partitions)
+            )
         return pa.table(cols)
 
     turn_pad = {
@@ -154,9 +182,29 @@ def features_at(
         for pcol in probe_payload:
             cols[f"__q_{pcol}"] = batch[pcol]
         cols["__side"] = pa.array(np.ones(n, dtype=np.int8))
-        cols[PART_COL] = pa.array(
-            partition_ids(cols["conv_id"].to_numpy(zero_copy_only=False), num_partitions)
-        )
+        if plan is None:
+            cols[PART_COL] = pa.array(
+                partition_ids(cols["conv_id"].to_numpy(zero_copy_only=False), num_partitions)
+            )
+            return pa.table(cols)
+        # split path: route each probe to its chunk (probe chunk =
+        # searchsorted on the plan's boundaries — same rule assign_chunks
+        # applies to turns, so probe and its as-of match co-locate), then
+        # mirror assign_chunks' appended columns for a union-stable schema
+        conv = cols["conv_id"].to_numpy(zero_copy_only=False)
+        ts_us = batch["ts"].cast(pa.int64()).to_numpy()
+        chunk = np.zeros(n, dtype=np.int32)
+        for cid, cp in plan.convs.items():
+            m = conv == cid
+            if m.any():
+                rows = np.flatnonzero(m)
+                chunk[rows] = np.searchsorted(
+                    cp.boundaries_us, ts_us[rows], side="right"
+                ).astype(np.int32)
+        cols[CHUNK_COL] = pa.array(chunk)
+        for s in _plan_spec_names(plan):
+            cols[f"__sessoff_{s}"] = pa.array(np.zeros(n, dtype=np.int64))
+        cols[EMIT_COL] = pa.array(np.ones(n, dtype=bool))
         return pa.table(cols)
 
     def _cast_turn_idx(batch: pa.Table) -> pa.Table:
@@ -167,13 +215,42 @@ def features_at(
         _prep_turns, batch_format="pyarrow"
     )
     probes = queries.map_batches(_prep_probes, batch_format="pyarrow")
+    if plan is not None:
+        from multimedia_indexing_ray.stages.hotkeys import assign_chunks
+
+        turns = assign_chunks(turns, plan)
+
+        def _add_part(batch: pa.Table) -> pa.Table:
+            # partition on (conv_id, chunk): a hot conversation's chunks —
+            # and the probes routed to them — spread across workers
+            return batch.append_column(
+                PART_COL,
+                pa.array(
+                    multi_key_partition_ids(batch, ["conv_id", CHUNK_COL], num_partitions)
+                ),
+            )
+
+        turns = turns.map_batches(_add_part, batch_format="pyarrow")
+        probes = probes.map_batches(_add_part, batch_format="pyarrow")
     kernel = WindowKernelFn(specs)
+    split_cols = (
+        [CHUNK_COL, *(f"__sessoff_{s}" for s in _plan_spec_names(plan)), EMIT_COL]
+        if plan is not None
+        else []
+    )
 
     def _serve(table: pa.Table) -> pa.Table:
+        if table.nbytes > PARTITION_BYTES_WARN:
+            logger.warning(
+                "features_at partition group holds %.1f GiB in one worker; "
+                "raise num_partitions (now %d) or enable split_hot to bound "
+                "per-group memory",
+                table.nbytes / 1024**3, num_partitions,
+            )
         table = table.drop_columns([PART_COL])
         side = table["__side"].to_numpy(zero_copy_only=False)
         tmask = pa.array(side == 0)
-        turn_cols = ["conv_id", "turn_idx", "ts", *BASE_PRE_COLS]
+        turn_cols = ["conv_id", "turn_idx", "ts", *BASE_PRE_COLS, *split_cols]
         tt = table.filter(tmask).select(turn_cols)
         qt = table.filter(pc.invert(tmask))
         ft = kernel(tt)  # sorted by (conv_id, ts, turn_idx)

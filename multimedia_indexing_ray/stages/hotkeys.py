@@ -226,13 +226,15 @@ def build_split_plan(
     return plan
 
 
+def plan_spec_names(plan: SplitPlan) -> "list[str]":
+    return sorted({name for p in plan.convs.values() for name in p.session_offsets})
+
+
 def assign_chunks(ds: "ray.data.Dataset", plan: SplitPlan, key: str = "conv_id", on: str = "ts") -> "ray.data.Dataset":
     """Add __chunk / __emit (+ per-spec __sessoff_*) columns; hot rows near
     a boundary are REPLICATED into the neighbouring chunk with emit=False.
     Cold conversations pass through with chunk 0."""
-    spec_names = sorted(
-        {name for p in plan.convs.values() for name in p.session_offsets}
-    )
+    spec_names = plan_spec_names(plan)
 
     def _assign(batch: pa.Table) -> pa.Table:
         n = batch.num_rows

@@ -137,3 +137,74 @@ def test_fused_null_probes_dropped(ray_session, smoke_table):
     ).to_pandas()
     assert len(out) == 1
     assert out["conv_id"].tolist() == [good]
+
+
+def test_fused_split_hot_equals_unfused(ray_session):
+    """A hot conversation is chunked and each probe is routed to its
+    chunk: fused+split_hot must equal the generic unfused path row for
+    row, and the plan must actually have split the conversation
+    (VERDICT r2 #1: fused serving x hot-key splitting compose)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from multimedia_indexing_ray.pipelines.features import features_at
+    from multimedia_indexing_ray.sources.transcripts import read_transcripts
+    from multimedia_indexing_ray.stages.features import prefeaturize
+    from multimedia_indexing_ray.stages.hotkeys import build_split_plan
+
+    t = __import__("tests.test_hotkeys", fromlist=["_hot_table"])._hot_table(
+        n_turns=6000, seed=13
+    )
+    # probes: on-turn, +1s after a turn, exactly on chunk boundaries,
+    # before the first turn, after the last turn, unknown conv
+    ts = t["ts"].cast(pa.int64()).to_numpy()
+    hot_ts = np.sort(ts[np.asarray(t["conv_id"].to_numpy(zero_copy_only=False) == "conv-hot")])
+    rng = np.random.default_rng(7)
+    probe_ts = np.concatenate(
+        [
+            rng.choice(hot_ts, 300),
+            rng.choice(hot_ts, 300) + 1_000_000,
+            hot_ts[:1] - 10_000_000,
+            hot_ts[-1:] + 10_000_000,
+        ]
+    )
+    probes = pa.table(
+        {
+            "conv_id": pa.array(
+                ["conv-hot"] * len(probe_ts) + ["conv-cold", "conv-none"], pa.string()
+            ),
+            "ts": pa.array(
+                np.concatenate([probe_ts, hot_ts[:2] + 5_000_000])
+            ).cast(pa.timestamp("us")),
+        }
+    )
+    kw = dict(num_partitions=6, hot_threshold=1000, target_chunk_rows=500)
+    # sanity: this fixture really splits
+    plan = build_split_plan(
+        rd.from_arrow(t), DEFAULT_SPECS, hot_threshold=1000, target_chunk_rows=500
+    )
+    assert "conv-hot" in plan.convs and len(plan.convs["conv-hot"].boundaries_us) >= 3
+
+    a = (
+        features_at(rd.from_arrow(t), rd.from_arrow(probes), fused=True, split_hot=True, **kw)
+        .to_pandas()
+        .sort_values(["conv_id", "ts"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    b = (
+        features_at(rd.from_arrow(t), rd.from_arrow(probes), fused=False, num_partitions=6)
+        .to_pandas()
+        .sort_values(["conv_id", "ts"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    assert len(a) == len(b) == probes.num_rows
+    common = [c for c in a.columns if c in set(b.columns)]
+    assert any(c.startswith("matched_slide") for c in common)
+    for c in common:
+        av, bv = a[c], b[c]
+        if av.dtype.kind == "f" or bv.dtype.kind == "f":
+            av, bv = av.astype(float), bv.astype(float)
+            assert av.isna().equals(bv.isna()), c
+            np.testing.assert_allclose(av.fillna(0), bv.fillna(0), rtol=0, atol=0, err_msg=c)
+        else:
+            assert av.tolist() == bv.tolist(), c
