@@ -195,6 +195,18 @@ def adc_distances(codes: np.ndarray, table: np.ndarray, ks: int) -> np.ndarray:
     return table[np.arange(m)[None, :], ids].sum(axis=1)
 
 
+def adc_distances_multi(codes: np.ndarray, tables: np.ndarray, ks: int) -> np.ndarray:
+    """ADC for a whole QUERY BATCH at once: ``tables`` is (nq, m, ks)
+    (one per query), ``codes`` is (n, m); returns (nq, n) distances.
+    One (nq, n) gather per subquantizer — no per-query rescans."""
+    ids = pq_code_ids(codes, ks)  # (n, m)
+    nq, m, _ = tables.shape
+    out = np.zeros((nq, len(ids)), dtype=np.float64)
+    for j in range(m):
+        out += tables[:, j, ids[:, j]]
+    return out
+
+
 def sdc_tables(model: PQModel) -> np.ndarray:
     """(m, ks, ks) symmetric centroid-to-centroid squared distances
     (PQ.java:334-374)."""

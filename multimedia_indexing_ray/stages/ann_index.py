@@ -43,9 +43,41 @@ LID = "lid"
 CODE = "code"
 
 
-def _sample_matrix(ds: "ray.data.Dataset", vec_col: str, sample_size: int) -> np.ndarray:
-    """Prefix sample for quantizer learning (K9 — the reference learns on
-    the first n vectors, `visual/quantization/ProductQuantizationLearning.java:225-244`)."""
+def _sample_matrix(
+    ds: "ray.data.Dataset", vec_col: str, sample_size: int, id_col: Optional[str] = None
+) -> np.ndarray:
+    """Sample for quantizer learning.
+
+    With ``id_col``: a seeded CONTENT-HASH sample — each row is kept iff
+    ``stable_hash(id) < fraction`` — pushed into a distributed filter, so
+    the sample is unbiased under ANY data layout.  The reference's prefix
+    sample (`ProductQuantizationLearning.java:225-244`, K9) is biased on
+    clustered/sorted data (the first blocks see one region of the space);
+    kept as the fallback when no id column is available."""
+    if id_col is not None:
+        from multimedia_indexing_ray.stages.partition import stable_hash
+
+        total = ds.count()
+        if not total:
+            raise ValueError("cannot build an ANN index from zero vectors")
+        # 2x oversample so the hash draw ~never lands under sample_size
+        frac = min(1.0, (2.0 * sample_size) / total)
+        thresh = np.uint64(min(int(frac * 2**64), 2**64 - 1))
+
+        def _filt(batch: pa.Table) -> pa.Table:
+            h = stable_hash(batch[id_col].to_numpy())
+            return batch.filter(pa.array(h <= thresh))
+
+        picked = ds.map_batches(_filt, batch_format="pyarrow").take_all()
+        if picked:
+            t = pa.Table.from_pylist(picked)
+            mat = _batch_matrix(t, vec_col)
+            # deterministic under any partitioning: order by (hash, id)
+            ids = t[id_col].to_numpy()
+            h = stable_hash(ids)
+            order = np.lexsort((ids, h))[:sample_size]
+            return mat[order]
+        # pathological hash draw (tiny data): fall through to prefix
     out, tot = [], 0
     for batch in ds.iter_batches(batch_size=min(sample_size, 4096), batch_format="pyarrow"):
         out.append(_batch_matrix(batch, vec_col))
@@ -124,7 +156,7 @@ def build_ann_index(
     manifest dict."""
     if kind not in ("ivf", "pq", "ivfpq"):
         raise ValueError(kind)
-    smp = _sample_matrix(ds, vec_col, sample_size)
+    smp = _sample_matrix(ds, vec_col, sample_size, id_col=id_col)
     dim = smp.shape[1]
     coarse = pq_model = None
     if kind in ("ivf", "ivfpq"):
@@ -357,6 +389,34 @@ def _probed_paths(index_dir: str, manifest: dict, lists) -> "list[str]":
     return paths
 
 
+def _topk_rows(qi, ids, key, k):
+    """Per-query partial top-k over a (nq, n) key matrix (smaller = better;
+    np.inf = excluded).  One argpartition for the whole query batch, then
+    an EXACT (key, id) tie-rule lexsort restricted to each row's <= k-ish
+    survivors — never a per-query full-batch rescan/sort."""
+    out_q, out_n, out_s = [], [], []
+    n = key.shape[1]
+    if n == 0 or len(qi) == 0:
+        return out_q, out_n, out_s
+    kk = min(k, n)
+    part = np.argpartition(key, kk - 1, axis=1)[:, :kk]
+    thresh = np.take_along_axis(key, part, axis=1).max(axis=1)  # worst kept
+    for row in range(len(qi)):
+        # boundary ties included so the (key, id) rule picks the same
+        # winners as a full sort; rows with < kk finite entries get
+        # thresh = inf and fall back to every finite candidate
+        cand = np.flatnonzero(np.isfinite(key[row]) & (key[row] <= thresh[row]))
+        if len(cand) == 0:
+            continue
+        kr = min(k, len(cand))
+        order = np.lexsort((ids[cand], key[row, cand]))[:kr]
+        top = cand[order]
+        out_q.append(np.full(kr, qi[row], dtype=np.int64))
+        out_n.append(ids[top])
+        out_s.append(key[row, top])
+    return out_q, out_n, out_s
+
+
 def _empty_result() -> pa.Table:
     return pa.table(
         {
@@ -386,52 +446,49 @@ def ann_search(
     q_ids = np.asarray(queries[0], dtype=np.int64)
     q_mat = np.asarray(queries[1], dtype=np.float64)
 
+    n_lists = manifest["n_lists"]
     if coarse is not None:
         if probe is None:
-            probe = max(1, manifest["n_lists"] // 10)  # IVFPQ.java:188 default w
-        probe = min(probe, manifest["n_lists"])
+            probe = max(1, n_lists // 10)  # IVFPQ.java:188 default w
+        probe = min(probe, n_lists)
         qd = ((q_mat[:, None, :] - coarse[None, :, :]) ** 2).sum(axis=2)
         probed = np.argsort(qd, axis=1)[:, :probe]  # (nq, probe)
+        # (nq, n_lists) membership — one row gather per batch replaces the
+        # old per-query np.isin rescan of every batch
+        pmask = np.zeros((len(q_ids), n_lists), dtype=bool)
+        np.put_along_axis(pmask, probed, True, axis=1)
         union = sorted(set(int(v) for v in probed.ravel()))
     else:
-        probed = None
+        probed = pmask = None
         union = [0]
 
     paths = _probed_paths(index_dir, manifest, union)
     if not paths:
         return ray.data.from_arrow(_empty_result())
     ds = ray.data.read_parquet(paths)
+    id_col = manifest["id_col"]
 
     if kind == "ivf":
-        ref = ray.put((q_ids, _unit(q_mat), probed))
-        vec_col, id_col = manifest["vec_col"], manifest["id_col"]
+        ref = ray.put((q_ids, _unit(q_mat), pmask))
+        vec_col = manifest["vec_col"]
 
         def _partial(batch: pa.Table) -> pa.Table:
-            qi, qmu, pr = ray.get(ref)
+            qi, qmu, pm = ray.get(ref)
             mat = _unit(_batch_matrix(batch, vec_col))
             ids = batch[id_col].to_numpy()
             lids = batch[LID].to_numpy()
-            sims = qmu @ mat.T
-            out_q, out_n, out_s = [], [], []
-            for row, qid in enumerate(qi):
-                mask = np.isin(lids, pr[row]) if pr is not None else np.ones(len(ids), bool)
-                if exclude_self:
-                    mask &= ids != qid
-                cand = np.flatnonzero(mask)
-                if len(cand) == 0:
-                    continue
-                s = sims[row, cand]
-                kk = min(k, len(cand))
-                top = cand[np.lexsort((ids[cand], -s))[:kk]]
-                out_q.append(np.full(kk, qid, dtype=np.int64))
-                out_n.append(ids[top])
-                out_s.append(sims[row, top])
-            return _pack(out_q, out_n, out_s, "cos_sim")
+            key = -(qmu @ mat.T)  # smaller = better
+            if pm is not None:
+                key[~pm[:, lids]] = np.inf
+            if exclude_self:
+                key[qi[:, None] == ids[None, :]] = np.inf
+            out_q, out_n, out_s = _topk_rows(qi, ids, key, k)
+            return _pack(out_q, out_n, [-s for s in out_s], "cos_sim")
 
         candidates = ds.map_batches(_partial, batch_format="pyarrow")
         return _topk_merge(candidates, k, "cos_sim", ascending=False)
 
-    # pq / ivfpq: ADC over stored codes, per-(query, probed list) tables
+    # pq: ADC over stored codes — the whole query batch in one gather pass
     if kind == "pq":
         tabs = np.stack([pqf.adc_table(q, pq_model) for q in q_mat])  # (nq, m, ks)
         ref = ray.put((q_ids, tabs, pq_model.ks))
@@ -439,57 +496,52 @@ def ann_search(
         def _partial(batch: pa.Table) -> pa.Table:
             qi, tb, ks = ray.get(ref)
             codes = _codes_matrix(batch[CODE])
-            ids = batch[manifest["id_col"]].to_numpy()
-            out_q, out_n, out_s = [], [], []
-            for row, qid in enumerate(qi):
-                d = pqf.adc_distances(codes, tb[row], ks)
-                mask = ids != qid if exclude_self else np.ones(len(ids), bool)
-                cand = np.flatnonzero(mask)
-                if len(cand) == 0:
-                    continue
-                kk = min(k, len(cand))
-                top = cand[np.lexsort((ids[cand], d[cand]))[:kk]]
-                out_q.append(np.full(kk, qid, dtype=np.int64))
-                out_n.append(ids[top])
-                out_s.append(d[top])
-            return _pack(out_q, out_n, out_s, "adc_dist")
+            ids = batch[id_col].to_numpy()
+            key = pqf.adc_distances_multi(codes, tb, ks)  # (nq, n)
+            if exclude_self:
+                key[qi[:, None] == ids[None, :]] = np.inf
+            return _pack(*_topk_rows(qi, ids, key, k), "adc_dist")
 
         candidates = ds.map_batches(_partial, batch_format="pyarrow")
         return _topk_merge(candidates, k, "adc_dist", ascending=True)
 
-    # ivfpq: residual tables per (query, probed list), IVFPQ.java:408-450
+    # ivfpq: residual tables per (query, probed list), IVFPQ.java:408-450.
+    # wpos[q, l] = position of list l in query q's probe order (-1 = not
+    # probed): the batch is processed per PRESENT LIST with all of that
+    # list's queries at once, not per query over the whole batch.
     tabs = np.stack(
         [
             np.stack([pqf.adc_table(coarse[lst] - q, pq_model) for lst in probed[i]])
             for i, q in enumerate(q_mat)
         ]
     )  # (nq, probe, m, ks)
-    ref = ray.put((q_ids, probed, tabs, pq_model.ks))
+    wpos = np.full((len(q_ids), n_lists), -1, dtype=np.int64)
+    np.put_along_axis(wpos, probed, np.arange(probed.shape[1])[None, :], axis=1)
+    ref = ray.put((q_ids, wpos, tabs, pq_model.ks))
 
     def _partial(batch: pa.Table) -> pa.Table:
-        qi, pr, tb, ks = ray.get(ref)
+        qi, wp, tb, ks = ray.get(ref)
         codes = _codes_matrix(batch[CODE])
-        ids = batch[manifest["id_col"]].to_numpy()
+        ids = batch[id_col].to_numpy()
         lids = batch[LID].to_numpy()
-        out_q, out_n, out_s = [], [], []
-        for row, qid in enumerate(qi):
-            best_d, best_i = [], []
-            for w, lst in enumerate(pr[row]):
-                sel = np.flatnonzero((lids == lst) & ((ids != qid) if exclude_self else True))
-                if len(sel) == 0:
-                    continue
-                best_d.append(pqf.adc_distances(codes[sel], tb[row, w], ks))
-                best_i.append(sel)
-            if not best_d:
+        nq = len(qi)
+        # group batch rows by list once (sorted slices)
+        order = np.argsort(lids, kind="stable")
+        lid_sorted = lids[order]
+        starts = np.flatnonzero(np.concatenate([[True], lid_sorted[1:] != lid_sorted[:-1]]))
+        ends = np.concatenate([starts[1:], [len(lid_sorted)]])
+        key = np.full((nq, len(ids)), np.inf)
+        for s, e in zip(starts, ends):
+            lst = int(lid_sorted[s])
+            rows = order[s:e]
+            qs = np.flatnonzero(wp[:, lst] >= 0)  # queries probing this list
+            if len(qs) == 0:
                 continue
-            dall = np.concatenate(best_d)
-            iall = np.concatenate(best_i)
-            kk = min(k, len(dall))
-            top = np.lexsort((ids[iall], dall))[:kk]
-            out_q.append(np.full(kk, qid, dtype=np.int64))
-            out_n.append(ids[iall[top]])
-            out_s.append(dall[top])
-        return _pack(out_q, out_n, out_s, "adc_dist")
+            sub = pqf.adc_distances_multi(codes[rows], tb[qs, wp[qs, lst]], ks)
+            key[np.ix_(qs, rows)] = sub
+        if exclude_self:
+            key[qi[:, None] == ids[None, :]] = np.inf
+        return _pack(*_topk_rows(qi, ids, key, k), "adc_dist")
 
     candidates = ds.map_batches(_partial, batch_format="pyarrow")
     return _topk_merge(candidates, k, "adc_dist", ascending=True)

@@ -140,3 +140,62 @@ def test_reindex_ivf_to_ivfpq(indexes, brute, tmp_path):
     assert man["kind"] == "ivfpq"
     res = ann_search(out, _queries(), k=5, probe=8).to_pandas()
     assert _recall(res, brute) >= 0.8
+
+
+def test_hash_sample_unbiased_on_clustered_layout(ray_session, tmp_path):
+    """Adversarial fixture: vectors SORTED by cluster.  A prefix sample
+    (the reference's ProductQuantizationLearning.java:225-244 bias) sees
+    only the first cluster; the seeded content-hash sample must cover all
+    clusters so the coarse quantizer separates them."""
+    import pyarrow as pa
+
+    from multimedia_indexing_ray.stages.ann_index import _sample_matrix
+
+    rng = np.random.default_rng(3)
+    centers = rng.normal(size=(6, 16)) * 10
+    mats = [c + rng.normal(scale=0.05, size=(400, 16)) for c in centers]
+    mat = np.concatenate(mats)  # sorted by cluster: prefix = cluster 0 only
+    ids = np.arange(len(mat), dtype=np.int64)
+    t = pa.table(
+        {
+            "vec_id": pa.array(ids),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(mat.reshape(-1), pa.float64()), 16
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(8)
+
+    def spread(sample):
+        # nearest true center per sampled point -> #distinct clusters hit
+        d = ((sample[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+        return len(np.unique(d.argmin(axis=1)))
+
+    prefix = _sample_matrix(ds, "embedding", 300, id_col=None)
+    hashed = _sample_matrix(ds, "embedding", 300, id_col="vec_id")
+    assert len(hashed) == 300
+    assert spread(prefix) <= 2  # the biased baseline really is biased
+    assert spread(hashed) == 6
+    # determinism under a different partitioning
+    hashed2 = _sample_matrix(ds.repartition(3), "embedding", 300, id_col="vec_id")
+    np.testing.assert_array_equal(hashed, hashed2)
+
+
+def test_ann_search_large_query_batch(indexes, brute):
+    """The probe kernel must handle a large query batch without a
+    per-query rescan blowup, and the full-probe large batch must still
+    equal exact kNN per query."""
+    t = papq.read_table(EMB, columns=["vec_id", "embedding"])
+    n = min(200, t.num_rows)
+    ids = t["vec_id"].to_numpy()[:n]
+    mat = np.stack([np.asarray(v, dtype=np.float64) for v in t["embedding"].to_pylist()[:n]])
+    res = ann_search(indexes["ivf"], (ids, mat), k=5, probe=8).to_pandas()
+    assert sorted(res["query_id"].unique()) == sorted(ids)
+    exact = (
+        brute_force_knn(_emb_ds(), (ids, mat), "embedding", "vec_id", k=5)
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    got = res.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert got["neighbor_id"].tolist() == exact["neighbor_id"].tolist()
