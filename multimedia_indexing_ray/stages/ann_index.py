@@ -105,15 +105,21 @@ def _codes_matrix(col: "pa.ChunkedArray") -> np.ndarray:
 class _Encoder:
     """Actor-pool stage: assign list id + (optionally) PQ-encode a batch.
 
-    Model passed BY VALUE in the constructor (it is small: coarse
-    centroids + PQ codebooks, ~100s of KB) — an ObjectRef constructor arg
-    would make actor restarts unrecoverable if the ref is lost
-    (ray#53727); ST1-ST3 singleton pattern,
+    The model is LOADED FROM the artifact's model.npz in ``__init__``
+    (once per actor) rather than passed as a constructor arg: args over
+    ~100 KB land in the object store, and object-store constructor args
+    make actor restarts unrecoverable if the ref is lost (ray#53727).
+    The artifact dir must be on storage every node can read — the same
+    assumption the query path's partition-pruned reads already make.
+    ST1-ST3 singleton pattern,
     `visual/vectorization/ImageVectorization.java:52-65`."""
 
-    def __init__(self, coarse, pq_model, kind: str, vec_col: str, id_col: str):
-        self.coarse = coarse
-        self.pq_model = pq_model
+    def __init__(self, model_path: str, kind: str, vec_col: str, id_col: str):
+        npz = np.load(model_path)
+        self.coarse = npz["coarse"] if "coarse" in npz else None
+        self.pq_model = (
+            pqf.PQModel(centroids=npz["codebooks"]) if "codebooks" in npz else None
+        )
         self.kind = kind
         self.vec_col = vec_col
         self.id_col = id_col
@@ -262,11 +268,22 @@ def _append_segment_locked(ds, out_dir, manifest, coarse, pq_model, concurrency)
         shutil.rmtree(seg_dir)
     enc = ds.map_batches(
         _Encoder,
-        fn_constructor_args=(coarse, pq_model, manifest["kind"], manifest["vec_col"], manifest["id_col"]),
+        fn_constructor_args=(
+            os.path.join(out_dir, "model.npz"),
+            manifest["kind"],
+            manifest["vec_col"],
+            manifest["id_col"],
+        ),
         batch_format="pyarrow",
         # autoscaling pool: a FIXED pool the size of the cluster would
         # pin every CPU on idle actors and starve the read/write tasks
         concurrency=concurrency or (1, 4),
+        # the package is registered pickle-by-value, so the actor's
+        # constructor payload always exceeds Ray's inline cap and lands in
+        # the object store; with max_restarts > 0 a lost payload makes
+        # restarts unrecoverable (ray#53727).  State rebuilds from
+        # model.npz anyway, so let the pool replace dead actors instead.
+        max_restarts=0,
     )
     enc.write_parquet(seg_dir, partition_cols=["list_id"])
     n_rows = sum(

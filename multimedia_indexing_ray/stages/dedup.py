@@ -295,6 +295,156 @@ def minhash_lsh_pairs(
     return dedup_by_key(pairs, ["a_id", "b_id"], ["est_jaccard"], num_partitions)
 
 
+def exact_jaccard_verify(
+    pairs: "ray.data.Dataset",
+    docs: "ray.data.Dataset",
+    text_col: str,
+    id_col: str,
+    shingle_k: int = 3,
+    threshold: float = 0.8,
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+) -> "ray.data.Dataset":
+    """EXACT-Jaccard verification of candidate pairs (a_id, b_id) against
+    the corpus — the standard second stage after MinHash-LSH candidate
+    generation, so the final pair set is oracle-checkable (all-pairs SQL)
+    while only O(candidates) shingle sets ever move.
+
+    Two slim shuffles: (1) pair sides + doc shingle sets co-partition on
+    doc id to attach each side's set; (2) sides co-partition on the pair
+    key to compute |a∩b| / |a∪b| exactly.  Never ships text; never
+    touches docs that are in no candidate pair beyond the stateless
+    shingling pass."""
+    sk = docs.map_batches(
+        ShingleAnchor(text_col, id_col, shingle_k), batch_format="pyarrow", concurrency=2
+    )
+
+    def _melt(batch: pa.Table) -> pa.Table:
+        a = batch["a_id"].to_numpy()
+        b = batch["b_id"].to_numpy()
+        return pa.table(
+            {
+                "doc": pa.array(np.concatenate([a, b]), pa.int64()),
+                "pa_id": pa.array(np.concatenate([a, a]), pa.int64()),
+                "pb_id": pa.array(np.concatenate([b, b]), pa.int64()),
+                "side": pa.array(
+                    np.concatenate(
+                        [np.zeros(len(a), np.int8), np.ones(len(b), np.int8)]
+                    )
+                ),
+                "sh": pa.nulls(2 * len(a), pa.list_(pa.string())),
+            }
+        )
+
+    def _docs_side(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "doc": batch[id_col].cast(pa.int64()),
+                "pa_id": pa.nulls(n, pa.int64()),
+                "pb_id": pa.nulls(n, pa.int64()),
+                "side": pa.array(np.full(n, 2, np.int8)),
+                "sh": batch["sh"],
+            }
+        )
+
+    melted = pairs.map_batches(_melt, batch_format="pyarrow")
+    union1 = melted.union(sk.map_batches(_docs_side, batch_format="pyarrow"))
+
+    def _attach(table: pa.Table) -> pa.Table:
+        side = table["side"].to_numpy()
+        doc = table["doc"].to_numpy()
+        is_doc = side == 2
+        # map doc id -> its shingle list offset (docs unique per id)
+        d_ids = doc[is_doc]
+        order = np.argsort(d_ids)
+        sh_col = table["sh"].combine_chunks()
+        doc_rows = np.flatnonzero(is_doc)
+        need = np.flatnonzero(~is_doc)
+        if len(need) == 0 or len(d_ids) == 0:
+            return pa.table(
+                {
+                    "pa_id": pa.array([], pa.int64()),
+                    "pb_id": pa.array([], pa.int64()),
+                    "side": pa.array([], pa.int8()),
+                    "sh": pa.array([], pa.list_(pa.string())),
+                }
+            )
+        pos = np.searchsorted(d_ids[order], doc[need])
+        pos = np.clip(pos, 0, len(d_ids) - 1)
+        ok = d_ids[order][pos] == doc[need]
+        src = doc_rows[order[pos[ok]]]
+        keep = need[ok]
+        t_keep = table.take(pa.array(keep))
+        return pa.table(
+            {
+                "pa_id": t_keep["pa_id"],
+                "pb_id": t_keep["pb_id"],
+                "side": t_keep["side"],
+                "sh": sh_col.take(pa.array(src)),
+            }
+        )
+
+    attached = map_partitions_by_key(union1, "doc", _attach, num_partitions)
+
+    def _pair_key(batch: pa.Table) -> pa.Table:
+        h = stable_hash(batch["pa_id"].to_numpy()) * np.uint64(1000003) ^ stable_hash(
+            batch["pb_id"].to_numpy()
+        )
+        return batch.append_column("__pkey", pa.array(h.astype(np.int64)))
+
+    def _verify(table: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "a_id": pa.array([], pa.int64()),
+                "b_id": pa.array([], pa.int64()),
+                "jaccard": pa.array([], pa.float64()),
+            }
+        )
+        if table.num_rows == 0:
+            return empty
+        t = table.take(
+            pc.sort_indices(
+                table,
+                sort_keys=[("pa_id", "ascending"), ("pb_id", "ascending"), ("side", "ascending")],
+            )
+        )
+        a = t["pa_id"].to_numpy()
+        b = t["pb_id"].to_numpy()
+        side = t["side"].to_numpy()
+        sets = t["sh"].to_pylist()
+        starts = np.flatnonzero(
+            np.concatenate([[True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])])
+        )
+        ends = np.concatenate([starts[1:], [len(a)]])
+        a_out, b_out, j_out = [], [], []
+        for s, e in zip(starts, ends):
+            if e - s != 2 or side[s] == side[s + 1]:
+                continue  # a side's doc was missing (no shingles) -> drop
+            sa, sb = set(sets[s]), set(sets[s + 1])
+            union = len(sa | sb)
+            jac = len(sa & sb) / union if union else 1.0
+            if jac >= threshold:
+                a_out.append(int(a[s]))
+                b_out.append(int(b[s]))
+                j_out.append(jac)
+        if not a_out:
+            return empty
+        return pa.table(
+            {
+                "a_id": pa.array(a_out, pa.int64()),
+                "b_id": pa.array(b_out, pa.int64()),
+                "jaccard": pa.array(j_out, pa.float64()),
+            }
+        )
+
+    return map_partitions_by_key(
+        attached.map_batches(_pair_key, batch_format="pyarrow"),
+        "__pkey",
+        _verify,
+        num_partitions,
+    )
+
+
 class SimHasher:
     """Actor-pool stage computing 64-bit SimHash per document —
     vectorized over the whole batch (Arrow tokenizer + FNV hashing +

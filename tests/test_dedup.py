@@ -209,3 +209,46 @@ def test_minhash_planted_skew_bucket_completes(ray_session):
     assert pair in got
     # nothing from the capped degenerate bucket
     assert all(a >= n_skew for a, _ in got)
+
+
+def test_exact_jaccard_verify_rejects_and_keeps(ray_session):
+    """Candidates -> exact-Jaccard verify: a true near-dup pair passes
+    with its EXACT jaccard value; a below-threshold candidate pair is
+    rejected even though LSH proposed it."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from multimedia_indexing_ray.stages.dedup import exact_jaccard_verify
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(
+                [
+                    "alpha beta gamma delta epsilon zeta",
+                    "alpha beta gamma delta epsilon eta",  # near-dup of 1
+                    "one two three four five six",
+                    "completely different words here now",
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    cands = pa.table(
+        {
+            "a_id": pa.array([1, 3], pa.int64()),
+            "b_id": pa.array([2, 4], pa.int64()),
+        }
+    )
+    out = (
+        exact_jaccard_verify(
+            rd.from_arrow(cands), rd.from_arrow(docs), "text", "doc_id",
+            threshold=0.3, num_partitions=4,
+        )
+        .to_pandas()
+        .sort_values(["a_id", "b_id"])
+        .reset_index(drop=True)
+    )
+    assert out[["a_id", "b_id"]].values.tolist() == [[1, 2]]
+    # shingles(1): {a b g, b g d, g d e, d e z}; shingles(2): same first 3 + {d e eta}
+    assert abs(out["jaccard"][0] - 3 / 5) < 1e-15
