@@ -619,9 +619,14 @@ def anchor_jaccard_pairs(
     SQL-oracled, and a cap would silently drop pairs the oracle computes.
     Pass a cap only for uncurated corpora where mass-duplicate anchors
     are expected AND oracle parity is not required (run exact dedup
-    first instead where possible)."""
-    from itertools import combinations
+    first instead where possible).
 
+    In-block verify is CSR-style, not per-pair Python set ops: shingles
+    are dictionary-encoded per block, co-occurrence pair keys are
+    generated per shingle segment and counted in one ``np.unique`` —
+    intersection sizes for ALL pairs at once; union = |A| + |B| - inter.
+    A mass-duplicate anchor block stays O(b^2) pairs (that IS the exact
+    operator's output complexity) but runs at numpy speed."""
     sk = ds.map_batches(
         ShingleAnchor(text_col, id_col, shingle_k),
         batch_format="pyarrow",
@@ -643,34 +648,54 @@ def anchor_jaccard_pairs(
         )
         ids = t[id_col].to_numpy()
         anchors = t["anchor"].to_numpy(zero_copy_only=False)
-        sets = [set(v) for v in t["sh"].to_pylist()]
+        sh_col = t["sh"].combine_chunks()
+        offsets = sh_col.offsets.to_numpy().astype(np.int64)
+        flat = sh_col.values.to_numpy(zero_copy_only=False)
         starts = np.flatnonzero(np.concatenate([[True], anchors[1:] != anchors[:-1]]))
         ends = np.concatenate([starts[1:], [len(ids)]])
         a_out, b_out, j_out = [], [], []
         dropped = 0
         for s, e in zip(starts, ends):
-            if e - s < 2:
+            b = e - s
+            if b < 2:
                 continue
-            if bucket_cap is not None and e - s > bucket_cap:
+            if bucket_cap is not None and b > bucket_cap:
                 dropped += 1
                 continue
-            for i, j in combinations(range(s, e), 2):
-                inter = len(sets[i] & sets[j])
-                union = len(sets[i] | sets[j])
-                jac = inter / union if union else 1.0
-                if jac > threshold:
-                    a_out.append(int(ids[i]))
-                    b_out.append(int(ids[j]))
-                    j_out.append(jac)
+            sz = offsets[s + 1 : e + 1] - offsets[s:e]  # distinct-shingle count per doc
+            doc_of = np.repeat(np.arange(b, dtype=np.int64), sz)
+            _, sid = np.unique(flat[offsets[s] : offsets[e]], return_inverse=True)
+            order = np.argsort(sid, kind="stable")
+            sid_s, doc_s = sid[order], doc_of[order]
+            seg = np.flatnonzero(np.concatenate([[True], sid_s[1:] != sid_s[:-1]]))
+            seg_end = np.concatenate([seg[1:], [len(sid_s)]])
+            keys = []
+            for ss, ee in zip(seg, seg_end):
+                L = ee - ss
+                if L < 2:
+                    continue
+                dl = np.sort(doc_s[ss:ee])
+                ii, jj = np.triu_indices(L, 1)
+                keys.append(dl[ii] * b + dl[jj])
+            if not keys:
+                continue
+            pk, inter = np.unique(np.concatenate(keys), return_counts=True)
+            i, j = pk // b, pk % b
+            union = sz[i] + sz[j] - inter
+            jac = np.where(union > 0, inter / np.maximum(union, 1), 1.0)
+            m = jac > threshold
+            a_out.append(ids[s + i[m]])
+            b_out.append(ids[s + j[m]])
+            j_out.append(jac[m])
         if dropped:
             logger.warning("anchor_jaccard_pairs: dropped %d oversize blocks (> %d)", dropped, bucket_cap)
         if not a_out:
             return empty
         return pa.table(
             {
-                "a_id": pa.array(a_out, pa.int64()),
-                "b_id": pa.array(b_out, pa.int64()),
-                "jaccard": pa.array(j_out, pa.float64()),
+                "a_id": pa.array(np.concatenate(a_out), pa.int64()),
+                "b_id": pa.array(np.concatenate(b_out), pa.int64()),
+                "jaccard": pa.array(np.concatenate(j_out), pa.float64()),
             }
         )
 

@@ -252,3 +252,56 @@ def test_exact_jaccard_verify_rejects_and_keeps(ray_session):
     assert out[["a_id", "b_id"]].values.tolist() == [[1, 2]]
     # shingles(1): {a b g, b g d, g d e, d e z}; shingles(2): same first 3 + {d e eta}
     assert abs(out["jaccard"][0] - 3 / 5) < 1e-15
+
+
+def test_anchor_jaccard_mass_duplicate_anchor_skew(ray_session):
+    """One anchor shared by hundreds of docs (boilerplate header): the
+    CSR-style in-block verify must return the exact pair set without a
+    per-pair Python blowup; values must match a brute-force check."""
+    import itertools
+    import time
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from multimedia_indexing_ray.stages.dedup import anchor_jaccard_pairs
+
+    rng = np.random.default_rng(5)
+    n = 400
+    # every doc starts with the same boilerplate (shared min-shingle
+    # anchor "AAA AAA AAA"), then differs
+    texts = [
+        "AAA AAA AAA " + " ".join(f"w{rng.integers(0, 50)}" for _ in range(10))
+        for _ in range(n)
+    ]
+    texts[10] = texts[11]  # one exact dup pair
+    docs = pa.table(
+        {"doc_id": pa.array(np.arange(n, dtype=np.int64)), "text": pa.array(texts)}
+    )
+    t0 = time.perf_counter()
+    out = (
+        anchor_jaccard_pairs(
+            rd.from_arrow(docs), "text", "doc_id", threshold=0.6, num_partitions=4
+        )
+        .to_pandas()
+        .sort_values(["a_id", "b_id"])
+        .reset_index(drop=True)
+    )
+    elapsed = time.perf_counter() - t0
+
+    # brute-force truth over the 79800 pairs
+    def shset(tx):
+        toks = tx.split()
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    sets = [shset(tx) for tx in texts]
+    truth = []
+    for i, j in itertools.combinations(range(n), 2):
+        inter = len(sets[i] & sets[j])
+        jac = inter / len(sets[i] | sets[j])
+        if jac > 0.6:
+            truth.append((i, j, jac))
+    assert [[a, b] for a, b, _ in truth] == out[["a_id", "b_id"]].values.tolist()
+    np.testing.assert_allclose(out["jaccard"].to_numpy(), [j for _, _, j in truth], rtol=0, atol=0)
+    assert (10, 11) in {(a, b) for a, b, _ in truth}
+    assert elapsed < 60  # numpy-speed, not per-pair Python set ops
