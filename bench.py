@@ -47,10 +47,19 @@ BENCH_QUERIES = [
     "region_revenue",
     "dedup_exact_docs",
     "knn_cosine",
-    "minhash_dedup_docs",
+    "minhash_dedup_docs",  # LSH candidates + exact-Jaccard verify
     "ngram_jaccard_pairs",
-    "ivfpq_knn_l2",  # first call includes the one-time index build
+    "ivfpq_knn_l2",  # WARM probe against the prebuilt artifact (build timed separately)
 ]
+
+# Per-query shuffle strategy, interleaved-A/B measured (2026-08-17, 32
+# cpus, sf0.1): push-based shuffle wins on the big exchanges (flagship
+# 12.1-12.9s vs 17.6-19.4s sort; region_revenue 3.35 vs 3.53) but its
+# fixed setup cost makes the small single-shuffle queries slightly slower
+# and noisier (sessionize 1.16 vs 1.10, asof 2.89 vs 2.62, minhash 5.86
+# vs 5.64) — the round-2 driver-bench sessionize regression was push
+# overhead + window noise.  Default sort for queries, push where it wins.
+PUSH_QUERIES = {"region_revenue", "ngram_jaccard_pairs"}
 
 
 _TIER_VERSION = "bench-v3-350k"  # per-tier marker content
@@ -143,21 +152,35 @@ def run_serving() -> dict:
 
     probes = probe_src.map_batches(_mk, batch_format="pyarrow")
     t0 = time.perf_counter()
-    n = features_at(tdir, probes, num_partitions=NUM_PARTITIONS).count()
+    # split_hot: probes routed into hot-conversation chunks (the bench
+    # table has 3 x 50k-turn hot conversations) — the serving config that
+    # survives a mega-conversation at scale
+    n = features_at(tdir, probes, num_partitions=NUM_PARTITIONS, split_hot=True).count()
     sec = time.perf_counter() - t0
     return {"probes": n, "sec": round(sec, 3), "probes_per_sec": round(n / sec, 1)}
 
 
 def run_queries() -> dict:
-    from multimedia_indexing_ray.pipelines.queries import REGISTRY
+    from ray.data import DataContext
 
+    from multimedia_indexing_ray.pipelines.queries import REGISTRY, _ensure_ann_index
+
+    ctx = DataContext.get_current()
     out = {}
+    # build-once/query-many: the ivfpq artifact build is the reference's
+    # one-time index construction — report it separately so the query
+    # number reflects the warm probe the artifact exists for
+    t0 = time.perf_counter()
+    _ensure_ann_index(SF_DIR, "ivfpq")
+    out["ivfpq_build_cold"] = round(time.perf_counter() - t0, 3)
     for name in BENCH_QUERIES:
+        ctx.use_push_based_shuffle = name in PUSH_QUERIES
         t0 = time.perf_counter()
         res = REGISTRY[name].fn(SF_DIR)
         if hasattr(res, "to_pandas"):  # Dataset or pyarrow Table: materialize
             res.to_pandas()
         out[name] = round(time.perf_counter() - t0, 3)
+    ctx.use_push_based_shuffle = os.environ.get("GRAFT_SHUFFLE", "push") == "push"
     return out
 
 

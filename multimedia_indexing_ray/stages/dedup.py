@@ -303,17 +303,95 @@ def exact_jaccard_verify(
     shingle_k: int = 3,
     threshold: float = 0.8,
     num_partitions: int = DEFAULT_NUM_PARTITIONS,
+    max_broadcast_ids: int = 5_000_000,
 ) -> "ray.data.Dataset":
     """EXACT-Jaccard verification of candidate pairs (a_id, b_id) against
     the corpus — the standard second stage after MinHash-LSH candidate
     generation, so the final pair set is oracle-checkable (all-pairs SQL)
     while only O(candidates) shingle sets ever move.
 
-    Two slim shuffles: (1) pair sides + doc shingle sets co-partition on
-    doc id to attach each side's set; (2) sides co-partition on the pair
-    key to compute |a∩b| / |a∪b| exactly.  Never ships text; never
-    touches docs that are in no candidate pair beyond the stateless
-    shingling pass."""
+    When the candidate id set is small (<= ``max_broadcast_ids``, the
+    normal dedup case: candidates << corpus) it is broadcast as an
+    ``is_in`` filter so only candidate docs are even SHINGLED; otherwise
+    every doc is shingled and the join prunes (same result).
+
+    Two slim shuffles after that: (1) pair sides + doc shingle sets
+    co-partition on doc id to attach each side's set; (2) sides
+    co-partition on the pair key to compute |a∩b| / |a∪b| exactly.
+    Never ships text."""
+    pairs = pairs.materialize()  # consumed twice (id broadcast + melt)
+    n_pairs = pairs.count()
+    if 2 * n_pairs <= max_broadcast_ids:
+        import pyarrow.compute as _pc
+
+        pdf = pairs.to_pandas()
+        need = pa.array(
+            np.unique(np.concatenate([pdf["a_id"].to_numpy(), pdf["b_id"].to_numpy()]))
+            .astype(np.int64)
+            if len(pdf)
+            else np.array([], np.int64)
+        )
+
+        def _prune(batch: pa.Table) -> pa.Table:
+            return batch.filter(_pc.is_in(batch[id_col], value_set=need))
+
+        docs = docs.map_batches(_prune, batch_format="pyarrow")
+        # fast path: candidate docs' shingle sets fit on the driver (they
+        # are bounded by the candidate count, not the corpus), so the two
+        # fixed-cost exchanges below collapse to one distributed shingling
+        # pass + a vectorized driver-side intersect
+        a_ids = pdf["a_id"].to_numpy()
+        b_ids = pdf["b_id"].to_numpy()
+        sk_small = docs.map_batches(
+            ShingleAnchor(text_col, id_col, shingle_k), batch_format="pyarrow", concurrency=2
+        )
+        tabs = [b for b in sk_small.iter_batches(batch_size=None, batch_format="pyarrow")]
+        empty = pa.table(
+            {
+                "a_id": pa.array([], pa.int64()),
+                "b_id": pa.array([], pa.int64()),
+                "jaccard": pa.array([], pa.float64()),
+            }
+        )
+        if not tabs or n_pairs == 0:
+            return ray.data.from_arrow(empty)
+        sk_t = pa.concat_tables([t.select([id_col, "sh"]) for t in tabs])
+        d_ids = sk_t[id_col].to_numpy()
+        sh_col = sk_t["sh"].combine_chunks()
+        offs = sh_col.offsets.to_numpy().astype(np.int64)
+        _, sid = np.unique(sh_col.values.to_numpy(zero_copy_only=False), return_inverse=True)
+        dorder = np.argsort(d_ids)
+        ds_sorted = d_ids[dorder]
+        pos_a = np.searchsorted(ds_sorted, a_ids)
+        pos_b = np.searchsorted(ds_sorted, b_ids)
+        ok = (
+            (pos_a < len(ds_sorted)) & (pos_b < len(ds_sorted))
+            & (ds_sorted[np.clip(pos_a, 0, len(ds_sorted) - 1)] == a_ids)
+            & (ds_sorted[np.clip(pos_b, 0, len(ds_sorted) - 1)] == b_ids)
+        )
+        sets = [np.sort(sid[offs[i] : offs[i + 1]]) for i in range(len(d_ids))]
+        a_out, b_out, j_out = [], [], []
+        for r in np.flatnonzero(ok):
+            sa = sets[dorder[pos_a[r]]]
+            sb = sets[dorder[pos_b[r]]]
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            union = len(sa) + len(sb) - inter
+            jac = inter / union if union else 1.0
+            if jac >= threshold:
+                a_out.append(int(a_ids[r]))
+                b_out.append(int(b_ids[r]))
+                j_out.append(jac)
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "a_id": pa.array(a_out, pa.int64()),
+                    "b_id": pa.array(b_out, pa.int64()),
+                    "jaccard": pa.array(j_out, pa.float64()),
+                }
+            )
+            if a_out
+            else empty
+        )
     sk = docs.map_batches(
         ShingleAnchor(text_col, id_col, shingle_k), batch_format="pyarrow", concurrency=2
     )

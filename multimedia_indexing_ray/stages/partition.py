@@ -67,7 +67,10 @@ def add_partition_column(
     keys = [key] if isinstance(key, str) else list(key)
 
     def _add(batch: pa.Table) -> pa.Table:
-        return batch.append_column(
+        # strip schema metadata before the exchange: the source parquet
+        # files carry a pandas metadata dict, which is unhashable and
+        # defeats Ray's shuffle schema dedup (one warning per reduce task)
+        return batch.replace_schema_metadata(None).append_column(
             PART_COL, pa.array(multi_key_partition_ids(batch, keys, num_partitions))
         )
 

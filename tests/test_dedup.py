@@ -240,18 +240,20 @@ def test_exact_jaccard_verify_rejects_and_keeps(ray_session):
             "b_id": pa.array([2, 4], pa.int64()),
         }
     )
-    out = (
-        exact_jaccard_verify(
-            rd.from_arrow(cands), rd.from_arrow(docs), "text", "doc_id",
-            threshold=0.3, num_partitions=4,
+    # both paths: driver-side fast path and the distributed 2-shuffle path
+    for max_bcast in (5_000_000, 0):
+        out = (
+            exact_jaccard_verify(
+                rd.from_arrow(cands), rd.from_arrow(docs), "text", "doc_id",
+                threshold=0.3, num_partitions=4, max_broadcast_ids=max_bcast,
+            )
+            .to_pandas()
+            .sort_values(["a_id", "b_id"])
+            .reset_index(drop=True)
         )
-        .to_pandas()
-        .sort_values(["a_id", "b_id"])
-        .reset_index(drop=True)
-    )
-    assert out[["a_id", "b_id"]].values.tolist() == [[1, 2]]
-    # shingles(1): {a b g, b g d, g d e, d e z}; shingles(2): same first 3 + {d e eta}
-    assert abs(out["jaccard"][0] - 3 / 5) < 1e-15
+        assert out[["a_id", "b_id"]].values.tolist() == [[1, 2]], max_bcast
+        # shingles(1): {a b g, b g d, g d e, d e z}; shingles(2): 3 shared + {d e eta}
+        assert abs(out["jaccard"][0] - 3 / 5) < 1e-15, max_bcast
 
 
 def test_anchor_jaccard_mass_duplicate_anchor_skew(ray_session):
