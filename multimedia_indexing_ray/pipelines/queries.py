@@ -32,7 +32,7 @@ from ray.data.aggregate import Count, Sum
 from multimedia_indexing_ray.functions import text as tx
 from multimedia_indexing_ray.functions.text import langid
 from multimedia_indexing_ray.sources.transcripts import events_to_transcripts
-from multimedia_indexing_ray.specs import DEFAULT_SPECS
+from multimedia_indexing_ray.specs import DEFAULT_SPECS, FeatureSpecs
 from multimedia_indexing_ray.stages import dedup as dd
 from multimedia_indexing_ray.stages import keyed as kd
 from multimedia_indexing_ray.stages import knn as nn
@@ -1054,6 +1054,36 @@ def _flagship_sql(specs=DEFAULT_SPECS) -> str:
     FROM t3
     WINDOW {win_clause}
     """
+
+
+_NOLEAD_SPECS = FeatureSpecs(
+    sliding=DEFAULT_SPECS.sliding,
+    tumbling=DEFAULT_SPECS.tumbling,
+    session=DEFAULT_SPECS.session,
+    lags=DEFAULT_SPECS.lags,
+    leads=(),  # incremental (streaming) mode cannot see future rows
+    include_base=DEFAULT_SPECS.include_base,
+)
+
+
+@register("incremental_flagship_parity", _flagship_sql(_NOLEAD_SPECS))
+def q_incremental_parity(sf_dir: str):
+    """The INCREMENTAL (streaming) featurizer replaying the event stream
+    in arrival order, equal_ts='batch' visibility — must reproduce the
+    batch flagship SQL bit-for-bit (minus the label-side lead columns,
+    which need future rows).  This is the §2.9 stream/batch-unification
+    check surfaced to the driver (state/incremental.py documents the
+    equal-ts semantics flag)."""
+    from multimedia_indexing_ray.state.incremental import IncrementalFeaturizer
+
+    ev = _rp(sf_dir, "events")
+    t = events_to_transcripts(ev)
+    tbl = pa.concat_tables(
+        list(t.iter_batches(batch_size=None, batch_format="pyarrow"))
+    )
+    # one replay call: equal-(conv, ts) runs arrive intact by construction
+    inc = IncrementalFeaturizer(_NOLEAD_SPECS, equal_ts="batch")
+    return inc.append_batch(tbl)
 
 
 @register("flagship_features", _flagship_sql())

@@ -167,12 +167,133 @@ class ConversationWindowState:
         return out
 
 
+    def append_group(self, ts_us: int, rows: np.ndarray) -> "List[Dict[str, float]]":
+        """Append ALL rows sharing one timestamp with BATCH-kernel
+        semantics (equal-ts rows mutually visible — the batch engine's
+        ts-visibility rule, `functions/window_kernel.py` visible_hi):
+        window/session aggregates are computed once over the whole run
+        and emitted for every row; lags stay positional per row.  Rows
+        must be in (ts, turn_idx) arrival order."""
+        if self.last_ts is not None and ts_us < self.last_ts:
+            raise ValueError("incremental appends must be in nondecreasing ts order")
+        if self.last_ts == ts_us:
+            raise ValueError(
+                "equal-ts run split across appends: batch-visibility mode "
+                "needs the whole run in one call (buffer until the ts advances)"
+            )
+        g = len(rows)
+        gaps = np.zeros(g)
+        gaps[0] = 0.0 if self.last_ts is None else (ts_us - self.last_ts) / _US
+        outs: "List[Dict[str, float]]" = [{} for _ in range(g)]
+        for r in range(g):
+            if self.specs.include_base:
+                o = outs[r]
+                o["text_len"] = float(rows[r][0])
+                o["n_tokens"] = float(rows[r][1])
+                o["gap_s"] = float(gaps[r])
+                for i, name in enumerate(_BASE[2:], start=2):
+                    o[name] = float(rows[r][i])
+            self.ts.append(ts_us)
+            self.feat.append(rows[r])
+            self.gap_s.append(float(gaps[r]))
+        self.last_ts = ts_us
+        self.n_seen += g
+
+        ts_arr = np.asarray(self.ts, dtype=np.int64)
+        fmat = np.stack(self.feat)
+
+        for spec in self.specs.sliding:
+            w = int(spec.width_s * _US)
+            lo = ts_us - w
+            vis = (ts_arr > lo) if spec.closed == "right" else (ts_arr >= lo)
+            vis &= ts_arr <= ts_us  # includes the whole equal-ts run
+            cond = np.array([self._cond_value(spec.condition, rr) for rr in fmat])
+            sel = vis & (cond > 0)
+            cnt = float(sel.sum())
+            stl = float(fmat[sel, _BASE.index("text_len")].sum())
+            stk = float(fmat[sel, _BASE.index("n_tokens")].sum())
+            vals = {
+                f"{spec.name}_count": cnt,
+                f"{spec.name}_sum_text_len": stl,
+                f"{spec.name}_mean_text_len": stl / cnt if cnt else 0.0,
+                f"{spec.name}_sum_n_tokens": stk,
+            }
+            for o in outs:
+                o.update(vals)
+
+        for spec in self.specs.tumbling:
+            st = self.tumb[spec.name]
+            win = (ts_us - TUMBLING_ORIGIN_US) // int(spec.width_s * _US)
+            if st["win"] != win:
+                st["win"] = win
+                st["acc"] = np.zeros(3)
+            for r in range(g):
+                c = self._cond_value(spec.condition, rows[r])
+                if c > 0:
+                    st["acc"] += [
+                        1.0,
+                        rows[r][_BASE.index("text_len")],
+                        rows[r][_BASE.index("n_tokens")],
+                    ]
+            cnt, stl, stk = st["acc"]
+            vals = {
+                f"{spec.name}_count": cnt,
+                f"{spec.name}_sum_text_len": stl,
+                f"{spec.name}_mean_text_len": stl / cnt if cnt else 0.0,
+                f"{spec.name}_sum_n_tokens": stk,
+            }
+            for o in outs:
+                o.update(vals)
+
+        for spec in self.specs.session:
+            st = self.sess[spec.name]
+            if st["idx"] < 0 or gaps[0] > spec.gap_s:
+                st["idx"] += 1
+                st["start_ts"] = ts_us
+                st["count"] = 0.0
+            st["count"] += float(g)
+            vals = {
+                f"{spec.name}_turns_so_far": st["count"],
+                f"{spec.name}_duration_so_far_s": (ts_us - st["start_ts"]) / _US,
+                f"{spec.name}_session_idx": float(st["idx"]),
+            }
+            for o in outs:
+                o.update(vals)
+
+        feats_by_name = {
+            "text_len": [rr[_BASE.index("text_len")] for rr in self.feat],
+            "n_tokens": [rr[_BASE.index("n_tokens")] for rr in self.feat],
+            "gap_s": self.gap_s,
+        }
+        for r in range(g):
+            i_global = self.n_seen - g + r
+            buf_idx = len(self.ts) - g + r
+            for spec in self.specs.lags:
+                j = buf_idx - spec.k
+                if i_global - spec.k < 0:
+                    outs[r][spec.columns[0]] = 0.0
+                elif j >= 0:
+                    outs[r][spec.columns[0]] = float(feats_by_name[spec.feature][j])
+                else:
+                    raise RuntimeError("lag context evicted; raise k_keep")
+        self._evict()
+        return outs
+
+
 class IncrementalFeaturizer:
     """Holds ConversationWindowState per conv; usable directly or as the
     body of a @ray.remote actor shard."""
 
-    def __init__(self, specs: FeatureSpecs = DEFAULT_SPECS):
+    def __init__(self, specs: FeatureSpecs = DEFAULT_SPECS, equal_ts: str = "causal"):
+        """``equal_ts``: how rows sharing one timestamp see each other.
+        "causal" (default) — a row never sees a later-arriving equal-ts
+        row (streaming semantics).  "batch" — equal-ts runs are mutually
+        visible, matching the batch kernel EXACTLY (the run must arrive
+        within one append_batch call; a split run raises)."""
+        if equal_ts not in ("causal", "batch"):
+            raise ValueError(equal_ts)
         self.specs = specs
+        self.equal_ts = equal_ts
         self.states: "Dict[str, ConversationWindowState]" = {}
         # latest computed vector per conversation — the live point-lookup
         # surface (the reference's open-index query loop,
@@ -194,13 +315,28 @@ class IncrementalFeaturizer:
         ts = t["ts"].cast(pa.int64()).to_numpy()
         rows = []
         ti = t["turn_idx"].to_numpy(zero_copy_only=False)
-        for i, cid in enumerate(conv):
+        i = 0
+        n = len(conv)
+        while i < n:
+            cid = conv[i]
             st = self.states.get(cid)
             if st is None:
                 st = self.states[cid] = ConversationWindowState(self.specs)
+            if self.equal_ts == "batch":
+                # whole equal-(conv, ts) run at once, mutually visible
+                j = i + 1
+                while j < n and conv[j] == cid and ts[j] == ts[i]:
+                    j += 1
+                outs = st.append_group(int(ts[i]), fmat[i:j])
+                rows.extend(outs)
+                for r in range(i, j):
+                    self.last[cid] = {"ts": int(ts[r]), "turn_idx": int(ti[r]), **outs[r - i]}
+                i = j
+                continue
             row = st.append(int(ts[i]), fmat[i])
             rows.append(row)
             self.last[cid] = {"ts": int(ts[i]), "turn_idx": int(ti[i]), **row}
+            i += 1
         cols: dict = {
             "conv_id": t["conv_id"],
             "turn_idx": t["turn_idx"],

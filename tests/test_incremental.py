@@ -131,3 +131,45 @@ def test_current_point_lookup(ray_session, smoke_table):
         np.testing.assert_allclose(
             cur["matched_text_len"][i].as_py(), last["text_len"], rtol=0
         )
+
+
+def test_equal_ts_batch_mode_matches_batch_engine(ray_session, smoke_table):
+    """equal_ts='batch': the incremental featurizer replays the WHOLE
+    smoke table (duplicate-ts conversations included) and must equal the
+    batch engine bit-for-bit on every feature column — the unified
+    semantics behind the flag (VERDICT r2 stretch #9)."""
+    import ray.data as rd
+
+    from multimedia_indexing_ray.stages.features import compute_features
+
+    inc = IncrementalFeaturizer(DEFAULT_SPECS, equal_ts="batch")
+    got = (
+        inc.append_batch(smoke_table)
+        .to_pandas()
+        .sort_values(KEYS, kind="mergesort")
+        .reset_index(drop=True)
+    )
+    exp = (
+        compute_features(rd.from_arrow(smoke_table), DEFAULT_SPECS, num_partitions=4)
+        .to_pandas()
+        .sort_values(KEYS, kind="mergesort")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp) == smoke_table.num_rows
+    for c in FEATURES:
+        np.testing.assert_allclose(
+            got[c].to_numpy(), exp[c].to_numpy(), rtol=0, atol=0, err_msg=c
+        )
+
+
+def test_equal_ts_batch_mode_rejects_split_runs():
+    """A duplicate-ts run split across append calls cannot be made
+    mutually visible retroactively — must raise, not silently diverge."""
+    from multimedia_indexing_ray.state.incremental import ConversationWindowState
+
+    st = ConversationWindowState(DEFAULT_SPECS)
+    base = np.array([10.0, 2.0, 1.0, 0.0, 0.0, 0.0, 0.0])
+    t0 = 1_700_000_000_000_000
+    st.append_group(t0, np.stack([base, base]))
+    with pytest.raises(ValueError, match="equal-ts run split"):
+        st.append_group(t0, np.stack([base]))
