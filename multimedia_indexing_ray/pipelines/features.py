@@ -69,6 +69,7 @@ def features_at(
     split_hot: bool = False,
     hot_threshold: int = 20_000,
     target_chunk_rows: int = 10_000,
+    split_plan=None,
 ) -> "ray.data.Dataset":
     """Point-in-time feature vector per (conv_id, ts) probe.
 
@@ -114,7 +115,9 @@ def features_at(
         )
     ds = source if isinstance(source, ray.data.Dataset) else read_transcripts(source)
     plan = None
-    if split_hot:
+    if split_plan is not None:
+        plan = split_plan if not split_plan.empty else None
+    elif split_hot:
         from multimedia_indexing_ray.stages.hotkeys import build_split_plan
 
         p = build_split_plan(

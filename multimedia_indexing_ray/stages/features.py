@@ -181,24 +181,28 @@ def compute_features(
     split_hot: bool = False,
     hot_threshold: int = 20_000,
     target_chunk_rows: int = 10_000,
+    split_plan=None,
 ) -> "ray.data.Dataset":
     """Full transcript feature pipeline over a transcript Dataset.
 
     split_hot=True enables salted-key skew splitting: conversations over
     `hot_threshold` rows are chunked at safe gaps (see stages/hotkeys.py)
     so no partition group is dominated by one conversation; output is
-    bit-identical to the unsplit pipeline (tested)."""
+    bit-identical to the unsplit pipeline (tested).  ``split_plan``: a
+    precomputed SplitPlan for this input (the plan is input-keyed state —
+    build once, reuse across the flagship and serving runs instead of
+    re-scanning the slim columns per call)."""
     pre = ds.map_batches(
         lambda b: prefeaturize(b, include_text), batch_format="pyarrow"
     )
     kernel = WindowKernelFn(specs, include_text, pack_vector)
     part_key = "conv_id"
-    if split_hot:
+    if split_hot or split_plan is not None:
         from multimedia_indexing_ray.stages.hotkeys import assign_chunks, build_split_plan
 
         # plan from the RAW dataset: select_columns pushes the projection
         # into the parquet read, so the two plan passes never decode text
-        plan = build_split_plan(
+        plan = split_plan if split_plan is not None else build_split_plan(
             ds, specs, hot_threshold=hot_threshold, target_chunk_rows=target_chunk_rows
         )
         if not plan.empty:

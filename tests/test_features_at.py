@@ -208,3 +208,46 @@ def test_fused_split_hot_equals_unfused(ray_session):
             np.testing.assert_allclose(av.fillna(0), bv.fillna(0), rtol=0, atol=0, err_msg=c)
         else:
             assert av.tolist() == bv.tolist(), c
+
+
+def test_features_at_precomputed_split_plan(ray_session):
+    """split_plan= reuse must equal the inline split_hot build."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from multimedia_indexing_ray.pipelines.features import features_at
+    from multimedia_indexing_ray.stages.hotkeys import build_split_plan
+
+    t = __import__("tests.test_hotkeys", fromlist=["_hot_table"])._hot_table(
+        n_turns=3000, seed=17
+    )
+    ts = t["ts"].cast(pa.int64()).to_numpy()
+    probes = pa.table(
+        {
+            "conv_id": pa.array(["conv-hot"] * 100, pa.string()),
+            "ts": pa.array(np.sort(ts)[::30][:100] + 500_000).cast(pa.timestamp("us")),
+        }
+    )
+    plan = build_split_plan(
+        rd.from_arrow(t), DEFAULT_SPECS, hot_threshold=1000, target_chunk_rows=500
+    )
+    assert not plan.empty
+    kw = dict(num_partitions=4)
+    a = (
+        features_at(rd.from_arrow(t), rd.from_arrow(probes), split_plan=plan, **kw)
+        .to_pandas().sort_values(["conv_id", "ts"], kind="mergesort").reset_index(drop=True)
+    )
+    b = (
+        features_at(
+            rd.from_arrow(t), rd.from_arrow(probes), split_hot=True,
+            hot_threshold=1000, target_chunk_rows=500, **kw,
+        )
+        .to_pandas().sort_values(["conv_id", "ts"], kind="mergesort").reset_index(drop=True)
+    )
+    for c in a.columns:
+        av, bv = a[c], b[c]
+        if av.dtype.kind == "f":
+            assert av.isna().equals(bv.isna()), c
+            np.testing.assert_allclose(av.fillna(0), bv.fillna(0), rtol=0, atol=0, err_msg=c)
+        else:
+            assert av.tolist() == bv.tolist(), c
