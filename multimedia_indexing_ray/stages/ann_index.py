@@ -37,7 +37,14 @@ import ray.data
 
 from multimedia_indexing_ray.functions import pq as pqf
 from multimedia_indexing_ray.functions.normalize import residual
-from multimedia_indexing_ray.stages.knn import _batch_matrix, _unit, kmeans_fit, topk_merge as _topk_merge
+from multimedia_indexing_ray.stages.knn import (
+    _batch_matrix,
+    _pack_candidates,
+    _unit,
+    kmeans_fit,
+    topk_merge as _topk_merge,
+    topk_rows as _topk_rows,
+)
 
 LID = "lid"
 CODE = "code"
@@ -406,34 +413,6 @@ def _probed_paths(index_dir: str, manifest: dict, lists) -> "list[str]":
     return paths
 
 
-def _topk_rows(qi, ids, key, k):
-    """Per-query partial top-k over a (nq, n) key matrix (smaller = better;
-    np.inf = excluded).  One argpartition for the whole query batch, then
-    an EXACT (key, id) tie-rule lexsort restricted to each row's <= k-ish
-    survivors — never a per-query full-batch rescan/sort."""
-    out_q, out_n, out_s = [], [], []
-    n = key.shape[1]
-    if n == 0 or len(qi) == 0:
-        return out_q, out_n, out_s
-    kk = min(k, n)
-    part = np.argpartition(key, kk - 1, axis=1)[:, :kk]
-    thresh = np.take_along_axis(key, part, axis=1).max(axis=1)  # worst kept
-    for row in range(len(qi)):
-        # boundary ties included so the (key, id) rule picks the same
-        # winners as a full sort; rows with < kk finite entries get
-        # thresh = inf and fall back to every finite candidate
-        cand = np.flatnonzero(np.isfinite(key[row]) & (key[row] <= thresh[row]))
-        if len(cand) == 0:
-            continue
-        kr = min(k, len(cand))
-        order = np.lexsort((ids[cand], key[row, cand]))[:kr]
-        top = cand[order]
-        out_q.append(np.full(kr, qi[row], dtype=np.int64))
-        out_n.append(ids[top])
-        out_s.append(key[row, top])
-    return out_q, out_n, out_s
-
-
 def _empty_result() -> pa.Table:
     return pa.table(
         {
@@ -500,7 +479,7 @@ def ann_search(
             if exclude_self:
                 key[qi[:, None] == ids[None, :]] = np.inf
             out_q, out_n, out_s = _topk_rows(qi, ids, key, k)
-            return _pack(out_q, out_n, [-s for s in out_s], "cos_sim")
+            return _pack_candidates(out_q, out_n, out_s, "cos_sim", negate=True)
 
         candidates = ds.map_batches(_partial, batch_format="pyarrow")
         return _topk_merge(candidates, k, "cos_sim", ascending=False)
@@ -517,7 +496,7 @@ def ann_search(
             key = pqf.adc_distances_multi(codes, tb, ks)  # (nq, n)
             if exclude_self:
                 key[qi[:, None] == ids[None, :]] = np.inf
-            return _pack(*_topk_rows(qi, ids, key, k), "adc_dist")
+            return _pack_candidates(*_topk_rows(qi, ids, key, k), "adc_dist")
 
         candidates = ds.map_batches(_partial, batch_format="pyarrow")
         return _topk_merge(candidates, k, "adc_dist", ascending=True)
@@ -558,27 +537,9 @@ def ann_search(
             key[np.ix_(qs, rows)] = sub
         if exclude_self:
             key[qi[:, None] == ids[None, :]] = np.inf
-        return _pack(*_topk_rows(qi, ids, key, k), "adc_dist")
+        return _pack_candidates(*_topk_rows(qi, ids, key, k), "adc_dist")
 
     candidates = ds.map_batches(_partial, batch_format="pyarrow")
     return _topk_merge(candidates, k, "adc_dist", ascending=True)
-
-
-def _pack(out_q, out_n, out_s, score_col: str) -> pa.Table:
-    if not out_q:
-        return pa.table(
-            {
-                "query_id": pa.array([], pa.int64()),
-                "neighbor_id": pa.array([], pa.int64()),
-                score_col: pa.array([], pa.float64()),
-            }
-        )
-    return pa.table(
-        {
-            "query_id": pa.array(np.concatenate(out_q), pa.int64()),
-            "neighbor_id": pa.array(np.concatenate(out_n), pa.int64()),
-            score_col: pa.array(np.concatenate(out_s), pa.float64()),
-        }
-    )
 
 

@@ -39,6 +39,54 @@ def _batch_matrix(table: pa.Table, vec_col: str) -> np.ndarray:
     return np.stack([np.asarray(v, dtype=np.float64) for v in col.to_pylist()])
 
 
+def topk_rows(qi, ids, key, k):
+    """Per-query partial top-k over a (nq, n) key matrix (smaller =
+    better; np.inf = excluded).  One argpartition for the whole query
+    batch, then an EXACT (key, id) tie-rule lexsort restricted to each
+    row's <= k-ish boundary-tied survivors — never a per-query
+    full-batch rescan/sort."""
+    out_q, out_n, out_s = [], [], []
+    n = key.shape[1]
+    if n == 0 or len(qi) == 0:
+        return out_q, out_n, out_s
+    kk = min(k, n)
+    part = np.argpartition(key, kk - 1, axis=1)[:, :kk]
+    thresh = np.take_along_axis(key, part, axis=1).max(axis=1)  # worst kept
+    for row in range(len(qi)):
+        # boundary ties included so the (key, id) rule picks the same
+        # winners as a full sort; rows with < kk finite entries get
+        # thresh = inf and fall back to every finite candidate
+        cand = np.flatnonzero(np.isfinite(key[row]) & (key[row] <= thresh[row]))
+        if len(cand) == 0:
+            continue
+        kr = min(k, len(cand))
+        order = np.lexsort((ids[cand], key[row, cand]))[:kr]
+        top = cand[order]
+        out_q.append(np.full(kr, qi[row], dtype=np.int64))
+        out_n.append(ids[top])
+        out_s.append(key[row, top])
+    return out_q, out_n, out_s
+
+
+def _pack_candidates(out_q, out_n, out_s, score_col: str, negate: bool = False) -> pa.Table:
+    if not out_q:
+        return pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "neighbor_id": pa.array([], pa.int64()),
+                score_col: pa.array([], pa.float64()),
+            }
+        )
+    sc = np.concatenate(out_s)
+    return pa.table(
+        {
+            "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+            "neighbor_id": pa.array(np.concatenate(out_n), pa.int64()),
+            score_col: pa.array(-sc if negate else sc, pa.float64()),
+        }
+    )
+
+
 def topk_merge(
     candidates: "ray.data.Dataset", k: int, score_col: str, ascending: bool
 ) -> "ray.data.Dataset":
@@ -84,38 +132,13 @@ def brute_force_knn(
         qi, qm = ray.get(q_ref)
         mat = _unit(_batch_matrix(batch, vec_col))
         ids = batch[id_col].to_numpy()
-        sims = qm @ mat.T  # (nq, nb)
-        out_q, out_n, out_s = [], [], []
-        for row, qid in enumerate(qi):
-            s = sims[row]
-            mask = ids != qid if exclude_self else np.ones(len(ids), dtype=bool)
-            cand_idx = np.flatnonzero(mask)
-            if len(cand_idx) == 0:
-                continue
-            kk = min(k, len(cand_idx))
-            # deterministic tie rule (cos desc, id asc) must hold at the
-            # batch boundary too, else a tied lower-id neighbor can be
-            # dropped before the global merge
-            order = np.lexsort((ids[cand_idx], -s[cand_idx]))[:kk]
-            top = cand_idx[order]
-            out_q.append(np.full(kk, qid, dtype=np.int64))
-            out_n.append(ids[top])
-            out_s.append(s[top])
-        if not out_q:
-            return pa.table(
-                {
-                    "query_id": pa.array([], pa.int64()),
-                    "neighbor_id": pa.array([], pa.int64()),
-                    "cos_sim": pa.array([], pa.float64()),
-                }
-            )
-        return pa.table(
-            {
-                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
-                "neighbor_id": pa.array(np.concatenate(out_n), pa.int64()),
-                "cos_sim": pa.array(np.concatenate(out_s), pa.float64()),
-            }
-        )
+        # deterministic tie rule (cos desc, id asc) holds at the batch
+        # boundary too (topk_rows keeps boundary-tied survivors), else a
+        # tied lower-id neighbor could be dropped before the global merge
+        key = -(qm @ mat.T)  # smaller = better
+        if exclude_self:
+            key[qi[:, None] == ids[None, :]] = np.inf
+        return _pack_candidates(*topk_rows(qi, ids, key, k), "cos_sim", negate=True)
 
     candidates = ds.map_batches(_partial, batch_format="pyarrow")
     return topk_merge(candidates, k, "cos_sim", ascending=False)
@@ -171,42 +194,24 @@ def ivf_knn(
     probed = np.argsort(qd, axis=1)[:, :probe]  # (nq, probe)
     ref = ray.put((np.asarray(q_ids, dtype=np.int64), _unit(qm), cent, probed))
 
+    # (nq, n_lists) probe membership — one gather per batch, no np.isin
+    n_lists_eff = cent.shape[0]
+    pmask = np.zeros((len(np.asarray(q_ids)), n_lists_eff), dtype=bool)
+    np.put_along_axis(pmask, probed, True, axis=1)
+    ref2 = ray.put(pmask)
+
     def _partial(batch: pa.Table) -> pa.Table:
         qi, qmu, cc, pr = ray.get(ref)
+        pm = ray.get(ref2)
         mat = _batch_matrix(batch, vec_col)
         ids = batch[id_col].to_numpy()
         d = ((mat[:, None, :] - cc[None, :, :]) ** 2).sum(axis=2)
         assign = d.argmin(axis=1)
-        unit = _unit(mat)
-        out_q, out_n, out_s = [], [], []
-        for row, qid in enumerate(qi):
-            m = np.isin(assign, pr[row])
-            if exclude_self:
-                m &= ids != qid
-            cand = np.flatnonzero(m)
-            if len(cand) == 0:
-                continue
-            s = unit[cand] @ qmu[row]
-            kk = min(k, len(cand))
-            top = np.lexsort((ids[cand], -s))[:kk]
-            out_q.append(np.full(kk, qid, dtype=np.int64))
-            out_n.append(ids[cand[top]])
-            out_s.append(s[top])
-        if not out_q:
-            return pa.table(
-                {
-                    "query_id": pa.array([], pa.int64()),
-                    "neighbor_id": pa.array([], pa.int64()),
-                    "cos_sim": pa.array([], pa.float64()),
-                }
-            )
-        return pa.table(
-            {
-                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
-                "neighbor_id": pa.array(np.concatenate(out_n), pa.int64()),
-                "cos_sim": pa.array(np.concatenate(out_s), pa.float64()),
-            }
-        )
+        key = -(qmu @ _unit(mat).T)
+        key[~pm[:, assign]] = np.inf
+        if exclude_self:
+            key[qi[:, None] == ids[None, :]] = np.inf
+        return _pack_candidates(*topk_rows(qi, ids, key, k), "cos_sim", negate=True)
 
     candidates = ds.map_batches(_partial, batch_format="pyarrow")
     return topk_merge(candidates, k, "cos_sim", ascending=False)
@@ -246,34 +251,10 @@ def pq_knn(
         mat = _batch_matrix(batch, vec_col)
         ids = batch[id_col].to_numpy()
         codes = pqf.pq_encode(mat, mdl)
-        out_q, out_n, out_s = [], [], []
-        for row, qid in enumerate(qi):
-            d = pqf.adc_distances(codes, tabs[row], mdl.ks)
-            mask = ids != qid if exclude_self else np.ones(len(ids), dtype=bool)
-            cand = np.flatnonzero(mask)
-            if len(cand) == 0:
-                continue
-            kk = min(k, len(cand))
-            order = np.lexsort((ids[cand], d[cand]))[:kk]
-            top = cand[order]
-            out_q.append(np.full(kk, qid, dtype=np.int64))
-            out_n.append(ids[top])
-            out_s.append(d[top])
-        if not out_q:
-            return pa.table(
-                {
-                    "query_id": pa.array([], pa.int64()),
-                    "neighbor_id": pa.array([], pa.int64()),
-                    "adc_dist": pa.array([], pa.float64()),
-                }
-            )
-        return pa.table(
-            {
-                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
-                "neighbor_id": pa.array(np.concatenate(out_n), pa.int64()),
-                "adc_dist": pa.array(np.concatenate(out_s), pa.float64()),
-            }
-        )
+        key = pqf.adc_distances_multi(codes, tabs, mdl.ks)  # (nq, n)
+        if exclude_self:
+            key[qi[:, None] == ids[None, :]] = np.inf
+        return _pack_candidates(*topk_rows(qi, ids, key, k), "adc_dist")
 
     candidates = ds.map_batches(_partial, batch_format="pyarrow")
     return topk_merge(candidates, k, "adc_dist", ascending=True)
@@ -325,47 +306,38 @@ def ivfpq_knn(
     )  # (nq, probe, m, ks)
     ref = ray.put((np.asarray(q_ids, dtype=np.int64), coarse, probed, tabs, model))
 
+    # wpos[q, l] = position of list l in query q's probe order (-1 = not
+    # probed) — batch rows processed per ASSIGNED LIST with all of that
+    # list's queries at once (same shape as ann_index.ann_search)
+    wpos = np.full((len(np.asarray(q_ids)), n_lists), -1, dtype=np.int64)
+    np.put_along_axis(wpos, probed, np.arange(probed.shape[1])[None, :], axis=1)
+    ref2 = ray.put(wpos)
+
     def _partial(batch: pa.Table) -> pa.Table:
         qi, cc, pr, tb, mdl = ray.get(ref)
+        wp = ray.get(ref2)
         mat = _batch_matrix(batch, vec_col)
         ids = batch[id_col].to_numpy()
         dd = ((mat[:, None, :] - cc[None, :, :]) ** 2).sum(axis=2)
         asn = dd.argmin(axis=1)
         codes = pqf.pq_encode(residual(mat, cc, asn), mdl)
-        out_q, out_n, out_s = [], [], []
-        for row, qid in enumerate(qi):
-            best_d: "list[np.ndarray]" = []
-            best_i: "list[np.ndarray]" = []
-            for w, lst in enumerate(pr[row]):
-                sel = np.flatnonzero((asn == lst) & ((ids != qid) if exclude_self else True))
-                if len(sel) == 0:
-                    continue
-                best_d.append(pqf.adc_distances(codes[sel], tb[row, w], mdl.ks))
-                best_i.append(sel)
-            if not best_d:
+        nq = len(qi)
+        order = np.argsort(asn, kind="stable")
+        asn_s = asn[order]
+        starts = np.flatnonzero(np.concatenate([[True], asn_s[1:] != asn_s[:-1]]))
+        ends = np.concatenate([starts[1:], [len(asn_s)]])
+        key = np.full((nq, len(ids)), np.inf)
+        for s, e in zip(starts, ends):
+            lst = int(asn_s[s])
+            rows = order[s:e]
+            qs = np.flatnonzero(wp[:, lst] >= 0)
+            if len(qs) == 0:
                 continue
-            dall = np.concatenate(best_d)
-            iall = np.concatenate(best_i)
-            kk = min(k, len(dall))
-            top = np.lexsort((ids[iall], dall))[:kk]
-            out_q.append(np.full(kk, qid, dtype=np.int64))
-            out_n.append(ids[iall[top]])
-            out_s.append(dall[top])
-        if not out_q:
-            return pa.table(
-                {
-                    "query_id": pa.array([], pa.int64()),
-                    "neighbor_id": pa.array([], pa.int64()),
-                    "adc_dist": pa.array([], pa.float64()),
-                }
-            )
-        return pa.table(
-            {
-                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
-                "neighbor_id": pa.array(np.concatenate(out_n), pa.int64()),
-                "adc_dist": pa.array(np.concatenate(out_s), pa.float64()),
-            }
-        )
+            sub = pqf.adc_distances_multi(codes[rows], tb[qs, wp[qs, lst]], mdl.ks)
+            key[np.ix_(qs, rows)] = sub
+        if exclude_self:
+            key[qi[:, None] == ids[None, :]] = np.inf
+        return _pack_candidates(*topk_rows(qi, ids, key, k), "adc_dist")
 
     candidates = ds.map_batches(_partial, batch_format="pyarrow")
     return topk_merge(candidates, k, "adc_dist", ascending=True)
