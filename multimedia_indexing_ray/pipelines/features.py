@@ -98,7 +98,17 @@ def features_at(
     mega-conversation plus its probe load lands on one worker (the probe
     prunes/partitions work, `visual/datastructures/IVFPQ.java:408-450`)."""
     if not fused:
-        feats = transcript_features(source, specs, num_partitions)
+        # the unfused path computes the full feature table first, where
+        # hot-key splitting is compute_features' own concern
+        feats = transcript_features(
+            source,
+            specs,
+            num_partitions,
+            split_hot=split_hot,
+            hot_threshold=hot_threshold,
+            target_chunk_rows=target_chunk_rows,
+            split_plan=split_plan,
+        )
         if columns is not None:
             keep = ["conv_id", "ts", "turn_idx"] + [
                 c for c in columns if c not in ("conv_id", "ts", "turn_idx")
