@@ -59,9 +59,20 @@ def register(name: str, sql: Optional[str] = None):
 
 
 def _rp(sf_dir: str, table: str, columns=None) -> "ray.data.Dataset":
-    return ray.data.read_parquet(
-        os.path.join(sf_dir, f"{table}.parquet"), columns=columns
-    )
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    import pyarrow.parquet as papq
+
+    # the testdata files carry pandas schema metadata (an unhashable
+    # dict); reading with a metadata-free schema keeps Ray's block-schema
+    # dedup working from the very first operator
+    sch = papq.read_schema(path)
+    if sch.metadata:
+        sch = sch.remove_metadata()
+        if columns is not None:
+            # schema= must be the PROJECTED schema in requested order
+            sch = pa.schema([sch.field(c) for c in columns])
+        return ray.data.read_parquet(path, schema=sch, columns=columns)
+    return ray.data.read_parquet(path, columns=columns)
 
 
 def _pq(sf_dir: str, table: str, columns=None) -> pa.Table:
