@@ -202,6 +202,80 @@ def flat_tokens(text_col) -> "tuple[np.ndarray, np.ndarray]":
     return flat, counts.astype(np.int64)
 
 
+def repetition_stats(text_col) -> "tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]":
+    """Gopher-style repetition signals per document, fully vectorized:
+    (n_tokens, n_distinct, top_token_n, top_bigram_n).
+
+    top_token_n = occurrences of the most frequent token; top_bigram_n =
+    occurrences of the most frequent adjacent token pair (0 when < 2
+    tokens).  Counts (not fractions) so the SQL oracle compares int64
+    bit-exactly; quality *ratios* are single divisions downstream.
+    Tokenization = the `\\S+` family via flat_tokens (RE2 parity)."""
+    flat, counts = flat_tokens(text_col)
+    n_docs = len(counts)
+    n_distinct = np.zeros(n_docs, np.int64)
+    top_token = np.zeros(n_docs, np.int64)
+    top_bigram = np.zeros(n_docs, np.int64)
+    if len(flat):
+        doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
+        uniq, tok_id = np.unique(flat, return_inverse=True)
+        nv = np.int64(len(uniq))
+        key = doc_of * nv + tok_id
+        ukey, kcount = np.unique(key, return_counts=True)
+        kdoc = ukey // nv
+        n_distinct = np.bincount(kdoc, minlength=n_docs).astype(np.int64)
+        np.maximum.at(top_token, kdoc, kcount)
+        # adjacent pairs within a doc: factorize the pair id first so the
+        # (doc, pair) composite key stays within int64
+        same = doc_of[1:] == doc_of[:-1]
+        if same.any():
+            pair = tok_id[:-1][same] * nv + tok_id[1:][same]
+            upair, pinv = np.unique(pair, return_inverse=True)
+            bkey = doc_of[:-1][same] * np.int64(len(upair)) + pinv
+            ub, bcount = np.unique(bkey, return_counts=True)
+            np.maximum.at(top_bigram, ub // np.int64(len(upair)), bcount)
+    return counts, n_distinct, top_token, top_bigram
+
+
+def top_term_batch(
+    text_col, vocab: np.ndarray, df: np.ndarray
+) -> "tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]":
+    """Salient-term extraction per document: the token maximizing
+    (tf DESC, corpus df ASC, token ASC) — the integer-exact analog of
+    tf-idf argmax (rarest-in-corpus breaks tf ties; no float idf, so the
+    SQL oracle's row_number() picks the identical term).
+
+    `vocab` must be sorted ascending with `df[i]` = number of docs in the
+    WHOLE corpus containing vocab[i] (the broadcast small side).  Returns
+    (doc_mask, top_term, tf, df_of_term) where doc_mask marks docs with
+    >= 1 token."""
+    flat, counts = flat_tokens(text_col)
+    n_docs = len(counts)
+    mask = counts > 0
+    terms = np.empty(n_docs, object)
+    tfs = np.zeros(n_docs, np.int64)
+    dfs = np.zeros(n_docs, np.int64)
+    if len(flat):
+        doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
+        uniq, tok_id = np.unique(flat, return_inverse=True)
+        nv = np.int64(len(uniq))
+        ukey, tf = np.unique(doc_of * nv + tok_id, return_counts=True)
+        kdoc, ktok = ukey // nv, ukey % nv
+        # corpus df lookup for each distinct (doc, token)
+        pos = np.searchsorted(vocab, uniq[ktok])
+        kdf = df[pos]
+        # first row per doc after ordering by (tf desc, df asc, token asc);
+        # ukey is already sorted by (doc, token asc), so a stable lexsort
+        # on (df, -tf, doc) keeps token-asc as the final tie rule
+        order = np.lexsort((kdf, -tf, kdoc))
+        first = np.unique(kdoc[order], return_index=True)[1]
+        sel = order[first]
+        terms[kdoc[sel]] = uniq[ktok[sel]]
+        tfs[kdoc[sel]] = tf[sel]
+        dfs[kdoc[sel]] = kdf[sel]
+    return mask, terms, tfs, dfs
+
+
 def simhash64_batch(text_col) -> np.ndarray:
     """Vectorized SimHash for a whole column: tokenize (Arrow), hash
     (vectorized FNV), per-doc bit votes via segmented reduceat.  Returns

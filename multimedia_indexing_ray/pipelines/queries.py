@@ -670,6 +670,247 @@ def q_langid(sf_dir: str):
     return docs.map_batches(_fn, batch_format="pyarrow")
 
 
+@register(
+    "repetition_docs",
+    r"""
+    WITH tk AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents),
+    t2 AS (SELECT doc_id, unnest(toks) AS tok FROM tk),
+    tc AS (SELECT doc_id, tok, count(*) AS c FROM t2 GROUP BY 1, 2),
+    ta AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                  CAST(count(*) AS BIGINT) AS n_distinct,
+                  CAST(max(c) AS BIGINT) AS top_token_n FROM tc GROUP BY 1),
+    bg AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+                  i -> toks[i] || ' ' || toks[i+1])) AS b FROM tk),
+    bc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2),
+    ba AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_bigram_n FROM bc GROUP BY 1)
+    SELECT d.doc_id,
+      COALESCE(ta.n_tokens, 0) AS n_tokens,
+      COALESCE(ta.n_distinct, 0) AS n_distinct,
+      COALESCE(ta.top_token_n, 0) AS top_token_n,
+      COALESCE(ba.top_bigram_n, 0) AS top_bigram_n
+    FROM documents d LEFT JOIN ta ON d.doc_id = ta.doc_id
+    LEFT JOIN ba ON ba.doc_id = d.doc_id
+    """,
+)
+def q_repetition(sf_dir: str):
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1):
+    most-frequent-token and most-frequent-bigram occurrence counts plus
+    distinct-token count per doc — the standard filters against looping /
+    boilerplate text in training-data pipelines.  Counts stay int64 so the
+    oracle hash is bit-exact; callers derive the fractions."""
+    docs = _rp(sf_dir, "documents", ["doc_id", "text"])
+
+    def _fn(batch: pa.Table) -> pa.Table:
+        n_tok, n_dist, top_tok, top_bg = tx.repetition_stats(batch["text"])
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": pa.array(n_tok, pa.int64()),
+                "n_distinct": pa.array(n_dist, pa.int64()),
+                "top_token_n": pa.array(top_tok, pa.int64()),
+                "top_bigram_n": pa.array(top_bg, pa.int64()),
+            }
+        )
+
+    return docs.map_batches(_fn, batch_format="pyarrow")
+
+
+@register(
+    "top_term_docs",
+    r"""
+    WITH t2 AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS tok
+                FROM documents),
+    tc AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM t2 GROUP BY 1, 2),
+    dfr AS (SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM t2 GROUP BY 1),
+    r AS (SELECT tc.doc_id, tc.tok, tc.tf, dfr.df,
+          row_number() OVER (PARTITION BY tc.doc_id
+                             ORDER BY tc.tf DESC, dfr.df ASC, tc.tok ASC) AS rn
+          FROM tc JOIN dfr USING (tok))
+    SELECT doc_id, tok AS top_term, tf, df FROM r WHERE rn = 1
+    """,
+)
+def q_top_term(sf_dir: str):
+    """Salient-term extraction: distributed document-frequency aggregation
+    (the BoW-vocabulary analog of `aggregation/BowAggregator.java:39-74`,
+    learned corpus-wide like the codebooks in
+    `quantization/CodebookLearning.java:44-90`), then a broadcast df join
+    back into a per-doc argmax by (tf DESC, df ASC, term ASC) — the
+    integer-exact tf-idf ranking (rarest term breaks frequency ties).
+
+    Scale shape: stage 1 emits per-batch distinct (token, partial df)
+    pairs and one small shuffle on token reduces them; the resulting
+    vocabulary table is tiny (it is the aggregate, not the corpus) and is
+    broadcast once via ray.put into the stage-2 actor lookups."""
+    from multimedia_indexing_ray.stages.partition import map_partitions_by_key
+
+    docs = _rp(sf_dir, "documents", ["doc_id", "text"])
+
+    def _partial_df(batch: pa.Table) -> pa.Table:
+        flat, counts = tx.flat_tokens(batch["text"])
+        if len(flat) == 0:
+            return pa.table({"tok": pa.array([], pa.string()), "df": pa.array([], pa.int64())})
+        doc_of = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+        uniq, tok_id = np.unique(flat, return_inverse=True)
+        # distinct (doc, token) -> per-token doc count within the batch
+        ukey = np.unique(doc_of * np.int64(len(uniq)) + tok_id)
+        dfc = np.bincount(ukey % np.int64(len(uniq)), minlength=len(uniq))
+        return pa.table(
+            {"tok": pa.array(uniq, pa.string()), "df": pa.array(dfc.astype(np.int64), pa.int64())}
+        )
+
+    def _reduce_df(table: pa.Table) -> pa.Table:
+        return _pa_group_sum(table, ["tok"], ["df"])
+
+    df_ds = map_partitions_by_key(
+        docs.map_batches(_partial_df, batch_format="pyarrow"), "tok", _reduce_df,
+        num_partitions=8,
+    )
+    # the df table IS the small aggregated side (vocabulary-sized);
+    # broadcast it once — the ray.put/actor-constructor pattern of
+    # `mapreduce/VisualThreadedMapper.java:119-167` (DistributedCache)
+    df_all = df_ds.take_all()
+    vocab = np.array([r["tok"] for r in df_all])
+    dfv = np.array([r["df"] for r in df_all], np.int64)
+    order = np.argsort(vocab)
+    vocab, dfv = vocab[order], dfv[order]
+    import ray as _ray
+
+    ref = _ray.put((vocab, dfv))
+
+    def _argmax(batch: pa.Table) -> pa.Table:
+        voc, dfa = _ray.get(ref)
+        mask, terms, tfs, dfs = tx.top_term_batch(batch["text"], voc, dfa)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)[mask]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "top_term": pa.array(list(terms[mask]), pa.string()),
+                "tf": pa.array(tfs[mask], pa.int64()),
+                "df": pa.array(dfs[mask], pa.int64()),
+            }
+        )
+
+    return docs.map_batches(_argmax, batch_format="pyarrow")
+
+
+@register(
+    "distinct_users_hourly",
+    """
+    SELECT date_trunc('hour', ts) AS window_start,
+      CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY 1
+    """,
+)
+def q_distinct_users_hourly(sf_dir: str):
+    """Windowed distinct count: per-batch distinct (window, user) pairs
+    (the combiner), ONE shuffle on window_start, per-partition exact
+    distinct.  The two-level shape keeps the exchange at distinct-pair
+    volume, not event volume."""
+    from multimedia_indexing_ray.stages.partition import map_partitions_by_key
+
+    ev = _rp(sf_dir, "events", ["user_id", "ts"])
+    hour_us = np.int64(3600_000_000)
+
+    def _pairs(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        w = (ts // hour_us) * hour_us
+        u = batch["user_id"].to_numpy(zero_copy_only=False)
+        pairs = np.unique(np.stack([w, u], axis=1), axis=0)
+        return pa.table(
+            {
+                "window_start": pa.array(pairs[:, 0], pa.int64()).cast(pa.timestamp("us")),
+                "user_id": pa.array(pairs[:, 1], pa.int64()),
+            }
+        )
+
+    def _count(table: pa.Table) -> pa.Table:
+        w = table["window_start"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        u = table["user_id"].to_numpy(zero_copy_only=False)
+        pairs = np.unique(np.stack([w, u], axis=1), axis=0)
+        uw, n = np.unique(pairs[:, 0], return_counts=True)
+        return pa.table(
+            {
+                "window_start": pa.array(uw, pa.int64()).cast(pa.timestamp("us")),
+                "n_users": pa.array(n.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return map_partitions_by_key(
+        ev.map_batches(_pairs, batch_format="pyarrow"), "window_start", _count,
+        num_partitions=8,
+    )
+
+
+@register(
+    "value_quantiles_by_type",
+    f"""
+    WITH v AS (SELECT event_type, {_CENTS_SQL.format(col='value')} AS c FROM events),
+    r AS (SELECT event_type, c,
+          row_number() OVER (PARTITION BY event_type ORDER BY c) AS rn,
+          count(*) OVER (PARTITION BY event_type) AS n FROM v)
+    SELECT event_type,
+      MIN(CASE WHEN rn = (50*n + 99)//100 THEN c END) AS p50_cents,
+      MIN(CASE WHEN rn = (90*n + 99)//100 THEN c END) AS p90_cents,
+      MIN(CASE WHEN rn = (99*n + 99)//100 THEN c END) AS p99_cents
+    FROM r GROUP BY event_type
+    """,
+)
+def q_value_quantiles(sf_dir: str):
+    """Exact distributed quantiles (p50/p90/p99) per event_type via the
+    histogram method: per-batch (type, cents) counts (combiner), ONE
+    shuffle of histogram rows — never raw events — then a cumulative-sum
+    index per group.  The discrete-quantile rule is stated in pure integer
+    arithmetic (sorted index ceil(q*n) = (q*100*n + 99)//100) so the SQL
+    oracle defines the identical semantics with no float index hazard.
+
+    Scale: exchange volume is bounded by distinct (type, cents) pairs, not
+    rows — the same partial-aggregate discipline as pricing_summary."""
+    from multimedia_indexing_ray.stages.partition import map_partitions_by_key
+
+    ev = _rp(sf_dir, "events", ["event_type", "value"])
+
+    def _hist(batch: pa.Table) -> pa.Table:
+        c = _cents(batch["value"].to_numpy(zero_copy_only=False)).astype(np.int64)
+        t = pa.table({"event_type": batch["event_type"], "c": pa.array(c, pa.int64())})
+        g = pa.TableGroupBy(t, ["event_type", "c"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "event_type": g["event_type"],
+                "c": g["c"],
+                "n": g["count_all"].cast(pa.int64()),
+            }
+        )
+
+    qhs = (50, 90, 99)
+
+    def _quant(table: pa.Table) -> pa.Table:
+        g = _pa_group_sum(table, ["event_type", "c"], ["n"])
+        et = np.asarray(g["event_type"])
+        cv = g["c"].to_numpy(zero_copy_only=False)
+        nv = g["n"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((cv, et))
+        et, cv, nv = et[order], cv[order], nv[order]
+        types, starts = np.unique(et, return_index=True)
+        cols = {"event_type": pa.array(types, pa.string())}
+        outs = {qh: [] for qh in qhs}
+        bounds = np.append(starts, len(et))
+        for i in range(len(types)):
+            s, e = bounds[i], bounds[i + 1]
+            cum = np.cumsum(nv[s:e])
+            n = int(cum[-1])
+            for qh in qhs:
+                target = (qh * n + 99) // 100
+                outs[qh].append(int(cv[s:e][np.searchsorted(cum, target, side="left")]))
+        for qh in qhs:
+            cols[f"p{qh}_cents"] = pa.array(outs[qh], pa.int64())
+        return pa.table(cols)
+
+    return map_partitions_by_key(
+        ev.map_batches(_hist, batch_format="pyarrow"), "event_type", _quant,
+        num_partitions=4,
+    )
+
+
 # the SQL engine cannot reproduce the uint64-wrap minhash signatures, but
 # it CAN state the ground truth the LSH must recover: every true pair with
 # exact Jaccard >= 0.8 (banding miss probability at j=0.8 with 16 bands of

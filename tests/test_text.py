@@ -92,3 +92,50 @@ def test_winnow_batch_parity():
         fps = winnow_fingerprints(t)
         assert n_fp[i] == len(fps), (i, t)
         assert min_fp[i] == (min(fps) if fps else 0), (i, t)
+
+
+def test_repetition_stats_hand_checked():
+    texts = pa.array(
+        [
+            "a a a b",          # top token 'a'x3; bigram 'a a'x2
+            "x y x y x",        # tokens 5, distinct 2, top tok 'x'x3, bigram 'x y'x2
+            "",                 # empty doc -> all zeros
+            "solo",             # 1 token -> no bigram
+            "  spaced   out  ", # leading/trailing whitespace dropped
+        ]
+    )
+    n_tok, n_dist, top_tok, top_bg = tx.repetition_stats(texts)
+    assert n_tok.tolist() == [4, 5, 0, 1, 2]
+    assert n_dist.tolist() == [2, 2, 0, 1, 2]
+    assert top_tok.tolist() == [3, 3, 0, 1, 1]
+    assert top_bg.tolist() == [2, 2, 0, 0, 1]
+
+
+def test_top_term_batch_tie_rules():
+    # corpus df: a->2 docs, b->1, z->2
+    vocab = np.array(["a", "b", "z"])
+    df = np.array([2, 1, 2], np.int64)
+    texts = pa.array(
+        [
+            "a a b z",   # tf a=2 wins outright
+            "a b",       # tf tie 1: df breaks it -> b (df 1 < 2)
+            "a z",       # tf tie, df tie -> token asc -> a
+            "",          # no tokens -> masked out
+        ]
+    )
+    mask, terms, tfs, dfs = tx.top_term_batch(texts, vocab, df)
+    assert mask.tolist() == [True, True, True, False]
+    assert terms[:3].tolist() == ["a", "b", "a"]
+    assert tfs[:3].tolist() == [2, 1, 1]
+    assert dfs[:3].tolist() == [2, 1, 2]
+
+
+def test_discrete_quantile_index_rule():
+    """The registry's integer ceil-index rule: idx1 = (qh*n + 99)//100 on
+    1-based sorted position (== ceil(q*n)); hand-checked values."""
+    vals = np.arange(1, 11, dtype=np.int64)  # 1..10, each count 1
+    cum = np.cumsum(np.ones(10, np.int64))
+    for qh, want in ((50, 5), (85, 9), (90, 9), (99, 10), (100, 10)):
+        target = (qh * 10 + 99) // 100
+        got = vals[np.searchsorted(cum, target, side="left")]
+        assert got == want, (qh, got, want)
