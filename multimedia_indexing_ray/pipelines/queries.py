@@ -911,6 +911,111 @@ def q_value_quantiles(sf_dir: str):
     )
 
 
+@register(
+    "token_shard_docs",
+    r"""
+    WITH t AS (SELECT doc_id,
+          CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+          FROM documents),
+    c AS (SELECT doc_id, n_tokens,
+          COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_offset
+          FROM t)
+    SELECT doc_id, n_tokens, CAST(tok_offset AS BIGINT) AS tok_offset,
+      CAST(tok_offset // 1000 AS BIGINT) AS shard_id
+    FROM c
+    """,
+)
+def q_token_shard(sf_dir: str):
+    """Token-budget sharding for training-batch assembly: each doc gets
+    the corpus-order token offset where it starts and a shard id =
+    offset // budget.  The offset is a distributed ordered prefix sum
+    (stages/scan.py): range-partition on doc_id, per-range totals reduced
+    to a tiny table, driver prefix, per-partition cumsum — the scalable
+    replacement for the reference's synchronized global counter
+    (`datastructures/AbstractSearchStructure.java:63-65,229-257`)."""
+    from multimedia_indexing_ray.stages.scan import ordered_prefix_sum
+
+    docs = _rp(sf_dir, "documents", ["doc_id", "text"])
+
+    def _tok(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": pa.array(tx.token_count(batch["text"]), pa.int64()),
+            }
+        )
+
+    counted = docs.map_batches(_tok, batch_format="pyarrow")
+    out = ordered_prefix_sum(counted, "doc_id", "n_tokens", out_col="tok_offset")
+
+    def _shard(batch: pa.Table) -> pa.Table:
+        off = batch["tok_offset"].to_numpy(zero_copy_only=False)
+        return batch.append_column("shard_id", pa.array(off // 1000, pa.int64()))
+
+    return out.map_batches(_shard, batch_format="pyarrow")
+
+
+@register(
+    "centroid_assign",
+    """
+    WITH q AS (SELECT vec_id,
+          list_transform(embedding, x -> CAST(floor(x*1000+0.5) AS BIGINT)) AS iq
+          FROM embeddings),
+    c AS (SELECT vec_id AS cid, iq FROM q ORDER BY vec_id LIMIT 8),
+    d AS (SELECT q.vec_id, c.cid,
+          list_sum(list_transform(range(1, len(q.iq)+1),
+            i -> (q.iq[i]-c.iq[i])*(q.iq[i]-c.iq[i]))) AS dist
+          FROM q CROSS JOIN c),
+    r AS (SELECT vec_id, cid, dist,
+          row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d)
+    SELECT vec_id, cid AS centroid_id, CAST(dist AS BIGINT) AS dist FROM r WHERE rn = 1
+    """,
+)
+def q_centroid_assign(sf_dir: str):
+    """Coarse-centroid assignment (J5, the IVFPQ partition router —
+    `datastructures/IVFPQ.java:315,547-601`) with a FULL SQL oracle:
+    embeddings are quantized to integer milli-units on both sides so the
+    squared-L2 argmin is exact int64 arithmetic (no float ulp hazard in
+    the argmin), tie rule = smallest centroid id.  Centroids here are the
+    8 lowest-vec_id embeddings (deterministic, SQL-expressible); the
+    learned-quantizer path is exercised by the ivf_* queries."""
+    embs = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def _partial_min(batch: pa.Table) -> pa.Table:
+        vid = batch["vec_id"].to_numpy(zero_copy_only=False)
+        keep = np.argsort(vid, kind="mergesort")[:8]
+        return batch.take(pa.array(np.sort(keep)))
+
+    cands = embs.map_batches(_partial_min, batch_format="pyarrow").take_all()
+    cands.sort(key=lambda r: r["vec_id"])
+    cands = cands[:8]
+    cids = np.array([r["vec_id"] for r in cands], np.int64)
+    cmat = np.stack([np.asarray(r["embedding"], np.float64) for r in cands])
+    cq = np.floor(cmat * 1000.0 + 0.5).astype(np.int64)
+    import ray as _ray
+
+    ref = _ray.put((cids, cq))
+
+    def _assign(batch: pa.Table) -> pa.Table:
+        c_ids, c_q = _ray.get(ref)
+        mat = nn._batch_matrix(batch, "embedding")
+        eq = np.floor(mat * 1000.0 + 0.5).astype(np.int64)
+        # (n, K) exact integer squared distances; argmin takes the FIRST
+        # minimum and centroids are sorted by cid => smallest-cid tie rule
+        d = ((eq[:, None, :] - c_q[None, :, :]) ** 2).sum(axis=2)
+        best = np.argmin(d, axis=1)
+        return pa.table(
+            {
+                "vec_id": batch["vec_id"],
+                "centroid_id": pa.array(c_ids[best], pa.int64()),
+                "dist": pa.array(d[np.arange(len(best)), best], pa.int64()),
+            }
+        )
+
+    return embs.map_batches(_assign, batch_format="pyarrow")
+
+
 # the SQL engine cannot reproduce the uint64-wrap minhash signatures, but
 # it CAN state the ground truth the LSH must recover: every true pair with
 # exact Jaccard >= 0.8 (banding miss probability at j=0.8 with 16 bands of

@@ -36,6 +36,21 @@ def _batch_matrix(table: pa.Table, vec_col: str) -> np.ndarray:
     if pa.types.is_fixed_size_list(col.type):
         dim = col.type.list_size
         return col.flatten().to_numpy(zero_copy_only=False).reshape(-1, dim).astype(np.float64)
+    if (
+        (pa.types.is_list(col.type) or pa.types.is_large_list(col.type))
+        and col.null_count == 0
+        and len(col)
+    ):
+        lens = np.diff(col.offsets.to_numpy())
+        if (lens == lens[0]).all() and lens[0] > 0:
+            # uniform-length list column: zero-copy flatten + reshape
+            # instead of a per-row to_pylist loop
+            return (
+                col.flatten()
+                .to_numpy(zero_copy_only=False)
+                .reshape(-1, int(lens[0]))
+                .astype(np.float64)
+            )
     return np.stack([np.asarray(v, dtype=np.float64) for v in col.to_pylist()])
 
 
