@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "minhash_dedup_docs",  # LSH candidates + exact-Jaccard verify
     "ngram_jaccard_pairs",
     "ivfpq_knn_l2",  # WARM probe against the prebuilt artifact (build timed separately)
+    "value_quantiles_by_type",  # exact quantiles via histogram combine
 ]
 
 # Per-query shuffle strategy, interleaved-A/B measured (2026-08-17, 32
