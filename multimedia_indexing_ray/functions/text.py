@@ -63,6 +63,34 @@ def stopword_count(text) -> np.ndarray:
     return pc.count_substring_regex(text, STOP_RE).to_numpy(zero_copy_only=False).astype(np.int64)
 
 
+# PII-style scrub patterns (RE2, shared verbatim with the DuckDB oracle).
+# Email/phone are the classic training-data redaction targets; TERM_RE is
+# the domain-term redaction list exercised by the synthetic corpus (whose
+# 31-word vocabulary contains no digits/@ — emails/phones verify as zero).
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\+?[0-9][0-9 ().-]{7,}[0-9]"
+REDACT_TERM_RE = r"\b(customer|order|value)\b"
+REDACT_TOKEN = "[REDACTED]"
+
+
+def scrub_count(text, pattern: str) -> np.ndarray:
+    """Non-overlapping RE2 match count for a scrub pattern."""
+    return pc.count_substring_regex(text, pattern).to_numpy(zero_copy_only=False).astype(np.int64)
+
+
+def scrub_replace(text, pattern: str, replacement: str = REDACT_TOKEN) -> pa.Array:
+    """Replace every RE2 match with a redaction token (PII scrub).
+
+    Vectorized `pc.replace_substring_regex`; semantics identical to
+    DuckDB `regexp_replace(text, pattern, replacement, 'g')` (both RE2),
+    so the scrubbed text is hash-verifiable against the SQL oracle.
+    Reference analog: the name-mangling string rewrites of
+    `examples/FolderIndexingMT.java:136` generalized to regex redaction.
+    """
+    out = pc.replace_substring_regex(text, pattern=pattern, replacement=replacement)
+    return out.combine_chunks() if isinstance(out, pa.ChunkedArray) else out
+
+
 def langid(text) -> np.ndarray:
     """Stopword-marker language-ID heuristic; 'und' when no marker hits."""
     scores = []

@@ -671,6 +671,40 @@ def q_langid(sf_dir: str):
 
 
 @register(
+    "pii_scrub_docs",
+    r"""
+    SELECT doc_id,
+      CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+      CAST(len(regexp_extract_all(text, '\+?[0-9][0-9 ().-]{7,}[0-9]')) AS BIGINT) AS n_phones,
+      CAST(len(regexp_extract_all(text, '\b(customer|order|value)\b')) AS BIGINT) AS n_terms,
+      regexp_replace(text, '\b(customer|order|value)\b', '[REDACTED]', 'g') AS text_scrubbed
+    FROM documents
+    """,
+)
+def q_pii_scrub(sf_dir: str):
+    """PII/term scrub: count email/phone/term matches and emit redacted
+    text.  RE2 kernels (`pc.count_substring_regex` /
+    `pc.replace_substring_regex`) shared verbatim with the DuckDB oracle;
+    the synthetic corpus has no emails/phones so those columns verify as
+    zero while the term redaction is non-trivial and hash-checked."""
+    docs = _rp(sf_dir, "documents", ["doc_id", "text"])
+
+    def _fn(batch: pa.Table) -> pa.Table:
+        text = batch["text"]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_emails": pa.array(tx.scrub_count(text, tx.PII_EMAIL_RE), pa.int64()),
+                "n_phones": pa.array(tx.scrub_count(text, tx.PII_PHONE_RE), pa.int64()),
+                "n_terms": pa.array(tx.scrub_count(text, tx.REDACT_TERM_RE), pa.int64()),
+                "text_scrubbed": tx.scrub_replace(text, tx.REDACT_TERM_RE),
+            }
+        )
+
+    return docs.map_batches(_fn, batch_format="pyarrow")
+
+
+@register(
     "repetition_docs",
     r"""
     WITH tk AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents),

@@ -139,3 +139,23 @@ def test_discrete_quantile_index_rule():
         target = (qh * 10 + 99) // 100
         got = vals[np.searchsorted(cum, target, side="left")]
         assert got == want, (qh, got, want)
+
+
+def test_scrub_count_and_replace():
+    arr = pa.array(
+        [
+            "mail me at a.b+c@ex-ample.co.uk now",
+            "call +1 (555) 123-4567 or 555 123 4567",
+            "the customer placed an order of value",
+            "customers reorder valueless",  # word boundaries: no match
+            "",
+        ]
+    )
+    assert tx.scrub_count(arr, tx.PII_EMAIL_RE).tolist() == [1, 0, 0, 0, 0]
+    assert tx.scrub_count(arr, tx.PII_PHONE_RE).tolist() == [0, 2, 0, 0, 0]
+    assert tx.scrub_count(arr, tx.REDACT_TERM_RE).tolist() == [0, 0, 3, 0, 0]
+    scrubbed = tx.scrub_replace(arr, tx.REDACT_TERM_RE).to_pylist()
+    assert scrubbed[2] == "the [REDACTED] placed an [REDACTED] of [REDACTED]"
+    assert scrubbed[3] == "customers reorder valueless"  # \b respected
+    # email scrub removes the address entirely
+    assert tx.scrub_replace(arr, tx.PII_EMAIL_RE).to_pylist()[0] == "mail me at [REDACTED] now"
