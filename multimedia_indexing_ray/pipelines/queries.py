@@ -1826,6 +1826,80 @@ def q_range_join(sf_dir: str):
 
 
 @register(
+    "zscore_value_per_user",
+    """
+    WITH c AS (SELECT event_id, user_id, CAST(round(value*100) AS BIGINT) AS cents
+               FROM events),
+    s AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(cents) AS BIGINT) AS s1,
+                 CAST(sum(cents*cents) AS BIGINT) AS s2
+          FROM c GROUP BY 1)
+    SELECT c.event_id, c.user_id,
+      CASE WHEN s.n > 1 AND (CAST(s.s2 AS DOUBLE) - CAST(s.s1 AS DOUBLE)*s.s1/s.n) > 0
+           THEN (CAST(c.cents AS DOUBLE) - CAST(s.s1 AS DOUBLE)/s.n)
+                / sqrt((CAST(s.s2 AS DOUBLE) - CAST(s.s1 AS DOUBLE)*s.s1/s.n) / (s.n - 1))
+           ELSE 0.0 END AS zvalue
+    FROM c JOIN s USING (user_id)
+    """,
+)
+def q_zscore_per_user(sf_dir: str):
+    """Per-key standardization (z-score) — the learned whitening of
+    `dimreduction/PCA.java:275-313` re-expressed as a per-group feature
+    transform.  ONE shuffle on user_id co-locates each user's rows, then
+    a vectorized segmented kernel computes integer-exact (n, Σc, Σc²)
+    per user and applies z = (c − μ)/σ locally — no broadcast, so the
+    shape survives an arbitrarily large user dimension (unlike a
+    stats-broadcast join).  All float ops mirror the SQL oracle's
+    expression tree over exact int64 cent sums, so the doubles are
+    bit-identical."""
+    from multimedia_indexing_ray.stages.partition import map_partitions_by_key
+
+    ev = _rp(sf_dir, "events", ["event_id", "user_id", "value"])
+
+    _empty = pa.table(
+        {
+            "event_id": pa.array([], pa.int64()),
+            "user_id": pa.array([], pa.int64()),
+            "zvalue": pa.array([], pa.float64()),
+        }
+    )
+
+    def kernel(table: pa.Table) -> pa.Table:
+        if table.num_rows == 0:
+            return _empty
+        uid = table["user_id"].to_numpy()
+        cents = np.round(table["value"].to_numpy() * 100).astype(np.int64)
+        order = np.argsort(uid, kind="stable")
+        su, sc = uid[order], cents[order]
+        bounds = np.flatnonzero(np.r_[True, su[1:] != su[:-1]])
+        n = np.diff(np.r_[bounds, su.size]).astype(np.int64)
+        s1 = np.add.reduceat(sc, bounds)
+        s2 = np.add.reduceat(sc * sc, bounds)
+        nf = n.astype(np.float64)
+        s1f = s1.astype(np.float64)
+        mu = s1f / nf
+        num = s2.astype(np.float64) - s1f * s1 / nf
+        ok = (n > 1) & (num > 0)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            sd = np.sqrt(num / (n - 1))
+        gid = np.cumsum(np.r_[0, np.diff(su) != 0]) if su.size else np.array([], np.int64)
+        z = np.where(
+            ok[gid], (sc.astype(np.float64) - mu[gid]) / np.where(ok, sd, 1.0)[gid], 0.0
+        )
+        out = np.empty_like(z)
+        out[order] = z
+        return pa.table(
+            {
+                "event_id": table["event_id"],
+                "user_id": table["user_id"],
+                "zvalue": pa.array(out, pa.float64()),
+            }
+        )
+
+    return map_partitions_by_key(ev, "user_id", kernel, num_partitions=32)
+
+
+@register(
     "median_value_per_user",
     "SELECT user_id, median(value) AS median_value FROM events GROUP BY 1",
 )

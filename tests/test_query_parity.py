@@ -85,3 +85,34 @@ def test_entry_runs(ray_session):
     res = e.entry()
     df = _to_pandas(res.limit(10) if hasattr(res, "limit") else res)
     assert len(df) > 0
+
+
+def test_zscore_edge_cases_match_oracle(ray_session, tmp_path):
+    """Single-event users and constant-value users take the CASE ELSE 0.0
+    branch; sf0.001 may not contain them, so exercise them explicitly."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as e
+
+    ts = np.datetime64("2024-01-01T00:00:00", "us")
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(7), pa.int64()),
+            "ts": pa.array([ts] * 7),
+            "user_id": pa.array([1, 1, 1, 2, 3, 3, 4], pa.int64()),
+            "event_type": pa.array(["click"] * 7),
+            # user 2: single event; user 3: constant value; user 4: single
+            "value": pa.array([1.25, 2.50, 10.00, 5.00, 7.77, 7.77, 0.01], pa.float64()),
+            "props": pa.array(["{}"] * 7),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    mine = _normalize(_to_pandas(e.queries()["zscore_value_per_user"](str(tmp_path))))
+    c = duckdb.connect()
+    c.execute(f"CREATE VIEW events AS SELECT * FROM read_parquet('{tmp_path}/events.parquet')")
+    theirs = _normalize(c.execute(e.oracle_sql()["zscore_value_per_user"]).df())
+    assert mine["zvalue"].tolist() == theirs["zvalue"].tolist()
+    by_user = dict(zip(mine["event_id"], mine["zvalue"]))
+    assert by_user[3] == 0.0 and by_user[6] == 0.0  # single-event users
+    assert by_user[4] == 0.0 and by_user[5] == 0.0  # zero-variance user
