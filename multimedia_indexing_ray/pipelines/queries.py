@@ -1599,6 +1599,60 @@ def q_split_assign(sf_dir: str):
 
 
 @register(
+    "corpus_curation",
+    r"""
+    WITH q AS (SELECT doc_id, text,
+                 CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+                 CAST(length(text) AS BIGINT) AS n_chars
+               FROM documents),
+    f AS (SELECT * FROM q WHERE n_tokens >= 20 AND n_chars <= 450),
+    d AS (SELECT min(doc_id) AS doc_id, n_tokens, n_chars
+          FROM f GROUP BY text, n_tokens, n_chars)
+    SELECT doc_id, n_tokens, n_chars,
+      CASE WHEN sid < 8 THEN 'train' WHEN sid = 8 THEN 'val' ELSE 'test' END AS split
+    FROM (SELECT doc_id, n_tokens, n_chars,
+      CAST(list_reduce(
+        list_prepend(CAST(2166136261 AS BIGINT),
+          list_transform(split(CAST(doc_id AS VARCHAR), ''), c -> ascii(c))),
+        (a, b) -> (xor(a, b) * 16777619) % 4294967296
+      ) % 10 AS BIGINT) AS sid FROM d)
+    """,
+)
+def q_corpus_curation(sf_dir: str):
+    """End-to-end corpus curation: quality filter -> exact dedup ->
+    deterministic split assignment, composed from the engine's own
+    operators (the reference's offline learning chain idea —
+    `examples/PCALearningExample.java:27-57` chains sample -> learn ->
+    index — applied to training-data curation).  Quality gating is a
+    pushed-down batch filter (rows drop before the ONE dedup shuffle),
+    dedup keeps the min doc_id per text via the keyed first-wins kernel,
+    and the split is the coordination-free FNV content hash — no second
+    shuffle, no driver materialization."""
+    docs = _rp(sf_dir, "documents", ["doc_id", "text"])
+
+    def _quality(batch: pa.Table) -> pa.Table:
+        nt = tx.token_count(batch["text"])
+        nc = tx.char_count(batch["text"])
+        t = batch.append_column("n_tokens", pa.array(nt, pa.int64()))
+        t = t.append_column("n_chars", pa.array(nc, pa.int64()))
+        return t.filter(pa.array((nt >= 20) & (nc <= 450)))
+
+    kept = dd.dedup_by_key(
+        docs.map_batches(_quality, batch_format="pyarrow"),
+        ["text"],
+        ["doc_id"],
+        num_partitions=16,
+    ).drop_columns(["text"])
+
+    def _split(batch: pa.Table) -> pa.Table:
+        sid = (_fnv1a32(batch["doc_id"].to_numpy()) % np.uint64(10)).astype(np.int64)
+        split = np.where(sid < 8, "train", np.where(sid == 8, "val", "test"))
+        return batch.append_column("split", pa.array(split.astype(object), pa.string()))
+
+    return kept.map_batches(_split, batch_format="pyarrow")
+
+
+@register(
     "topk_per_user",
     """
     SELECT event_id, user_id, value, CAST(rnk AS BIGINT) AS rnk FROM (
