@@ -456,20 +456,43 @@ def q_top_customers(sf_dir: str):
         .groupby("o_custkey")
         .aggregate(Sum("total_spend_cents", alias_name="total_spend_cents"))
     )
-    cust = _pq(sf_dir, "customer", ["c_custkey", "c_name"])
-    joined = broadcast_join(agg, cust, keys="o_custkey", right_keys="c_custkey")
-    top = joined.sort(["total_spend_cents", "o_custkey"], descending=[True, False]).limit(10)
 
-    def _finish(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "c_custkey": batch["o_custkey"],
-                "c_name": batch["c_name"],
-                "total_spend_cents": batch["total_spend_cents"].cast(pa.int64()),
-            }
+    # per-block partial top-10 after the key agg, then one tiny merge —
+    # no global sort (K7 pattern), and the customer-name join touches
+    # ONLY the 10 winners (a broadcast of the full name dimension would
+    # not survive a billion-customer table)
+    def _partial_top(batch: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            batch,
+            sort_keys=[("total_spend_cents", "descending"), ("o_custkey", "ascending")],
         )
+        return batch.take(idx.slice(0, 10))
 
-    return top.map_batches(_finish, batch_format="pyarrow")
+    top = (
+        agg.map_batches(_partial_top, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(_partial_top, batch_format="pyarrow", batch_size=None)
+        .to_arrow_refs()
+    )
+    top_t = pa.concat_tables([ray.get(r) for r in top])
+    spend = top_t.column("total_spend_cents").cast(pa.int64())
+    keys = top_t.column("o_custkey")
+    # decorate the 10 winners: pruned point-lookup read of the name
+    # dimension (J2 result decoration, AbstractSearchStructure.java:345-373)
+    import pyarrow.dataset as pads
+
+    names = pads.dataset(os.path.join(sf_dir, "customer.parquet")).to_table(
+        columns=["c_custkey", "c_name"],
+        filter=pads.field("c_custkey").isin(keys),
+    )
+    lookup = dict(zip(names["c_custkey"].to_pylist(), names["c_name"].to_pylist()))
+    return pa.table(
+        {
+            "c_custkey": keys.cast(pa.int64()),
+            "c_name": pa.array([lookup[k] for k in keys.to_pylist()], pa.string()),
+            "total_spend_cents": spend,
+        }
+    )
 
 
 @register(
