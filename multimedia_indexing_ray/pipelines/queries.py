@@ -457,10 +457,14 @@ def q_top_customers(sf_dir: str):
         .aggregate(Sum("total_spend_cents", alias_name="total_spend_cents"))
     )
 
-    # per-block partial top-10 after the key agg, then one tiny merge —
-    # no global sort (K7 pattern), and the customer-name join touches
-    # ONLY the 10 winners (a broadcast of the full name dimension would
-    # not survive a billion-customer table)
+    # inner-join the name dimension via the big x big bucketed hash join
+    # (no full-dimension broadcast — customer is a fact-sized table at
+    # scale, and the oracle's INNER JOIN must drop nameless custkeys
+    # BEFORE the limit), then per-block partial top-10 -> one tiny merge
+    # instead of a global sort (K7 pattern)
+    cust = _rp(sf_dir, "customer", ["c_custkey", "c_name"])
+    named = hash_join(agg, cust, left_on="o_custkey", right_on="c_custkey", num_partitions=16)
+
     def _partial_top(batch: pa.Table) -> pa.Table:
         idx = pc.sort_indices(
             batch,
@@ -468,30 +472,20 @@ def q_top_customers(sf_dir: str):
         )
         return batch.take(idx.slice(0, 10))
 
-    top = (
-        agg.map_batches(_partial_top, batch_format="pyarrow")
+    def _finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_custkey": batch["o_custkey"].cast(pa.int64()),
+                "c_name": batch["c_name"],
+                "total_spend_cents": batch["total_spend_cents"].cast(pa.int64()),
+            }
+        )
+
+    return (
+        named.map_batches(_partial_top, batch_format="pyarrow")
         .repartition(1)
         .map_batches(_partial_top, batch_format="pyarrow", batch_size=None)
-        .to_arrow_refs()
-    )
-    top_t = pa.concat_tables([ray.get(r) for r in top])
-    spend = top_t.column("total_spend_cents").cast(pa.int64())
-    keys = top_t.column("o_custkey")
-    # decorate the 10 winners: pruned point-lookup read of the name
-    # dimension (J2 result decoration, AbstractSearchStructure.java:345-373)
-    import pyarrow.dataset as pads
-
-    names = pads.dataset(os.path.join(sf_dir, "customer.parquet")).to_table(
-        columns=["c_custkey", "c_name"],
-        filter=pads.field("c_custkey").isin(keys),
-    )
-    lookup = dict(zip(names["c_custkey"].to_pylist(), names["c_name"].to_pylist()))
-    return pa.table(
-        {
-            "c_custkey": keys.cast(pa.int64()),
-            "c_name": pa.array([lookup[k] for k in keys.to_pylist()], pa.string()),
-            "total_spend_cents": spend,
-        }
+        .map_batches(_finish, batch_format="pyarrow")
     )
 
 
@@ -1907,7 +1901,8 @@ def q_range_join(sf_dir: str):
 @register(
     "zscore_value_per_user",
     """
-    WITH c AS (SELECT event_id, user_id, CAST(round(value*100) AS BIGINT) AS cents
+    WITH c AS (SELECT event_id, user_id,
+                      CAST(FLOOR(value*100+0.5) AS BIGINT) AS cents
                FROM events),
     s AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
                  CAST(sum(cents) AS BIGINT) AS s1,
@@ -1947,7 +1942,7 @@ def q_zscore_per_user(sf_dir: str):
         if table.num_rows == 0:
             return _empty
         uid = table["user_id"].to_numpy()
-        cents = np.round(table["value"].to_numpy() * 100).astype(np.int64)
+        cents = _cents(table["value"].to_numpy()).astype(np.int64)
         order = np.argsort(uid, kind="stable")
         su, sc = uid[order], cents[order]
         bounds = np.flatnonzero(np.r_[True, su[1:] != su[:-1]])

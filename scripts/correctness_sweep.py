@@ -12,6 +12,7 @@ Owns its Ray session (script entry point, not library code).
 from __future__ import annotations
 
 import json
+import os
 import sys
 
 TABLES = (
@@ -39,6 +40,9 @@ def compare(mine, orc):
     import numpy as np
 
     out = {"rows_match": len(mine) == len(orc), "schema_match": None, "hash_match": None}
+    # key names mirror the driver's CORRECTNESS_r{N}.json fields verbatim
+    # ("spark_rows" is the driver's label for the engine-under-test side)
+    # so the two reports diff cleanly
     out["spark_rows"], out["oracle_rows"] = len(mine), len(orc)
     mine, orc = _normalize(mine), _normalize(orc)
     out["schema_match"] = list(mine.columns) == list(orc.columns)
@@ -48,6 +52,13 @@ def compare(mine, orc):
     close = True
     for c in mine.columns:
         a, b = mine[c], orc[c]
+        # a numeric-kind mismatch (int column vs the oracle's DOUBLE or
+        # vice versa) is a real defect even when values compare equal —
+        # the driver's value hash is dtype-sensitive
+        if a.dtype.kind != b.dtype.kind and {a.dtype.kind, b.dtype.kind} <= {"i", "u", "f"}:
+            out.setdefault("dtype_mismatch", {})[c] = f"{a.dtype} vs {b.dtype}"
+            exact = False
+            continue
         try:
             col_eq = bool((a.values == b.values).all() or a.equals(b.astype(a.dtype)))
         except (TypeError, ValueError):
@@ -80,7 +91,8 @@ def main():
 
     import duckdb
 
-    sys.path.insert(0, "/root/repo")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, repo)
     import __ray_entry__ as e
 
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"

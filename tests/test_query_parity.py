@@ -102,8 +102,10 @@ def test_zscore_edge_cases_match_oracle(ray_session, tmp_path):
             "ts": pa.array([ts] * 7),
             "user_id": pa.array([1, 1, 1, 2, 3, 3, 4], pa.int64()),
             "event_type": pa.array(["click"] * 7),
-            # user 2: single event; user 3: constant value; user 4: single
-            "value": pa.array([1.25, 2.50, 10.00, 5.00, 7.77, 7.77, 0.01], pa.float64()),
+            # user 2: single event; user 3: constant value; user 4: single;
+            # 0.125 -> 12.5 half-cents pins the floor(x*100+0.5) rule
+            # (np.round half-even would give 12, DuckDB round 13)
+            "value": pa.array([0.125, 2.50, 10.00, 5.00, 7.77, 7.77, 0.01], pa.float64()),
             "props": pa.array(["{}"] * 7),
         }
     )
