@@ -139,3 +139,57 @@ def test_asof_searchsorted_property(left, right):
         else:
             assert idx[r] >= 0 and c_l_s[idx[r]] == c_r[r]
             assert l_ts_s[idx[r]] == max(l_ts[j] for j in cands)
+
+
+@settings(deadline=None)
+@given(
+    st.lists(st.tuples(st.sampled_from("abcde"), st.integers(-10**9, 10**9)), max_size=200),
+    st.integers(1, 7),
+)
+def test_tiny_group_sum_combine_split_invariance(rows, n_chunks):
+    """The _tiny_group_sum combine (per-chunk _pa_group_sum partials, then
+    one final _pa_group_sum over the concatenated partials) equals a
+    direct global group-sum for ANY split of the rows into chunks —
+    int sums are order/partition independent."""
+    import pyarrow as pa
+
+    from multimedia_indexing_ray.pipelines.queries import _pa_group_sum
+
+    keys = [k for k, _ in rows]
+    vals = [v for _, v in rows]
+    table = pa.table({"k": pa.array(keys, pa.string()), "v": pa.array(vals, pa.int64())})
+    bounds = np.linspace(0, len(rows), n_chunks + 1).astype(int)
+    partials = [
+        _pa_group_sum(table.slice(int(s), int(e - s)), ["k"], ["v"])
+        for s, e in zip(bounds[:-1], bounds[1:])
+        if e > s
+    ]
+    if partials:
+        combined = _pa_group_sum(pa.concat_tables(partials), ["k"], ["v"])
+    else:
+        combined = _pa_group_sum(table, ["k"], ["v"])
+    got = dict(zip(combined["k"].to_pylist(), combined["v"].to_pylist()))
+    want = {}
+    for k, v in rows:
+        want[k] = want.get(k, 0) + v
+    assert got == want
+
+
+@settings(deadline=None)
+@given(st.lists(st.text(alphabet="co value customer order .x@5 ", max_size=40), max_size=30))
+def test_scrub_replace_matches_re_sub(texts):
+    """pc.replace_substring_regex (RE2) == Python re.sub for the scrub
+    patterns on arbitrary text (both engines: leftmost, non-overlapping)."""
+    import re
+
+    import pyarrow as pa
+
+    from multimedia_indexing_ray.functions import text as tx
+
+    arr = pa.array(texts, pa.string())
+    for pat in (tx.REDACT_TERM_RE, tx.PII_EMAIL_RE):
+        got = tx.scrub_replace(arr, pat).to_pylist()
+        want = [re.sub(pat, tx.REDACT_TOKEN, t) for t in texts]
+        assert got == want
+        counts = tx.scrub_count(arr, pat).tolist()
+        assert counts == [len(re.findall(pat, t)) for t in texts]
