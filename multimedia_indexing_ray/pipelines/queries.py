@@ -1618,6 +1618,80 @@ def q_split_assign(sf_dir: str):
 
 
 @register(
+    "approx_distinct_users",
+    """
+    WITH h AS (SELECT CAST(list_reduce(
+        list_prepend(CAST(2166136261 AS BIGINT),
+          list_transform(split(CAST(user_id AS VARCHAR), ''), c -> ascii(c))),
+        (a, b) -> (xor(a, b) * 16777619) % 4294967296
+      ) AS BIGINT) AS hv FROM events),
+    r AS (SELECT hv % 64 AS bucket,
+                 CASE WHEN hv // 64 = 0 THEN 27
+                      ELSE 26 - length(bin(hv // 64)) + 1 END AS rank
+          FROM h),
+    reg AS (SELECT b.bucket, COALESCE(MAX(r.rank), 0) AS reg
+            FROM (SELECT unnest(range(64)) AS bucket) b
+            LEFT JOIN r ON r.bucket = b.bucket GROUP BY 1),
+    s AS (SELECT CAST(SUM(POWER(2.0, -reg)) AS DOUBLE) AS sum_inv,
+                 CAST(SUM(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS BIGINT) AS zero_registers
+          FROM reg)
+    SELECT CAST(64 AS BIGINT) AS m, zero_registers, sum_inv,
+           (0.7213 / (1.0 + 1.079 / 64)) * 64 * 64 / sum_inv AS est
+    FROM s
+    """,
+)
+def q_approx_distinct(sf_dir: str):
+    """Approximate distinct count via a HyperLogLog sketch (Flajolet et
+    al. 2007) — the mergeable-sketch scale path for cardinality at
+    100 TB, where the exact `distinct_users` shuffle would move every
+    key.  Bit-exact SQL conformance is possible because every piece is
+    deterministic integer math: the digit-string FNV-1a hash is the same
+    kernel `sample_hash` verifies, per-bucket MAX(rank) is an
+    order-independent integer aggregate, and the harmonic sum adds exact
+    powers of two (no float rounding at any summation order).  The raw
+    m=64 estimator is emitted WITHOUT the small/large-range corrections
+    (linear counting needs ln(), whose last-ulp behavior differs across
+    libms and would break the hash gate); production use would apply
+    them after the sketch.  Sketch exchange = at most 64 (bucket, rank)
+    rows per block — the A6 metric-counter shape
+    (`datastructures/IVFPQ.java:654-673`) applied to cardinality."""
+    ev = _rp(sf_dir, "events", ["user_id"])
+    M, P = 64, 26
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        h = _fnv1a32(batch["user_id"].to_numpy())
+        bucket = (h % np.uint64(M)).astype(np.int64)
+        w = (h // np.uint64(M)).astype(np.int64)
+        # exact integer bit length via frexp (w < 2**26 << 2**53)
+        bitlen = np.where(w > 0, np.frexp(w.astype(np.float64))[1], 0).astype(np.int64)
+        rank = P - bitlen + 1
+        t = pa.table({"bucket": pa.array(bucket), "rank": pa.array(rank)})
+        g = pa.TableGroupBy(t, ["bucket"]).aggregate([("rank", "max")])
+        return pa.table({"bucket": g["bucket"], "rank": g["rank_max"]})
+
+    def _final(batch: pa.Table) -> pa.Table:
+        reg = np.zeros(M, np.int64)
+        if batch.num_rows:
+            np.maximum.at(reg, batch["bucket"].to_numpy(), batch["rank"].to_numpy())
+        sum_inv = float(np.sum(np.power(2.0, -reg.astype(np.float64))))
+        est = (0.7213 / (1.0 + 1.079 / M)) * M * M / sum_inv
+        return pa.table(
+            {
+                "m": pa.array([M], pa.int64()),
+                "zero_registers": pa.array([int((reg == 0).sum())], pa.int64()),
+                "sum_inv": pa.array([sum_inv], pa.float64()),
+                "est": pa.array([est], pa.float64()),
+            }
+        )
+
+    return (
+        ev.map_batches(_partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(_final, batch_format="pyarrow", batch_size=None)
+    )
+
+
+@register(
     "corpus_curation",
     r"""
     WITH q AS (SELECT doc_id, text,

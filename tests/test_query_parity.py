@@ -118,3 +118,30 @@ def test_zscore_edge_cases_match_oracle(ray_session, tmp_path):
     by_user = dict(zip(mine["event_id"], mine["zvalue"]))
     assert by_user[3] == 0.0 and by_user[6] == 0.0  # single-event users
     assert by_user[4] == 0.0 and by_user[5] == 0.0  # zero-variance user
+
+
+def test_hll_estimate_tracks_exact_distinct(ray_session, tmp_path):
+    """Away from the small-range regime the raw m=64 HLL estimate should
+    sit within a few standard errors (1.04/sqrt(64) ~= 13%) of truth."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as e
+
+    n = 20000
+    ts = np.datetime64("2024-01-01T00:00:00", "us")
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(n), pa.int64()),
+            "ts": pa.array([ts] * n),
+            "user_id": pa.array(np.arange(n) % 10000, pa.int64()),  # 10k distinct
+            "event_type": pa.array(["click"] * n),
+            "value": pa.array(np.ones(n), pa.float64()),
+            "props": pa.array(["{}"] * n),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    res = _to_pandas(e.queries()["approx_distinct_users"](str(tmp_path)))
+    est = float(res["est"].iloc[0])
+    assert res["zero_registers"].iloc[0] == 0  # out of linear-counting range
+    assert abs(est - 10000) / 10000 < 0.4  # ~3 sigma for m=64
