@@ -1618,6 +1618,51 @@ def q_split_assign(sf_dir: str):
 
 
 @register(
+    "bloom_semijoin_errors",
+    """
+    WITH fh AS (
+      SELECT event_id, user_id, event_type,
+        CAST(list_reduce(
+          list_prepend(CAST(2166136261 AS BIGINT),
+            list_transform(split(CAST(user_id AS VARCHAR), ''), c -> ascii(c))),
+          (a, b) -> (xor(a, b) * 16777619) % 4294967296
+        ) AS BIGINT) AS hv
+      FROM events),
+    pos AS (SELECT hv % 1024 AS p FROM fh WHERE event_type = 'purchase'
+            UNION ALL
+            SELECT (hv // 1024) % 1024 FROM fh WHERE event_type = 'purchase'),
+    bloom AS (SELECT p // 32 AS w,
+                     CAST(bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INT)) AS BIGINT) AS bits
+              FROM pos GROUP BY 1)
+    SELECT e.event_id, e.user_id FROM fh e
+    WHERE e.event_type = 'error'
+      AND EXISTS (SELECT 1 FROM bloom b WHERE b.w = (e.hv % 1024) // 32
+                  AND ((b.bits >> CAST((e.hv % 1024) % 32 AS INT)) % 2) = 1)
+      AND EXISTS (SELECT 1 FROM bloom b WHERE b.w = ((e.hv // 1024) % 1024) // 32
+                  AND ((b.bits >> CAST(((e.hv // 1024) % 1024) % 32 AS INT)) % 2) = 1)
+    """,
+)
+def q_bloom_semijoin(sf_dir: str):
+    """Broadcast Bloom-filter semi-join: error events from users who
+    (probably) also purchased.  The build side collapses to a 128-byte
+    bit array (per-batch OR partials, order-independent), which rides in
+    the probe filter's closure — NO shuffle of either side, the pruning
+    pattern that makes big x big semi-joins cheap at 100 TB.  False
+    positives are deterministic (FNV positions), so the SQL oracle
+    replicates the filter bit-for-bit via bit_or; with 150 users the
+    1024-bit filter happens to have none (result == exact semi-join)."""
+    from multimedia_indexing_ray.stages.join import bloom_filter, build_bloom
+
+    ev = _rp(sf_dir, "events", ["event_id", "user_id", "event_type"])
+    purchases = ev.filter(expr="event_type == 'purchase'")
+    words = build_bloom(purchases, "user_id", _fnv1a32, n_bits=1024)
+    errors = ev.filter(expr="event_type == 'error'")
+    return bloom_filter(errors, "user_id", _fnv1a32, words, n_bits=1024).select_columns(
+        ["event_id", "user_id"]
+    )
+
+
+@register(
     "approx_distinct_users",
     """
     WITH h AS (SELECT CAST(list_reduce(

@@ -128,3 +128,64 @@ def hash_join(
         return lt.join(rt, keys=left_on, right_keys=right_on, join_type=join_type)
 
     return lds.union(rds).groupby(PART_COL).map_groups(_merge, batch_format="pyarrow")
+
+
+def build_bloom(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    hash_fn,
+    n_bits: int = 1024,
+) -> np.ndarray:
+    """Build a Bloom filter over ``hash_fn(key_col)`` as ``n_bits // 32``
+    int64 words of 32 bits each (2 probe positions per key: ``h % n_bits``
+    and ``(h // n_bits) % n_bits``).
+
+    The per-batch partial is a <= n_bits/32-row (word, bits) table; the
+    driver OR-combines those tiny sketches — bitwise OR is idempotent and
+    order-independent, so the filter is deterministic under any
+    partitioning (same reason the HLL registers are).  This is the
+    broadcast semi-join pruning pattern: ship the words (128 B at the
+    default size) into a probe-side filter instead of shuffling the probe
+    table — the J4 already-indexed gate
+    (`datastructures/AbstractSearchStructure.java:237-240`) generalized
+    to an approximate membership test with deterministic false positives.
+    """
+    n_words = n_bits // 32
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        h = hash_fn(batch[key_col].to_numpy())
+        p = np.concatenate([h % np.uint64(n_bits), (h // np.uint64(n_bits)) % np.uint64(n_bits)])
+        p = p.astype(np.int64)
+        words = np.zeros(n_words, np.int64)
+        np.bitwise_or.at(words, p // 32, np.int64(1) << (p % 32))
+        return pa.table(
+            {"w": pa.array(np.arange(n_words, dtype=np.int64)), "bits": pa.array(words)}
+        )
+
+    words = np.zeros(n_words, np.int64)
+    for part in ds.map_batches(_partial, batch_format="pyarrow").take_all():
+        words[part["w"]] |= part["bits"]
+    return words
+
+
+def bloom_filter(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    hash_fn,
+    words: np.ndarray,
+    n_bits: int = 1024,
+) -> "ray.data.Dataset":
+    """Keep rows whose key is (possibly) in the Bloom filter built by
+    `build_bloom` — both probe positions must be set.  `words` is tiny
+    and rides in the task closure (no shuffle, no broadcast machinery)."""
+
+    def _member(p: np.ndarray) -> np.ndarray:
+        return ((words[p // 32] >> (p % 32)) & 1).astype(bool)
+
+    def _filter(batch: pa.Table) -> pa.Table:
+        h = hash_fn(batch[key_col].to_numpy())
+        p1 = (h % np.uint64(n_bits)).astype(np.int64)
+        p2 = ((h // np.uint64(n_bits)) % np.uint64(n_bits)).astype(np.int64)
+        return batch.filter(pa.array(_member(p1) & _member(p2)))
+
+    return ds.map_batches(_filter, batch_format="pyarrow")
