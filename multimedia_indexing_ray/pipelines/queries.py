@@ -1618,6 +1618,95 @@ def q_split_assign(sf_dir: str):
 
 
 @register(
+    "cms_user_counts",
+    """
+    WITH fh AS (
+      SELECT user_id,
+        CAST(list_reduce(
+          list_prepend(CAST(2166136261 AS BIGINT),
+            list_transform(split(CAST(user_id AS VARCHAR), ''), c -> ascii(c))),
+          (a, b) -> (xor(a, b) * 16777619) % 4294967296
+        ) AS BIGINT) AS hv
+      FROM events),
+    rows_d AS (SELECT unnest(range(4)) AS d),
+    cnt AS (SELECT d, ((hv * (2*d + 1) + d) % 4294967296) % 256 AS bucket,
+                   CAST(count(*) AS BIGINT) AS c
+            FROM fh CROSS JOIN rows_d GROUP BY 1, 2),
+    users AS (SELECT user_id, any_value(hv) AS hv, CAST(count(*) AS BIGINT) AS exact_count
+              FROM fh GROUP BY 1)
+    SELECT u.user_id, u.exact_count,
+      (SELECT MIN(c.c) FROM cnt c JOIN rows_d r ON c.d = r.d
+       WHERE c.bucket = ((u.hv * (2*c.d + 1) + c.d) % 4294967296) % 256) AS est_count
+    FROM users u
+    """,
+)
+def q_cms_user_counts(sf_dir: str):
+    """Count-Min frequency sketch (Cormode & Muthukrishnan 2005): per-key
+    event counts estimated from a fixed d=4 x w=256 counter matrix.  The
+    sketch exchange is at most d*w rows per block (integer sums —
+    order-independent, mergeable), vs shuffling every key for the exact
+    count; est >= exact always (one-sided error), and both columns are
+    emitted so the guarantee is hash-checked.  Row hashes derive from the
+    one SQL-expressible FNV kernel (h_d = (hv*(2d+1)+d) mod 2^32), so the
+    DuckDB oracle rebuilds the identical counters.  Completes the
+    mergeable-sketch suite (HLL cardinality, Bloom membership, CMS
+    frequency) — the A6 counter shape at sketch cost."""
+    M_D, M_W = 4, 256
+    ev = _rp(sf_dir, "events", ["user_id"])
+
+    def _row_hashes(hv: np.ndarray) -> np.ndarray:
+        # (n, d) bucket matrix, mirroring the SQL expression exactly
+        d = np.arange(M_D, dtype=np.uint64)
+        return ((hv[:, None] * (2 * d + 1) + d) % np.uint64(2**32)) % np.uint64(M_W)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        hv = _fnv1a32(batch["user_id"].to_numpy())
+        buckets = _row_hashes(hv).astype(np.int64)
+        flat = (np.arange(M_D, dtype=np.int64)[None, :] * M_W + buckets).ravel()
+        counts = np.bincount(flat, minlength=M_D * M_W).astype(np.int64)
+        nz = np.flatnonzero(counts)
+        return pa.table(
+            {
+                "d": pa.array(nz // M_W, pa.int64()),
+                "bucket": pa.array(nz % M_W, pa.int64()),
+                "c": pa.array(counts[nz], pa.int64()),
+            }
+        )
+
+    # tiny sketch gather (<= d*w rows per block), OR rather SUM-combine
+    counters = np.zeros((M_D, M_W), dtype=np.int64)
+    for part in ev.map_batches(_partial, batch_format="pyarrow").take_all():
+        counters[part["d"], part["bucket"]] += part["c"]
+
+    # probe side: exact per-key counts (one key shuffle) decorated with
+    # the broadcast sketch estimate
+    def _exact_partial(batch: pa.Table) -> pa.Table:
+        t = batch.append_column("exact_count", pa.array(np.ones(batch.num_rows, np.int64)))
+        return _pa_group_sum(t, ["user_id"], ["exact_count"])
+
+    agg = (
+        ev.map_batches(_exact_partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Sum("exact_count", alias_name="exact_count"))
+    )
+
+    def _estimate(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy()
+        hv = _fnv1a32(uid)
+        buckets = _row_hashes(hv).astype(np.int64)
+        est = counters[np.arange(M_D)[None, :], buckets].min(axis=1)
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "exact_count": batch["exact_count"].cast(pa.int64()),
+                "est_count": pa.array(est, pa.int64()),
+            }
+        )
+
+    return agg.map_batches(_estimate, batch_format="pyarrow")
+
+
+@register(
     "bloom_semijoin_errors",
     """
     WITH fh AS (
