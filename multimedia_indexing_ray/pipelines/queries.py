@@ -1944,6 +1944,61 @@ def q_ngram_jaccard(sf_dir: str):
     return dd.anchor_jaccard_pairs(docs, "text", "doc_id", threshold=0.3, num_partitions=16)
 
 
+_NGRAM_PAIRS_CTE = r"""
+    tk AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents),
+    s AS (SELECT doc_id, list_distinct(
+            CASE WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[])
+                 WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                 ELSE list_transform(range(1, len(toks) - 1),
+                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS sh
+          FROM tk),
+    s2 AS (SELECT doc_id, sh, list_min(sh) AS anchor FROM s WHERE len(sh) > 0),
+    pairs AS (
+      SELECT a_id, b_id FROM (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+          CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard
+        FROM s2 a JOIN s2 b ON a.anchor = b.anchor AND a.doc_id < b.doc_id)
+      WHERE jaccard > 0.3)
+"""
+
+
+@register(
+    "dedup_clusters",
+    f"""
+    WITH RECURSIVE
+    {_NGRAM_PAIRS_CTE},
+    edges AS (SELECT a_id AS u, b_id AS v FROM pairs
+              UNION SELECT b_id, a_id FROM pairs),
+    cc(node, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.v, c.label FROM cc c JOIN edges e ON c.node = e.u
+      WHERE c.label < e.v
+    )
+    SELECT node AS doc_id, MIN(label) AS cluster_id,
+           node = MIN(label) AS is_canonical
+    FROM cc GROUP BY node
+    """,
+)
+def q_dedup_clusters(sf_dir: str):
+    """Transitive near-dup CLUSTER resolution: 3-gram Jaccard pairs ->
+    distributed connected components (alternating large-star/small-star,
+    Kiveris et al. SoCC'14; `stages/cc.py`) -> one canonical doc per
+    cluster.  The CC iteration shuffles only the slim pair set; cluster
+    ids rejoin the corpus via one (id, cluster) exchange.  Oracle: a
+    DuckDB recursive CTE propagating min labels to fixpoint."""
+    from multimedia_indexing_ray.stages.cc import resolve_clusters
+
+    docs = _rp(sf_dir, "documents", ["doc_id", "text"])
+    pairs = dd.anchor_jaccard_pairs(
+        docs, "text", "doc_id", threshold=0.3, num_partitions=16
+    )
+    return resolve_clusters(
+        docs.select_columns(["doc_id"]), "doc_id", pairs, num_partitions=16
+    )
+
+
 def _winnow_sql() -> str:
     from multimedia_indexing_ray.functions.text import FNV_BASIS
 

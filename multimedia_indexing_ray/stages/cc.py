@@ -1,0 +1,221 @@
+"""Distributed connected components over near-duplicate pair sets.
+
+The dedup finisher the reference never needed (its index keys are unique
+by construction — `IndexingMT.java` skips already-indexed names) but any
+100-TB corpus-dedup pipeline does: MinHash / SimHash / Jaccard stages
+emit PAIRS; turning pairs into transitive duplicate CLUSTERS (and one
+canonical survivor per cluster) is a connected-components problem.
+
+Algorithm: alternating large-star / small-star (Kiveris, Lattanzi,
+Mirrokni, Rastogi, Vassilvitskii — "Connected Components in MapReduce
+and Beyond", SoCC 2014).  Each round is ONE hash shuffle of the EDGE
+set only — the near-dup pairs, which are orders of magnitude smaller
+than the corpus — and converges in O(log^2 n) rounds (2-4 in practice
+for dup clusters, whose diameter is tiny).  The per-round kernel is
+fully vectorized (sort + segment mins + mask emits); no Python loop
+over edges.
+
+Scale notes:
+- Iteration state is only ``(u, v)`` int64 edges; each round
+  materializes that slim set (required for iteration — otherwise the
+  lazy lineage would re-run every prior round) and re-shuffles it.
+- Attaching cluster ids back onto the corpus is one slim
+  ``(id, cluster)`` exchange (`resolve_clusters`), never a broadcast of
+  the corpus.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from multimedia_indexing_ray.stages.partition import (
+    map_partitions_by_key,
+    stable_hash,
+)
+
+_EDGE_SCHEMA = pa.schema([("u", pa.int64()), ("v", pa.int64())])
+
+
+def _dedup_uv(u: np.ndarray, v: np.ndarray) -> pa.Table:
+    if len(u) == 0:
+        return _EDGE_SCHEMA.empty_table()
+    uv = np.stack([u, v], axis=1)
+    uv = np.unique(uv, axis=0)
+    return pa.table({"u": uv[:, 0], "v": uv[:, 1]}, schema=_EDGE_SCHEMA)
+
+
+def _segments(u: np.ndarray):
+    """Sort order + segment starts for grouping by u."""
+    order = np.argsort(u, kind="stable")
+    su = u[order]
+    starts = np.flatnonzero(np.r_[True, su[1:] != su[:-1]])
+    return order, su, starts
+
+
+def _seg_min(vals: np.ndarray, starts: np.ndarray) -> np.ndarray:
+    """Per-segment minimum, broadcast back to every row of the segment."""
+    mins = np.minimum.reduceat(vals, starts)
+    counts = np.diff(np.r_[starts, len(vals)])
+    return np.repeat(mins, counts)
+
+
+def _symmetrize(batch: pa.Table) -> pa.Table:
+    """Emit both orientations BEFORE the shuffle so each node's full
+    neighborhood lands in its hash partition."""
+    a = batch["u"].to_numpy(zero_copy_only=False)
+    b = batch["v"].to_numpy(zero_copy_only=False)
+    return pa.table(
+        {"u": np.concatenate([a, b]), "v": np.concatenate([b, a])},
+        schema=_EDGE_SCHEMA,
+    )
+
+
+def _orient_max(batch: pa.Table) -> pa.Table:
+    """Orient min-ward (u = max endpoint) BEFORE the shuffle — small-star
+    groups by the larger endpoint."""
+    a = batch["u"].to_numpy(zero_copy_only=False)
+    b = batch["v"].to_numpy(zero_copy_only=False)
+    return pa.table(
+        {"u": np.maximum(a, b), "v": np.minimum(a, b)}, schema=_EDGE_SCHEMA
+    )
+
+
+def _large_star(table: pa.Table) -> pa.Table:
+    """Group (pre-symmetrized) edges by u; connect every neighbor v > u
+    to m = min(N(u) + {u})."""
+    u = table["u"].to_numpy(zero_copy_only=False)
+    v = table["v"].to_numpy(zero_copy_only=False)
+    order, su, starts = _segments(u)
+    sv = v[order]
+    m = np.minimum(_seg_min(sv, starts), su)
+    keep = sv > su
+    return _dedup_uv(sv[keep], m[keep])
+
+
+def _small_star(table: pa.Table) -> pa.Table:
+    """Group (pre-oriented, u = max endpoint) edges by u; connect u and
+    every smaller neighbor to m = min(N(u) + {u})."""
+    u = table["u"].to_numpy(zero_copy_only=False)
+    v = table["v"].to_numpy(zero_copy_only=False)
+    order, su, starts = _segments(u)
+    sv = v[order]
+    m = np.minimum(_seg_min(sv, starts), su)
+    keep = sv != m
+    out_u = np.concatenate([sv[keep], su[starts]])
+    out_m = np.concatenate([m[keep], m[starts]])
+    keep2 = out_u != out_m
+    return _dedup_uv(out_u[keep2], out_m[keep2])
+
+
+def _fingerprint(edges: "ray.data.Dataset") -> tuple:
+    """Cheap order-independent identity of the edge set: (count, sum of
+    a stable per-edge hash).  Equal fingerprints across rounds ==
+    converged (probabilistically; the round bound is the backstop)."""
+
+    def _h(batch: pa.Table) -> pa.Table:
+        u = batch["u"].to_numpy(zero_copy_only=False)
+        v = batch["v"].to_numpy(zero_copy_only=False)
+        h = stable_hash(u) * np.uint64(1000003) ^ stable_hash(v)
+        s = int(h.sum(dtype=np.uint64)) & ((1 << 63) - 1)
+        return pa.table({"n": [len(u)], "s": [s]})
+
+    parts = edges.map_batches(_h, batch_format="pyarrow").take_all()
+    n = sum(r["n"] for r in parts)
+    s = sum(r["s"] for r in parts) % (1 << 63)
+    return (n, s)
+
+
+def connected_components(
+    pairs: "ray.data.Dataset",
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+    num_partitions: int = 8,
+    max_rounds: int = 30,
+) -> "ray.data.Dataset":
+    """Star edges ``(u, root)`` for every non-root node of every
+    component; root = min node id of the component.  Nodes that appear
+    in no pair are absent (their cluster is themselves —
+    `resolve_clusters` fills that in)."""
+
+    def _init(batch: pa.Table) -> pa.Table:
+        u = batch[a_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = batch[b_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = u != v
+        return _dedup_uv(u[keep], v[keep])
+
+    edges = pairs.map_batches(_init, batch_format="pyarrow").materialize()
+    if edges.count() == 0:
+        return ray.data.from_arrow(_EDGE_SCHEMA.empty_table())
+
+    prev = None
+    for _ in range(max_rounds):
+        edges = map_partitions_by_key(
+            edges.map_batches(_symmetrize, batch_format="pyarrow"),
+            "u",
+            _large_star,
+            num_partitions=num_partitions,
+        )
+        edges = map_partitions_by_key(
+            edges.map_batches(_orient_max, batch_format="pyarrow"),
+            "u",
+            _small_star,
+            num_partitions=num_partitions,
+        ).materialize()
+        fp = _fingerprint(edges)
+        if fp == prev:
+            break
+        prev = fp
+    else:
+        raise RuntimeError(f"connected_components did not converge in {max_rounds} rounds")
+    # at fixpoint edges are (node, root) stars, oriented u > v == root
+    return edges
+
+
+def resolve_clusters(
+    docs: "ray.data.Dataset",
+    id_col: str,
+    pairs: "ray.data.Dataset",
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+    num_partitions: int = 16,
+    cc_partitions: int = 8,
+) -> "ray.data.Dataset":
+    """Every doc -> (doc_id, cluster_id, is_canonical): cluster_id is the
+    min doc id of its near-dup component (itself for singletons) and the
+    canonical survivor is the root.  One slim (id, cluster) exchange
+    over the corpus ids; the CC iteration touches only the pair set."""
+    stars = connected_components(
+        pairs, a_col=a_col, b_col=b_col, num_partitions=cc_partitions
+    )
+
+    def _self_edges(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"u": ids, "v": ids}, schema=_EDGE_SCHEMA)
+
+    both = docs.map_batches(_self_edges, batch_format="pyarrow").union(stars)
+
+    def _min_label(table: pa.Table) -> pa.Table:
+        u = table["u"].to_numpy(zero_copy_only=False)
+        v = table["v"].to_numpy(zero_copy_only=False)
+        order, su, starts = _segments(u)
+        m = np.minimum.reduceat(v[order], starts)
+        node = su[starts]
+        return pa.table(
+            {
+                "doc_id": node,
+                "cluster_id": m,
+                "is_canonical": node == m,
+            },
+            schema=pa.schema(
+                [
+                    ("doc_id", pa.int64()),
+                    ("cluster_id", pa.int64()),
+                    ("is_canonical", pa.bool_()),
+                ]
+            ),
+        )
+
+    return map_partitions_by_key(both, "u", _min_label, num_partitions=num_partitions)

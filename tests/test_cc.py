@@ -1,0 +1,90 @@
+"""Connected components (stages/cc.py) vs a brute-force union-find."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _union_find(n_nodes, pairs):
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # root = min of component
+    comp = {}
+    for x in range(n_nodes):
+        r = find(x)
+        comp.setdefault(r, []).append(x)
+    label = {}
+    for members in comp.values():
+        m = min(members)
+        for x in members:
+            label[x] = m
+    return label
+
+
+def _pairs_ds(ray, pairs):
+    a = pa.array([p[0] for p in pairs], pa.int64())
+    b = pa.array([p[1] for p in pairs], pa.int64())
+    return ray.data.from_arrow(pa.table({"a_id": a, "b_id": b})).repartition(4)
+
+
+@pytest.mark.parametrize("seed,n,m", [(0, 60, 40), (1, 200, 260), (2, 500, 180)])
+def test_cc_random_vs_union_find(ray_session, seed, n, m):
+    from multimedia_indexing_ray.stages.cc import connected_components
+
+    rng = np.random.default_rng(seed)
+    pairs = [tuple(sorted(p)) for p in rng.integers(0, n, size=(m, 2)) if p[0] != p[1]]
+    stars = connected_components(_pairs_ds(ray_session, pairs)).take_all()
+    want = _union_find(n, pairs)
+    got = {r["u"]: r["v"] for r in stars}
+    for node, root in want.items():
+        if node == root:
+            assert node not in got or got[node] == node
+        else:
+            assert got[node] == root, (node, got.get(node), root)
+
+
+def test_cc_path_graph_worst_diameter(ray_session):
+    """A 300-node chain: log-round convergence must still be exact."""
+    from multimedia_indexing_ray.stages.cc import connected_components
+
+    pairs = [(i, i + 1) for i in range(299)]
+    stars = connected_components(_pairs_ds(ray_session, pairs)).take_all()
+    got = {r["u"]: r["v"] for r in stars}
+    assert set(got.keys()) == set(range(1, 300))
+    assert set(got.values()) == {0}
+
+
+def test_cc_empty_pairs(ray_session):
+    from multimedia_indexing_ray.stages.cc import connected_components
+
+    stars = connected_components(_pairs_ds(ray_session, [])).take_all()
+    assert stars == []
+
+
+def test_resolve_clusters(ray_session):
+    from multimedia_indexing_ray.stages.cc import resolve_clusters
+
+    # docs 0..9; dup clusters {1,3,5} and {2,8}; rest singletons
+    docs = ray_session.data.from_arrow(
+        pa.table({"doc_id": pa.array(list(range(10)), pa.int64())})
+    ).repartition(3)
+    pairs = [(3, 1), (3, 5), (8, 2)]
+    out = resolve_clusters(docs, "doc_id", _pairs_ds(ray_session, pairs)).take_all()
+    got = {r["doc_id"]: (r["cluster_id"], r["is_canonical"]) for r in out}
+    assert len(got) == 10
+    assert got[1] == (1, True) and got[3] == (1, False) and got[5] == (1, False)
+    assert got[2] == (2, True) and got[8] == (2, False)
+    for d in (0, 4, 6, 7, 9):
+        assert got[d] == (d, True)
