@@ -1618,6 +1618,123 @@ def q_split_assign(sf_dir: str):
 
 
 @register(
+    "group_split_assign",
+    """
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_events, split
+    FROM (SELECT user_id,
+      CASE WHEN split_id < 8 THEN 'train' WHEN split_id = 8 THEN 'val'
+           ELSE 'test' END AS split
+      FROM (SELECT user_id,
+        CAST(list_reduce(
+          list_prepend(CAST(2166136261 AS BIGINT),
+            list_transform(split(CAST(user_id AS VARCHAR), ''), c -> ascii(c))),
+          (a, b) -> (xor(a, b) * 16777619) % 4294967296
+        ) % 10 AS BIGINT) AS split_id FROM events))
+    GROUP BY user_id, split
+    """,
+)
+def q_group_split_assign(sf_dir: str):
+    """GROUP-leakage-free train/val/test split: the unit of assignment is
+    the entity (user/conversation), not the row — every event of a user
+    lands in the same split, so no near-identical rows from one
+    conversation straddle train and test.  Per-batch partial counts ->
+    one slim (user_id, n) exchange; the split label is a pure function
+    of the key hash (no coordination, stable under any partitioning)."""
+    from multimedia_indexing_ray.stages.partition import map_partitions_by_key
+
+    ev = _rp(sf_dir, "events", ["user_id"])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        uid, cnt = np.unique(batch["user_id"].to_numpy(), return_counts=True)
+        return pa.table(
+            {"user_id": pa.array(uid, pa.int64()), "n": pa.array(cnt, pa.int64())}
+        )
+
+    def _final(table: pa.Table) -> pa.Table:
+        uid = table["user_id"].to_numpy()
+        n = table["n"].to_numpy()
+        order = np.argsort(uid, kind="stable")
+        uid, n = uid[order], n[order]
+        starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        u = uid[starts]
+        tot = np.add.reduceat(n, starts)
+        sid = _fnv1a32(u) % np.uint64(10)
+        split = np.where(sid < 8, "train", np.where(sid == 8, "val", "test"))
+        return pa.table(
+            {
+                "user_id": pa.array(u, pa.int64()),
+                "n_events": pa.array(tot, pa.int64()),
+                "split": pa.array(split.astype(object), pa.string()),
+            }
+        )
+
+    partials = ev.map_batches(_partial, batch_format="pyarrow")
+    return map_partitions_by_key(partials, "user_id", _final, num_partitions=16)
+
+
+@register(
+    "mean_embedding_by_label",
+    """
+    WITH x AS (
+      SELECT label, CAST(t.i AS BIGINT) AS dim_idx,
+        CAST(floor(CAST(embedding[CAST(t.i AS INTEGER) + 1] AS DOUBLE)
+                   * 1000000) AS BIGINT) AS q
+      FROM embeddings, unnest(range(len(embedding))) AS t(i))
+    SELECT label, dim_idx,
+      (CAST(SUM(q) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) / 1000000 AS mean_v,
+      CAST(COUNT(*) AS BIGINT) AS n
+    FROM x GROUP BY label, dim_idx
+    """,
+)
+def q_mean_embedding_by_label(sf_dir: str):
+    """Vector mean-pool per group (class-centroid / prototype extraction
+    — the VLAD-centroid analog `visual/vectorization/...` applied to a
+    label column): per-batch segment-sum of micro-quantized (floor at
+    1e-6) embeddings so the partial sums are INTEGER and therefore
+    order-independent -> bit-exact float parity with the SQL oracle.
+    Exchange is |labels| x dim partial rows per block, never vectors."""
+    from multimedia_indexing_ray.stages.knn import _batch_matrix
+
+    embs = _rp(sf_dir, "embeddings", ["embedding", "label"])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        mat = _batch_matrix(batch, "embedding")  # (n, d) float64, exact f32 values
+        q = np.floor(mat * 1e6).astype(np.int64)
+        labels = batch["label"].to_numpy()
+        u, inv, cnt = np.unique(labels, return_inverse=True, return_counts=True)
+        k, d = len(u), q.shape[1]
+        sums = np.zeros((k, d), dtype=np.int64)
+        np.add.at(sums, inv, q)
+        return pa.table(
+            {
+                "label": pa.array(np.repeat(u, d), pa.int32()),
+                "dim_idx": pa.array(np.tile(np.arange(d, dtype=np.int64), k), pa.int64()),
+                "s": pa.array(sums.ravel(), pa.int64()),
+                "n": pa.array(np.repeat(cnt.astype(np.int64), d), pa.int64()),
+            }
+        )
+
+    def _final(batch: pa.Table) -> pa.Table:
+        g = _pa_group_sum(batch, ["label", "dim_idx"], ["s", "n"])
+        s = g["s"].to_numpy().astype(np.float64)
+        n = g["n"].to_numpy().astype(np.float64)
+        return pa.table(
+            {
+                "label": g["label"],
+                "dim_idx": g["dim_idx"],
+                "mean_v": pa.array((s / n) / 1e6, pa.float64()),
+                "n": g["n"],
+            }
+        )
+
+    return (
+        embs.map_batches(_partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(_final, batch_format="pyarrow", batch_size=None)
+    )
+
+
+@register(
     "cms_user_counts",
     """
     WITH fh AS (
