@@ -1617,6 +1617,160 @@ def q_split_assign(sf_dir: str):
     return ev.map_batches(_fn, batch_format="pyarrow")
 
 
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@register(
+    "user_type_pivot",
+    f"""
+    SELECT user_id,
+      {', '.join(f"CAST(count(*) FILTER (event_type = '{t}') AS BIGINT) AS n_{t}" for t in _EVENT_TYPES)},
+      CAST(count(*) AS BIGINT) AS n_total
+    FROM events GROUP BY user_id
+    """,
+)
+def q_user_type_pivot(sf_dir: str):
+    """One-hot PIVOT aggregate (feature-engineering staple): per-user
+    event-type counts widened to columns against a fixed vocabulary —
+    the M6 'one-hot featurizer' lifted from per-row to per-entity.
+    Per-batch (user, type) partial counts -> one slim exchange -> a
+    vectorized scatter-add pivot per partition; the wide row never
+    exists until the final kernel."""
+    from multimedia_indexing_ray.stages.partition import map_partitions_by_key
+
+    ev = _rp(sf_dir, "events", ["user_id", "event_type"])
+    vocab = np.array(_EVENT_TYPES)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(batch, ["user_id", "event_type"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "user_id": g["user_id"],
+                "event_type": g["event_type"],
+                "n": g["count_all"].cast(pa.int64()),
+            }
+        )
+
+    def _pivot(table: pa.Table) -> pa.Table:
+        uid = table["user_id"].to_numpy()
+        et = np.asarray(table["event_type"])
+        n = table["n"].to_numpy()
+        users, uinv = np.unique(uid, return_inverse=True)
+        tcode = np.searchsorted(vocab, et)
+        known = (tcode < len(vocab)) & (vocab[np.minimum(tcode, len(vocab) - 1)] == et)
+        mat = np.zeros((len(users), len(vocab)), dtype=np.int64)
+        np.add.at(mat, (uinv[known], tcode[known]), n[known])
+        cols = {"user_id": pa.array(users, pa.int64())}
+        for j, t in enumerate(_EVENT_TYPES):
+            cols[f"n_{t}"] = pa.array(mat[:, j], pa.int64())
+        cols["n_total"] = pa.array(mat.sum(axis=1), pa.int64())
+        return pa.table(cols)
+
+    partials = ev.map_batches(_partial, batch_format="pyarrow")
+    return map_partitions_by_key(partials, "user_id", _pivot, num_partitions=16)
+
+
+@register(
+    "value_bucketize",
+    f"""
+    WITH v AS (SELECT event_id, {_CENTS_SQL.format(col='value')} AS c FROM events),
+    r AS (SELECT c, row_number() OVER (ORDER BY c) AS rn,
+                 count(*) OVER () AS n FROM v),
+    b AS (SELECT MIN(CASE WHEN rn = (q*n + 99)//100 THEN c END) AS bc
+          FROM r, unnest([10,20,30,40,50,60,70,80,90]) AS t(q) GROUP BY t.q)
+    SELECT event_id, c,
+      (SELECT CAST(count(*) AS BIGINT) FROM b WHERE b.bc <= v.c) AS bucket
+    FROM v
+    """,
+)
+def q_value_bucketize(sf_dir: str):
+    """Equi-depth DISCRETIZATION: exact global decile boundaries from the
+    mergeable cent-histogram (exchange = distinct cents, never rows),
+    then a broadcast searchsorted assigns every event its bucket.  The
+    bucket rule (count of boundaries <= c) is pure integer arithmetic,
+    so duplicate boundaries at skewed values stay well-defined on both
+    sides.  Two passes over the input; pass 1's result is 9 numbers."""
+    ev = _rp(sf_dir, "events", ["event_id", "value"])
+
+    def _hist(batch: pa.Table) -> pa.Table:
+        c = _cents(batch["value"].to_numpy(zero_copy_only=False)).astype(np.int64)
+        u, cnt = np.unique(c, return_counts=True)
+        return pa.table({"c": pa.array(u, pa.int64()), "n": pa.array(cnt, pa.int64())})
+
+    hist = (
+        ev.map_batches(_hist, batch_format="pyarrow")
+        .groupby("c")
+        .sum("n")
+        .take_all()
+    )
+    cs = np.array([r["c"] for r in hist], dtype=np.int64)
+    ns = np.array([r["sum(n)"] for r in hist], dtype=np.int64)
+    order = np.argsort(cs)
+    cs, ns = cs[order], ns[order]
+    cum = np.cumsum(ns)
+    n = int(cum[-1])
+    ranks = np.array([(q * n + 99) // 100 for q in range(10, 100, 10)], dtype=np.int64)
+    boundaries = np.sort(cs[np.searchsorted(cum, ranks, side="left")])
+
+    def _assign(batch: pa.Table) -> pa.Table:
+        c = _cents(batch["value"].to_numpy(zero_copy_only=False)).astype(np.int64)
+        bucket = np.searchsorted(boundaries, c, side="right").astype(np.int64)
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "c": pa.array(c, pa.int64()),
+                "bucket": pa.array(bucket, pa.int64()),
+            }
+        )
+
+    return ev.map_batches(_assign, batch_format="pyarrow")
+
+
+@register(
+    "weighted_priority_sample",
+    """
+    SELECT event_id, value, priority FROM (
+      SELECT event_id, value,
+        CAST(list_reduce(
+          list_prepend(CAST(2166136261 AS BIGINT),
+            list_transform(split(CAST(event_id AS VARCHAR), ''), c -> ascii(c))),
+          (a, b) -> (xor(a, b) * 16777619) % 4294967296
+        ) AS DOUBLE) / (value + 1.0) AS priority
+      FROM events)
+    ORDER BY priority, event_id LIMIT 300
+    """,
+)
+def q_weighted_priority_sample(sf_dir: str):
+    """Deterministic WEIGHTED sampling: priority = content-hash / weight,
+    keep the k smallest — higher-value rows get proportionally smaller
+    priorities, and every arithmetic step (exact uint32 hash as double,
+    one add, one correctly-rounded divide) is bit-identical in numpy and
+    DuckDB, so the sample is reproducible under any partitioning AND
+    SQL-verifiable.  Per-block partial top-k -> tiny merge; no global
+    sort."""
+    ev = _rp(sf_dir, "events", ["event_id", "value"])
+    k = 300
+
+    def _partial_top(batch: pa.Table) -> pa.Table:
+        ids = batch["event_id"].to_numpy()
+        val = batch["value"].to_numpy(zero_copy_only=False)
+        pri = _fnv1a32(ids).astype(np.float64) / (val + 1.0)
+        take = np.lexsort((ids, pri))[:k]
+        return pa.table(
+            {
+                "event_id": pa.array(ids[take], pa.int64()),
+                "value": pa.array(val[take], pa.float64()),
+                "priority": pa.array(pri[take], pa.float64()),
+            }
+        )
+
+    return (
+        ev.map_batches(_partial_top, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(_partial_top, batch_format="pyarrow", batch_size=None)
+    )
+
+
 @register(
     "group_split_assign",
     """
