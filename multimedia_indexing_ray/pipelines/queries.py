@@ -1889,6 +1889,106 @@ def q_mean_embedding_by_label(sf_dir: str):
 
 
 @register(
+    "balance_by_lang",
+    """
+    WITH cnt AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang),
+    tgt AS (SELECT MIN(n) AS target FROM cnt),
+    h AS (SELECT doc_id, lang,
+      CAST(list_reduce(
+        list_prepend(CAST(2166136261 AS BIGINT),
+          list_transform(split(CAST(doc_id AS VARCHAR), ''), c -> ascii(c))),
+        (a, b) -> (xor(a, b) * 16777619) % 4294967296
+      ) AS DOUBLE) AS hv
+      FROM documents)
+    SELECT h.doc_id, h.lang
+    FROM h JOIN cnt ON h.lang = cnt.lang CROSS JOIN tgt
+    WHERE h.hv < (CAST(tgt.target AS DOUBLE) / CAST(cnt.n AS DOUBLE)) * 4294967296.0
+    """,
+)
+def q_balance_by_lang(sf_dir: str):
+    """Stratum REBALANCING (curation staple: cap every language at the
+    minority-language count in expectation): pass 1 is a tiny per-lang
+    count; the per-stratum keep rate becomes a broadcast hash threshold,
+    so the downsample is a stateless filter — deterministic under any
+    partitioning, no shuffle of the corpus, and the float threshold is
+    computed with the identical op order as the SQL oracle."""
+    docs = _rp(sf_dir, "documents", ["doc_id", "lang"])
+
+    def _cnt(batch: pa.Table) -> pa.Table:
+        u, c = np.unique(np.asarray(batch["lang"]), return_counts=True)
+        return pa.table({"lang": pa.array(u, pa.string()), "n": pa.array(c, pa.int64())})
+
+    parts = docs.map_batches(_cnt, batch_format="pyarrow").take_all()
+    totals: dict = {}
+    for r in parts:
+        totals[r["lang"]] = totals.get(r["lang"], 0) + r["n"]
+    target = float(min(totals.values()))
+    thresholds = {l: (target / float(n)) * 4294967296.0 for l, n in totals.items()}
+
+    def _keep(batch: pa.Table) -> pa.Table:
+        hv = _fnv1a32(batch["doc_id"].to_numpy()).astype(np.float64)
+        thr = np.array([thresholds[l] for l in np.asarray(batch["lang"])])
+        return batch.filter(pa.array(hv < thr))
+
+    return docs.map_batches(_keep, batch_format="pyarrow")
+
+
+@register(
+    "embedding_norm_topk",
+    """
+    WITH q AS (
+      SELECT vec_id,
+        (SELECT SUM(CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+                    * CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
+         FROM unnest(embedding) AS t(x)) AS ss
+      FROM embeddings)
+    SELECT vec_id, sqrt(CAST(ss AS DOUBLE)) / 1000000 AS l2_norm
+    FROM q ORDER BY ss DESC, vec_id LIMIT 50
+    """,
+)
+def q_embedding_norm_topk(sf_dir: str):
+    """Top-k vectors by L2 norm (outlier/magnitude triage before
+    normalization — the M8 L2-norm kernel as a ranking query): squares
+    of micro-quantized components sum to an exact int64, and IEEE
+    requires sqrt to be correctly rounded, so the float norm is
+    bit-identical to the SQL oracle.  Per-block partial top-k on the
+    integer key -> tiny merge; vectors never leave their block."""
+    from multimedia_indexing_ray.stages.knn import _batch_matrix
+
+    embs = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
+    k = 50
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy()
+        q = np.floor(_batch_matrix(batch, "embedding") * 1e6).astype(np.int64)
+        ss = (q * q).sum(axis=1)
+        take = np.lexsort((ids, -ss))[:k]
+        return pa.table(
+            {
+                "vec_id": pa.array(ids[take], pa.int64()),
+                "ss": pa.array(ss[take], pa.int64()),
+            }
+        )
+
+    def _final(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy()
+        ss = batch["ss"].to_numpy()
+        take = np.lexsort((ids, -ss))[:k]
+        return pa.table(
+            {
+                "vec_id": pa.array(ids[take], pa.int64()),
+                "l2_norm": pa.array(np.sqrt(ss[take].astype(np.float64)) / 1e6, pa.float64()),
+            }
+        )
+
+    return (
+        embs.map_batches(_partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(_final, batch_format="pyarrow", batch_size=None)
+    )
+
+
+@register(
     "cms_user_counts",
     """
     WITH fh AS (
