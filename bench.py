@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "ngram_jaccard_pairs",
     "ivfpq_knn_l2",  # WARM probe against the prebuilt artifact (build timed separately)
     "value_quantiles_by_type",  # exact quantiles via histogram combine
+    "dedup_clusters",  # pairs -> connected components -> canonical docs
 ]
 
 # Per-query shuffle strategy, interleaved-A/B measured (2026-08-17, 32

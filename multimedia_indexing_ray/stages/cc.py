@@ -128,17 +128,42 @@ def _fingerprint(edges: "ray.data.Dataset") -> tuple:
     return (n, s)
 
 
+DRIVER_EDGE_CAP = 2_000_000
+
+
+def _local_cc(table: pa.Table, max_rounds: int) -> pa.Table:
+    """Same alternating star rounds on one in-memory table — the
+    small-edge-set fast path (a few M int64 pairs is tens of MB; the
+    per-round shuffle's fixed cost would dominate the work)."""
+    prev = None
+    for _ in range(max_rounds):
+        table = _large_star(_symmetrize(table))
+        table = _small_star(_orient_max(table))
+        fp = (table.num_rows, hash(table["u"].to_numpy().tobytes()) ^ hash(table["v"].to_numpy().tobytes()))
+        if fp == prev:
+            return table
+        prev = fp
+    raise RuntimeError(f"connected_components did not converge in {max_rounds} rounds")
+
+
 def connected_components(
     pairs: "ray.data.Dataset",
     a_col: str = "a_id",
     b_col: str = "b_id",
     num_partitions: int = 8,
     max_rounds: int = 30,
+    driver_edge_cap: int = DRIVER_EDGE_CAP,
 ) -> "ray.data.Dataset":
     """Star edges ``(u, root)`` for every non-root node of every
     component; root = min node id of the component.  Nodes that appear
     in no pair are absent (their cluster is themselves —
-    `resolve_clusters` fills that in)."""
+    `resolve_clusters` fills that in).
+
+    Edge sets at or under ``driver_edge_cap`` rows run the identical
+    star rounds in one in-memory loop (near-dup pair sets are usually
+    tiny relative to the corpus; per-round shuffle overhead would
+    dominate); larger sets iterate distributed.  Set the cap to 0 to
+    force the distributed path."""
 
     def _init(batch: pa.Table) -> pa.Table:
         u = batch[a_col].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -147,8 +172,19 @@ def connected_components(
         return _dedup_uv(u[keep], v[keep])
 
     edges = pairs.map_batches(_init, batch_format="pyarrow").materialize()
-    if edges.count() == 0:
+    n_edges = edges.count()
+    if n_edges == 0:
         return ray.data.from_arrow(_EDGE_SCHEMA.empty_table())
+    if n_edges <= driver_edge_cap:
+        import ray as _ray
+
+        local = pa.concat_tables(
+            # skip empty blocks — they can carry a fieldless schema
+            t.select(["u", "v"])
+            for t in _ray.get(edges.to_arrow_refs())
+            if t.num_rows
+        ).combine_chunks()
+        return ray.data.from_arrow(_local_cc(local, max_rounds))
 
     prev = None
     for _ in range(max_rounds):

@@ -39,13 +39,16 @@ def _pairs_ds(ray, pairs):
     return ray.data.from_arrow(pa.table({"a_id": a, "b_id": b})).repartition(4)
 
 
+@pytest.mark.parametrize("cap", [2_000_000, 0], ids=["local", "distributed"])
 @pytest.mark.parametrize("seed,n,m", [(0, 60, 40), (1, 200, 260), (2, 500, 180)])
-def test_cc_random_vs_union_find(ray_session, seed, n, m):
+def test_cc_random_vs_union_find(ray_session, seed, n, m, cap):
     from multimedia_indexing_ray.stages.cc import connected_components
 
     rng = np.random.default_rng(seed)
     pairs = [tuple(sorted(p)) for p in rng.integers(0, n, size=(m, 2)) if p[0] != p[1]]
-    stars = connected_components(_pairs_ds(ray_session, pairs)).take_all()
+    stars = connected_components(
+        _pairs_ds(ray_session, pairs), driver_edge_cap=cap
+    ).take_all()
     want = _union_find(n, pairs)
     got = {r["u"]: r["v"] for r in stars}
     for node, root in want.items():
