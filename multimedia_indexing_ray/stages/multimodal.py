@@ -11,11 +11,13 @@ tolerant decode, rescale, feature-extract
   duration metadata)``;
 - decode / resize / frame-sample are ACTOR-POOL ``map_batches`` stages
   with state built once per actor (ST1 singleton analog);
-- the actual codec calls are STUBBED: the container ships no image/audio
-  libraries, so ``codec="real"`` raises NotImplementedError at the exact
-  integration point, and ``codec="fake"`` is a deterministic stand-in
-  (seeded by content hash) keeping every schema/batch/actor contract real
-  and testable;
+- codecs: ``codec="ppm"`` is a REAL pure-numpy decoder for binary
+  PPM/PGM (P6/P5) payloads — header parse, luma grayscale, vectorized
+  bilinear rescale — so the decode -> rescale -> featurize path runs
+  end-to-end on real image bytes with no external library;
+  ``codec="real"`` (JPEG/PNG/audio) raises NotImplementedError at the
+  exact integration point (the container ships no PIL/libav), and
+  ``codec="fake"`` is a deterministic stand-in (seeded by content hash);
 - failures never crash the batch: bad payloads are routed to an error
   side-channel column (``decode_error``), mirroring the reference's
   count-and-skip policy (`visual/examples/UrlIndexingMT.java:154-191`).
@@ -47,6 +49,76 @@ def _stable_seed(payload: bytes) -> int:
     return int.from_bytes(hashlib.blake2b(payload, digest_size=8).digest(), "little")
 
 
+class _PpmError(ValueError):
+    pass
+
+
+def _parse_pnm_header(payload: bytes):
+    """Parse a binary PNM header (P5 gray / P6 RGB): magic, comments,
+    width, height, maxval, then one whitespace byte before the raster."""
+    if payload[:2] not in (b"P5", b"P6"):
+        raise _PpmError("bad_magic")
+    channels = 1 if payload[:2] == b"P5" else 3
+    pos, fields = 2, []
+    n = len(payload)
+    while len(fields) < 3:
+        while pos < n and payload[pos : pos + 1].isspace():
+            pos += 1
+        if pos < n and payload[pos : pos + 1] == b"#":  # comment to EOL
+            while pos < n and payload[pos] not in (0x0A, 0x0D):
+                pos += 1
+            continue
+        start = pos
+        while pos < n and not payload[pos : pos + 1].isspace():
+            pos += 1
+        if pos == start:
+            raise _PpmError("truncated_header")
+        try:
+            fields.append(int(payload[start:pos]))
+        except ValueError as e:
+            raise _PpmError("bad_header_field") from e
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if w <= 0 or h <= 0 or not (0 < maxval < 256):
+        raise _PpmError("unsupported_dimensions")
+    return w, h, maxval, channels, pos
+
+
+# ITU-R BT.601 luma — the same weighted grayscale the reference's
+# patched reader produces (`visual/utilities/ImageIOGreyScale.java`)
+_LUMA = np.array([0.299, 0.587, 0.114])
+
+
+def decode_ppm_gray(payload: bytes) -> np.ndarray:
+    """REAL decode: binary PPM/PGM bytes -> float32 grayscale in [0,1]."""
+    w, h, maxval, channels, pos = _parse_pnm_header(payload)
+    need = w * h * channels
+    raster = np.frombuffer(payload, dtype=np.uint8, count=-1, offset=pos)
+    if len(raster) < need:
+        raise _PpmError("truncated_raster")
+    raster = raster[:need].astype(np.float32) / np.float32(maxval)
+    if channels == 3:
+        return (raster.reshape(h, w, 3) @ _LUMA.astype(np.float32)).astype(np.float32)
+    return raster.reshape(h, w)
+
+
+def resize_bilinear(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Vectorized bilinear rescale (`ImageScaling.java:96-155` semantics:
+    subsample with interpolation), pure numpy gather — no per-pixel loop."""
+    h, w = img.shape
+    ys = (np.arange(out_h) + 0.5) * h / out_h - 0.5
+    xs = (np.arange(out_w) + 0.5) * w / out_w - 0.5
+    y0 = np.clip(np.floor(ys).astype(np.int64), 0, h - 1)
+    x0 = np.clip(np.floor(xs).astype(np.int64), 0, w - 1)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    wy = np.clip(ys - y0, 0.0, 1.0).astype(np.float32)[:, None]
+    wx = np.clip(xs - x0, 0.0, 1.0).astype(np.float32)[None, :]
+    top = img[y0[:, None], x0[None, :]] * (1 - wx) + img[y0[:, None], x1[None, :]] * wx
+    bot = img[y1[:, None], x0[None, :]] * (1 - wx) + img[y1[:, None], x1[None, :]] * wx
+    return (top * (1 - wy) + bot * wy).astype(np.float32)
+
+
 class MediaDecoder:
     """Actor-pool decode stage.
 
@@ -56,22 +128,30 @@ class MediaDecoder:
     the downstream plumbing is fully exercised."""
 
     def __init__(self, codec: str = "fake", target_pixels: int = 64 * 64):
-        if codec not in ("fake", "real"):
+        if codec not in ("fake", "ppm", "real"):
             raise ValueError(codec)
         self.codec = codec
         self.target_pixels = target_pixels
 
-    def _decode_one(self, payload: bytes, media_type: str) -> Optional[np.ndarray]:
+    def _decode_one(self, payload: bytes, media_type: str):
+        """Returns (raster, error) — exactly one is None."""
+        side = int(np.sqrt(self.target_pixels))
         if self.codec == "real":
             raise NotImplementedError(
-                "real media decode requires PIL/libav — not available in this "
-                "container; use codec='fake' (deterministic stand-in)"
+                "JPEG/PNG/audio decode requires PIL/libav — not available in "
+                "this container; use codec='ppm' (real, pure numpy) or "
+                "codec='fake' (deterministic stand-in)"
             )
+        if self.codec == "ppm":
+            try:
+                img = decode_ppm_gray(payload)
+            except _PpmError as e:
+                return None, f"decode_failed:{e.args[0]}"
+            return resize_bilinear(img, side, side), None
         if len(payload) == 0:
-            return None  # malformed -> error side-channel
+            return None, "decode_failed:empty_payload"
         rng = np.random.default_rng(_stable_seed(payload))
-        side = int(np.sqrt(self.target_pixels))
-        return rng.random((side, side), dtype=np.float32)
+        return rng.random((side, side), dtype=np.float32), None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch["payload"].to_pylist()
@@ -79,10 +159,10 @@ class MediaDecoder:
         pixels, errors = [], []
         side = int(np.sqrt(self.target_pixels))
         for p, t in zip(payloads, types):
-            arr = self._decode_one(p, t)
+            arr, err = self._decode_one(p, t)
             if arr is None:
                 pixels.append(np.zeros(side * side, dtype=np.float32))
-                errors.append("decode_failed:empty_payload")
+                errors.append(err)
             else:
                 pixels.append(arr.reshape(-1))
                 errors.append(None)
@@ -152,6 +232,40 @@ def decode_and_featurize(
     return decoded.map_batches(
         MediaFeaturizer, batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency
     )
+
+
+def make_ppm(width: int, height: int, seed: int = 0, gray: bool = False) -> bytes:
+    """Deterministic REAL PPM (P6) / PGM (P5) bytes for tests/benches."""
+    rng = np.random.default_rng(seed)
+    channels = 1 if gray else 3
+    raster = rng.integers(0, 256, size=height * width * channels, dtype=np.uint8)
+    magic = b"P5" if gray else b"P6"
+    header = magic + b"\n# synthetic\n%d %d\n255\n" % (width, height)
+    return header + raster.tobytes()
+
+
+def synthetic_ppm_table(n: int = 32, seed: int = 42) -> pa.Table:
+    """Media rows whose payloads are REAL decodable PPM/PGM bytes, with
+    planted malformed rows (truncated raster, bad magic)."""
+    rows = []
+    for i in range(n):
+        w, h = 24 + (i % 5) * 8, 18 + (i % 3) * 10
+        payload = make_ppm(w, h, seed=seed + i, gray=(i % 4 == 0))
+        if i % 7 == 3:
+            payload = payload[: len(payload) // 2]  # truncated raster
+        elif i % 11 == 5:
+            payload = b"JUNK" + payload[4:]  # bad magic
+        rows.append(
+            {
+                "media_id": f"p-{i:04d}",
+                "media_type": "image",
+                "payload": payload,
+                "meta_width": w,
+                "meta_height": h,
+                "meta_duration_s": None,
+            }
+        )
+    return pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA)
 
 
 def synthetic_media_table(n: int = 32, seed: int = 42) -> pa.Table:

@@ -48,3 +48,72 @@ def test_fake_decode_deterministic(ray_session):
     np.testing.assert_array_equal(
         np.stack(a["features"].to_numpy()), np.stack(b["features"].to_numpy())
     )
+
+
+# ---------------- real PPM/PGM codec (pure numpy) ----------------
+
+
+def test_ppm_decode_known_values():
+    from multimedia_indexing_ray.stages.multimodal import decode_ppm_gray
+
+    # hand-built 2x2 P6: red, green / blue, white
+    raster = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255])
+    payload = b"P6\n# c\n2 2\n255\n" + raster
+    img = decode_ppm_gray(payload)
+    assert img.shape == (2, 2)
+    np.testing.assert_allclose(
+        img, [[0.299, 0.587], [0.114, 1.0]], rtol=0, atol=1e-6
+    )
+    # P5 grayscale passes values through /maxval
+    pg = b"P5\n2 1\n100\n" + bytes([0, 50])
+    np.testing.assert_allclose(decode_ppm_gray(pg), [[0.0, 0.5]], atol=1e-7)
+
+
+def test_ppm_malformed_variants():
+    from multimedia_indexing_ray.stages.multimodal import _PpmError, decode_ppm_gray
+
+    good = b"P6\n2 2\n255\n" + bytes(12)
+    for bad, msg in [
+        (b"JUNK" + good[4:], "bad_magic"),
+        (good[:-5], "truncated_raster"),
+        (b"P6\n2 2\n70000\n" + bytes(24), "unsupported_dimensions"),
+        (b"P6\n2", "truncated_header"),
+    ]:
+        with pytest.raises(_PpmError) as ei:
+            decode_ppm_gray(bad)
+        assert ei.value.args[0] == msg
+
+
+def test_resize_bilinear_constant_and_gradient():
+    from multimedia_indexing_ray.stages.multimodal import resize_bilinear
+
+    const = np.full((17, 31), 0.25, dtype=np.float32)
+    out = resize_bilinear(const, 8, 8)
+    np.testing.assert_allclose(out, 0.25, atol=1e-6)  # constant preserved
+    # monotone gradient stays monotone after rescale
+    grad = np.tile(np.linspace(0, 1, 40, dtype=np.float32), (20, 1))
+    out = resize_bilinear(grad, 10, 10)
+    assert (np.diff(out, axis=1) > 0).all()
+    # identity resize is exact
+    img = np.random.default_rng(0).random((12, 12), dtype=np.float32)
+    np.testing.assert_array_equal(resize_bilinear(img, 12, 12), img)
+
+
+def test_ppm_pipeline_end_to_end(ray_session):
+    import ray.data as rd
+
+    from multimedia_indexing_ray.stages.multimodal import synthetic_ppm_table
+
+    t = synthetic_ppm_table(33)
+    out = decode_and_featurize(rd.from_arrow(t), codec="ppm", concurrency=2).to_pandas()
+    assert len(out) == 33
+    errs = out["decode_error"].dropna()
+    # planted truncations and bad magics surfaced, everything else decoded
+    assert set(errs) <= {"decode_failed:truncated_raster", "decode_failed:bad_magic"}
+    assert len(errs) >= 2
+    feats = np.stack(out[out["decode_error"].isna()]["features"].to_numpy())
+    assert feats.shape[1] == 2 * 4 * 4
+    assert np.isfinite(feats).all()
+    # real pixels: tile means are in [0,1] and not degenerate
+    assert feats[:, :16].min() >= 0.0 and feats[:, :16].max() <= 1.0
+    assert feats[:, :16].std() > 0.01
