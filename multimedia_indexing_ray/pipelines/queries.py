@@ -2407,6 +2407,41 @@ def q_winnow(sf_dir: str):
     return docs.map_batches(_fn, batch_format="pyarrow")
 
 
+@register("media_features_ppm")  # real-codec media pipeline — rows-only (binary
+# decode is not SQL-expressible; correctness lives in tests/test_multimodal.py:
+# known-value decode, malformed variants, resize invariants, actor-pool e2e)
+def q_media_features_ppm(sf_dir: str):
+    """S3/S4/M2/M3/M4 as ONE pipeline on REAL image bytes: deterministic
+    synthetic PPM/PGM payloads (seeded; no external data) -> actor-pool
+    decode (pure-numpy PNM codec) -> bilinear rescale -> tile-statistics
+    featurizer, with malformed payloads on the error side-channel."""
+    import ray.data as rd
+
+    from multimedia_indexing_ray.stages.multimodal import (
+        decode_and_featurize,
+        synthetic_ppm_table,
+    )
+
+    media = rd.from_arrow(synthetic_ppm_table(256, seed=7)).repartition(8)
+    out = decode_and_featurize(media, codec="ppm", concurrency=2)
+
+    def _flat(batch: pa.Table) -> pa.Table:
+        # stable scalar projection for the driver's rows/schema check
+        feats = batch["features"].combine_chunks()
+        dim = feats.type.list_size
+        mat = feats.flatten().to_numpy(zero_copy_only=False).reshape(-1, dim)
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "feat_mean": pa.array(mat.mean(axis=1), pa.float64()),
+                "feat_l2": pa.array(np.sqrt((mat * mat).sum(axis=1)), pa.float64()),
+                "decode_error": batch["decode_error"],
+            }
+        )
+
+    return out.map_batches(_flat, batch_format="pyarrow")
+
+
 @register("pq_knn_l2")  # ADC scan of STORED PQ codes (PQ.java analog) — rows-only
 def q_pq_knn(sf_dir: str):
     from multimedia_indexing_ray.stages.ann_index import ann_search
