@@ -1117,6 +1117,54 @@ def _fnv_sql(s: str, basis: int) -> str:
     )
 
 
+_FEATURE_HASH_BUCKETS = 16
+
+
+def _feature_hash_sql() -> str:
+    from multimedia_indexing_ray.functions.text import FNV_BASIS
+
+    cols = ", ".join(
+        f"CAST(count(*) FILTER (b.bucket = {j}) AS BIGINT) AS h{j}"
+        for j in range(_FEATURE_HASH_BUCKETS)
+    )
+    return rf"""
+    WITH t2 AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS tok
+                FROM documents),
+    b AS (SELECT doc_id,
+          CAST({_fnv_sql('tok', FNV_BASIS)} % {_FEATURE_HASH_BUCKETS} AS BIGINT) AS bucket
+          FROM t2)
+    SELECT d.doc_id, {cols}
+    FROM documents d LEFT JOIN b ON d.doc_id = b.doc_id
+    GROUP BY d.doc_id
+    """
+
+
+@register("feature_hash_docs", _feature_hash_sql())
+def q_feature_hash(sf_dir: str):
+    """The hashing trick (Weinberger et al. 2009): fixed-dimension token
+    count vectors via bucket = FNV(token) mod B — unbounded vocabulary,
+    ZERO shuffles, no learned state; the canonical featurizer when the
+    vocabulary can't be broadcast.  One vectorized scatter-add per
+    batch; bit-equal FNV fold on both sides."""
+    docs = _rp(sf_dir, "documents", ["doc_id", "text"])
+    B = _FEATURE_HASH_BUCKETS
+
+    def _fn(batch: pa.Table) -> pa.Table:
+        flat, counts = tx.flat_tokens(batch["text"])
+        n = batch.num_rows
+        mat = np.zeros((n, B), dtype=np.int64)
+        if len(flat):
+            doc_of = np.repeat(np.arange(n, dtype=np.int64), counts)
+            bucket = (tx.fnv1a32_str(flat) % np.uint64(B)).astype(np.int64)
+            np.add.at(mat, (doc_of, bucket), 1)
+        cols = {"doc_id": batch["doc_id"]}
+        for j in range(B):
+            cols[f"h{j}"] = pa.array(mat[:, j], pa.int64())
+        return pa.table(cols)
+
+    return docs.map_batches(_fn, batch_format="pyarrow")
+
+
 def _simhash_sql() -> str:
     from multimedia_indexing_ray.functions.text import FNV_BASIS, FNV_BASIS2
 
@@ -1615,6 +1663,83 @@ def q_split_assign(sf_dir: str):
         )
 
     return ev.map_batches(_fn, batch_format="pyarrow")
+
+
+@register(
+    "rollup_type_hour",
+    f"""
+    SELECT COALESCE(event_type, '<all>') AS event_type,
+      COALESCE(CAST(date_trunc('hour', ts) AS VARCHAR), '<all>') AS hour,
+      CAST(count(*) AS BIGINT) AS n,
+      CAST(SUM({_CENTS_SQL.format(col='value')}) AS BIGINT) AS value_cents
+    FROM events
+    GROUP BY GROUPING SETS ((event_type, date_trunc('hour', ts)),
+                            (event_type), ())
+    """,
+)
+def q_rollup_type_hour(sf_dir: str):
+    """ROLLUP / GROUPING SETS in one input pass: the finest-granularity
+    (type, hour) cells are the only thing aggregated from data (the
+    same low-cardinality combiner as pricing_summary); the (type) and
+    grand-total levels are derived from those cells in the final tiny
+    block — never a second scan, never a second shuffle."""
+    ev = _rp(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.int64()).to_numpy()
+        hour = ts - (ts % np.int64(3_600_000_000))
+        c = _cents(batch["value"].to_numpy(zero_copy_only=False)).astype(np.int64)
+        t = pa.table(
+            {
+                "event_type": batch["event_type"],
+                "hour_us": pa.array(hour, pa.int64()),
+                "n": pa.array(np.ones(len(c), np.int64), pa.int64()),
+                "value_cents": pa.array(c, pa.int64()),
+            }
+        )
+        return _pa_group_sum(t, ["event_type", "hour_us"], ["n", "value_cents"])
+
+    def _final(batch: pa.Table) -> pa.Table:
+        g = _pa_group_sum(batch, ["event_type", "hour_us"], ["n", "value_cents"])
+        et = np.asarray(g["event_type"]).astype(object)
+        hr_us = g["hour_us"].to_numpy()
+        n = g["n"].to_numpy()
+        vc = g["value_cents"].to_numpy()
+        hr = (
+            # slice off Arrow's ".000000" fractional suffix — DuckDB's
+            # VARCHAR cast of a whole-second timestamp omits it
+            pc.utf8_slice_codeunits(
+                pa.array(hr_us, pa.int64()).cast(pa.timestamp("us")).cast(pa.string()),
+                0,
+                19,
+            )
+            .to_numpy(zero_copy_only=False)
+            .astype(object)
+        )
+        # derive the coarser levels from the finest cells
+        types, tinv = np.unique(et.astype(str), return_inverse=True)
+        tn = np.bincount(tinv, weights=n).astype(np.int64)
+        tv = np.bincount(tinv, weights=vc).astype(np.int64)
+        out_et = np.concatenate([et, types.astype(object), np.array(["<all>"], object)])
+        out_hr = np.concatenate(
+            [hr, np.full(len(types) + 1, "<all>", dtype=object)]
+        )
+        out_n = np.concatenate([n, tn, [int(n.sum())]])
+        out_v = np.concatenate([vc, tv, [int(vc.sum())]])
+        return pa.table(
+            {
+                "event_type": pa.array(out_et, pa.string()),
+                "hour": pa.array(out_hr, pa.string()),
+                "n": pa.array(out_n, pa.int64()),
+                "value_cents": pa.array(out_v, pa.int64()),
+            }
+        )
+
+    return (
+        ev.map_batches(_partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(_final, batch_format="pyarrow", batch_size=None)
+    )
 
 
 _EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
@@ -2422,7 +2547,7 @@ def q_media_features_ppm(sf_dir: str):
         synthetic_ppm_table,
     )
 
-    media = rd.from_arrow(synthetic_ppm_table(256, seed=7)).repartition(8)
+    media = rd.from_arrow(synthetic_ppm_table(256, seed=7))
     out = decode_and_featurize(media, codec="ppm", concurrency=2)
 
     def _flat(batch: pa.Table) -> pa.Table:

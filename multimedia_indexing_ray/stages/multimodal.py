@@ -222,15 +222,21 @@ def decode_and_featurize(
 
     Small batch_size: binary payloads are wide rows — batch x concurrency
     must fit the worker heap (SURVEY.md memory-aware sizing)."""
+    # autoscaling (1, N) pools: a fixed pool of N per stage can reserve
+    # every CPU of a small cluster and starve the upstream read tasks
+    # (streaming-executor deadlock); min 1 actor always leaves headroom
     decoded = ds.map_batches(
         MediaDecoder,
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=(1, concurrency),
         fn_constructor_kwargs={"codec": codec},
     )
     return decoded.map_batches(
-        MediaFeaturizer, batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency
+        MediaFeaturizer,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=(1, concurrency),
     )
 
 
