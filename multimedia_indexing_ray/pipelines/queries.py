@@ -1666,6 +1666,57 @@ def q_split_assign(sf_dir: str):
 
 
 @register(
+    "export_roundtrip",
+    f"""
+    SELECT event_id, event_type,
+      {_CENTS_SQL.format(col='value')} AS value_cents
+    FROM events
+    """,
+)
+def q_export_roundtrip(sf_dir: str):
+    """S5/S6/S7 as a DRIVER-VERIFIED query: transform (rename + cents
+    cast), write hive-partitioned parquet (one directory per event_type
+    — the resumable-output layout), read it back through the partition
+    column, return the round-tripped rows.  Hash-green means the sink
+    preserves values, dtypes and the partition column exactly."""
+    import shutil
+
+    ev = _rp(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def _xform(batch: pa.Table) -> pa.Table:
+        c = _cents(batch["value"].to_numpy(zero_copy_only=False)).astype(np.int64)
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "event_type": batch["event_type"],
+                "value_cents": pa.array(c, pa.int64()),
+            }
+        )
+
+    out_dir = os.path.join(
+        "/tmp/graft_export", os.path.basename(os.path.normpath(sf_dir)), "events_by_type"
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    ev.map_batches(_xform, batch_format="pyarrow").write_parquet(
+        out_dir, partition_cols=["event_type"]
+    )
+    back = ray.data.read_parquet(out_dir)
+
+    def _untype(batch: pa.Table) -> pa.Table:
+        # hive partition values come back dictionary-encoded; restore the
+        # plain string dtype so the schema round-trips exactly
+        cols = {}
+        for name in ("event_id", "event_type", "value_cents"):
+            col = batch[name]
+            if pa.types.is_dictionary(col.type):
+                col = col.cast(col.type.value_type)
+            cols[name] = col
+        return pa.table(cols)
+
+    return back.map_batches(_untype, batch_format="pyarrow")
+
+
+@register(
     "rollup_type_hour",
     f"""
     SELECT COALESCE(event_type, '<all>') AS event_type,
