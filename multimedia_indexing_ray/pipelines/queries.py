@@ -535,6 +535,155 @@ def q_region_revenue(sf_dir: str):
 
 
 @register(
+    "promo_revenue_monthly",
+    """
+    SELECT CAST(year(l_shipdate)*100 + month(l_shipdate) AS BIGINT) AS month_id,
+      CAST(SUM(CASE WHEN p_type = 'PROMO'
+            THEN CAST(FLOOR(l_extendedprice*(1-l_discount)*100+0.5) AS BIGINT)
+            ELSE 0 END) AS BIGINT) AS promo_cents,
+      CAST(SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100+0.5) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY month_id
+    """,
+)
+def q_promo_revenue(sf_dir: str):
+    """Q14-shape: big fact x small dim -> conditional aggregate.  The
+    part dim ships once as a broadcast int->flag lookup (never a
+    shuffle); month and revenue are integer-exact; the monthly rollup is
+    the low-cardinality coalesced combiner."""
+    li = _rp(
+        sf_dir,
+        "lineitem",
+        ["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+    part = _pq(sf_dir, "part", ["p_partkey", "p_type"])
+    pk = part["p_partkey"].to_numpy()
+    promo = np.asarray(part["p_type"]).astype(str) == "PROMO"
+    order = np.argsort(pk)
+    pk, promo = pk[order], promo[order]
+
+    def _fn(batch: pa.Table) -> pa.Table:
+        sd = batch["l_shipdate"].combine_chunks()
+        month_id = (
+            pc.year(sd).to_numpy(zero_copy_only=False) * 100
+            + pc.month(sd).to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        price = batch["l_extendedprice"].to_numpy()
+        disc = batch["l_discount"].to_numpy()
+        cents = _cents(price * (1 - disc)).astype(np.int64)
+        idx = np.searchsorted(pk, batch["l_partkey"].to_numpy())
+        is_promo = promo[idx]
+        t2 = pa.table(
+            {
+                "month_id": pa.array(month_id, pa.int64()),
+                "promo_cents": pa.array(np.where(is_promo, cents, 0), pa.int64()),
+                "total_cents": pa.array(cents, pa.int64()),
+            }
+        )
+        return _pa_group_sum(t2, ["month_id"], ["promo_cents", "total_cents"])
+
+    return _tiny_group_sum(
+        li.map_batches(_fn, batch_format="pyarrow"),
+        ["month_id"],
+        ["promo_cents", "total_cents"],
+    )
+
+
+@register(
+    "shipping_priority",
+    """
+    SELECT l_orderkey,
+      CAST(SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100+0.5) AS BIGINT)) AS BIGINT) AS revenue_cents,
+      CAST(year(o_orderdate)*10000 + month(o_orderdate)*100 + day(o_orderdate) AS BIGINT) AS date_id,
+      o_orderpriority
+    FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < DATE '1998-01-01' AND l_shipdate > DATE '1998-01-01'
+    GROUP BY l_orderkey, date_id, o_orderpriority
+    ORDER BY revenue_cents DESC, l_orderkey LIMIT 10
+    """,
+)
+def q_shipping_priority(sf_dir: str):
+    """Q3-shape: filter both fact sides at the READ, semi-join orders to
+    the BUILDING customers by broadcast key set, pre-aggregate lineitem
+    revenue per order per batch, ONE bucketed hash join, then per-bucket
+    full sums + partial top-10 -> tiny merge (keys never straddle
+    buckets, so no second exchange before the top-k)."""
+    cutoff_us = np.int64(np.datetime64("1998-01-01", "us").astype(np.int64))
+    cust = _pq(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    bkeys = np.sort(
+        cust.filter(pc.equal(cust["c_mktsegment"], "BUILDING"))["c_custkey"].to_numpy()
+    )
+
+    orders = _rp(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"])
+
+    def _ofilter(batch: pa.Table) -> pa.Table:
+        ous = batch["o_orderdate"].combine_chunks().cast(pa.int64()).to_numpy()
+        keep = (ous < cutoff_us) & np.isin(batch["o_custkey"].to_numpy(), bkeys)
+        t = batch.filter(pa.array(keep))
+        od2 = t["o_orderdate"].combine_chunks()
+        date_id = (
+            pc.year(od2).to_numpy(zero_copy_only=False) * 10000
+            + pc.month(od2).to_numpy(zero_copy_only=False) * 100
+            + pc.day(od2).to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "date_id": pa.array(date_id, pa.int64()),
+                "o_orderpriority": t["o_orderpriority"],
+            }
+        )
+
+    li = _rp(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
+
+    def _li_pre(batch: pa.Table) -> pa.Table:
+        sus = batch["l_shipdate"].combine_chunks().cast(pa.int64()).to_numpy()
+        t = batch.filter(pa.array(sus > cutoff_us))
+        cents = _cents(
+            t["l_extendedprice"].to_numpy() * (1 - t["l_discount"].to_numpy())
+        ).astype(np.int64)
+        t2 = pa.table(
+            {"l_orderkey": t["l_orderkey"], "revenue_cents": pa.array(cents, pa.int64())}
+        )
+        return _pa_group_sum(t2, ["l_orderkey"], ["revenue_cents"])
+
+    joined = hash_join(
+        li.map_batches(_li_pre, batch_format="pyarrow"),
+        orders.map_batches(_ofilter, batch_format="pyarrow"),
+        left_on="l_orderkey",
+        right_on="o_orderkey",
+        num_partitions=16,
+    )
+
+    def _topk(batch: pa.Table) -> pa.Table:
+        g = _pa_group_sum(
+            batch.select(["l_orderkey", "date_id", "o_orderpriority", "revenue_cents"]),
+            ["l_orderkey", "date_id", "o_orderpriority"],
+            ["revenue_cents"],
+        )
+        ok = g["l_orderkey"].to_numpy()
+        rc = g["revenue_cents"].to_numpy()
+        take = np.lexsort((ok, -rc))[:10]
+        t = g.take(pa.array(take, pa.int64()))
+        return t.select(["l_orderkey", "revenue_cents", "date_id", "o_orderpriority"])
+
+    def _merge(batch: pa.Table) -> pa.Table:
+        ok = batch["l_orderkey"].to_numpy()
+        rc = batch["revenue_cents"].to_numpy()
+        take = np.lexsort((ok, -rc))[:10]
+        return batch.take(pa.array(take, pa.int64()))
+
+    return (
+        joined.map_batches(_topk, batch_format="pyarrow", batch_size=None)
+        .repartition(1)
+        .map_batches(_merge, batch_format="pyarrow", batch_size=None)
+    )
+
+
+@register(
     "event_type_histogram",
     "SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1",
 )
