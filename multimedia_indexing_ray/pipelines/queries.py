@@ -535,6 +535,51 @@ def q_region_revenue(sf_dir: str):
 
 
 @register(
+    "supplier_nation_revenue",
+    """
+    SELECT n_name,
+      CAST(SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100+0.5) AS BIGINT)) AS BIGINT) AS revenue_cents,
+      CAST(count(*) AS BIGINT) AS n_lineitems
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def q_supplier_nation_revenue(sf_dir: str):
+    """Supply-side revenue rollup: the supplier->nation dim chain joins
+    driver-side (both tiny), ships once as a sorted int->name lookup,
+    and the fact table folds to |nations| partial rows per batch."""
+    li = _rp(sf_dir, "lineitem", ["l_suppkey", "l_extendedprice", "l_discount"])
+    supp = _pq(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    nation = _pq(sf_dir, "nation", ["n_nationkey", "n_name"])
+    dim = supp.join(nation, keys="s_nationkey", right_keys="n_nationkey")
+    sk = dim["s_suppkey"].to_numpy()
+    names = np.asarray(dim["n_name"]).astype(object)
+    order = np.argsort(sk)
+    sk, names = sk[order], names[order]
+
+    def _fn(batch: pa.Table) -> pa.Table:
+        cents = _cents(
+            batch["l_extendedprice"].to_numpy() * (1 - batch["l_discount"].to_numpy())
+        ).astype(np.int64)
+        idx = np.searchsorted(sk, batch["l_suppkey"].to_numpy())
+        t2 = pa.table(
+            {
+                "n_name": pa.array(names[idx], pa.string()),
+                "revenue_cents": pa.array(cents, pa.int64()),
+                "n_lineitems": pa.array(np.ones(len(cents), np.int64), pa.int64()),
+            }
+        )
+        return _pa_group_sum(t2, ["n_name"], ["revenue_cents", "n_lineitems"])
+
+    return _tiny_group_sum(
+        li.map_batches(_fn, batch_format="pyarrow"),
+        ["n_name"],
+        ["revenue_cents", "n_lineitems"],
+    )
+
+
+@register(
     "promo_revenue_monthly",
     """
     SELECT CAST(year(l_shipdate)*100 + month(l_shipdate) AS BIGINT) AS month_id,
