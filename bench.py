@@ -52,6 +52,7 @@ BENCH_QUERIES = [
     "ivfpq_knn_l2",  # WARM probe against the prebuilt artifact (build timed separately)
     "value_quantiles_by_type",  # exact quantiles via histogram combine
     "dedup_clusters",  # pairs -> connected components -> canonical docs
+    "shipping_priority",  # Q3 shape: semi-join + bucketed hash join + top-k
 ]
 
 # Per-query shuffle strategy, interleaved-A/B measured (2026-08-17, 32

@@ -91,3 +91,42 @@ def test_resolve_clusters(ray_session):
     assert got[2] == (2, True) and got[8] == (2, False)
     for d in (0, 4, 6, 7, 9):
         assert got[d] == (d, True)
+
+
+def test_local_cc_hypothesis_random_graphs():
+    """Property: the in-memory star rounds equal union-find on arbitrary
+    graphs (hypothesis-driven edge lists, including self-dense wiring)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    import pyarrow as pa
+
+    from multimedia_indexing_ray.stages.cc import _local_cc
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(st.integers(0, 40), st.integers(0, 40)).filter(
+                lambda p: p[0] != p[1]
+            ),
+            min_size=1,
+            max_size=120,
+        )
+    )
+    def run(pairs):
+        t = pa.table(
+            {
+                "u": pa.array([p[0] for p in pairs], pa.int64()),
+                "v": pa.array([p[1] for p in pairs], pa.int64()),
+            }
+        )
+        stars = _local_cc(t, max_rounds=40)
+        got = dict(zip(stars["u"].to_pylist(), stars["v"].to_pylist()))
+        want = _union_find(41, pairs)
+        for node, root in want.items():
+            if node == root:
+                assert got.get(node, node) == node
+            else:
+                assert got[node] == root
+
+    run()
