@@ -2740,6 +2740,51 @@ def q_dedup_clusters(sf_dir: str):
     )
 
 
+@register(
+    "dedup_canonical_best",
+    f"""
+    WITH RECURSIVE
+    {_NGRAM_PAIRS_CTE},
+    edges AS (SELECT a_id AS u, b_id AS v FROM pairs
+              UNION SELECT b_id, a_id FROM pairs),
+    cc(node, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.v, c.label FROM cc c JOIN edges e ON c.node = e.u
+      WHERE c.label < e.v
+    ),
+    mm AS (SELECT node AS doc_id, MIN(label) AS cluster_id FROM cc GROUP BY node),
+    sc AS (SELECT mm.doc_id, mm.cluster_id, CAST(d.n_chars AS BIGINT) AS n_chars
+           FROM mm JOIN documents d USING (doc_id)),
+    win AS (SELECT cluster_id, doc_id AS winner FROM (
+            SELECT cluster_id, doc_id,
+              row_number() OVER (PARTITION BY cluster_id
+                                 ORDER BY n_chars DESC, doc_id) AS rn FROM sc)
+          WHERE rn = 1)
+    SELECT sc.doc_id, sc.cluster_id, sc.doc_id = win.winner AS keep
+    FROM sc JOIN win USING (cluster_id)
+    """,
+)
+def q_dedup_canonical_best(sf_dir: str):
+    """Quality-weighted dedup finisher: same transitive clusters as
+    `dedup_clusters`, but the survivor is the highest-n_chars member
+    (keep-the-best-copy, the policy curation pipelines actually apply)
+    — `stages/cc.py:resolve_clusters_best`, two slim int64 exchanges."""
+    from multimedia_indexing_ray.stages.cc import resolve_clusters_best
+
+    docs = _rp(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+    pairs = dd.anchor_jaccard_pairs(
+        docs.select_columns(["doc_id", "text"]),
+        "text",
+        "doc_id",
+        threshold=0.3,
+        num_partitions=16,
+    )
+    return resolve_clusters_best(
+        docs.select_columns(["doc_id", "n_chars"]), "doc_id", "n_chars", pairs
+    )
+
+
 def _winnow_sql() -> str:
     from multimedia_indexing_ray.functions.text import FNV_BASIS
 

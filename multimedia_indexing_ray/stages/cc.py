@@ -255,3 +255,93 @@ def resolve_clusters(
         )
 
     return map_partitions_by_key(both, "u", _min_label, num_partitions=num_partitions)
+
+
+def resolve_clusters_best(
+    docs: "ray.data.Dataset",
+    id_col: str,
+    score_col: str,
+    pairs: "ray.data.Dataset",
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+    num_partitions: int = 16,
+    cc_partitions: int = 8,
+) -> "ray.data.Dataset":
+    """Quality-weighted cluster resolution: the canonical survivor of
+    each near-dup cluster is the HIGHEST-``score_col`` member (min
+    doc id breaks ties) — the keep-the-best-copy policy curation
+    pipelines actually want, vs `resolve_clusters`' keep-min-id.
+
+    Two slim exchanges: (1) docs' (id, id, score) self-rows union the
+    star edges, grouped by node to attach cluster ids (the score rides
+    the self-row); (2) (doc, cluster, score) grouped by cluster for the
+    per-cluster argmax.  Vectors/text never cross either."""
+    stars = connected_components(
+        pairs, a_col=a_col, b_col=b_col, num_partitions=cc_partitions
+    )
+    schema = pa.schema(
+        [("u", pa.int64()), ("v", pa.int64()), ("score", pa.int64())]
+    )
+
+    def _self_rows(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        sc = batch[score_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"u": ids, "v": ids, "score": sc}, schema=schema)
+
+    def _star_rows(batch: pa.Table) -> pa.Table:
+        # star rows carry no score; -1 loses every max against real
+        # scores (scores are assumed non-negative)
+        return pa.table(
+            {
+                "u": batch["u"],
+                "v": batch["v"],
+                "score": pa.array(np.full(batch.num_rows, -1, np.int64), pa.int64()),
+            },
+            schema=schema,
+        )
+
+    both = docs.map_batches(_self_rows, batch_format="pyarrow").union(
+        stars.map_batches(_star_rows, batch_format="pyarrow")
+    )
+
+    def _attach(table: pa.Table) -> pa.Table:
+        u = table["u"].to_numpy(zero_copy_only=False)
+        v = table["v"].to_numpy(zero_copy_only=False)
+        sc = table["score"].to_numpy(zero_copy_only=False)
+        order, su, starts = _segments(u)
+        cluster = np.minimum.reduceat(v[order], starts)
+        score = np.maximum.reduceat(sc[order], starts)  # the self-row's score
+        return pa.table(
+            {
+                "doc_id": su[starts],
+                "cluster_id": cluster,
+                "score": score,
+            },
+            schema=pa.schema(
+                [("doc_id", pa.int64()), ("cluster_id", pa.int64()), ("score", pa.int64())]
+            ),
+        )
+
+    assigned = map_partitions_by_key(both, "u", _attach, num_partitions=num_partitions)
+
+    def _argmax(table: pa.Table) -> pa.Table:
+        d = table["doc_id"].to_numpy(zero_copy_only=False)
+        c = table["cluster_id"].to_numpy(zero_copy_only=False)
+        s = table["score"].to_numpy(zero_copy_only=False)
+        # per cluster: winner = (score desc, doc_id asc) first
+        order = np.lexsort((d, -s, c))
+        cs = c[order]
+        starts = np.flatnonzero(np.r_[True, cs[1:] != cs[:-1]])
+        counts = np.diff(np.r_[starts, len(cs)])
+        winner = np.repeat(d[order][starts], counts)
+        return pa.table(
+            {
+                "doc_id": pa.array(d[order], pa.int64()),
+                "cluster_id": pa.array(cs, pa.int64()),
+                "keep": pa.array(d[order] == winner, pa.bool_()),
+            }
+        )
+
+    return map_partitions_by_key(
+        assigned, "cluster_id", _argmax, num_partitions=num_partitions
+    )
