@@ -703,11 +703,19 @@ def q_shipping_priority(sf_dir: str):
         num_partitions=16,
     )
 
-    def _topk(batch: pa.Table) -> pa.Table:
-        g = _pa_group_sum(
+    # a joined block is NOT guaranteed key-complete (Ray can split a
+    # large map_groups output mid-table), so the top-k runs after one
+    # slim keyed exchange of per-block partial sums — never on raw blocks
+    def _partial_sum(batch: pa.Table) -> pa.Table:
+        return _pa_group_sum(
             batch.select(["l_orderkey", "date_id", "o_orderpriority", "revenue_cents"]),
             ["l_orderkey", "date_id", "o_orderpriority"],
             ["revenue_cents"],
+        )
+
+    def _topk(table: pa.Table) -> pa.Table:
+        g = _pa_group_sum(
+            table, ["l_orderkey", "date_id", "o_orderpriority"], ["revenue_cents"]
         )
         ok = g["l_orderkey"].to_numpy()
         rc = g["revenue_cents"].to_numpy()
@@ -721,10 +729,12 @@ def q_shipping_priority(sf_dir: str):
         take = np.lexsort((ok, -rc))[:10]
         return batch.take(pa.array(take, pa.int64()))
 
-    return (
-        joined.map_batches(_topk, batch_format="pyarrow", batch_size=None)
-        .repartition(1)
-        .map_batches(_merge, batch_format="pyarrow", batch_size=None)
+    from multimedia_indexing_ray.stages.partition import map_partitions_by_key
+
+    partials = joined.map_batches(_partial_sum, batch_format="pyarrow")
+    per_part = map_partitions_by_key(partials, "l_orderkey", _topk, num_partitions=16)
+    return per_part.repartition(1).map_batches(
+        _merge, batch_format="pyarrow", batch_size=None
     )
 
 
