@@ -562,7 +562,13 @@ def q_supplier_nation_revenue(sf_dir: str):
         cents = _cents(
             batch["l_extendedprice"].to_numpy() * (1 - batch["l_discount"].to_numpy())
         ).astype(np.int64)
-        idx = np.searchsorted(sk, batch["l_suppkey"].to_numpy())
+        keys = batch["l_suppkey"].to_numpy()
+        idx = np.searchsorted(sk, keys)
+        # inner-join semantics: a key absent from the dim drops the row
+        # (and never indexes past the end) instead of silently
+        # misattributing to the insertion-point neighbor
+        ok = (idx < len(sk)) & (sk[np.minimum(idx, len(sk) - 1)] == keys)
+        idx, cents = idx[ok], cents[ok]
         t2 = pa.table(
             {
                 "n_name": pa.array(names[idx], pa.string()),
@@ -616,7 +622,11 @@ def q_promo_revenue(sf_dir: str):
         price = batch["l_extendedprice"].to_numpy()
         disc = batch["l_discount"].to_numpy()
         cents = _cents(price * (1 - disc)).astype(np.int64)
-        idx = np.searchsorted(pk, batch["l_partkey"].to_numpy())
+        keys = batch["l_partkey"].to_numpy()
+        idx = np.searchsorted(pk, keys)
+        # inner-join semantics (see supplier_nation_revenue)
+        ok = (idx < len(pk)) & (pk[np.minimum(idx, len(pk) - 1)] == keys)
+        idx, cents, month_id = idx[ok], cents[ok], month_id[ok]
         is_promo = promo[idx]
         t2 = pa.table(
             {
@@ -1470,20 +1480,37 @@ def _ensure_ann_index(sf_dir: str, kind: str) -> str:
         # again — without this, data refreshes accumulate unbounded disk)
         import shutil
 
+        import time as _time
+
         srcname = os.path.abspath(sf_dir)
         if os.path.isdir(root):
             for t in os.listdir(root):
-                mark = os.path.join(root, t, "src.txt")
-                if t != tag and os.path.exists(mark) and open(mark).read() == srcname:
-                    shutil.rmtree(os.path.join(root, t), ignore_errors=True)
+                tdir = os.path.join(root, t)
+                mark = os.path.join(tdir, "src.txt")
+                if t == tag:
+                    continue
+                # grace period: a tag younger than an hour may still be
+                # mid-build or mid-read by a concurrent process — only
+                # reap clearly-abandoned artifacts.  Unmarked dirs
+                # (crashed before src.txt) age out the same way.
+                try:
+                    age = _time.time() - os.path.getmtime(tdir)
+                except OSError:
+                    continue
+                if age < 3600:
+                    continue
+                if not os.path.exists(mark) or open(mark).read() == srcname:
+                    shutil.rmtree(tdir, ignore_errors=True)
+        # src.txt is written BEFORE the build so a crashed build's tag
+        # still carries its marker and gets pruned later
+        os.makedirs(f"{root}/{tag}", exist_ok=True)
+        with open(f"{root}/{tag}/src.txt", "w") as f:
+            f.write(srcname)
         emb = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
         # m=32/ks=256 -> 2 dims per subquantizer on the 64-d embeddings
         # (the reference's 1024-d/m=64 uses 16; these unit vectors need the
         # finer grid — measured recall@5 0.96 vs 0.20 at m=8/ks=64)
         build_ann_index(emb, d, kind=kind, n_lists=8 if kind != "pq" else 1, m=32, ks=256)
-        os.makedirs(f"{root}/{tag}", exist_ok=True)
-        with open(f"{root}/{tag}/src.txt", "w") as f:
-            f.write(srcname)
     return d
 
 
@@ -1973,8 +2000,11 @@ def q_rollup_type_hour(sf_dir: str):
         )
         # derive the coarser levels from the finest cells
         types, tinv = np.unique(et.astype(str), return_inverse=True)
-        tn = np.bincount(tinv, weights=n).astype(np.int64)
-        tv = np.bincount(tinv, weights=vc).astype(np.int64)
+        # int64 scatter-adds — bincount(weights=) rounds above 2^53
+        tn = np.zeros(len(types), np.int64)
+        tv = np.zeros(len(types), np.int64)
+        np.add.at(tn, tinv, n)
+        np.add.at(tv, tinv, vc)
         out_et = np.concatenate([et, types.astype(object), np.array(["<all>"], object)])
         out_hr = np.concatenate(
             [hr, np.full(len(types) + 1, "<all>", dtype=object)]
@@ -2040,10 +2070,15 @@ def q_user_type_pivot(sf_dir: str):
         known = (tcode < len(vocab)) & (vocab[np.minimum(tcode, len(vocab) - 1)] == et)
         mat = np.zeros((len(users), len(vocab)), dtype=np.int64)
         np.add.at(mat, (uinv[known], tcode[known]), n[known])
+        # n_total counts EVERY event (count(*) in the oracle), including
+        # types outside the fixed vocabulary — only the per-type columns
+        # are vocabulary-bound
+        total = np.zeros(len(users), dtype=np.int64)
+        np.add.at(total, uinv, n)
         cols = {"user_id": pa.array(users, pa.int64())}
         for j, t in enumerate(_EVENT_TYPES):
             cols[f"n_{t}"] = pa.array(mat[:, j], pa.int64())
-        cols["n_total"] = pa.array(mat.sum(axis=1), pa.int64())
+        cols["n_total"] = pa.array(total, pa.int64())
         return pa.table(cols)
 
     partials = ev.map_batches(_partial, batch_format="pyarrow")

@@ -238,8 +238,18 @@ def _append_segment(ds, out_dir, manifest, coarse, pq_model, concurrency) -> dic
                 f"index build/append already in progress on {out_dir} "
                 f"(held by live pid {owner}; lock file {lock})"
             )
+        # reclaim via atomic RENAME, not unlink: with unlink, two
+        # processes that both saw the dead owner could each unlink (the
+        # second deleting the first's freshly-created lock) and both
+        # enter the critical section.  rename makes exactly one
+        # reclaimer win — the loser's rename raises FileNotFoundError.
+        # NOTE: pid liveness is host-local; the lock protocol assumes a
+        # single writer HOST per artifact dir (writers on other nodes of
+        # a shared filesystem look dead — route appends through one
+        # node, as the reference routes through one BDB writer).
         try:
-            os.unlink(lock)  # dead owner (or unreadable lock): reclaim
+            os.rename(lock, f"{lock}.stale-{os.getpid()}")
+            os.unlink(f"{lock}.stale-{os.getpid()}")
             fd = _try_acquire()
         except (FileNotFoundError, FileExistsError):
             raise RuntimeError(

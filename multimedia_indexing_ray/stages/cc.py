@@ -279,23 +279,24 @@ def resolve_clusters_best(
     stars = connected_components(
         pairs, a_col=a_col, b_col=b_col, num_partitions=cc_partitions
     )
+    # scores stay float64 so float quality scores (classifier outputs in
+    # [0,1]) and negative scores survive; -inf marks the score-less star
+    # rows and loses every max
     schema = pa.schema(
-        [("u", pa.int64()), ("v", pa.int64()), ("score", pa.int64())]
+        [("u", pa.int64()), ("v", pa.int64()), ("score", pa.float64())]
     )
 
     def _self_rows(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        sc = batch[score_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        sc = batch[score_col].to_numpy(zero_copy_only=False).astype(np.float64)
         return pa.table({"u": ids, "v": ids, "score": sc}, schema=schema)
 
     def _star_rows(batch: pa.Table) -> pa.Table:
-        # star rows carry no score; -1 loses every max against real
-        # scores (scores are assumed non-negative)
         return pa.table(
             {
                 "u": batch["u"],
                 "v": batch["v"],
-                "score": pa.array(np.full(batch.num_rows, -1, np.int64), pa.int64()),
+                "score": pa.array(np.full(batch.num_rows, -np.inf), pa.float64()),
             },
             schema=schema,
         )
@@ -318,7 +319,7 @@ def resolve_clusters_best(
                 "score": score,
             },
             schema=pa.schema(
-                [("doc_id", pa.int64()), ("cluster_id", pa.int64()), ("score", pa.int64())]
+                [("doc_id", pa.int64()), ("cluster_id", pa.int64()), ("score", pa.float64())]
             ),
         )
 

@@ -369,28 +369,56 @@ def exact_jaccard_verify(
             & (ds_sorted[np.clip(pos_a, 0, len(ds_sorted) - 1)] == a_ids)
             & (ds_sorted[np.clip(pos_b, 0, len(ds_sorted) - 1)] == b_ids)
         )
-        sets = [np.sort(sid[offs[i] : offs[i + 1]]) for i in range(len(d_ids))]
+        # vectorized intersect over ALL pairs (shingles are unique per
+        # doc): gather each pair's two id-sets, key by (pair, shingle),
+        # count duplicate keys — |A∩B| per pair in one unique() pass.
+        # Chunked so memory is O(chunk * avg_set_size), not O(all pairs).
+        rows = np.flatnonzero(ok)
+        ai = dorder[pos_a[rows]]
+        bi = dorder[pos_b[rows]]
+        lens = np.diff(offs)
+        n_sid = int(sid.max()) + 1 if len(sid) else 1
+
+        def _ragged_gather(starts, counts):
+            total = int(counts.sum())
+            within = np.arange(total) - np.repeat(np.cumsum(counts) - counts, counts)
+            return np.repeat(starts, counts) + within
+
         a_out, b_out, j_out = [], [], []
-        for r in np.flatnonzero(ok):
-            sa = sets[dorder[pos_a[r]]]
-            sb = sets[dorder[pos_b[r]]]
-            inter = len(np.intersect1d(sa, sb, assume_unique=True))
-            union = len(sa) + len(sb) - inter
-            jac = inter / union if union else 1.0
-            if jac >= threshold:
-                a_out.append(int(a_ids[r]))
-                b_out.append(int(b_ids[r]))
-                j_out.append(jac)
+        chunk = 200_000
+        for lo in range(0, len(rows), chunk):
+            ca, cb = ai[lo : lo + chunk], bi[lo : lo + chunk]
+            # key order is irrelevant to duplicate counting: a-side keys
+            # then b-side keys, no interleave needed
+            pair_of = np.concatenate(
+                [
+                    np.repeat(np.arange(len(ca), dtype=np.int64), lens[ca]),
+                    np.repeat(np.arange(len(cb), dtype=np.int64), lens[cb]),
+                ]
+            )
+            idx = np.concatenate(
+                [_ragged_gather(offs[ca], lens[ca]), _ragged_gather(offs[cb], lens[cb])]
+            )
+            key = pair_of * np.int64(n_sid) + sid[idx]
+            uk, uc = np.unique(key, return_counts=True)
+            inter = np.bincount((uk // np.int64(n_sid))[uc == 2], minlength=len(ca))
+            union = lens[ca] + lens[cb] - inter
+            jac = np.where(union > 0, inter / np.maximum(union, 1), 1.0)
+            keep = jac >= threshold
+            sel = rows[lo : lo + chunk][keep]
+            a_out.append(a_ids[sel].astype(np.int64))
+            b_out.append(b_ids[sel].astype(np.int64))
+            j_out.append(jac[keep])
+        if not a_out or not sum(len(x) for x in a_out):
+            return ray.data.from_arrow(empty)
         return ray.data.from_arrow(
             pa.table(
                 {
-                    "a_id": pa.array(a_out, pa.int64()),
-                    "b_id": pa.array(b_out, pa.int64()),
-                    "jaccard": pa.array(j_out, pa.float64()),
+                    "a_id": pa.array(np.concatenate(a_out), pa.int64()),
+                    "b_id": pa.array(np.concatenate(b_out), pa.int64()),
+                    "jaccard": pa.array(np.concatenate(j_out), pa.float64()),
                 }
             )
-            if a_out
-            else empty
         )
     sk = docs.map_batches(
         ShingleAnchor(text_col, id_col, shingle_k), batch_format="pyarrow", concurrency=2

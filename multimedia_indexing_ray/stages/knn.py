@@ -65,6 +65,10 @@ def topk_rows(qi, ids, key, k):
     if n == 0 or len(qi) == 0:
         return out_q, out_n, out_s
     kk = min(k, n)
+    # NaN (corrupt vector) sorts as +inf: without this a NaN landing in
+    # the argpartition slice makes thresh NaN and the <= mask all-False,
+    # silently dropping every finite candidate for that query
+    key = np.where(np.isnan(key), np.inf, key)
     part = np.argpartition(key, kk - 1, axis=1)[:, :kk]
     thresh = np.take_along_axis(key, part, axis=1).max(axis=1)  # worst kept
     for row in range(len(qi)):

@@ -75,10 +75,15 @@ def ordered_prefix_sum(
         r = batch["__rng"].to_numpy(zero_copy_only=False)
         v = batch[value].to_numpy(zero_copy_only=False).astype(np.int64)
         ur, inv = np.unique(r, return_inverse=True)
+        # int64 scatter-add, NOT bincount(weights=...): bincount
+        # accumulates in float64 and silently rounds above 2^53 — this
+        # path promises exact integer prefix sums
+        tot = np.zeros(len(ur), np.int64)
+        np.add.at(tot, inv, v)
         return pa.table(
             {
                 "__rng": pa.array(ur, pa.int64()),
-                "total": pa.array(np.bincount(inv, weights=v).astype(np.int64), pa.int64()),
+                "total": pa.array(tot, pa.int64()),
             }
         )
 
