@@ -324,7 +324,10 @@ def exact_jaccard_verify(
     if 2 * n_pairs <= max_broadcast_ids:
         import pyarrow.compute as _pc
 
-        pdf = pairs.to_pandas()
+        # one verify row per DISTINCT candidate pair (LSH generators can
+        # emit a pair once per band; the distributed path dedups the
+        # same way in its group kernel)
+        pdf = pairs.to_pandas().drop_duplicates()
         need = pa.array(
             np.unique(np.concatenate([pdf["a_id"].to_numpy(), pdf["b_id"].to_numpy()]))
             .astype(np.int64)
@@ -524,9 +527,15 @@ def exact_jaccard_verify(
         ends = np.concatenate([starts[1:], [len(a)]])
         a_out, b_out, j_out = [], [], []
         for s, e in zip(starts, ends):
-            if e - s != 2 or side[s] == side[s + 1]:
-                continue  # a side's doc was missing (no shingles) -> drop
-            sa, sb = set(sets[s]), set(sets[s + 1])
+            # duplicate candidates (same pair proposed by several bands /
+            # batches) make >2 rows per group: use the first row of each
+            # side; a group missing a side (doc had no shingles) drops
+            grp = side[s:e]
+            has0 = np.flatnonzero(grp == 0)
+            has1 = np.flatnonzero(grp == 1)
+            if len(has0) == 0 or len(has1) == 0:
+                continue
+            sa, sb = set(sets[s + has0[0]]), set(sets[s + has1[0]])
             union = len(sa | sb)
             jac = len(sa & sb) / union if union else 1.0
             if jac >= threshold:

@@ -130,3 +130,26 @@ def test_local_cc_hypothesis_random_graphs():
                 assert got[node] == root
 
     run()
+
+
+def test_resolve_clusters_best_float_scores(ray_session):
+    """Float quality scores rank correctly (the review-found truncation
+    bug: 0.93 vs 0.21 must NOT both collapse to 0)."""
+    import pyarrow as pa
+
+    from multimedia_indexing_ray.stages.cc import resolve_clusters_best
+
+    docs = ray_session.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "q": pa.array([0.21, 0.93, -0.5, 0.0], pa.float64()),
+            }
+        )
+    )
+    out = resolve_clusters_best(
+        docs, "doc_id", "q", _pairs_ds(ray_session, [(1, 2), (3, 4)])
+    ).take_all()
+    got = {r["doc_id"]: (r["cluster_id"], r["keep"]) for r in out}
+    assert got[2] == (1, True) and got[1] == (1, False)  # 0.93 beats 0.21
+    assert got[4] == (3, True) and got[3] == (3, False)  # 0.0 beats -0.5

@@ -307,3 +307,55 @@ def test_anchor_jaccard_mass_duplicate_anchor_skew(ray_session):
     np.testing.assert_allclose(out["jaccard"].to_numpy(), [j for _, _, j in truth], rtol=0, atol=0)
     assert (10, 11) in {(a, b) for a, b, _ in truth}
     assert elapsed < 60  # numpy-speed, not per-pair Python set ops
+
+
+def test_exact_jaccard_verify_vectorized_matches_distributed(ray_session):
+    """The chunked vectorized fast-path intersect equals the distributed
+    2-shuffle path on a randomized corpus (120 docs, 300 candidate
+    pairs, shared vocabulary => nontrivial intersections)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from multimedia_indexing_ray.stages.dedup import exact_jaccard_verify
+
+    rng = np.random.default_rng(5)
+    vocab = [f"w{i}" for i in range(30)]
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(4, 15)))
+        for _ in range(120)
+    ]
+    for i in range(20):  # planted near-dups: doc i+60 = doc i with a suffix
+        texts[i + 60] = texts[i] + " tail"
+    docs = pa.table(
+        {
+            "doc_id": pa.array(np.arange(120, dtype=np.int64)),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    a = np.concatenate([rng.integers(0, 120, 300), np.arange(20)])
+    b = np.concatenate([rng.integers(0, 120, 300), np.arange(20) + 60])
+    keep = a != b
+    cands = pa.table(
+        {
+            "a_id": pa.array(np.minimum(a, b)[keep].astype(np.int64)),
+            "b_id": pa.array(np.maximum(a, b)[keep].astype(np.int64)),
+        }
+    )
+    outs = []
+    # threshold 0 keeps every distinct pair so the two paths' EXACT
+    # jaccard values (not just the surviving set) must agree row-for-row
+    for max_bcast in (5_000_000, 0):
+        out = (
+            exact_jaccard_verify(
+                rd.from_arrow(cands), rd.from_arrow(docs), "text", "doc_id",
+                threshold=0.0, num_partitions=4, max_broadcast_ids=max_bcast,
+            )
+            .to_pandas()
+            .sort_values(["a_id", "b_id"])
+            .reset_index(drop=True)
+        )
+        outs.append(out)
+    assert len(outs[0]) == len(cands.to_pandas().drop_duplicates())
+    assert outs[0].equals(outs[1])
+    assert (outs[0]["jaccard"] > 0).sum() > 0  # some overlap exists

@@ -98,3 +98,18 @@ def test_tied_scores_resolved_by_lowest_id(ray_session):
         rd.from_arrow(t).repartition(8), (np.array([0]), mat[[0]]), "embedding", "vec_id", k=4
     ).to_pandas()
     assert res.sort_values("rank")["neighbor_id"].tolist() == sorted(dup_ids)[:4]
+
+
+def test_topk_rows_nan_key_keeps_finite_candidates():
+    """A NaN (corrupt vector) in the candidate block must not wipe the
+    query's finite neighbors (review-found argpartition/thresh bug)."""
+    import numpy as np
+
+    from multimedia_indexing_ray.stages.knn import topk_rows
+
+    key = np.array([[0.3, np.nan, 0.1, 0.2]])
+    qi = np.array([7], dtype=np.int64)
+    ids = np.array([10, 11, 12, 13], dtype=np.int64)
+    out_q, out_n, out_s = topk_rows(qi, ids, key, k=3)
+    assert list(out_n[0]) == [12, 13, 10]  # sorted by key, NaN excluded
+    assert np.isfinite(out_s[0]).all()
