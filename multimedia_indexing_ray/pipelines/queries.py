@@ -2187,6 +2187,136 @@ def q_weighted_priority_sample(sf_dir: str):
 
 
 @register(
+    "session_funnel",
+    """
+    WITH s AS (
+      SELECT user_id, ts, event_type,
+        CAST(SUM(CASE WHEN gap_us > 1800000000 THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS session_id
+      FROM (SELECT *, COALESCE(date_diff('microsecond',
+              lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts), 0) AS gap_us
+            FROM events)
+    )
+    SELECT user_id, session_id,
+      CAST(count(*) AS BIGINT) AS n_events,
+      CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS n_views,
+      CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchases,
+      COALESCE(MIN(ts) FILTER (event_type = 'view')
+               < MAX(ts) FILTER (event_type = 'purchase'), FALSE) AS converted
+    FROM s GROUP BY user_id, session_id
+    """,
+)
+def q_session_funnel(sf_dir: str):
+    """In-session conversion FUNNEL (view -> later purchase within one
+    inactivity-gap session): sessionization AND the per-session funnel
+    aggregate run in the SAME partition kernel after the one keyed
+    exchange — no second shuffle for the rollup.  `converted` uses the
+    strict ts rule (first view strictly before last purchase), identical
+    on both sides."""
+    from multimedia_indexing_ray.functions import segments as sg
+    from multimedia_indexing_ray.stages.keyed import _codes, _sort_table, _ts_us
+    from multimedia_indexing_ray.stages.partition import map_partitions_by_key
+
+    ev = _rp(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    thr_us = 1_800_000_000
+
+    def kernel(table: pa.Table) -> pa.Table:
+        t = _sort_table(table, "user_id", "ts", "event_id")
+        codes = _codes(t, "user_id")
+        starts = sg.segment_starts(codes)
+        ts = _ts_us(t, "ts")
+        gap = sg.seg_gap_us(ts, starts)
+        bound = sg.session_boundaries(gap.astype(np.float64), starts, float(thr_us))
+        gid = sg.group_index(bound)  # global session ordinal over partition
+        conv_bound = np.zeros(t.num_rows, dtype=bool)
+        conv_bound[starts] = True
+        gid0 = gid[sg.group_start_rows(conv_bound)]
+        sid = (gid - gid0).astype(np.int64)
+        et = np.asarray(t["event_type"]).astype(str)
+        is_view = et == "view"
+        is_purchase = et == "purchase"
+        # per-session segment reductions over the (already sorted) rows
+        s_starts = sg.segment_starts(gid)
+        n_events = np.diff(np.r_[s_starts, len(gid)]).astype(np.int64)
+        n_views = np.add.reduceat(is_view.astype(np.int64), s_starts)
+        n_purch = np.add.reduceat(is_purchase.astype(np.int64), s_starts)
+        big = np.int64(2**62)
+        first_view = np.minimum.reduceat(np.where(is_view, ts, big), s_starts)
+        last_purch = np.maximum.reduceat(np.where(is_purchase, ts, -big), s_starts)
+        converted = (n_views > 0) & (n_purch > 0) & (first_view < last_purch)
+        uid = t["user_id"].to_numpy()
+        return pa.table(
+            {
+                "user_id": pa.array(uid[s_starts], pa.int64()),
+                "session_id": pa.array(sid[s_starts], pa.int64()),
+                "n_events": pa.array(n_events, pa.int64()),
+                "n_views": pa.array(n_views.astype(np.int64), pa.int64()),
+                "n_purchases": pa.array(n_purch.astype(np.int64), pa.int64()),
+                "converted": pa.array(converted, pa.bool_()),
+            }
+        )
+
+    return map_partitions_by_key(ev, "user_id", kernel, num_partitions=32)
+
+
+@register(
+    "retention_cohorts",
+    """
+    WITH d AS (SELECT user_id,
+                 CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day FROM events),
+    u AS (SELECT user_id, MIN(day) AS cohort FROM d GROUP BY user_id),
+    a AS (SELECT DISTINCT d.user_id, u.cohort, d.day - u.cohort AS day_offset
+          FROM d JOIN u USING (user_id))
+    SELECT cohort AS cohort_day, day_offset, CAST(count(*) AS BIGINT) AS n_users
+    FROM a GROUP BY cohort, day_offset
+    """,
+)
+def q_retention_cohorts(sf_dir: str):
+    """Retention-cohort matrix (the activation/retention table every
+    event pipeline ships): cohort = each user's first active day; one
+    keyed exchange computes per-user cohort AND distinct active days in
+    the same kernel (no second scan, no join); the (cohort, offset)
+    cells then fold through the low-cardinality coalesced combiner."""
+    from multimedia_indexing_ray.stages.partition import map_partitions_by_key
+
+    ev = _rp(sf_dir, "events", ["user_id", "ts"])
+    DAY_US = np.int64(86_400_000_000)
+
+    def _days(batch: pa.Table) -> pa.Table:
+        day = batch["ts"].cast(pa.int64()).to_numpy() // DAY_US
+        t = pa.table({"user_id": batch["user_id"], "day": pa.array(day, pa.int64())})
+        # per-batch distinct (user, day) combiner
+        g = pa.TableGroupBy(t, ["user_id", "day"]).aggregate([])
+        return g
+
+    def _cohort(table: pa.Table) -> pa.Table:
+        uid = table["user_id"].to_numpy()
+        day = table["day"].to_numpy()
+        order = np.lexsort((day, uid))
+        uid, day = uid[order], day[order]
+        starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        counts = np.diff(np.r_[starts, len(uid)])
+        cohort = np.repeat(day[starts], counts)  # min day = first after sort
+        off = day - cohort
+        # distinct (user, day) within partition: drop adjacent dups
+        keep = np.r_[True, (uid[1:] != uid[:-1]) | (day[1:] != day[:-1])]
+        t = pa.table(
+            {
+                "cohort_day": pa.array(cohort[keep], pa.int64()),
+                "day_offset": pa.array(off[keep], pa.int64()),
+                "n_users": pa.array(np.ones(int(keep.sum()), np.int64), pa.int64()),
+            }
+        )
+        return _pa_group_sum(t, ["cohort_day", "day_offset"], ["n_users"])
+
+    cells = map_partitions_by_key(
+        ev.map_batches(_days, batch_format="pyarrow"), "user_id", _cohort,
+        num_partitions=16,
+    )
+    return _tiny_group_sum(cells, ["cohort_day", "day_offset"], ["n_users"])
+
+
+@register(
     "group_split_assign",
     """
     SELECT user_id, CAST(count(*) AS BIGINT) AS n_events, split
