@@ -290,8 +290,32 @@ def minhash_lsh_pairs(
 
     pairs = map_partitions_by_key(
         exploded.map_batches(_bucket_key, batch_format="pyarrow"), "__bkey", kernel, num_partitions
-    )
-    # same pair can surface from multiple bands -> exact dedup on the pair
+    ).materialize()
+    # same pair can surface from multiple bands -> exact dedup on the pair.
+    # The candidate set is normally TINY relative to the corpus, and a
+    # keyed exchange has ~1-2s fixed cost — coalesce-dedup small sets in
+    # one block and keep the distributed dedup only for huge ones.
+    if pairs.count() <= 2_000_000:
+
+        def _dedup_block(batch: pa.Table) -> pa.Table:
+            t = batch.take(
+                pc.sort_indices(
+                    batch,
+                    sort_keys=[
+                        ("a_id", "ascending"),
+                        ("b_id", "ascending"),
+                        ("est_jaccard", "ascending"),
+                    ],
+                )
+            )
+            a = t["a_id"].to_numpy()
+            b = t["b_id"].to_numpy()
+            first = np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])]
+            return t.filter(pa.array(first))
+
+        return pairs.repartition(1).map_batches(
+            _dedup_block, batch_format="pyarrow", batch_size=None
+        )
     return dedup_by_key(pairs, ["a_id", "b_id"], ["est_jaccard"], num_partitions)
 
 
