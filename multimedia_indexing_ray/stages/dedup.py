@@ -205,6 +205,40 @@ class MinHashSketcher:
         )
 
 
+def _dedup_pairs(
+    pairs: "ray.data.Dataset", value_col: str, num_partitions: int,
+    coalesce_cap: int = 2_000_000,
+) -> "ray.data.Dataset":
+    """Cross-band/bucket pair dedup (first row per (a_id, b_id) ordered
+    by value_col).  Candidate sets are normally tiny relative to the
+    corpus and a keyed exchange costs ~1-2s of fixed sort overhead, so
+    small sets dedup in ONE coalesced block; the distributed first-per-
+    key path remains for sets over the cap."""
+    pairs = pairs.materialize()
+    if pairs.count() <= coalesce_cap:
+
+        def _dedup_block(batch: pa.Table) -> pa.Table:
+            t = batch.take(
+                pc.sort_indices(
+                    batch,
+                    sort_keys=[
+                        ("a_id", "ascending"),
+                        ("b_id", "ascending"),
+                        (value_col, "ascending"),
+                    ],
+                )
+            )
+            a = t["a_id"].to_numpy()
+            b = t["b_id"].to_numpy()
+            first = np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])]
+            return t.filter(pa.array(first))
+
+        return pairs.repartition(1).map_batches(
+            _dedup_block, batch_format="pyarrow", batch_size=None
+        )
+    return dedup_by_key(pairs, ["a_id", "b_id"], [value_col], num_partitions)
+
+
 def minhash_lsh_pairs(
     ds: "ray.data.Dataset",
     text_col: str,
@@ -290,33 +324,9 @@ def minhash_lsh_pairs(
 
     pairs = map_partitions_by_key(
         exploded.map_batches(_bucket_key, batch_format="pyarrow"), "__bkey", kernel, num_partitions
-    ).materialize()
-    # same pair can surface from multiple bands -> exact dedup on the pair.
-    # The candidate set is normally TINY relative to the corpus, and a
-    # keyed exchange has ~1-2s fixed cost — coalesce-dedup small sets in
-    # one block and keep the distributed dedup only for huge ones.
-    if pairs.count() <= 2_000_000:
-
-        def _dedup_block(batch: pa.Table) -> pa.Table:
-            t = batch.take(
-                pc.sort_indices(
-                    batch,
-                    sort_keys=[
-                        ("a_id", "ascending"),
-                        ("b_id", "ascending"),
-                        ("est_jaccard", "ascending"),
-                    ],
-                )
-            )
-            a = t["a_id"].to_numpy()
-            b = t["b_id"].to_numpy()
-            first = np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])]
-            return t.filter(pa.array(first))
-
-        return pairs.repartition(1).map_batches(
-            _dedup_block, batch_format="pyarrow", batch_size=None
-        )
-    return dedup_by_key(pairs, ["a_id", "b_id"], ["est_jaccard"], num_partitions)
+    )
+    # same pair can surface from multiple bands -> exact dedup on the pair
+    return _dedup_pairs(pairs, "est_jaccard", num_partitions)
 
 
 def exact_jaccard_verify(
@@ -693,7 +703,7 @@ def simhash_pairs(
     pairs = map_partitions_by_key(
         sims.map_batches(_explode, batch_format="pyarrow"), "bucket", kernel, num_partitions
     )
-    return dedup_by_key(pairs, ["a_id", "b_id"], ["hamming"], num_partitions)
+    return _dedup_pairs(pairs, "hamming", num_partitions)
 
 
 class ShingleAnchor:
@@ -989,4 +999,4 @@ def embedding_neardup_lsh(
         )
 
     pairs = map_partitions_by_key(banded, "bucket", kernel, num_partitions)
-    return dedup_by_key(pairs, ["a_id", "b_id"], ["cos_sim"], num_partitions)
+    return _dedup_pairs(pairs, "cos_sim", num_partitions)
