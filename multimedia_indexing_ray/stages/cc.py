@@ -222,7 +222,9 @@ def resolve_clusters(
     """Every doc -> (doc_id, cluster_id, is_canonical): cluster_id is the
     min doc id of its near-dup component (itself for singletons) and the
     canonical survivor is the root.  One slim (id, cluster) exchange
-    over the corpus ids; the CC iteration touches only the pair set."""
+    over the corpus ids (coalesced into one block when the corpus is
+    small — the keyed exchange's fixed sort cost dominates then); the
+    CC iteration touches only the pair set."""
     stars = connected_components(
         pairs, a_col=a_col, b_col=b_col, num_partitions=cc_partitions
     )
@@ -232,6 +234,10 @@ def resolve_clusters(
         return pa.table({"u": ids, "v": ids}, schema=_EDGE_SCHEMA)
 
     both = docs.map_batches(_self_edges, batch_format="pyarrow").union(stars)
+    both = both.materialize()
+    if both.count() <= DRIVER_EDGE_CAP:
+        both = both.repartition(1)
+        num_partitions = None  # marker: single-block path below
 
     def _min_label(table: pa.Table) -> pa.Table:
         u = table["u"].to_numpy(zero_copy_only=False)
@@ -254,6 +260,8 @@ def resolve_clusters(
             ),
         )
 
+    if num_partitions is None:
+        return both.map_batches(_min_label, batch_format="pyarrow", batch_size=None)
     return map_partitions_by_key(both, "u", _min_label, num_partitions=num_partitions)
 
 
@@ -323,7 +331,18 @@ def resolve_clusters_best(
             ),
         )
 
-    assigned = map_partitions_by_key(both, "u", _attach, num_partitions=num_partitions)
+    # small corpora: collapse both fixed-cost keyed exchanges into one
+    # coalesced block (same kernels, batch = everything)
+    both = both.materialize()
+    small = both.count() <= DRIVER_EDGE_CAP
+    if small:
+        assigned = both.repartition(1).map_batches(
+            _attach, batch_format="pyarrow", batch_size=None
+        )
+    else:
+        assigned = map_partitions_by_key(
+            both, "u", _attach, num_partitions=num_partitions
+        )
 
     def _argmax(table: pa.Table) -> pa.Table:
         d = table["doc_id"].to_numpy(zero_copy_only=False)
@@ -343,6 +362,8 @@ def resolve_clusters_best(
             }
         )
 
+    if small:
+        return assigned.map_batches(_argmax, batch_format="pyarrow", batch_size=None)
     return map_partitions_by_key(
         assigned, "cluster_id", _argmax, num_partitions=num_partitions
     )
