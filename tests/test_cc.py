@@ -153,3 +153,39 @@ def test_resolve_clusters_best_float_scores(ray_session):
     got = {r["doc_id"]: (r["cluster_id"], r["keep"]) for r in out}
     assert got[2] == (1, True) and got[1] == (1, False)  # 0.93 beats 0.21
     assert got[4] == (3, True) and got[3] == (3, False)  # 0.0 beats -0.5
+
+
+def test_resolvers_distributed_path_matches_coalesced(ray_session, monkeypatch):
+    """Force the keyed-exchange (large-corpus) branch of both resolvers
+    and check it equals the coalesced fast path row-for-row."""
+    import pyarrow as pa
+
+    from multimedia_indexing_ray.stages import cc
+
+    docs = ray_session.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(list(range(12)), pa.int64()),
+                "q": pa.array([float(i % 5) for i in range(12)], pa.float64()),
+            }
+        )
+    ).repartition(3)
+    pairs = _pairs_ds(ray_session, [(0, 3), (3, 6), (2, 7), (10, 11)])
+
+    def run_both(fn, *args, **kw):
+        out_small = fn(*args, **kw).take_all()
+        monkeypatch.setattr(cc, "DRIVER_EDGE_CAP", 0)
+        out_large = fn(*args, **kw).take_all()
+        monkeypatch.setattr(cc, "DRIVER_EDGE_CAP", 2_000_000)
+        key = lambda r: tuple(sorted(r.items()))
+        assert sorted(map(key, out_small)) == sorted(map(key, out_large))
+        return out_small
+
+    out = run_both(
+        cc.resolve_clusters, docs.select_columns(["doc_id"]), "doc_id", pairs
+    )
+    assert {r["doc_id"]: r["cluster_id"] for r in out}[6] == 0
+    out2 = run_both(cc.resolve_clusters_best, docs, "doc_id", "q", pairs)
+    got = {r["doc_id"]: (r["cluster_id"], r["keep"]) for r in out2}
+    # cluster {0,3,6}: scores 0.0, 3.0, 1.0 -> winner 3
+    assert got[3] == (0, True) and got[0] == (0, False) and got[6] == (0, False)
