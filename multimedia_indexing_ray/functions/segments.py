@@ -178,3 +178,52 @@ def prefix_sums(values: np.ndarray) -> np.ndarray:
 def range_sums(prefix: np.ndarray, lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
     """Sum of rows [lo, hi) per output row, from exclusive prefix sums."""
     return prefix[hi] - prefix[lo]
+
+
+def range_minmax(
+    x: np.ndarray, lo: np.ndarray, hi: np.ndarray
+) -> "tuple[np.ndarray, np.ndarray]":
+    """(min, max) of ``x[lo[i]:hi[i]]`` per output row, vectorized.
+
+    Sliding-window extrema cannot come from prefix sums (min/max are not
+    invertible), so this builds power-of-two sparse tables (Bender &
+    Farach-Colton RMQ): level j holds the extreme of every window of
+    length 2**j — O(n log W) build where W = the longest query range —
+    and each query is the overlap of two power-of-two blocks, answered
+    for all rows of a level in one fancy-index step.  Replaces the
+    reference's per-vector scan loop shape (`Linear.java:138-163`) for
+    ordered extrema.  Empty ranges (hi <= lo) return (+inf, -inf).
+    """
+    nq = len(lo)
+    out_min = np.full(nq, np.inf)
+    out_max = np.full(nq, -np.inf)
+    if nq == 0 or len(x) == 0:
+        return out_min, out_max
+    length = hi - lo
+    max_len = int(length.max()) if nq else 0
+    if max_len <= 0:
+        return out_min, out_max
+    xf = np.asarray(x, dtype=np.float64)
+    mins, maxs = [xf], [xf]
+    jmax = max_len.bit_length() - 1
+    for j in range(1, jmax + 1):
+        half = 1 << (j - 1)
+        prev_min, prev_max = mins[-1], maxs[-1]
+        m = len(prev_min) - half
+        if m <= 0:
+            break
+        mins.append(np.minimum(prev_min[:m], prev_min[half : half + m]))
+        maxs.append(np.maximum(prev_max[:m], prev_max[half : half + m]))
+    valid = np.flatnonzero(length > 0)
+    lv, hv = lo[valid], hi[valid]
+    # floor(log2(length)) — exact via frexp for any int64 < 2**53
+    j_of = np.frexp(length[valid].astype(np.float64))[1].astype(np.int64) - 1
+    j_of = np.minimum(j_of, len(mins) - 1)
+    for j in np.unique(j_of):
+        sel = j_of == j
+        size = 1 << int(j)
+        a, b = lv[sel], hv[sel] - size
+        idx = valid[sel]
+        out_min[idx] = np.minimum(mins[j][a], mins[j][b])
+        out_max[idx] = np.maximum(maxs[j][a], maxs[j][b])
+    return out_min, out_max

@@ -343,6 +343,53 @@ def winnow_fingerprints(text: str, k: int = 8, window: int = 4) -> "list[int]":
     return sorted(set(int(v) for v in mins))
 
 
+def winnow_sets_batch(
+    texts: "list[str]", k: int = 8, window: int = 4, cell_budget: int = 32_000_000
+) -> "tuple[np.ndarray, np.ndarray]":
+    """Full distinct fingerprint SETS per doc (the winnowing index the
+    n_fp/min_fp summary is derived from): returns (flat int64 fingerprints
+    in doc order, per-doc counts).  Same length-sorted chunking as
+    winnow_batch; each doc's slice is sorted ascending and distinct."""
+    n = len(texts)
+    counts = np.zeros(n, dtype=np.int64)
+    if n == 0:
+        return np.empty(0, np.int64), counts
+    lens_all = np.fromiter((len(t) for t in texts), dtype=np.int64, count=n)
+    order = np.argsort(lens_all, kind="stable")
+    chunk_idx, chunk_counts, chunk_flat = [], [], []
+    start = 0
+    while start < n:
+        end = start + 1
+        while end < n:
+            w = max(int(lens_all[order[end]]), 1)
+            if (end - start + 1) * w > cell_budget:
+                break
+            end += 1
+        idx = order[start:end]
+        nf, _, flat = _winnow_chunk([texts[i] for i in idx], k, window, collect=True)
+        counts[idx] = nf
+        chunk_idx.append(idx)
+        chunk_counts.append(nf)
+        chunk_flat.append(flat)
+        start = end
+    all_idx = np.concatenate(chunk_idx)
+    all_counts = np.concatenate(chunk_counts)
+    all_flat = np.concatenate(chunk_flat) if chunk_flat else np.empty(0, np.int64)
+    # reorder the chunk-concatenated fps back to original doc order with a
+    # vectorized repeat/gather (no per-doc slicing loop)
+    offs = np.concatenate([[0], np.cumsum(all_counts)])
+    pos = np.argsort(all_idx, kind="stable")
+    lens = all_counts[pos]
+    total = int(lens.sum())
+    if total == 0:
+        return np.empty(0, np.int64), counts
+    inner = np.arange(total, dtype=np.int64) - np.repeat(
+        np.concatenate([[0], np.cumsum(lens)[:-1]]), lens
+    )
+    gather = np.repeat(offs[pos], lens) + inner
+    return all_flat[gather], counts
+
+
 def winnow_batch(
     texts: "list[str]", k: int = 8, window: int = 4, cell_budget: int = 32_000_000
 ) -> "tuple[np.ndarray, np.ndarray]":
@@ -379,18 +426,23 @@ def winnow_batch(
     return n_fp, min_fp
 
 
-def _winnow_chunk(texts: "list[str]", k: int, window: int) -> "tuple[np.ndarray, np.ndarray]":
+def _winnow_chunk(
+    texts: "list[str]", k: int, window: int, collect: bool = False
+):
+    """Returns (n_fp, min_fp) — and, with collect=True, additionally the
+    flat int64 array of each row's distinct fingerprints in chunk-row
+    order (each row's slice sorted ascending)."""
     from numpy.lib.stride_tricks import sliding_window_view
 
     n = len(texts)
     n_fp = np.zeros(n, dtype=np.int64)
     min_fp = np.zeros(n, dtype=np.int64)
     if n == 0:
-        return n_fp, min_fp
+        return (n_fp, min_fp, np.empty(0, np.int64)) if collect else (n_fp, min_fp)
     a = np.asarray(texts, dtype="U")
     width = max(a.dtype.itemsize // 4, 1)
     if width < k:
-        return n_fp, min_fp
+        return (n_fp, min_fp, np.empty(0, np.int64)) if collect else (n_fp, min_fp)
     cp = a.view(np.uint32).reshape(n, width).astype(np.uint64)
     lens = (cp != 0).sum(axis=1)
     # FNV-1a over each k-codepoint window: k vector steps on (n, width-k+1)
@@ -413,6 +465,8 @@ def _winnow_chunk(texts: "list[str]", k: int, window: int) -> "tuple[np.ndarray,
     # short docs (<= window grams): single fingerprint = min of all grams
     few = (n_grams > 0) & (n_grams <= window)
     many = n_grams > window
+    uniq = None
+    srt = None
     if many.any():
         wm = wmins[many]
         mpos = np.arange(wm.shape[1])[None, :]
@@ -426,7 +480,24 @@ def _winnow_chunk(texts: "list[str]", k: int, window: int) -> "tuple[np.ndarray,
     if few.any():
         min_fp[few] = h[few].min(axis=1).astype(np.int64)  # h sentinel-masked
         n_fp[few] = 1
-    return n_fp, min_fp
+    if not collect:
+        return n_fp, min_fp
+    # flat per-row distinct fp sets in chunk-row order: place the "many"
+    # rows' mask-selected values and the "few" rows' single min with one
+    # repeat/gather each (row-major boolean indexing preserves row order)
+    offs = np.concatenate([[0], np.cumsum(n_fp)])
+    flat = np.empty(int(offs[-1]), dtype=np.int64)
+    if many.any():
+        rows = np.flatnonzero(many)
+        lens = n_fp[rows]
+        inner = np.arange(int(lens.sum()), dtype=np.int64) - np.repeat(
+            np.concatenate([[0], np.cumsum(lens)[:-1]]), lens
+        )
+        tgt = np.repeat(offs[rows], lens) + inner
+        flat[tgt] = srt[uniq].astype(np.int64)
+    if few.any():
+        flat[offs[np.flatnonzero(few)]] = min_fp[few]
+    return n_fp, min_fp, flat
 
 
 def jaccard(a: set, b: set) -> float:

@@ -29,6 +29,7 @@ import pyarrow.compute as pc
 import ray.data
 from ray.data.aggregate import Count, Sum
 
+from multimedia_indexing_ray.functions import segments as sg
 from multimedia_indexing_ray.functions import text as tx
 from multimedia_indexing_ray.functions.text import langid
 from multimedia_indexing_ray.sources.transcripts import events_to_transcripts
@@ -3253,3 +3254,336 @@ def q_median(sf_dir: str):
         return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     return map_partitions_by_key(ev, "user_id", kernel, num_partitions=32)
+
+
+@register(
+    "rolling_minmax_1h",
+    """
+    SELECT event_id, user_id,
+      MIN(value) OVER w AS min_value_1h,
+      MAX(value) OVER w AS max_value_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_rolling_minmax(sf_dir: str):
+    """Sliding-window extrema per key — the ordered-aggregate sibling of
+    `sliding_1h` that prefix sums cannot express (min/max are not
+    invertible).  Uses the sparse-table RMQ kernel
+    (`functions/segments.py:range_minmax`): O(n log W) build per
+    partition, every window answered as the overlap of two power-of-two
+    blocks in one fancy-index step — the vectorized replacement for the
+    reference's per-element scan shape (`Linear.java:138-163`).  Min/max
+    SELECT an input double, so parity with SQL is bit-exact with no
+    quantization."""
+    ev = _rp(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    out = kd.keyed_sliding_minmax(
+        ev,
+        "user_id",
+        "ts",
+        "value",
+        width_s=3600.0,
+        closed="both",
+        tiebreak="event_id",
+        id_cols=["event_id"],
+    )
+
+    def _finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "user_id": batch["user_id"],
+                "min_value_1h": batch["min_value"],
+                "max_value_1h": batch["max_value"],
+            }
+        )
+
+    return out.map_batches(_finish, batch_format="pyarrow")
+
+
+@register(
+    "target_encode_user",
+    """
+    WITH w AS (
+      SELECT event_id, user_id,
+        COUNT(*) OVER win AS n_prior,
+        COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                 OVER win, 0) AS n_prior_purchase
+      FROM events
+      WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+    SELECT event_id, user_id,
+      CAST(n_prior AS BIGINT) AS n_prior,
+      CAST(n_prior_purchase AS BIGINT) AS n_prior_purchase,
+      CASE WHEN n_prior > 0
+           THEN CAST(n_prior_purchase AS DOUBLE) / n_prior
+           ELSE NULL END AS te_purchase_rate
+    FROM w
+    """,
+)
+def q_target_encode_user(sf_dir: str):
+    """Time-safe cumulative target encoding: each event sees the purchase
+    rate of the SAME user's strictly-preceding events under the total
+    (ts, event_id) order — the leakage-free categorical encoder for
+    training-data pipelines (a past-only expanding window, same
+    visibility discipline as the flagship's as-of features).  ONE shuffle
+    on user_id; per-partition kernel is a shifted segmented cumsum.  The
+    rate is a single int/int division, bit-identical to the SQL."""
+    from multimedia_indexing_ray.stages.partition import map_partitions_by_key
+
+    ev = _rp(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def kernel(table: pa.Table) -> pa.Table:
+        t = table.sort_by(
+            [("user_id", "ascending"), ("ts", "ascending"), ("event_id", "ascending")]
+        )
+        n = t.num_rows
+        uid = t["user_id"].to_numpy()
+        starts = sg.segment_starts(uid)
+        n_prior = sg.rel_index(starts, n)
+        purch = pc.equal(t["event_type"], "purchase").to_numpy(zero_copy_only=False)
+        purch = np.asarray(purch, dtype=np.int64)
+        ex = np.concatenate([[0], np.cumsum(purch)[:-1]]) if n else np.empty(0, np.int64)
+        seg_base = np.repeat(ex[starts], sg.segment_counts(starts, n)) if n else ex
+        npp = ex - seg_base
+        with np.errstate(invalid="ignore", divide="ignore"):
+            rate = npp.astype(np.float64) / n_prior
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "n_prior": pa.array(n_prior.astype(np.int64), pa.int64()),
+                "n_prior_purchase": pa.array(npp.astype(np.int64), pa.int64()),
+                "te_purchase_rate": pa.array(rate, pa.float64(), mask=(n_prior == 0)),
+            }
+        )
+
+    return map_partitions_by_key(ev, "user_id", kernel, num_partitions=32)
+
+
+@register(
+    "orders_per_customer_hist",
+    """
+    WITH per_cust AS (
+      SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY 1)
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM per_cust GROUP BY 1
+    """,
+)
+def q_orders_per_customer_hist(sf_dir: str):
+    """TPC-H Q13 shape: orders-per-customer distribution INCLUDING
+    zero-order customers.  The only real exchange is the per-batch
+    partial count of the fact side reduced by one keyed shuffle; the
+    count-of-counts histogram has tiny cardinality, so its partials
+    coalesce into one block (`_tiny_group_sum` pattern), and the
+    zero-order bucket is total-customers (a parquet METADATA count — no
+    customer-table scan) minus customers seen in orders — the left join
+    never materializes."""
+    from multimedia_indexing_ray.stages.partition import map_partitions_by_key
+
+    orders = _rp(sf_dir, "orders", ["o_custkey"])
+    n_cust = _rp(sf_dir, "customer", ["c_custkey"]).count()
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        k, c = np.unique(batch["o_custkey"].to_numpy(), return_counts=True)
+        return pa.table(
+            {
+                "c_custkey": pa.array(k, pa.int64()),
+                "cnt": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    per_cust = map_partitions_by_key(
+        orders.map_batches(_partial, batch_format="pyarrow"),
+        "c_custkey",
+        lambda t: _pa_group_sum(t, ["c_custkey"], ["cnt"]),
+        num_partitions=16,
+    )
+
+    def _hist_partial(batch: pa.Table) -> pa.Table:
+        k, c = np.unique(batch["cnt"].to_numpy(), return_counts=True)
+        return pa.table(
+            {
+                "c_count": pa.array(k, pa.int64()),
+                "custdist": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    def _final(batch: pa.Table) -> pa.Table:
+        g = _pa_group_sum(batch, ["c_count"], ["custdist"])
+        n_with = pc.sum(g["custdist"]).as_py() or 0
+        zero = int(n_cust) - int(n_with)
+        if zero > 0:
+            g = pa.concat_tables(
+                [
+                    g,
+                    pa.table(
+                        {
+                            "c_count": pa.array([0], pa.int64()),
+                            "custdist": pa.array([zero], pa.int64()),
+                        }
+                    ),
+                ]
+            )
+        return g
+
+    return (
+        per_cust.map_batches(_hist_partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(_final, batch_format="pyarrow", batch_size=None)
+    )
+
+
+@register(
+    "inverted_index_terms",
+    r"""
+    WITH t2 AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS tok
+                FROM documents)
+    SELECT tok AS term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+           CAST(COUNT(*) AS BIGINT) AS tf, MIN(doc_id) AS first_doc
+    FROM t2 GROUP BY 1
+    """,
+)
+def q_inverted_index(sf_dir: str):
+    """Inverted-index build (term -> document frequency, collection
+    frequency, first posting) — the text analog of the reference's
+    index-construction pass (`AbstractSearchStructure.java` builds
+    id->vector postings; a BoW codebook is exactly a term index,
+    `aggregation/BowAggregator.java:39-74`).  Per-batch partials emit one
+    row per DISTINCT in-batch term (docs never straddle batches, so df
+    partials are mergeable); one keyed shuffle on term reduces
+    sum/sum/min.  The exchange carries vocabulary-sized tables, not the
+    corpus."""
+    from multimedia_indexing_ray.stages.partition import map_partitions_by_key
+
+    docs = _rp(sf_dir, "documents", ["doc_id", "text"])
+
+    _empty = pa.table(
+        {
+            "term": pa.array([], pa.string()),
+            "df": pa.array([], pa.int64()),
+            "tf": pa.array([], pa.int64()),
+            "first_doc": pa.array([], pa.int64()),
+        }
+    )
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        flat, counts = tx.flat_tokens(batch["text"])
+        if len(flat) == 0:
+            return _empty
+        ids = batch["doc_id"].to_numpy()
+        doc_of = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+        uniq, tok_id = np.unique(flat, return_inverse=True)
+        order = np.argsort(tok_id, kind="stable")
+        tid_s = tok_id[order]
+        bounds = np.flatnonzero(np.r_[True, tid_s[1:] != tid_s[:-1]])
+        tf = np.diff(np.r_[bounds, tid_s.size]).astype(np.int64)
+        first = np.minimum.reduceat(ids[doc_of][order], bounds)
+        nv = np.int64(len(uniq))
+        dfc = np.bincount(
+            np.unique(doc_of * nv + tok_id) % nv, minlength=len(uniq)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "term": pa.array(uniq, pa.string()),
+                "df": pa.array(dfc, pa.int64()),
+                "tf": pa.array(tf, pa.int64()),
+                "first_doc": pa.array(first, pa.int64()),
+            }
+        )
+
+    def _reduce(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _empty
+        g = pa.TableGroupBy(t, ["term"]).aggregate(
+            [("df", "sum"), ("tf", "sum"), ("first_doc", "min")]
+        )
+        return pa.table(
+            {
+                "term": g["term"],
+                "df": g["df_sum"],
+                "tf": g["tf_sum"],
+                "first_doc": g["first_doc_min"],
+            }
+        )
+
+    return map_partitions_by_key(
+        docs.map_batches(_partial, batch_format="pyarrow"), "term", _reduce,
+        num_partitions=8,
+    )
+
+
+def _decontaminate_sql() -> str:
+    from multimedia_indexing_ray.functions.text import FNV_BASIS
+
+    fnv_gram = _fnv_sql("substr(text, i, 8)", FNV_BASIS)
+    return rf"""
+    WITH g AS (SELECT doc_id, CASE WHEN length(text) < 8 THEN CAST([] AS BIGINT[])
+        ELSE list_transform(range(1, length(text) - 6), i -> {fnv_gram}) END AS hs
+      FROM documents),
+    w AS (SELECT doc_id, CASE WHEN len(hs) = 0 THEN CAST([] AS BIGINT[])
+        WHEN len(hs) <= 4 THEN [list_min(hs)]
+        ELSE list_distinct(list_transform(range(1, len(hs) - 2), i -> list_min(hs[i:i+3]))) END AS mins
+      FROM g),
+    bl AS (SELECT COALESCE(list(DISTINCT fp), CAST([] AS BIGINT[])) AS fps
+           FROM (SELECT unnest(mins) AS fp FROM w WHERE doc_id % 23 = 7))
+    SELECT w.doc_id,
+      CAST(len(list_intersect(w.mins, bl.fps)) AS BIGINT) AS n_shared,
+      (w.doc_id % 23 = 7) AS is_benchmark,
+      (len(list_intersect(w.mins, bl.fps)) > 0) AS contaminated
+    FROM w, bl
+    """
+
+
+@register("decontaminate_docs", _decontaminate_sql())
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination: flag every training document sharing a
+    winnowing fingerprint (8-gram rolling FNV, window-4 min — the same
+    SQL-recomputable fold as `winnow_fingerprint_docs`) with a held-out
+    benchmark set (doc_id % 23 == 7 here; any small curated set in
+    production).  The benchmark side is by definition tiny, so its
+    distinct fingerprint set is collected once and broadcast via ray.put
+    (`mapreduce/VisualThreadedMapper.java:119-167`'s DistributedCache
+    shape); the corpus pass is then a stateless map with a vectorized
+    sorted-membership probe — NO shuffle of the corpus at any point,
+    which is what makes this viable at 100 TB."""
+    import ray as _ray
+
+    docs = _rp(sf_dir, "documents", ["doc_id", "text"])
+
+    def _bench_fps(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        m = (ids % 23) == 7
+        if not m.any():
+            return pa.table({"fp": pa.array([], pa.int64())})
+        texts = [t for t, keep in zip(batch["text"].to_pylist(), m) if keep]
+        flat, _ = tx.winnow_sets_batch(texts)
+        return pa.table({"fp": pa.array(np.unique(flat), pa.int64())})
+
+    rows = docs.map_batches(_bench_fps, batch_format="pyarrow").take_all()
+    bench = np.unique(np.array([r["fp"] for r in rows], dtype=np.int64))
+    ref = _ray.put(bench)
+
+    def _flag(batch: pa.Table) -> pa.Table:
+        bl = _ray.get(ref)
+        flat, counts = tx.winnow_sets_batch(batch["text"].to_pylist())
+        n = len(counts)
+        pos = np.searchsorted(bl, flat)
+        np.clip(pos, 0, max(len(bl) - 1, 0), out=pos)
+        hit = (bl[pos] == flat) if len(bl) else np.zeros(len(flat), dtype=bool)
+        doc_of = np.repeat(np.arange(n, dtype=np.int64), counts)
+        n_shared = np.bincount(doc_of[hit], minlength=n).astype(np.int64)
+        ids = batch["doc_id"].to_numpy()
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_shared": pa.array(n_shared, pa.int64()),
+                "is_benchmark": pa.array((ids % 23) == 7),
+                "contaminated": pa.array(n_shared > 0),
+            }
+        )
+
+    return docs.map_batches(_flag, batch_format="pyarrow")

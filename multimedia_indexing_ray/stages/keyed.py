@@ -192,6 +192,43 @@ def keyed_sliding(
     return map_partitions_by_key(ds, key, kernel, num_partitions)
 
 
+def keyed_sliding_minmax(
+    ds: "ray.data.Dataset",
+    key: str,
+    on: str,
+    value_col: str,
+    width_s: float,
+    closed: str = "both",
+    tiebreak: Optional[str] = None,
+    id_cols: Sequence[str] = (),
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+) -> "ray.data.Dataset":
+    """Per-row min/max of ``value_col`` over the trailing time window —
+    the ordered-extrema sibling of :func:`keyed_sliding` (sparse-table
+    RMQ instead of prefix sums; see ``segments.range_minmax``).  Window
+    semantics are identical: closed="both" == SQL ``RANGE BETWEEN width
+    PRECEDING AND CURRENT ROW``.  Min/max SELECT an input double, so the
+    result is bit-exact vs any SQL engine with no quantization tricks."""
+    width_us = int(width_s * _US)
+
+    def kernel(table: pa.Table) -> pa.Table:
+        t = _sort_table(table, key, on, tiebreak)
+        codes = _codes(t, key)
+        starts = sg.segment_starts(codes)
+        ts = _ts_us(t, on)
+        adj = sg.adjusted_ts(ts, starts, width_us + 1)
+        hi = sg.visible_hi(adj)
+        lo = sg.sliding_lo(adj, width_us, closed)
+        x = t[value_col].cast(pa.float64()).to_numpy(zero_copy_only=False)
+        mn, mx = sg.range_minmax(x, lo, hi)
+        cols = {c: t[c] for c in [*id_cols, key] if c in t.column_names}
+        cols[f"min_{value_col}"] = pa.array(mn)
+        cols[f"max_{value_col}"] = pa.array(mx)
+        return pa.table(cols)
+
+    return map_partitions_by_key(ds, key, kernel, num_partitions)
+
+
 def keyed_tumbling_agg(
     ds: "ray.data.Dataset",
     key: str,

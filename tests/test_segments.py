@@ -87,3 +87,30 @@ def test_prefix_range_sums():
 def test_group_start_rows():
     b = np.array([True, False, True, True, False])
     np.testing.assert_array_equal(sg.group_start_rows(b), [0, 0, 2, 3, 3])
+
+
+def test_range_minmax_brute_force():
+    rng = np.random.default_rng(7)
+    for n in (0, 1, 2, 5, 63, 64, 65, 500):
+        x = rng.normal(size=n)
+        if n:
+            lo = rng.integers(0, n, size=40)
+            hi = lo + rng.integers(0, n, size=40)
+            np.clip(hi, 0, n, out=hi)
+        else:
+            lo = np.array([0], dtype=np.int64)
+            hi = np.array([0], dtype=np.int64)
+        mn, mx = sg.range_minmax(x, lo, hi)
+        for i in range(len(lo)):
+            seg = x[lo[i] : hi[i]]
+            if len(seg):
+                assert mn[i] == seg.min() and mx[i] == seg.max()
+            else:
+                assert mn[i] == np.inf and mx[i] == -np.inf
+
+
+def test_range_minmax_full_and_single():
+    x = np.array([3.0, -1.0, 2.0, 7.0, 0.0])
+    mn, mx = sg.range_minmax(x, np.array([0, 2]), np.array([5, 3]))
+    np.testing.assert_array_equal(mn, [-1.0, 2.0])
+    np.testing.assert_array_equal(mx, [7.0, 2.0])

@@ -159,3 +159,24 @@ def test_scrub_count_and_replace():
     assert scrubbed[3] == "customers reorder valueless"  # \b respected
     # email scrub removes the address entirely
     assert tx.scrub_replace(arr, tx.PII_EMAIL_RE).to_pylist()[0] == "mail me at [REDACTED] now"
+
+
+def test_winnow_sets_batch_parity():
+    """Flat per-doc fingerprint sets == the per-doc reference, across the
+    chunked length-sorted path (small cell budget forces many chunks)."""
+    import random
+
+    import numpy as np
+
+    from multimedia_indexing_ray.functions.text import winnow_fingerprints, winnow_sets_batch
+
+    random.seed(3)
+    texts = ["", "short", "a" * 7, "abcdefgh", "xy" * 200]
+    texts += [
+        "".join(random.choice("abcdef ") for _ in range(random.randint(0, 120)))
+        for _ in range(150)
+    ]
+    flat, counts = winnow_sets_batch(texts, cell_budget=2_000)
+    offs = np.r_[0, np.cumsum(counts)]
+    for i, t in enumerate(texts):
+        assert flat[offs[i] : offs[i + 1]].tolist() == winnow_fingerprints(t), i
