@@ -3587,3 +3587,148 @@ def q_decontaminate(sf_dir: str):
         )
 
     return docs.map_batches(_flag, batch_format="pyarrow")
+
+
+@register(
+    "json_props_extract",
+    """
+    SELECT event_id, event_type,
+      CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
+    FROM events
+    """,
+)
+def q_json_props_extract(sf_dir: str):
+    """Semi-structured payload extraction (M20 string parsing, the JSON
+    case): pull a typed field out of a JSON props column with ONE Arrow
+    RE2 kernel pass (`pc.extract_regex` — named-group struct, no per-row
+    json.loads loop).  The narrow-schema discipline holds: only
+    (event_id, event_type, props) leave storage, and the regex is exact
+    for the generator's single-key integer payload — a production schema
+    would swap in a real JSON kernel behind the same batch contract."""
+    ev = _rp(sf_dir, "events", ["event_id", "event_type", "props"])
+
+    def _extract(batch: pa.Table) -> pa.Table:
+        m = pc.extract_regex(batch["props"], r'"k":\s*(?P<k>-?\d+)')
+        k = pc.cast(pc.struct_field(m, "k"), pa.int64())
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "event_type": batch["event_type"],
+                "k_value": k,
+            }
+        )
+
+    return ev.map_batches(_extract, batch_format="pyarrow")
+
+
+@register(
+    "chunk_docs",
+    r"""
+    WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents),
+    c AS (SELECT doc_id, toks,
+            unnest(CASE WHEN len(toks) = 0 THEN CAST([] AS BIGINT[])
+                   ELSE range(0, CAST(ceil(len(toks)/32.0) AS BIGINT)) END) AS chunk_idx
+          FROM t)
+    SELECT doc_id, chunk_idx,
+      array_to_string(toks[(chunk_idx*32+1):((chunk_idx+1)*32)], ' ') AS chunk_text,
+      CAST(len(toks[(chunk_idx*32+1):((chunk_idx+1)*32)]) AS BIGINT) AS n_tokens
+    FROM c
+    """,
+)
+def q_chunk_docs(sf_dir: str):
+    """Token-budget document chunking — the 1-row -> N-rows flat_map
+    shape every RAG/training pipeline needs (context-window packing).
+    Chunks tile the batch's flat token array exactly, so the whole batch
+    is ONE ListArray build (offsets = 32-token strides per doc) and ONE
+    Arrow binary_join — no per-doc Python.  Chunk rows inherit the
+    parent id for downstream joins; empty docs emit no chunks.  Zero
+    shuffles: chunking is embarrassingly row-parallel."""
+    docs = _rp(sf_dir, "documents", ["doc_id", "text"])
+    W = 32
+
+    _empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "chunk_idx": pa.array([], pa.int64()),
+            "chunk_text": pa.array([], pa.string()),
+            "n_tokens": pa.array([], pa.int64()),
+        }
+    )
+
+    def _chunk(batch: pa.Table) -> pa.Table:
+        flat, counts = tx.flat_tokens(batch["text"])
+        if len(flat) == 0:
+            return _empty
+        n_chunks = -(-counts // W)  # ceil; 0 for empty docs
+        doc_of_chunk = np.repeat(np.arange(len(counts), dtype=np.int64), n_chunks)
+        total = int(n_chunks.sum())
+        inner = np.arange(total, dtype=np.int64) - np.repeat(
+            np.concatenate([[0], np.cumsum(n_chunks)[:-1]]), n_chunks
+        )
+        doc_start = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        starts = doc_start[doc_of_chunk] + W * inner
+        offsets = np.concatenate([starts, [len(flat)]]).astype(np.int64)
+        lst = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()) if len(flat) < 2**31 else pa.array(offsets),
+            pa.array(flat, pa.string()),
+        )
+        ids = batch["doc_id"].to_numpy()
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[doc_of_chunk], pa.int64()),
+                "chunk_idx": pa.array(inner, pa.int64()),
+                "chunk_text": pc.binary_join(lst, " "),
+                "n_tokens": pa.array(
+                    np.diff(offsets).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return docs.map_batches(_chunk, batch_format="pyarrow")
+
+
+@register(
+    "users_without_high_value",
+    """
+    SELECT DISTINCT user_id FROM events
+    EXCEPT SELECT DISTINCT user_id FROM events WHERE value >= 250.0
+    """,
+)
+def q_users_without_high_value(sf_dir: str):
+    """Distributed anti-join (the EXCEPT set op; J4's gate shape run as
+    a query): the exclusion side — users WITH a high-value event — is collected
+    as a distinct key set (aggregate-sized, not corpus-sized) and
+    broadcast once; the probe side then distincts per batch and
+    anti-filters with a sorted membership probe.  No shuffle carries the
+    full event table; the one distinct pass happens inside the same
+    map."""
+    import ray as _ray
+
+    ev = _rp(sf_dir, "events", ["user_id", "value"])
+
+    def _purchasers(batch: pa.Table) -> pa.Table:
+        m = pc.greater_equal(batch["value"], 250.0)
+        u = np.unique(batch["user_id"].filter(m).to_numpy(zero_copy_only=False))
+        return pa.table({"user_id": pa.array(u, pa.int64())})
+
+    rows = ev.map_batches(_purchasers, batch_format="pyarrow").take_all()
+    have = np.unique(np.array([r["user_id"] for r in rows], dtype=np.int64))
+    ref = _ray.put(have)
+
+    def _anti(batch: pa.Table) -> pa.Table:
+        ex = _ray.get(ref)
+        u = np.unique(batch["user_id"].to_numpy(zero_copy_only=False))
+        pos = np.searchsorted(ex, u)
+        np.clip(pos, 0, max(len(ex) - 1, 0), out=pos)
+        keep = (ex[pos] != u) if len(ex) else np.ones(len(u), dtype=bool)
+        return pa.table({"user_id": pa.array(u[keep], pa.int64())})
+
+    # per-batch distinct survivors may repeat across batches -> one tiny
+    # distinct on the (already aggregate-sized) result
+    out = ev.map_batches(_anti, batch_format="pyarrow")
+
+    def _final(batch: pa.Table) -> pa.Table:
+        u = np.unique(batch["user_id"].to_numpy(zero_copy_only=False))
+        return pa.table({"user_id": pa.array(u, pa.int64())})
+
+    return out.repartition(1).map_batches(_final, batch_format="pyarrow", batch_size=None)
