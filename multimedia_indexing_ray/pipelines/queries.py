@@ -3732,3 +3732,73 @@ def q_users_without_high_value(sf_dir: str):
         return pa.table({"user_id": pa.array(u, pa.int64())})
 
     return out.repartition(1).map_batches(_final, batch_format="pyarrow", batch_size=None)
+
+
+@register(
+    "ewma_value_per_user",
+    f"""
+    WITH c AS (SELECT event_id, user_id, ts,
+                      {_CENTS_SQL.format(col='value')} AS cents,
+                      row_number() OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS rn
+               FROM events)
+    SELECT a.event_id, a.user_id,
+      SUM(b.cents * POWER(2.0, CAST(b.rn - a.rn AS DOUBLE))) AS ewma_value_cents,
+      CAST(COUNT(*) AS BIGINT) AS n_terms
+    FROM c a JOIN c b
+      ON b.user_id = a.user_id AND b.rn BETWEEN a.rn - 19 AND a.rn
+    GROUP BY a.event_id, a.user_id
+    """,
+)
+def q_ewma_value_per_user(sf_dir: str):
+    """Exponentially-decayed feature (alpha = 1/2, depth 20): each event's
+    EWMA over the SAME user's trailing events under the total (ts,
+    event_id) order — the recency-weighted aggregate family that plain
+    window sums can't express.  The recurrence is deliberately unrolled
+    to a depth-20 window so the kernel stays vectorized (one (n, 20)
+    strided view x one weight dot) AND bit-exact: integer cents times
+    powers of two spans < 2**39 ULPs, so every partial sum is exact in
+    ANY association — numpy and the SQL self-join oracle agree to the
+    last bit with no quantization tricks.  One shuffle on user_id."""
+    from multimedia_indexing_ray.stages.partition import map_partitions_by_key
+
+    ev = _rp(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    K = 20
+
+    def kernel(table: pa.Table) -> pa.Table:
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        t = table.sort_by(
+            [("user_id", "ascending"), ("ts", "ascending"), ("event_id", "ascending")]
+        )
+        n = t.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "user_id": pa.array([], pa.int64()),
+                    "ewma_value_cents": pa.array([], pa.float64()),
+                    "n_terms": pa.array([], pa.int64()),
+                }
+            )
+        uid = t["user_id"].to_numpy()
+        starts = sg.segment_starts(uid)
+        rel = sg.rel_index(starts, n)
+        cents = _cents(t["value"].to_numpy())
+        padded = np.concatenate([np.zeros(K - 1), cents])
+        w = sliding_window_view(padded, K)  # row i = cents[i-19..i]
+        j = np.arange(K)
+        weights = 2.0 ** (j.astype(np.float64) - (K - 1))  # d = K-1-j
+        mask = j[None, :] >= (K - 1 - rel)[:, None]  # drop cross-user terms
+        ewma = (w * mask) @ weights
+        n_terms = np.minimum(rel + 1, K).astype(np.int64)
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "ewma_value_cents": pa.array(ewma, pa.float64()),
+                "n_terms": pa.array(n_terms, pa.int64()),
+            }
+        )
+
+    return map_partitions_by_key(ev, "user_id", kernel, num_partitions=32)
