@@ -3802,3 +3802,195 @@ def q_ewma_value_per_user(sf_dir: str):
         )
 
     return map_partitions_by_key(ev, "user_id", kernel, num_partitions=32)
+
+
+@register(
+    "user_type_unpivot",
+    f"""
+    WITH p AS (
+      SELECT user_id,
+        {', '.join(f"CAST(count(*) FILTER (event_type = '{t}') AS BIGINT) AS n_{t}" for t in _EVENT_TYPES)}
+      FROM events GROUP BY user_id)
+    SELECT user_id, t.et AS event_type,
+      CASE t.et {' '.join(f"WHEN '{t}' THEN n_{t}" for t in _EVENT_TYPES)} END AS n
+    FROM p, unnest({list(_EVENT_TYPES)!r}) t(et)
+    """,
+)
+def q_user_type_unpivot(sf_dir: str):
+    """Wide -> long reshape (UNPIVOT/melt): the inverse of
+    `user_type_pivot`, emitting one (entity, variable, value) row per
+    wide column INCLUDING explicit zeros — which is exactly what
+    distinguishes a melt from a plain groupby (absent combinations
+    surface as 0, so downstream models see the full design matrix).
+    The melt itself is a stateless per-batch reshape: W column arrays
+    concatenated with a tiled vocabulary, no shuffle beyond the pivot's
+    own slim exchange."""
+    from multimedia_indexing_ray.stages.partition import map_partitions_by_key
+
+    ev = _rp(sf_dir, "events", ["user_id", "event_type"])
+    vocab = np.array(_EVENT_TYPES)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(batch, ["user_id", "event_type"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "user_id": g["user_id"],
+                "event_type": g["event_type"],
+                "n": g["count_all"].cast(pa.int64()),
+            }
+        )
+
+    def _pivot_melt(table: pa.Table) -> pa.Table:
+        uid = table["user_id"].to_numpy()
+        et = np.asarray(table["event_type"])
+        n = table["n"].to_numpy()
+        users, uinv = np.unique(uid, return_inverse=True)
+        tcode = np.searchsorted(vocab, et)
+        known = (tcode < len(vocab)) & (vocab[np.minimum(tcode, len(vocab) - 1)] == et)
+        mat = np.zeros((len(users), len(vocab)), dtype=np.int64)
+        np.add.at(mat, (uinv[known], tcode[known]), n[known])
+        w = len(vocab)
+        return pa.table(
+            {
+                "user_id": pa.array(np.repeat(users, w), pa.int64()),
+                "event_type": pa.array(np.tile(vocab, len(users)), pa.string()),
+                "n": pa.array(mat.ravel(), pa.int64()),
+            }
+        )
+
+    partials = ev.map_batches(_partial, batch_format="pyarrow")
+    return map_partitions_by_key(partials, "user_id", _pivot_melt, num_partitions=16)
+
+
+@register(
+    "outlier_events_p99",
+    f"""
+    WITH v AS (SELECT event_id, event_type, {_CENTS_SQL.format(col='value')} AS c
+               FROM events),
+    r AS (SELECT event_type, c,
+          row_number() OVER (PARTITION BY event_type ORDER BY c) AS rn,
+          count(*) OVER (PARTITION BY event_type) AS n FROM v),
+    p AS (SELECT event_type,
+          MIN(CASE WHEN rn = (99*n + 99)//100 THEN c END) AS p99_cents
+          FROM r GROUP BY event_type)
+    SELECT v.event_id, v.event_type, v.c AS cents, p.p99_cents,
+           (v.c > p.p99_cents) AS is_outlier
+    FROM v JOIN p USING (event_type)
+    """,
+)
+def q_outlier_events_p99(sf_dir: str):
+    """Robust outlier flagging: exact per-group p99 thresholds from the
+    mergeable cent histogram (the `value_quantiles_by_type` machinery —
+    the exchange carries distinct (type, cents) pairs, never rows), the
+    tiny |types|-row threshold table broadcast into a stateless flag
+    pass.  Two streaming passes, no row shuffle; the integer-rank
+    quantile rule keeps both sides bit-identical."""
+    from multimedia_indexing_ray.stages.partition import map_partitions_by_key
+
+    ev = _rp(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def _hist(batch: pa.Table) -> pa.Table:
+        c = _cents(batch["value"].to_numpy(zero_copy_only=False)).astype(np.int64)
+        t = pa.table({"event_type": batch["event_type"], "c": pa.array(c, pa.int64())})
+        g = pa.TableGroupBy(t, ["event_type", "c"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "event_type": g["event_type"],
+                "c": g["c"],
+                "n": g["count_all"].cast(pa.int64()),
+            }
+        )
+
+    def _p99(table: pa.Table) -> pa.Table:
+        g = _pa_group_sum(table, ["event_type", "c"], ["n"])
+        et = np.asarray(g["event_type"])
+        cv = g["c"].to_numpy(zero_copy_only=False)
+        nv = g["n"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((cv, et))
+        et, cv, nv = et[order], cv[order], nv[order]
+        types, starts = np.unique(et, return_index=True)
+        bounds = np.append(starts, len(et))
+        out = []
+        for i in range(len(types)):
+            s, e = bounds[i], bounds[i + 1]
+            cum = np.cumsum(nv[s:e])
+            n = int(cum[-1])
+            target = (99 * n + 99) // 100
+            out.append(int(cv[s:e][np.searchsorted(cum, target, side="left")]))
+        return pa.table(
+            {
+                "event_type": pa.array(types, pa.string()),
+                "p99_cents": pa.array(out, pa.int64()),
+            }
+        )
+
+    thresholds = map_partitions_by_key(
+        ev.map_batches(_hist, batch_format="pyarrow"), "event_type", _p99,
+        num_partitions=4,
+    ).take_all()
+    tmap_types = np.array([r["event_type"] for r in thresholds])
+    tmap_p99 = np.array([r["p99_cents"] for r in thresholds], dtype=np.int64)
+    order = np.argsort(tmap_types)
+    tmap_types, tmap_p99 = tmap_types[order], tmap_p99[order]
+
+    def _flag(batch: pa.Table) -> pa.Table:
+        c = _cents(batch["value"].to_numpy(zero_copy_only=False)).astype(np.int64)
+        et = np.asarray(batch["event_type"])
+        pos = np.searchsorted(tmap_types, et)
+        np.clip(pos, 0, max(len(tmap_types) - 1, 0), out=pos)
+        p99 = tmap_p99[pos]
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "event_type": batch["event_type"],
+                "cents": pa.array(c, pa.int64()),
+                "p99_cents": pa.array(p99, pa.int64()),
+                "is_outlier": pa.array(c > p99),
+            }
+        )
+
+    return ev.map_batches(_flag, batch_format="pyarrow")
+
+
+def _pagerank_sql(rounds: int = 3) -> str:
+    its = []
+    prev = "p0"
+    for i in range(1, rounds + 1):
+        its.append(
+            f"""p{i} AS (SELECT e.v AS u,
+            MIN(prm.base) + (85 * CAST(SUM({prev}.m // deg.d) AS BIGINT)) // 100 AS m
+            FROM edges e JOIN {prev} ON {prev}.u = e.u
+                         JOIN deg ON deg.u = e.u, prm GROUP BY e.v)"""
+        )
+        prev = f"p{i}"
+    return f"""
+    WITH {_NGRAM_PAIRS_CTE},
+    edges AS (SELECT a_id AS u, b_id AS v FROM pairs
+              UNION SELECT b_id, a_id FROM pairs),
+    deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY u),
+    prm AS (SELECT count(*) AS n, 1000000000000 // count(*) AS init,
+            (15 * (1000000000000 // count(*))) // 100 AS base FROM deg),
+    p0 AS (SELECT deg.u, prm.init AS m FROM deg, prm),
+    {', '.join(its)}
+    SELECT {prev}.u AS doc_id, {prev}.m AS pr_micro, deg.d AS degree
+    FROM {prev} JOIN deg ON deg.u = {prev}.u
+    """
+
+
+@register("pagerank_neardup", _pagerank_sql(3))
+def q_pagerank_neardup(sf_dir: str):
+    """Graph centrality over the near-dup graph: integer-quantized
+    PageRank (3 rounds, damping 85/100) on the 3-gram-Jaccard pair set —
+    ranks each duplicate cluster's most-connected member, the signal
+    curation pipelines use to pick representatives or spot template
+    farms.  All arithmetic is int64 floor division so the distributed
+    result is order-independent and the SQL oracle unrolling the same
+    rounds matches bit-for-bit (`stages/cc.py:pagerank`; float PageRank
+    could never hash-match across engines)."""
+    from multimedia_indexing_ray.stages.cc import pagerank
+
+    docs = _rp(sf_dir, "documents", ["doc_id", "text"])
+    pairs = dd.anchor_jaccard_pairs(
+        docs, "text", "doc_id", threshold=0.3, num_partitions=16
+    )
+    return pagerank(pairs, rounds=3)

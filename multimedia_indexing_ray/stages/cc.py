@@ -367,3 +367,202 @@ def resolve_clusters_best(
     return map_partitions_by_key(
         assigned, "cluster_id", _argmax, num_partitions=num_partitions
     )
+
+
+def pagerank(
+    pairs: "ray.data.Dataset",
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+    rounds: int = 3,
+    total: int = 10**12,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    num_partitions: int = 8,
+    driver_edge_cap: int = DRIVER_EDGE_CAP,
+) -> "ray.data.Dataset":
+    """Integer-quantized PageRank over a symmetrized pair graph
+    (Brin & Page 1998): centrality scoring of near-duplicate / citation
+    graphs — the second graph-analytics finisher after connected
+    components.
+
+    Everything is int64 "micro-mass" arithmetic so the result is
+    DETERMINISTIC and order-independent (sums of integers commute
+    exactly; float PageRank would diverge between engines by summation
+    order): m0 = total // N, and each round
+    ``m'(v) = (15*(total//N))//100 + (85 * Σ_{u→v} m(u)//deg(u)) // 100``
+    (floor division throughout; damping 85/100).  A SQL engine unrolling
+    the same K rounds reproduces the scores bit-for-bit.
+
+    Scale shape: like `connected_components` — per-round state is the
+    slim (node, mass) set, each distributed round is two keyed exchanges
+    of edge-sized tables (group-by-source emit contributions,
+    group-by-target sum); edge sets at or under ``driver_edge_cap`` run
+    the identical integer kernels in one in-memory loop, where per-round
+    exchange fixed costs would dominate.  Isolated nodes (no pairs) are
+    absent — their score is the teleport floor by definition.
+    """
+
+    def _init(batch: pa.Table) -> pa.Table:
+        u = batch[a_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = batch[b_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = u != v
+        u, v = u[keep], v[keep]
+        return _dedup_uv(np.concatenate([u, v]), np.concatenate([v, u]))
+
+    edges = pairs.map_batches(_init, batch_format="pyarrow").materialize()
+    n_edges = edges.count()
+    out_schema = pa.schema(
+        [("doc_id", pa.int64()), ("pr_micro", pa.int64()), ("degree", pa.int64())]
+    )
+    if n_edges == 0:
+        return ray.data.from_arrow(out_schema.empty_table())
+
+    if n_edges <= driver_edge_cap:
+        import ray as _ray
+
+        t = pa.concat_tables(
+            tb.select(["u", "v"]) for tb in _ray.get(edges.to_arrow_refs()) if tb.num_rows
+        ).combine_chunks()
+        uv = np.unique(
+            np.stack(
+                [t["u"].to_numpy(zero_copy_only=False), t["v"].to_numpy(zero_copy_only=False)],
+                axis=1,
+            ),
+            axis=0,
+        )
+        u_arr, v_arr = uv[:, 0], uv[:, 1]
+        nodes, u_idx = np.unique(u_arr, return_inverse=True)
+        v_idx = np.searchsorted(nodes, v_arr)  # symmetric graph: always present
+        n = len(nodes)
+        deg = np.bincount(u_idx, minlength=n).astype(np.int64)
+        init = total // n
+        base = (damping_den - damping_num) * init // damping_den
+        m = np.full(n, init, dtype=np.int64)
+        for _ in range(rounds):
+            contrib = m // deg
+            s = np.zeros(n, dtype=np.int64)
+            np.add.at(s, v_idx, contrib[u_idx])
+            m = base + (damping_num * s) // damping_den
+        return ray.data.from_arrow(
+            pa.table(
+                {"doc_id": nodes, "pr_micro": m, "degree": deg}, schema=out_schema
+            )
+        )
+
+    # distributed path: N and the per-node degree from one keyed pass,
+    # then `rounds` x (scatter contributions by source, gather by target)
+    def _count_nodes(table: pa.Table) -> pa.Table:
+        u = table["u"].to_numpy(zero_copy_only=False)
+        return pa.table({"n": pa.array([len(np.unique(u))], pa.int64())})
+
+    node_parts = map_partitions_by_key(
+        edges, "u", _count_nodes, num_partitions=num_partitions
+    ).take_all()
+    n = int(sum(r["n"] for r in node_parts))
+    init = total // n
+    base = (damping_den - damping_num) * init // damping_den
+
+    _SCORE_SCHEMA = pa.schema([("u", pa.int64()), ("m", pa.int64())])
+
+    def _init_scores(table: pa.Table) -> pa.Table:
+        u = np.unique(table["u"].to_numpy(zero_copy_only=False))
+        return pa.table(
+            {"u": u, "m": np.full(len(u), init, dtype=np.int64)}, schema=_SCORE_SCHEMA
+        )
+
+    scores = map_partitions_by_key(
+        edges, "u", _init_scores, num_partitions=num_partitions
+    ).materialize()
+
+    _CONTRIB_SCHEMA = pa.schema([("u", pa.int64()), ("c", pa.int64())])
+
+    def _edge_rows(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "u": batch["u"],
+                "v": batch["v"],
+                "m": pa.array(np.full(batch.num_rows, -1, np.int64), pa.int64()),
+            }
+        )
+
+    def _score_rows(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "u": batch["u"],
+                "v": pa.array(np.full(batch.num_rows, -1, np.int64), pa.int64()),
+                "m": batch["m"],
+            }
+        )
+
+    def _scatter(table: pa.Table) -> pa.Table:
+        # per source u: deg = # edge rows, m = its score row; emit (v, m//deg)
+        u = table["u"].to_numpy(zero_copy_only=False)
+        v = table["v"].to_numpy(zero_copy_only=False)
+        mm = table["m"].to_numpy(zero_copy_only=False)
+        is_edge = v >= 0
+        order, su, starts = _segments(u)
+        sv, sm, se = v[order], mm[order], is_edge[order]
+        counts = np.diff(np.r_[starts, len(su)])
+        gid = np.repeat(np.arange(len(starts)), counts)
+        deg = np.bincount(gid, weights=se).astype(np.int64)
+        score = np.zeros(len(starts), dtype=np.int64)
+        srow = ~se
+        score[gid[srow]] = sm[srow]
+        ok = deg > 0
+        contrib = np.zeros(len(starts), dtype=np.int64)
+        contrib[ok] = score[ok] // deg[ok]
+        keep = se & ok[gid]
+        return pa.table(
+            {"u": pa.array(sv[keep], pa.int64()), "c": pa.array(contrib[gid[keep]], pa.int64())},
+            schema=_CONTRIB_SCHEMA,
+        )
+
+    def _gather(table: pa.Table) -> pa.Table:
+        u = table["u"].to_numpy(zero_copy_only=False)
+        c = table["c"].to_numpy(zero_copy_only=False)
+        nodes_p, inv = np.unique(u, return_inverse=True)
+        s = np.zeros(len(nodes_p), dtype=np.int64)
+        np.add.at(s, inv, c)
+        return pa.table(
+            {"u": nodes_p, "m": base + (damping_num * s) // damping_den},
+            schema=_SCORE_SCHEMA,
+        )
+
+    edge_tagged = edges.map_batches(_edge_rows, batch_format="pyarrow").materialize()
+    for _ in range(rounds):
+        mixed = edge_tagged.union(scores.map_batches(_score_rows, batch_format="pyarrow"))
+        contribs = map_partitions_by_key(
+            mixed, "u", _scatter, num_partitions=num_partitions
+        )
+        scores = map_partitions_by_key(
+            contribs, "u", _gather, num_partitions=num_partitions
+        ).materialize()
+
+    def _decorate(table: pa.Table) -> pa.Table:
+        # final deg attach: group edges+scores once more
+        u = table["u"].to_numpy(zero_copy_only=False)
+        v = table["v"].to_numpy(zero_copy_only=False)
+        mm = table["m"].to_numpy(zero_copy_only=False)
+        is_edge = v >= 0
+        order, su, starts = _segments(u)
+        se = is_edge[order]
+        sm = mm[order]
+        counts = np.diff(np.r_[starts, len(su)])
+        gid = np.repeat(np.arange(len(starts)), counts)
+        deg = np.bincount(gid, weights=se).astype(np.int64)
+        score = np.zeros(len(starts), dtype=np.int64)
+        srow = ~se
+        score[gid[srow]] = sm[srow]
+        return pa.table(
+            {
+                "doc_id": pa.array(su[starts], pa.int64()),
+                "pr_micro": pa.array(score, pa.int64()),
+                "degree": pa.array(deg, pa.int64()),
+            },
+            schema=out_schema,
+        )
+
+    mixed = edge_tagged.union(scores.map_batches(_score_rows, batch_format="pyarrow"))
+    return map_partitions_by_key(
+        mixed, "u", _decorate, num_partitions=num_partitions
+    )

@@ -189,3 +189,52 @@ def test_resolvers_distributed_path_matches_coalesced(ray_session, monkeypatch):
     got = {r["doc_id"]: (r["cluster_id"], r["keep"]) for r in out2}
     # cluster {0,3,6}: scores 0.0, 3.0, 1.0 -> winner 3
     assert got[3] == (0, True) and got[0] == (0, False) and got[6] == (0, False)
+
+
+@pytest.mark.parametrize("seed,n,m", [(0, 40, 60), (3, 150, 300)])
+def test_pagerank_paths_agree_and_reference(ray_session, seed, n, m):
+    """Distributed PageRank rounds == the coalesced integer kernel == a
+    straight numpy reference of the quantized recurrence; mass sanity:
+    every score >= the teleport floor and top score lands on a max-degree
+    node of a star graph."""
+    from multimedia_indexing_ray.stages import cc
+
+    rng = np.random.default_rng(seed)
+    raw = [tuple(sorted(p)) for p in rng.integers(0, n, size=(m, 2)) if p[0] != p[1]]
+    pairs = sorted(set(raw))
+    ds = _pairs_ds(ray_session, pairs)
+
+    out_small = {r["doc_id"]: (r["pr_micro"], r["degree"]) for r in cc.pagerank(ds).take_all()}
+    out_large = {
+        r["doc_id"]: (r["pr_micro"], r["degree"])
+        for r in cc.pagerank(ds, driver_edge_cap=0, num_partitions=4).take_all()
+    }
+    assert out_small == out_large
+
+    # numpy reference of the same integer recurrence
+    u = np.array([p[0] for p in pairs] + [p[1] for p in pairs], np.int64)
+    v = np.array([p[1] for p in pairs] + [p[0] for p in pairs], np.int64)
+    nodes, ui = np.unique(u, return_inverse=True)
+    vi = np.searchsorted(nodes, v)
+    deg = np.bincount(ui, minlength=len(nodes)).astype(np.int64)
+    total = 10**12
+    init = total // len(nodes)
+    base = 15 * init // 100
+    mvec = np.full(len(nodes), init, np.int64)
+    for _ in range(3):
+        contrib = mvec // deg
+        s = np.zeros(len(nodes), np.int64)
+        np.add.at(s, vi, contrib[ui])
+        mvec = base + (85 * s) // 100
+    ref = {int(nd): (int(mm), int(dd)) for nd, mm, dd in zip(nodes, mvec, deg)}
+    assert out_small == ref
+    assert all(mm >= base for mm, _ in out_small.values())
+
+
+def test_pagerank_star_graph(ray_session):
+    """Hub of a star gets the top score."""
+    from multimedia_indexing_ray.stages.cc import pagerank
+
+    pairs = [(0, i) for i in range(1, 9)]
+    out = {r["doc_id"]: r["pr_micro"] for r in pagerank(_pairs_ds(ray_session, pairs)).take_all()}
+    assert max(out, key=out.get) == 0
