@@ -3994,3 +3994,106 @@ def q_pagerank_neardup(sf_dir: str):
         docs, "text", "doc_id", threshold=0.3, num_partitions=16
     )
     return pagerank(pairs, rounds=3)
+
+
+@register(
+    "cum_distinct_types_per_user",
+    """
+    WITH f AS (
+      SELECT event_id, user_id, ts,
+        CASE WHEN row_number() OVER (PARTITION BY user_id, event_type
+                                     ORDER BY ts, event_id) = 1
+             THEN 1 ELSE 0 END AS first_seen
+      FROM events)
+    SELECT event_id, user_id,
+      CAST(SUM(first_seen) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        AS distinct_types_so_far
+    FROM f
+    """,
+)
+def q_cum_distinct_types(sf_dir: str):
+    """Expanding-window DISTINCT count — "how many distinct event types
+    has this user produced up to now" — the running-cardinality feature
+    plain window aggregates cannot express (COUNT(DISTINCT) OVER is
+    unsupported in SQL engines; both sides use the same
+    first-occurrence-flag + running-sum decomposition, so parity is
+    exact int64).  One shuffle on user_id; the kernel is two in-partition
+    lexsorts and a segmented cumsum — no per-row state."""
+    from multimedia_indexing_ray.stages.partition import map_partitions_by_key
+
+    ev = _rp(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def kernel(table: pa.Table) -> pa.Table:
+        n = table.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "user_id": pa.array([], pa.int64()),
+                    "distinct_types_so_far": pa.array([], pa.int64()),
+                }
+            )
+        uid = table["user_id"].to_numpy()
+        eid = table["event_id"].to_numpy()
+        ts = table["ts"].cast(pa.int64()).to_numpy()
+        et = np.asarray(table["event_type"])
+        _, tcode = np.unique(et, return_inverse=True)
+        # first occurrence of (user, type) under the (ts, event_id) order
+        o1 = np.lexsort((eid, ts, tcode, uid))
+        u1, t1 = uid[o1], tcode[o1]
+        first = np.r_[True, (u1[1:] != u1[:-1]) | (t1[1:] != t1[:-1])]
+        flag = np.empty(n, dtype=np.int64)
+        flag[o1] = first.astype(np.int64)
+        # running sum of flags under the per-user (ts, event_id) order
+        o2 = np.lexsort((eid, ts, uid))
+        u2 = uid[o2]
+        starts = sg.segment_starts(u2)
+        cs = np.cumsum(flag[o2])
+        base = np.repeat(cs[starts] - flag[o2][starts], sg.segment_counts(starts, n))
+        run = cs - base
+        out = np.empty(n, dtype=np.int64)
+        out[o2] = run
+        return pa.table(
+            {
+                "event_id": table["event_id"],
+                "user_id": table["user_id"],
+                "distinct_types_so_far": pa.array(out, pa.int64()),
+            }
+        )
+
+    return map_partitions_by_key(ev, "user_id", kernel, num_partitions=32)
+
+
+@register(
+    "triangle_counts_neardup",
+    f"""
+    WITH {_NGRAM_PAIRS_CTE},
+    e AS (SELECT a_id AS u, b_id AS v FROM pairs),
+    tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+            FROM e e1 JOIN e e2 ON e2.u = e1.v
+                      JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
+    SELECT node AS doc_id, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+      SELECT a AS node FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri) GROUP BY 1
+    """,
+)
+def q_triangle_counts_neardup(sf_dir: str):
+    """Wedge-join triangle counting over the near-dup graph (Suri &
+    Vassilvitskii WWW'11): per-node triangle participation measures how
+    clique-like a duplicate neighborhood is — template farms close
+    their wedges, incidental chains don't.  `stages/cc.py:triangle_counts`:
+    min->max orientation generates each triangle exactly once at its
+    apex; wedges stream through a keyed exchange on their first endpoint
+    where a packed-int64 sorted probe closes them; hub apexes above the
+    wedge cap are skipped with a logged drop (quadratic wedge sets).
+    Deterministic ints end-to-end — the oracle's 3-way self-join matches
+    exactly."""
+    from multimedia_indexing_ray.stages.cc import triangle_counts
+
+    docs = _rp(sf_dir, "documents", ["doc_id", "text"])
+    pairs = dd.anchor_jaccard_pairs(
+        docs, "text", "doc_id", threshold=0.3, num_partitions=16
+    )
+    return triangle_counts(pairs)

@@ -566,3 +566,180 @@ def pagerank(
     return map_partitions_by_key(
         mixed, "u", _decorate, num_partitions=num_partitions
     )
+
+
+def _pack64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Pack two non-negative int32-range ids into one sortable int64."""
+    return a.astype(np.int64) * np.int64(2**31) + b.astype(np.int64)
+
+
+def _ordered_wedges(u: np.ndarray, v: np.ndarray, wedge_cap: int):
+    """All ordered wedges (apex, w1 < w2) over min->max oriented distinct
+    edges: each apex's out-neighbor pairs, fully vectorized (rank ->
+    upper-triangular (i, j) via the closed-form quadratic inverse with a
+    two-sided integer correction).  Apexes with out-degree > wedge_cap
+    are skipped (logged): hub wedge sets are quadratic.  Returns (apex,
+    w1, w2)."""
+    import logging
+
+    order, su, starts = _segments(u)
+    counts = np.diff(np.r_[starts, len(su)])
+    drop = counts > wedge_cap
+    if drop.any():
+        logging.getLogger(__name__).warning(
+            "triangle_counts: skipping %d hub nodes with out-degree > %d",
+            int(drop.sum()), wedge_cap,
+        )
+    # neighbor lists sorted within each apex segment so (i < j) => (w1 < w2)
+    o2 = np.lexsort((v, u))
+    sv = v[o2]
+    segs = np.flatnonzero(~drop)
+    d = counts[segs]
+    n_w = (d * (d - 1)) // 2
+    total = int(n_w.sum())
+    if total == 0:
+        e = np.empty(0, np.int64)
+        return e, e, e
+    seg_of = np.repeat(np.arange(len(segs)), n_w)
+    base = np.repeat(np.concatenate([[0], np.cumsum(n_w)[:-1]]), n_w)
+    k = np.arange(total, dtype=np.int64) - base  # wedge rank within its apex
+    dk = d[seg_of]
+    # row-major upper triangle: k = i*(2d-i-1)/2 + (j-i-1); invert for i
+    df = dk.astype(np.float64)
+    i = np.floor(df - 0.5 - np.sqrt((df - 0.5) ** 2 - 2.0 * k)).astype(np.int64)
+    np.clip(i, 0, dk - 2, out=i)
+    for _ in range(2):  # two-sided float-edge correction (±1 suffices)
+        cum_i = i * (2 * dk - i - 1) // 2
+        i -= (cum_i > k).astype(np.int64)
+        nxt = (i + 1) * (2 * dk - i - 2) // 2
+        i += (nxt <= k).astype(np.int64)
+        np.clip(i, 0, dk - 2, out=i)
+    cum_i = i * (2 * dk - i - 1) // 2
+    j = (k - cum_i) + i + 1
+    pos0 = np.repeat(starts[segs], n_w)
+    return np.repeat(su[starts[segs]], n_w), sv[pos0 + i], sv[pos0 + j]
+
+
+def triangle_counts(
+    pairs: "ray.data.Dataset",
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+    num_partitions: int = 8,
+    driver_edge_cap: int = DRIVER_EDGE_CAP,
+    wedge_cap: int = 4096,
+) -> "ray.data.Dataset":
+    """Per-node triangle participation counts over the (deduplicated,
+    low->high oriented) pair graph — the wedge-join graph kernel
+    (Suri & Vassilvitskii, WWW'11 MR-friendly triangle counting): a
+    node's triangle count measures how CLIQUE-like its duplicate
+    neighborhood is (template farms score high, chains score low).
+
+    Algorithm (both paths identical arithmetic): orient every edge
+    min->max; each node's out-neighbor list emits its ordered wedges
+    (v1 < v2); a wedge closes iff (v1, v2) is itself an edge — one
+    sorted-membership probe against the packed edge-key set.  Each
+    triangle (a < b < c) is generated exactly once (at apex a), so the
+    per-node counts are deterministic ints.
+
+    Scale shape: one keyed shuffle groups edges by source for wedge
+    emission; wedge rows (the only superlinear set, Σ d(d-1)/2) stream
+    through a second keyed exchange on their first endpoint where the
+    closing-edge probe runs; per-node counts reduce on a third slim
+    exchange.  Nodes with out-degree > ``wedge_cap`` are skipped with a
+    logged drop (the bucket-cap discipline of the LSH stages) — a hub's
+    wedge set is quadratic and such nodes are degenerate dup-cluster
+    cores, not signal.  Edge sets at or under ``driver_edge_cap`` run
+    the same kernels coalesced in one process."""
+    def _init(batch: pa.Table) -> pa.Table:
+        u = batch[a_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = batch[b_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = u != v
+        u, v = u[keep], v[keep]
+        return _dedup_uv(np.minimum(u, v), np.maximum(u, v))
+
+    edges = pairs.map_batches(_init, batch_format="pyarrow").materialize()
+    out_schema = pa.schema([("doc_id", pa.int64()), ("n_triangles", pa.int64())])
+    if edges.count() == 0:
+        return ray.data.from_arrow(out_schema.empty_table())
+
+    if edges.count() <= driver_edge_cap:
+        import ray as _ray
+
+        t = pa.concat_tables(
+            tb.select(["u", "v"]) for tb in _ray.get(edges.to_arrow_refs()) if tb.num_rows
+        ).combine_chunks()
+        u = t["u"].to_numpy(zero_copy_only=False)
+        v = t["v"].to_numpy(zero_copy_only=False)
+        apex, w1, w2 = _ordered_wedges(u, v, wedge_cap)
+        ek = np.sort(_pack64(u, v))
+        wk = _pack64(w1, w2)
+        pos = np.searchsorted(ek, wk)
+        np.clip(pos, 0, max(len(ek) - 1, 0), out=pos)
+        hit = (ek[pos] == wk) if len(ek) else np.zeros(len(wk), bool)
+        nodes = np.concatenate([apex[hit], w1[hit], w2[hit]])
+        ids, cnt = np.unique(nodes, return_counts=True)
+        return ray.data.from_arrow(
+            pa.table({"doc_id": ids, "n_triangles": cnt.astype(np.int64)}, schema=out_schema)
+        )
+
+    _W_SCHEMA = pa.schema(
+        [("u", pa.int64()), ("v", pa.int64()), ("apex", pa.int64())]
+    )
+
+    def _emit_wedges(table: pa.Table) -> pa.Table:
+        u = table["u"].to_numpy(zero_copy_only=False)
+        v = table["v"].to_numpy(zero_copy_only=False)
+        apex, w1, w2 = _ordered_wedges(u, v, wedge_cap)
+        return pa.table({"u": w1, "v": w2, "apex": apex}, schema=_W_SCHEMA)
+
+    by_src = map_partitions_by_key(
+        edges, "u", lambda t: t, num_partitions=num_partitions
+    )
+    wedges = by_src.map_batches(_emit_wedges, batch_format="pyarrow")
+
+    def _edge_tag(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "u": batch["u"],
+                "v": batch["v"],
+                "apex": pa.array(np.full(batch.num_rows, -1, np.int64), pa.int64()),
+            },
+            schema=_W_SCHEMA,
+        )
+
+    mixed = edges.map_batches(_edge_tag, batch_format="pyarrow").union(wedges)
+
+    _N_SCHEMA = pa.schema([("doc_id", pa.int64()), ("n", pa.int64())])
+
+    def _close(table: pa.Table) -> pa.Table:
+        # co-located by first endpoint: probe wedge (u,v) against edge set
+        u = table["u"].to_numpy(zero_copy_only=False)
+        v = table["v"].to_numpy(zero_copy_only=False)
+        apex = table["apex"].to_numpy(zero_copy_only=False)
+        is_edge = apex < 0
+        ek = np.sort(_pack64(u[is_edge], v[is_edge]))
+        wk = _pack64(u[~is_edge], v[~is_edge])
+        pos = np.searchsorted(ek, wk)
+        np.clip(pos, 0, max(len(ek) - 1, 0), out=pos)
+        hit = (ek[pos] == wk) if len(ek) else np.zeros(len(wk), bool)
+        nodes = np.concatenate(
+            [apex[~is_edge][hit], u[~is_edge][hit], v[~is_edge][hit]]
+        )
+        ids, cnt = np.unique(nodes, return_counts=True)
+        return pa.table({"doc_id": ids, "n": cnt.astype(np.int64)}, schema=_N_SCHEMA)
+
+    partial = map_partitions_by_key(
+        mixed, "u", _close, num_partitions=num_partitions
+    )
+
+    def _reduce(table: pa.Table) -> pa.Table:
+        ids = table["doc_id"].to_numpy(zero_copy_only=False)
+        nn = table["n"].to_numpy(zero_copy_only=False)
+        u_ids, inv = np.unique(ids, return_inverse=True)
+        s = np.zeros(len(u_ids), np.int64)
+        np.add.at(s, inv, nn)
+        return pa.table({"doc_id": u_ids, "n_triangles": s}, schema=out_schema)
+
+    return map_partitions_by_key(
+        partial, "doc_id", _reduce, num_partitions=num_partitions
+    )

@@ -238,3 +238,45 @@ def test_pagerank_star_graph(ray_session):
     pairs = [(0, i) for i in range(1, 9)]
     out = {r["doc_id"]: r["pr_micro"] for r in pagerank(_pairs_ds(ray_session, pairs)).take_all()}
     assert max(out, key=out.get) == 0
+
+
+@pytest.mark.parametrize("seed,n,m", [(0, 25, 70), (5, 80, 200)])
+def test_triangle_counts_paths_vs_brute_force(ray_session, seed, n, m):
+    from multimedia_indexing_ray.stages import cc
+    import itertools
+
+    rng = np.random.default_rng(seed)
+    raw = [tuple(sorted(p)) for p in rng.integers(0, n, size=(m, 2)) if p[0] != p[1]]
+    pairs = sorted(set(raw))
+    ds = _pairs_ds(ray_session, pairs)
+    out_small = {r["doc_id"]: r["n_triangles"] for r in cc.triangle_counts(ds).take_all()}
+    out_large = {
+        r["doc_id"]: r["n_triangles"]
+        for r in cc.triangle_counts(ds, driver_edge_cap=0, num_partitions=4).take_all()
+    }
+    assert out_small == out_large
+    es = set(pairs)
+    ref = {}
+    nodes = sorted({x for e in es for x in e})
+    for a, b, c in itertools.combinations(nodes, 3):
+        if (a, b) in es and (b, c) in es and (a, c) in es:
+            for x in (a, b, c):
+                ref[x] = ref.get(x, 0) + 1
+    assert out_small == ref
+
+
+def test_triangle_counts_wedge_cap_drops_hub(ray_session):
+    """A hub above the wedge cap is skipped: triangles through it vanish,
+    others survive."""
+    from multimedia_indexing_ray.stages.cc import triangle_counts
+
+    # hub 0 connected to 1..9 (deg 9), plus a separate triangle (20,21,22)
+    pairs = [(0, i) for i in range(1, 10)] + [(1, 2), (20, 21), (21, 22), (20, 22)]
+    ds = _pairs_ds(ray_session, pairs)
+    full = {r["doc_id"]: r["n_triangles"] for r in triangle_counts(ds).take_all()}
+    assert full[0] == 1 and full[20] == 1  # hub triangle (0,1,2) + separate
+    capped = {
+        r["doc_id"]: r["n_triangles"]
+        for r in triangle_counts(ds, wedge_cap=5).take_all()
+    }
+    assert 0 not in capped and capped[20] == 1
