@@ -4097,3 +4097,115 @@ def q_triangle_counts_neardup(sf_dir: str):
         docs, "text", "doc_id", threshold=0.3, num_partitions=16
     )
     return triangle_counts(pairs)
+
+
+@register(
+    "temporal_split_assign",
+    """
+    WITH r AS (SELECT event_id, user_id,
+                 row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+                 count(*) OVER (PARTITION BY user_id) AS n
+               FROM events)
+    SELECT event_id, user_id,
+      CASE WHEN rn > (4 * n) // 5 THEN 'test' ELSE 'train' END AS split
+    FROM r
+    """,
+)
+def q_temporal_split_assign(sf_dir: str):
+    """Temporal holdout split: each user's LAST 20% of events (under the
+    total (ts, event_id) order) become test — the time-respecting
+    alternative to the content-hash split (`split_assign`), required
+    whenever the model will be evaluated on the future (a random split
+    leaks future behavior into training).  Pure integer rank rule
+    ``rn > (4n)//5`` so both sides agree exactly; one shuffle on
+    user_id, kernel = one in-partition lexsort + segment arithmetic."""
+    from multimedia_indexing_ray.stages.partition import map_partitions_by_key
+
+    ev = _rp(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def kernel(table: pa.Table) -> pa.Table:
+        n = table.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "user_id": pa.array([], pa.int64()),
+                    "split": pa.array([], pa.string()),
+                }
+            )
+        uid = table["user_id"].to_numpy()
+        eid = table["event_id"].to_numpy()
+        ts = table["ts"].cast(pa.int64()).to_numpy()
+        order = np.lexsort((eid, ts, uid))
+        su = uid[order]
+        starts = sg.segment_starts(su)
+        counts = sg.segment_counts(starts, n)
+        rn = sg.rel_index(starts, n) + 1
+        nn = np.repeat(counts, counts)
+        is_test = rn > (4 * nn) // 5
+        split = np.where(is_test, "test", "train")
+        return pa.table(
+            {
+                "event_id": pa.array(eid[order], pa.int64()),
+                "user_id": pa.array(su, pa.int64()),
+                "split": pa.array(split, pa.string()),
+            }
+        )
+
+    return map_partitions_by_key(ev, "user_id", kernel, num_partitions=32)
+
+
+@register(
+    "user_tenure_features",
+    """
+    WITH f AS (SELECT user_id, MIN(ts) AS first_ts FROM events GROUP BY 1)
+    SELECT e.event_id, e.user_id,
+      date_diff('microsecond', f.first_ts, e.ts) // 1000000 AS tenure_s,
+      CAST(row_number() OVER (PARTITION BY e.user_id
+                              ORDER BY e.ts, e.event_id) AS BIGINT) AS event_rank
+    FROM events e JOIN f USING (user_id)
+    """,
+)
+def q_user_tenure_features(sf_dir: str):
+    """Per-entity lifetime features: seconds since the user's first-ever
+    event (tenure) and the event's rank in their history — the
+    account-age signals churn/LTV models start from.  Single shuffle on
+    user_id; first_ts, rank and the floor-divided second conversion are
+    all integer ops computed inside one segment kernel (no second
+    aggregate-join pass, unlike the SQL formulation)."""
+    from multimedia_indexing_ray.stages.partition import map_partitions_by_key
+
+    ev = _rp(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def kernel(table: pa.Table) -> pa.Table:
+        n = table.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "user_id": pa.array([], pa.int64()),
+                    "tenure_s": pa.array([], pa.int64()),
+                    "event_rank": pa.array([], pa.int64()),
+                }
+            )
+        uid = table["user_id"].to_numpy()
+        eid = table["event_id"].to_numpy()
+        ts = table["ts"].cast(pa.int64()).to_numpy()
+        order = np.lexsort((eid, ts, uid))
+        su, sts = uid[order], ts[order]
+        starts = sg.segment_starts(su)
+        counts = sg.segment_counts(starts, n)
+        # first ts per user = MIN = first row under the (ts, event_id) sort
+        first = np.repeat(sts[starts], counts)
+        tenure = (sts - first) // 1_000_000
+        rank = sg.rel_index(starts, n) + 1
+        return pa.table(
+            {
+                "event_id": pa.array(eid[order], pa.int64()),
+                "user_id": pa.array(su, pa.int64()),
+                "tenure_s": pa.array(tenure, pa.int64()),
+                "event_rank": pa.array(rank.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return map_partitions_by_key(ev, "user_id", kernel, num_partitions=32)
