@@ -53,6 +53,9 @@ BENCH_QUERIES = [
     "value_quantiles_by_type",  # exact quantiles via histogram combine
     "dedup_clusters",  # pairs -> connected components -> canonical docs
     "shipping_priority",  # Q3 shape: semi-join + bucketed hash join + top-k
+    "target_encode_user",  # leakage-free expanding-window encoder
+    "rolling_minmax_1h",  # sparse-table RMQ sliding extrema
+    "triangle_counts_neardup",  # wedge-join graph kernel
 ]
 
 # Per-query shuffle strategy, interleaved-A/B measured (2026-08-17, 32
