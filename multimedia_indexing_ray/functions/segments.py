@@ -180,6 +180,18 @@ def range_sums(prefix: np.ndarray, lo: np.ndarray, hi: np.ndarray) -> np.ndarray
     return prefix[hi] - prefix[lo]
 
 
+def sorted_member(haystack: np.ndarray, needles: np.ndarray) -> np.ndarray:
+    """Vectorized membership probe against a SORTED haystack: boolean
+    mask per needle.  The one shared implementation of the
+    searchsorted+clip+equality idiom (empty-haystack safe) used by the
+    broadcast anti-join / blocklist / closing-edge probes."""
+    if len(haystack) == 0:
+        return np.zeros(len(needles), dtype=bool)
+    pos = np.searchsorted(haystack, needles)
+    np.clip(pos, 0, len(haystack) - 1, out=pos)
+    return haystack[pos] == needles
+
+
 def range_minmax(
     x: np.ndarray, lo: np.ndarray, hi: np.ndarray
 ) -> "tuple[np.ndarray, np.ndarray]":

@@ -3571,9 +3571,7 @@ def q_decontaminate(sf_dir: str):
         bl = _ray.get(ref)
         flat, counts = tx.winnow_sets_batch(batch["text"].to_pylist())
         n = len(counts)
-        pos = np.searchsorted(bl, flat)
-        np.clip(pos, 0, max(len(bl) - 1, 0), out=pos)
-        hit = (bl[pos] == flat) if len(bl) else np.zeros(len(flat), dtype=bool)
+        hit = sg.sorted_member(bl, flat)
         doc_of = np.repeat(np.arange(n, dtype=np.int64), counts)
         n_shared = np.bincount(doc_of[hit], minlength=n).astype(np.int64)
         ids = batch["doc_id"].to_numpy()
@@ -3718,9 +3716,7 @@ def q_users_without_high_value(sf_dir: str):
     def _anti(batch: pa.Table) -> pa.Table:
         ex = _ray.get(ref)
         u = np.unique(batch["user_id"].to_numpy(zero_copy_only=False))
-        pos = np.searchsorted(ex, u)
-        np.clip(pos, 0, max(len(ex) - 1, 0), out=pos)
-        keep = (ex[pos] != u) if len(ex) else np.ones(len(u), dtype=bool)
+        keep = ~sg.sorted_member(ex, u)
         return pa.table({"user_id": pa.array(u[keep], pa.int64())})
 
     # per-batch distinct survivors may repeat across batches -> one tiny

@@ -31,6 +31,7 @@ import pyarrow as pa
 
 import ray.data
 
+from multimedia_indexing_ray.functions import segments as sg
 from multimedia_indexing_ray.stages.partition import (
     map_partitions_by_key,
     stable_hash,
@@ -449,8 +450,21 @@ def pagerank(
             )
         )
 
-    # distributed path: N and the per-node degree from one keyed pass,
-    # then `rounds` x (scatter contributions by source, gather by target)
+    # distributed path: first a keyed pass drops cross-block duplicate
+    # edges (each (u, *) neighborhood is whole inside its group, so
+    # in-group dedup IS global dedup — the coalesced path and the SQL
+    # oracle's UNION-distinct edges do the same), then N and per-node
+    # degree, then `rounds` x (scatter by source, gather by target)
+    def _dedup_group(table: pa.Table) -> pa.Table:
+        return _dedup_uv(
+            table["u"].to_numpy(zero_copy_only=False),
+            table["v"].to_numpy(zero_copy_only=False),
+        )
+
+    edges = map_partitions_by_key(
+        edges, "u", _dedup_group, num_partitions=num_partitions
+    ).materialize()
+
     def _count_nodes(table: pa.Table) -> pa.Table:
         u = table["u"].to_numpy(zero_copy_only=False)
         return pa.table({"n": pa.array([len(np.unique(u))], pa.int64())})
@@ -569,7 +583,14 @@ def pagerank(
 
 
 def _pack64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """Pack two non-negative int32-range ids into one sortable int64."""
+    """Pack two non-negative int32-range ids into one sortable int64.
+    Raises for out-of-range ids — a silent collision would corrupt the
+    closing-edge probe."""
+    if len(a) and (
+        int(a.min()) < 0 or int(b.min()) < 0
+        or int(a.max()) >= 2**31 or int(b.max()) >= 2**31
+    ):
+        raise ValueError("_pack64: ids must be in [0, 2**31)")
     return a.astype(np.int64) * np.int64(2**31) + b.astype(np.int64)
 
 
@@ -668,14 +689,16 @@ def triangle_counts(
         t = pa.concat_tables(
             tb.select(["u", "v"]) for tb in _ray.get(edges.to_arrow_refs()) if tb.num_rows
         ).combine_chunks()
-        u = t["u"].to_numpy(zero_copy_only=False)
-        v = t["v"].to_numpy(zero_copy_only=False)
+        uv = np.unique(
+            np.stack(
+                [t["u"].to_numpy(zero_copy_only=False), t["v"].to_numpy(zero_copy_only=False)],
+                axis=1,
+            ),
+            axis=0,
+        )
+        u, v = uv[:, 0], uv[:, 1]
         apex, w1, w2 = _ordered_wedges(u, v, wedge_cap)
-        ek = np.sort(_pack64(u, v))
-        wk = _pack64(w1, w2)
-        pos = np.searchsorted(ek, wk)
-        np.clip(pos, 0, max(len(ek) - 1, 0), out=pos)
-        hit = (ek[pos] == wk) if len(ek) else np.zeros(len(wk), bool)
+        hit = sg.sorted_member(np.sort(_pack64(u, v)), _pack64(w1, w2))
         nodes = np.concatenate([apex[hit], w1[hit], w2[hit]])
         ids, cnt = np.unique(nodes, return_counts=True)
         return ray.data.from_arrow(
@@ -687,15 +710,22 @@ def triangle_counts(
     )
 
     def _emit_wedges(table: pa.Table) -> pa.Table:
-        u = table["u"].to_numpy(zero_copy_only=False)
-        v = table["v"].to_numpy(zero_copy_only=False)
+        # the keyed kernel sees every (u, *) row of its groups TOGETHER
+        # (a plain map_batches could see a big group split across blocks
+        # and silently miss cross-fragment wedges); cross-block duplicate
+        # edges are dropped here, where the whole neighborhood is local
+        d = _dedup_uv(
+            table["u"].to_numpy(zero_copy_only=False),
+            table["v"].to_numpy(zero_copy_only=False),
+        )
+        u = d["u"].to_numpy(zero_copy_only=False)
+        v = d["v"].to_numpy(zero_copy_only=False)
         apex, w1, w2 = _ordered_wedges(u, v, wedge_cap)
         return pa.table({"u": w1, "v": w2, "apex": apex}, schema=_W_SCHEMA)
 
-    by_src = map_partitions_by_key(
-        edges, "u", lambda t: t, num_partitions=num_partitions
+    wedges = map_partitions_by_key(
+        edges, "u", _emit_wedges, num_partitions=num_partitions
     )
-    wedges = by_src.map_batches(_emit_wedges, batch_format="pyarrow")
 
     def _edge_tag(batch: pa.Table) -> pa.Table:
         return pa.table(
@@ -717,11 +747,9 @@ def triangle_counts(
         v = table["v"].to_numpy(zero_copy_only=False)
         apex = table["apex"].to_numpy(zero_copy_only=False)
         is_edge = apex < 0
-        ek = np.sort(_pack64(u[is_edge], v[is_edge]))
-        wk = _pack64(u[~is_edge], v[~is_edge])
-        pos = np.searchsorted(ek, wk)
-        np.clip(pos, 0, max(len(ek) - 1, 0), out=pos)
-        hit = (ek[pos] == wk) if len(ek) else np.zeros(len(wk), bool)
+        hit = sg.sorted_member(
+            np.sort(_pack64(u[is_edge], v[is_edge])), _pack64(u[~is_edge], v[~is_edge])
+        )
         nodes = np.concatenate(
             [apex[~is_edge][hit], u[~is_edge][hit], v[~is_edge][hit]]
         )

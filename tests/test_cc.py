@@ -280,3 +280,35 @@ def test_triangle_counts_wedge_cap_drops_hub(ray_session):
         for r in triangle_counts(ds, wedge_cap=5).take_all()
     }
     assert 0 not in capped and capped[20] == 1
+
+
+def test_graph_ops_tolerate_duplicate_and_reversed_pairs(ray_session):
+    """Cross-block duplicate pairs and reversed orientations must not
+    inflate degrees, scores, or wedge counts (the pair sets are deduped
+    inside the first keyed group, where each neighborhood is whole)."""
+    from multimedia_indexing_ray.stages import cc
+
+    base = [(0, 1), (1, 2), (0, 2), (2, 3)]
+    noisy = base + [(b, a) for a, b in base] + base  # dupes + reversals
+    clean_ds = _pairs_ds(ray_session, base)
+    noisy_ds = _pairs_ds(ray_session, noisy)
+    for fn, kw in [
+        (cc.pagerank, {}),
+        (cc.pagerank, {"driver_edge_cap": 0, "num_partitions": 4}),
+        (cc.triangle_counts, {}),
+        (cc.triangle_counts, {"driver_edge_cap": 0, "num_partitions": 4}),
+    ]:
+        a = sorted(tuple(sorted(r.items())) for r in fn(clean_ds, **kw).take_all())
+        b = sorted(tuple(sorted(r.items())) for r in fn(noisy_ds, **kw).take_all())
+        assert a == b, (fn.__name__, kw)
+
+
+def test_pack64_rejects_out_of_range_ids(ray_session):
+    from multimedia_indexing_ray.stages.cc import triangle_counts
+
+    big = 2**31
+    ds = _pairs_ds(ray_session, [(big, big + 1), (big + 1, big + 2), (big, big + 2)])
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="_pack64|2\\*\\*31"):
+        triangle_counts(ds).take_all()

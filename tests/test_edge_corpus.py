@@ -53,8 +53,13 @@ QUERIES = [
 def edge_dir(tmp_path_factory):
     d = tmp_path_factory.mktemp("edge_corpus")
     n = len(EDGE_DOCS)
-    # doc_ids cover the decontamination benchmark residue (% 23 == 7)
+    # doc_ids cover the decontamination benchmark residue (% 23 == 7):
+    # id 7 is the EMPTY doc (empty blocklist edge) and id 30 is a
+    # content-bearing benchmark doc (30 % 23 == 7) whose fingerprints
+    # actually contaminate the chunk-boundary siblings — both the
+    # empty-blocklist and the real-intersection paths get exercised
     ids = np.arange(1, n + 1, dtype=np.int64) * 7
+    ids[6] = 30  # the exactly-32-token doc shares 8-grams with docs 7/8
     t = pa.table(
         {
             "doc_id": pa.array(ids, pa.int64()),
