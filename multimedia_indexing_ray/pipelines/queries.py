@@ -4205,3 +4205,118 @@ def q_user_tenure_features(sf_dir: str):
         )
 
     return map_partitions_by_key(ev, "user_id", kernel, num_partitions=32)
+
+
+@register(
+    "profile_events",
+    """
+    SELECT 'event_id' AS column_name, CAST(count(*) AS BIGINT) AS n,
+      CAST(count(*) - count(event_id) AS BIGINT) AS n_null,
+      CAST(MIN(event_id) AS VARCHAR) AS min_v,
+      CAST(MAX(event_id) AS VARCHAR) AS max_v FROM events
+    UNION ALL
+    SELECT 'user_id', CAST(count(*) AS BIGINT),
+      CAST(count(*) - count(user_id) AS BIGINT),
+      CAST(MIN(user_id) AS VARCHAR), CAST(MAX(user_id) AS VARCHAR) FROM events
+    UNION ALL
+    SELECT 'ts', CAST(count(*) AS BIGINT),
+      CAST(count(*) - count(ts) AS BIGINT),
+      CAST(epoch_us(MIN(ts)) AS VARCHAR), CAST(epoch_us(MAX(ts)) AS VARCHAR)
+    FROM events
+    UNION ALL
+    SELECT 'value_cents', CAST(count(*) AS BIGINT),
+      CAST(count(*) - count(value) AS BIGINT),
+      CAST(MIN(CAST(FLOOR(value*100+0.5) AS BIGINT)) AS VARCHAR),
+      CAST(MAX(CAST(FLOOR(value*100+0.5) AS BIGINT)) AS VARCHAR) FROM events
+    UNION ALL
+    SELECT 'event_type', CAST(count(*) AS BIGINT),
+      CAST(count(*) - count(event_type) AS BIGINT),
+      MIN(event_type), MAX(event_type) FROM events
+    """,
+)
+def q_profile_events(sf_dir: str):
+    """Data profiling (the validation pass every ingest runs first):
+    per-column row/null counts and min/max in ONE streaming pass with
+    O(columns) mergeable partials — the exchange carries a 5-row table
+    per batch, never data.  Numeric/timestamp extrema merge in their
+    integer domain and render to strings only at the final coalesce
+    (float rendering and timestamp formatting are engine-specific;
+    integer micro/cent keys are not).  String extrema rely on ASCII
+    lexicographic order (== DuckDB's collation for this data)."""
+    ev = _rp(sf_dir, "events", ["event_id", "user_id", "ts", "event_type", "value"])
+
+    _P_SCHEMA = pa.schema(
+        [
+            ("column_name", pa.string()),
+            ("n", pa.int64()),
+            ("n_null", pa.int64()),
+            ("min_k", pa.int64()),
+            ("max_k", pa.int64()),
+            ("min_s", pa.string()),
+            ("max_s", pa.string()),
+        ]
+    )
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        rows = []
+        nb = batch.num_rows
+
+        def _num(name, arr):
+            nn = arr.null_count
+            vals = arr.drop_null()
+            mn = pc.min(vals).as_py() if len(vals) else None
+            mx = pc.max(vals).as_py() if len(vals) else None
+            rows.append((name, nb, nn, mn, mx, None, None))
+
+        _num("event_id", batch["event_id"])
+        _num("user_id", batch["user_id"])
+        _num("ts", batch["ts"].cast(pa.int64()))
+        cents = pa.chunked_array(
+            [pa.array(_cents(batch["value"].to_numpy(zero_copy_only=False)), pa.int64())]
+        )
+        _num("value_cents", cents)
+        et = batch["event_type"]
+        etv = et.drop_null()
+        rows.append(
+            (
+                "event_type",
+                nb,
+                et.null_count,
+                None,
+                None,
+                pc.min(etv).as_py() if len(etv) else None,
+                pc.max(etv).as_py() if len(etv) else None,
+            )
+        )
+        return pa.table(
+            {f.name: pa.array([r[i] for r in rows], f.type) for i, f in enumerate(_P_SCHEMA)},
+            schema=_P_SCHEMA,
+        )
+
+    def _final(batch: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(batch, ["column_name"]).aggregate(
+            [("n", "sum"), ("n_null", "sum"), ("min_k", "min"), ("max_k", "max"),
+             ("min_s", "min"), ("max_s", "max")]
+        )
+        name = np.asarray(g["column_name"])
+        min_k = g["min_k_min"].to_pandas()
+        max_k = g["max_k_max"].to_pandas()
+        min_s = g["min_s_min"].to_pandas()
+        max_s = g["max_s_max"].to_pandas()
+        min_v = [s if k != k or k is None else str(int(k)) for k, s in zip(min_k, min_s)]
+        max_v = [s if k != k or k is None else str(int(k)) for k, s in zip(max_k, max_s)]
+        return pa.table(
+            {
+                "column_name": g["column_name"],
+                "n": g["n_sum"].cast(pa.int64()),
+                "n_null": g["n_null_sum"].cast(pa.int64()),
+                "min_v": pa.array(min_v, pa.string()),
+                "max_v": pa.array(max_v, pa.string()),
+            }
+        )
+
+    return (
+        ev.map_batches(_partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(_final, batch_format="pyarrow", batch_size=None)
+    )
