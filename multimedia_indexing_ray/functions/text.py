@@ -517,3 +517,36 @@ def normalize_nfc_truncate(texts: "list[str]", max_chars: int) -> "tuple[list[st
 
     norm = [unicodedata.normalize("NFC", t) for t in texts]
     return [t[:max_chars] for t in norm], [len(t) for t in norm]
+
+
+def chunk_tokens(text_col, doc_ids: np.ndarray, width: int):
+    """Token-budget chunking for a whole batch: returns (doc_id,
+    chunk_idx, chunk_text, n_tokens) numpy/Arrow arrays.  Chunks tile the
+    batch's flat token array exactly, so the batch needs ONE ListArray
+    build and ONE Arrow binary_join — no per-doc Python.  Empty docs emit
+    no chunks."""
+    flat, counts = flat_tokens(text_col)
+    if len(flat) == 0:
+        e = np.empty(0, np.int64)
+        return e, e, pa.array([], pa.string()), e
+    n_chunks = -(-counts // width)
+    doc_of_chunk = np.repeat(np.arange(len(counts), dtype=np.int64), n_chunks)
+    total = int(n_chunks.sum())
+    inner = np.arange(total, dtype=np.int64) - np.repeat(
+        np.concatenate([[0], np.cumsum(n_chunks)[:-1]]), n_chunks
+    )
+    doc_start = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    starts = doc_start[doc_of_chunk] + width * inner
+    offsets = np.concatenate([starts, [len(flat)]]).astype(np.int64)
+    lst = pa.ListArray.from_arrays(
+        pa.array(offsets, pa.int32()) if len(flat) < 2**31 else pa.array(offsets),
+        pa.array(flat, pa.string()),
+    )
+    import pyarrow.compute as _pc
+
+    return (
+        doc_ids[doc_of_chunk],
+        inner,
+        _pc.binary_join(lst, " "),
+        np.diff(offsets).astype(np.int64),
+    )

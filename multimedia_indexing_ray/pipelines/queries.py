@@ -3654,31 +3654,15 @@ def q_chunk_docs(sf_dir: str):
     )
 
     def _chunk(batch: pa.Table) -> pa.Table:
-        flat, counts = tx.flat_tokens(batch["text"])
-        if len(flat) == 0:
+        ids, idx, txt, ntok = tx.chunk_tokens(batch["text"], batch["doc_id"].to_numpy(), W)
+        if len(ids) == 0:
             return _empty
-        n_chunks = -(-counts // W)  # ceil; 0 for empty docs
-        doc_of_chunk = np.repeat(np.arange(len(counts), dtype=np.int64), n_chunks)
-        total = int(n_chunks.sum())
-        inner = np.arange(total, dtype=np.int64) - np.repeat(
-            np.concatenate([[0], np.cumsum(n_chunks)[:-1]]), n_chunks
-        )
-        doc_start = np.concatenate([[0], np.cumsum(counts)[:-1]])
-        starts = doc_start[doc_of_chunk] + W * inner
-        offsets = np.concatenate([starts, [len(flat)]]).astype(np.int64)
-        lst = pa.ListArray.from_arrays(
-            pa.array(offsets, pa.int32()) if len(flat) < 2**31 else pa.array(offsets),
-            pa.array(flat, pa.string()),
-        )
-        ids = batch["doc_id"].to_numpy()
         return pa.table(
             {
-                "doc_id": pa.array(ids[doc_of_chunk], pa.int64()),
-                "chunk_idx": pa.array(inner, pa.int64()),
-                "chunk_text": pc.binary_join(lst, " "),
-                "n_tokens": pa.array(
-                    np.diff(offsets).astype(np.int64), pa.int64()
-                ),
+                "doc_id": pa.array(ids, pa.int64()),
+                "chunk_idx": pa.array(idx, pa.int64()),
+                "chunk_text": txt,
+                "n_tokens": pa.array(ntok, pa.int64()),
             }
         )
 
@@ -4320,3 +4304,162 @@ def q_profile_events(sf_dir: str):
         .repartition(1)
         .map_batches(_final, batch_format="pyarrow", batch_size=None)
     )
+
+
+def _curation_v2_sql() -> str:
+    from multimedia_indexing_ray.functions.text import FNV_BASIS
+
+    fnv_gram = _fnv_sql("substr(text, i, 8)", FNV_BASIS)
+    return rf"""
+    WITH RECURSIVE
+    g AS (SELECT doc_id, text, n_chars, CASE WHEN length(text) < 8 THEN CAST([] AS BIGINT[])
+        ELSE list_transform(range(1, length(text) - 6), i -> {fnv_gram}) END AS hs
+      FROM documents),
+    w AS (SELECT doc_id, text, n_chars, CASE WHEN len(hs) = 0 THEN CAST([] AS BIGINT[])
+        WHEN len(hs) <= 4 THEN [list_min(hs)]
+        ELSE list_distinct(list_transform(range(1, len(hs) - 2), i -> list_min(hs[i:i+3]))) END AS mins
+      FROM g),
+    bl AS (SELECT COALESCE(list(DISTINCT fp), CAST([] AS BIGINT[])) AS fps
+           FROM (SELECT unnest(mins) AS fp FROM w WHERE doc_id % 23 = 7)),
+    surv AS (SELECT w.doc_id, w.text, w.n_chars FROM w, bl
+             WHERE w.doc_id % 23 <> 7
+               AND NOT (len(w.mins) > 0
+                        AND 100 * len(list_intersect(w.mins, bl.fps))
+                            >= 80 * len(w.mins))),
+    tk AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM surv),
+    shl AS (SELECT doc_id, list_distinct(
+            CASE WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[])
+                 WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                 ELSE list_transform(range(1, len(toks) - 1),
+                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS sh
+          FROM tk),
+    sh2 AS (SELECT doc_id, sh, list_min(sh) AS anchor FROM shl WHERE len(sh) > 0),
+    pairs AS (SELECT a_id, b_id FROM (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+          CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard
+        FROM sh2 a JOIN sh2 b ON a.anchor = b.anchor AND a.doc_id < b.doc_id)
+      WHERE jaccard > 0.3),
+    edges AS (SELECT a_id AS u, b_id AS v FROM pairs
+              UNION SELECT b_id, a_id FROM pairs),
+    cc(node, label) AS (
+      SELECT doc_id, doc_id FROM surv
+      UNION
+      SELECT e.v, c.label FROM cc c JOIN edges e ON c.node = e.u
+      WHERE c.label < e.v),
+    mm AS (SELECT node AS doc_id, MIN(label) AS cluster_id FROM cc GROUP BY node),
+    sc AS (SELECT mm.doc_id, mm.cluster_id, CAST(s.n_chars AS BIGINT) AS n_chars
+           FROM mm JOIN surv s USING (doc_id)),
+    win AS (SELECT cluster_id, doc_id AS winner FROM (
+            SELECT cluster_id, doc_id,
+              row_number() OVER (PARTITION BY cluster_id
+                                 ORDER BY n_chars DESC, doc_id) AS rn
+            FROM sc) WHERE rn = 1),
+    keepers AS (SELECT sc.doc_id FROM sc JOIN win USING (cluster_id)
+                WHERE sc.doc_id = win.winner),
+    kd AS (SELECT tk.doc_id, tk.toks FROM tk JOIN keepers USING (doc_id)),
+    ch AS (SELECT doc_id, toks,
+            unnest(CASE WHEN len(toks) = 0 THEN CAST([] AS BIGINT[])
+                   ELSE range(0, CAST(ceil(len(toks)/32.0) AS BIGINT)) END) AS chunk_idx
+           FROM kd)
+    SELECT doc_id, chunk_idx,
+      array_to_string(toks[(chunk_idx*32+1):((chunk_idx+1)*32)], ' ') AS chunk_text,
+      CAST(len(toks[(chunk_idx*32+1):((chunk_idx+1)*32)]) AS BIGINT) AS n_tokens
+    FROM ch
+    """
+
+
+@register("corpus_curation_v2", _curation_v2_sql())
+def q_corpus_curation_v2(sf_dir: str):
+    """The composed curation pipeline a training run actually ships:
+    DECONTAMINATE (drop docs whose winnowing-fingerprint set is >= 80%
+    contained in the benchmark set, plus the benchmark docs themselves;
+    exact integer containment rule) -> NEAR-DUP
+    BEST-COPY (3-gram Jaccard pairs -> connected components -> keep the
+    highest-n_chars member per cluster) -> CHUNK (32-token context
+    windows), one streaming Ray pipeline vs ONE SQL oracle.
+
+    Scale shape: both exclusion sets cross the cluster as BROADCASTS —
+    the benchmark fingerprint blocklist is tiny by definition, and the
+    dedup LOSER set is bounded by the pair graph (duplicates), never the
+    corpus; the corpus itself is only shuffled inside
+    anchor_jaccard_pairs (shingle-anchor blocked).  The survivor set is
+    materialized once (the checkpoint you'd persist in production)
+    because two downstream stages consume it."""
+    import ray as _ray
+
+    from multimedia_indexing_ray.stages.cc import resolve_clusters_best
+
+    docs = _rp(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+
+    def _bench_fps(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        m = (ids % 23) == 7
+        if not m.any():
+            return pa.table({"fp": pa.array([], pa.int64())})
+        texts = [t for t, keep in zip(batch["text"].to_pylist(), m) if keep]
+        flat, _ = tx.winnow_sets_batch(texts)
+        return pa.table({"fp": pa.array(np.unique(flat), pa.int64())})
+
+    rows = docs.map_batches(_bench_fps, batch_format="pyarrow").take_all()
+    bench = np.unique(np.array([r["fp"] for r in rows], dtype=np.int64))
+    bref = _ray.put(bench)
+
+    def _drop_contaminated(batch: pa.Table) -> pa.Table:
+        bl = _ray.get(bref)
+        ids = batch["doc_id"].to_numpy()
+        flat, counts = tx.winnow_sets_batch(batch["text"].to_pylist())
+        hit = sg.sorted_member(bl, flat)
+        doc_of = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+        n_shared = np.bincount(doc_of[hit], minlength=len(counts))
+        # contaminated = fingerprint set >= 80% contained in the benchmark
+        # set (exact integer rule; single shared n-grams are collisions in
+        # a small vocabulary, not contamination)
+        contaminated = (counts > 0) & (100 * n_shared >= 80 * counts)
+        keep = ((ids % 23) != 7) & ~contaminated
+        return batch.filter(pa.array(keep))
+
+    surv = docs.map_batches(_drop_contaminated, batch_format="pyarrow").materialize()
+
+    pairs = dd.anchor_jaccard_pairs(
+        surv.select_columns(["doc_id", "text"]), "text", "doc_id",
+        threshold=0.3, num_partitions=16,
+    )
+    resolved = resolve_clusters_best(
+        surv.select_columns(["doc_id", "n_chars"]), "doc_id", "n_chars", pairs
+    )
+
+    def _losers(batch: pa.Table) -> pa.Table:
+        keep = np.asarray(batch["keep"].to_numpy(zero_copy_only=False), dtype=bool)
+        return pa.table({"doc_id": batch["doc_id"].filter(pa.array(~keep))})
+
+    lose = resolved.map_batches(_losers, batch_format="pyarrow").take_all()
+    dropped = np.unique(np.array([r["doc_id"] for r in lose], dtype=np.int64))
+    dref = _ray.put(dropped)
+
+    _empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "chunk_idx": pa.array([], pa.int64()),
+            "chunk_text": pa.array([], pa.string()),
+            "n_tokens": pa.array([], pa.int64()),
+        }
+    )
+
+    def _chunk_keepers(batch: pa.Table) -> pa.Table:
+        dr = _ray.get(dref)
+        ids = batch["doc_id"].to_numpy()
+        t = batch.filter(pa.array(~sg.sorted_member(dr, ids)))
+        cid, cidx, ctxt, ntok = tx.chunk_tokens(t["text"], t["doc_id"].to_numpy(), 32)
+        if len(cid) == 0:
+            return _empty
+        return pa.table(
+            {
+                "doc_id": pa.array(cid, pa.int64()),
+                "chunk_idx": pa.array(cidx, pa.int64()),
+                "chunk_text": ctxt,
+                "n_tokens": pa.array(ntok, pa.int64()),
+            }
+        )
+
+    return surv.map_batches(_chunk_keepers, batch_format="pyarrow")
