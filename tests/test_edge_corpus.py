@@ -46,6 +46,9 @@ QUERIES = [
     "token_count_bpe",
     "text_quality",
     "dedup_exact_docs",
+    "pagerank_neardup",
+    "triangle_counts_neardup",
+    "corpus_curation_v2",
 ]
 
 
