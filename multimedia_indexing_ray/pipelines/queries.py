@@ -4463,3 +4463,476 @@ def q_corpus_curation_v2(sf_dir: str):
         )
 
     return surv.map_batches(_chunk_keepers, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# sequence / distribution / scaling feature-engineering (session-3 widening)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "event_transition_probs",
+    """
+    WITH w AS (
+      SELECT user_id, event_type,
+        lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      FROM events),
+    c AS (SELECT prev_type, event_type, CAST(COUNT(*) AS BIGINT) AS n
+          FROM w WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+    SELECT prev_type, event_type, n,
+      CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY prev_type) AS DOUBLE) AS p
+    FROM c
+    """,
+)
+def q_event_transition_probs(sf_dir: str):
+    """First-order Markov transition matrix over per-user event-type
+    sequences — the behavioral-sequence feature (what follows what) that
+    session-prediction models consume; the sequence analog of the BoW
+    histogram (`aggregation/BowAggregator.java:39-74` counts unigrams;
+    this counts ordered bigrams).  ONE shuffle on user_id; each partition
+    kernel emits a <=K^2-row partial count table (K = #event types), so
+    the reduce is a coalesced in-block final (`_tiny_group_sum` pattern) —
+    the exchange after the keyed pass carries transition histograms, never
+    events.  p = n / row-total is one int/int double division, identical
+    on both sides."""
+    from multimedia_indexing_ray.stages.partition import map_partitions_by_key
+
+    ev = _rp(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    _empty = pa.table(
+        {
+            "prev_type": pa.array([], pa.string()),
+            "event_type": pa.array([], pa.string()),
+            "n": pa.array([], pa.int64()),
+        }
+    )
+
+    def kernel(table: pa.Table) -> pa.Table:
+        n = table.num_rows
+        if n == 0:
+            return _empty
+        uid = table["user_id"].to_numpy()
+        eid = table["event_id"].to_numpy()
+        ts = table["ts"].cast(pa.int64()).to_numpy()
+        types, code = np.unique(
+            table["event_type"].to_numpy(zero_copy_only=False), return_inverse=True
+        )
+        order = np.lexsort((eid, ts, uid))
+        su, sc = uid[order], code[order]
+        starts = sg.segment_starts(su)
+        has_prev = sg.rel_index(starts, n) > 0
+        prev = np.empty_like(sc)
+        prev[1:] = sc[:-1]
+        k = np.int64(len(types))
+        pair = prev[has_prev] * k + sc[has_prev]
+        cnt = np.bincount(pair, minlength=k * k)
+        nz = np.flatnonzero(cnt)
+        return pa.table(
+            {
+                "prev_type": pa.array(types[nz // k], pa.string()),
+                "event_type": pa.array(types[nz % k], pa.string()),
+                "n": pa.array(cnt[nz], pa.int64()),
+            }
+        )
+
+    def _final(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _empty.append_column("p", pa.array([], pa.float64()))
+        g = _pa_group_sum(t, ["prev_type", "event_type"], ["n"])
+        prev = g["prev_type"].to_numpy(zero_copy_only=False)
+        nn = g["n"].to_numpy()
+        uniq, inv = np.unique(prev, return_inverse=True)
+        tot = np.bincount(inv, weights=nn.astype(np.float64), minlength=len(uniq))
+        p = nn.astype(np.float64) / tot[inv]
+        return g.append_column("p", pa.array(p, pa.float64()))
+
+    partials = map_partitions_by_key(ev, "user_id", kernel, num_partitions=32)
+    return partials.repartition(1).map_batches(
+        _final, batch_format="pyarrow", batch_size=None
+    )
+
+
+@register(
+    "session_trigrams",
+    """
+    WITH g AS (
+      SELECT user_id, ts, event_id, event_type,
+        COALESCE(date_diff('microsecond',
+          lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts), 0) AS gap_us
+      FROM events),
+    s AS (
+      SELECT user_id, ts, event_id, event_type,
+        CAST(SUM(CASE WHEN gap_us > 1800000000 THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS session_id
+      FROM g),
+    w AS (
+      SELECT event_type,
+        lag(event_type, 2) OVER win AS t0, lag(event_type, 1) OVER win AS t1
+      FROM s WINDOW win AS (PARTITION BY user_id, session_id ORDER BY ts, event_id))
+    SELECT t0 || '>' || t1 || '>' || event_type AS trigram,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM w WHERE t0 IS NOT NULL GROUP BY 1
+    """,
+)
+def q_session_trigrams(sf_dir: str):
+    """Within-session event-type trigram counts — the n-gram sequence
+    vocabulary (order 3) a next-action model trains on, with session
+    boundaries (30-min inactivity, same rule as `sessionize_30m`) acting
+    as hard sequence breaks so no trigram spans a gap.  Same shape as
+    `event_transition_probs`: one keyed shuffle, per-partition counts on
+    integer trigram codes (base-K positional encoding), a <=K^3-row
+    partial per partition, coalesced final sum.  Trigram strings are
+    materialized only for the <=K^3 result rows."""
+    from multimedia_indexing_ray.stages.partition import map_partitions_by_key
+
+    ev = _rp(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    _empty = pa.table(
+        {"trigram": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+    )
+
+    def kernel(table: pa.Table) -> pa.Table:
+        n = table.num_rows
+        if n < 3:
+            return _empty
+        uid = table["user_id"].to_numpy()
+        eid = table["event_id"].to_numpy()
+        ts = table["ts"].cast(pa.int64()).to_numpy()
+        types, code = np.unique(
+            table["event_type"].to_numpy(zero_copy_only=False), return_inverse=True
+        )
+        order = np.lexsort((eid, ts, uid))
+        su, sc, st = uid[order], code[order], ts[order]
+        starts = sg.segment_starts(su)
+        rel = sg.rel_index(starts, n)
+        gap = np.empty(n, dtype=np.int64)
+        gap[0] = 0
+        gap[1:] = st[1:] - st[:-1]
+        gap[starts] = 0
+        brk = (rel == 0) | (gap > 1_800_000_000)  # new user or new session
+        # a trigram ending at i needs rows i-2, i-1, i in ONE session:
+        # no break at i or i-1 (row i-2 only needs to be in the session)
+        ok = np.zeros(n, dtype=bool)
+        ok[2:] = ~brk[2:] & ~brk[1:-1]
+        k = np.int64(len(types))
+        tri = sc[ok]
+        t1 = np.empty_like(sc)
+        t1[1:] = sc[:-1]
+        t0 = np.empty_like(sc)
+        t0[2:] = sc[:-2]
+        codes = t0[ok] * k * k + t1[ok] * k + tri
+        cnt = np.bincount(codes, minlength=k * k * k)
+        nz = np.flatnonzero(cnt)
+        lab = [
+            f"{types[c // (k * k)]}>{types[(c // k) % k]}>{types[c % k]}" for c in nz
+        ]
+        return pa.table(
+            {"trigram": pa.array(lab, pa.string()), "n": pa.array(cnt[nz], pa.int64())}
+        )
+
+    partials = map_partitions_by_key(ev, "user_id", kernel, num_partitions=32)
+    return _tiny_group_sum(partials, ["trigram"], ["n"])
+
+
+@register(
+    "minmax_scale_pit",
+    """
+    WITH b AS (SELECT MIN(ts) AS t0, MAX(ts) AS t1 FROM events),
+    tr AS (SELECT e.event_type, CAST(FLOOR(e.value*100+0.5) AS BIGINT) AS c
+           FROM events e, b
+           WHERE date_diff('microsecond', b.t0, e.ts) * 5
+                 <= date_diff('microsecond', b.t0, b.t1) * 4),
+    m AS (SELECT event_type, MIN(c) AS vmin, MAX(c) AS vmax FROM tr GROUP BY 1)
+    SELECT e.event_id, e.event_type,
+      CASE WHEN m.vmax > m.vmin THEN
+        (CAST(FLOOR(e.value*100+0.5) AS BIGINT) - m.vmin) * 1000000
+          // (m.vmax - m.vmin)
+      END AS value_scaled_ppm
+    FROM events e LEFT JOIN m USING (event_type)
+    """,
+)
+def q_minmax_scale_pit(sf_dir: str):
+    """Leakage-free min-max scaling: the scaler is FIT on the temporal
+    train window only (first 80% of the global time range — an integer
+    5/4 cross-multiplication rule, no float quantile) and APPLIED to every
+    row, so test-period extremes never leak into the transform — the
+    fit/transform split every training pipeline needs (sklearn's
+    fit-on-train discipline, expressed as two broadcast lookups).  Scaled
+    value is integer parts-per-million via floor division: bit-exact both
+    sides, monotone, and NULL when the type has a degenerate (or absent)
+    train range.  Two tiny aggregate passes (global ts bounds via
+    min/max partials; per-type cents bounds on the train window) feed a
+    K-entry broadcast map; the full pass is shuffle-free."""
+    ev = _rp(sf_dir, "events", ["event_id", "ts", "event_type", "value"])
+
+    def _ts_bounds(batch: pa.Table) -> pa.Table:
+        t = batch["ts"].cast(pa.int64()).to_numpy()
+        if len(t) == 0:
+            return pa.table({"t0": pa.array([], pa.int64()), "t1": pa.array([], pa.int64())})
+        return pa.table({"t0": pa.array([t.min()], pa.int64()), "t1": pa.array([t.max()], pa.int64())})
+
+    parts = ev.map_batches(_ts_bounds, batch_format="pyarrow").take_all()
+    t0 = min(r["t0"] for r in parts)
+    t1 = max(r["t1"] for r in parts)
+
+    def _train_minmax(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.int64()).to_numpy()
+        keep = (ts - t0) * 5 <= (t1 - t0) * 4
+        if not keep.any():
+            return pa.table(
+                {
+                    "event_type": pa.array([], pa.string()),
+                    "vmin": pa.array([], pa.int64()),
+                    "vmax": pa.array([], pa.int64()),
+                }
+            )
+        et = batch["event_type"].to_numpy(zero_copy_only=False)[keep]
+        c = _cents(batch["value"].to_numpy(zero_copy_only=False)[keep]).astype(np.int64)
+        types, inv = np.unique(et, return_inverse=True)
+        vmin = np.full(len(types), np.iinfo(np.int64).max)
+        vmax = np.full(len(types), np.iinfo(np.int64).min)
+        np.minimum.at(vmin, inv, c)
+        np.maximum.at(vmax, inv, c)
+        return pa.table(
+            {
+                "event_type": pa.array(types, pa.string()),
+                "vmin": pa.array(vmin, pa.int64()),
+                "vmax": pa.array(vmax, pa.int64()),
+            }
+        )
+
+    mm: "dict[str, tuple[int, int]]" = {}
+    for r in ev.map_batches(_train_minmax, batch_format="pyarrow").take_all():
+        lo, hi = mm.get(r["event_type"], (np.iinfo(np.int64).max, np.iinfo(np.int64).min))
+        mm[r["event_type"]] = (min(lo, r["vmin"]), max(hi, r["vmax"]))
+    types_s = np.array(sorted(mm), dtype=object)
+    vmin_s = np.array([mm[t][0] for t in types_s], dtype=np.int64)
+    vmax_s = np.array([mm[t][1] for t in types_s], dtype=np.int64)
+
+    def _scale(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        c = _cents(batch["value"].to_numpy(zero_copy_only=False)).astype(np.int64)
+        idx = np.searchsorted(types_s, et)
+        idx_c = np.clip(idx, 0, len(types_s) - 1)
+        known = (len(types_s) > 0) & (types_s[idx_c] == et)
+        lo, hi = vmin_s[idx_c], vmax_s[idx_c]
+        ok = known & (hi > lo)
+        rng = np.where(hi > lo, hi - lo, 1)
+        # DuckDB's integer // truncates toward zero (measured: -7//2 = -3);
+        # numpy floor-divides — truncate explicitly so test-window values
+        # below the train minimum (negative numerators) agree bit-for-bit
+        num = (c - lo) * 1_000_000
+        scaled = np.sign(num) * (np.abs(num) // rng)
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "event_type": batch["event_type"],
+                "value_scaled_ppm": pa.array(scaled, pa.int64(), mask=~ok),
+            }
+        )
+
+    return ev.map_batches(_scale, batch_format="pyarrow")
+
+
+@register(
+    "tfidf_top_terms",
+    r"""
+    WITH t2 AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS tok
+                FROM documents),
+    tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM t2 GROUP BY 1, 2),
+    df AS (SELECT tok, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM t2 GROUP BY 1),
+    s AS (SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+            tf.tf * 1000000 // df.df AS score,
+            row_number() OVER (PARTITION BY tf.doc_id
+                               ORDER BY tf.tf * 1000000 // df.df DESC, tf.tok) AS rk
+          FROM tf JOIN df USING (tok))
+    SELECT doc_id, tok AS term, tf, df, score FROM s WHERE rk <= 3
+    """,
+)
+def q_tfidf_top_terms(sf_dir: str):
+    """Top-3 characteristic terms per document by an integer tf-idf
+    surrogate (tf * 1e6 // df — same ORDERING as tf*idf for a fixed
+    corpus, with floor division instead of a log so both engines agree
+    bit-for-bit; ties broken by term).  The document-frequency table is
+    vocabulary-sized: built with the same per-batch partial/keyed-reduce
+    as `inverted_index_terms`, then collected and broadcast, so the
+    scoring pass is shuffle-free — each batch tokenizes, counts per-doc
+    tf, looks df up in the sorted vocab (one searchsorted), and keeps 3
+    rows per doc via one lexsort.  The corpus text never crosses the
+    wire.  Keyword-extraction analog of the BoW pipeline
+    (`aggregation/BowAggregator.java:39-74` with idf weighting)."""
+    from multimedia_indexing_ray.stages.partition import map_partitions_by_key
+
+    docs = _rp(sf_dir, "documents", ["doc_id", "text"])
+
+    _dfempty = pa.table(
+        {"term": pa.array([], pa.string()), "df": pa.array([], pa.int64())}
+    )
+
+    def _df_partial(batch: pa.Table) -> pa.Table:
+        flat, counts = tx.flat_tokens(batch["text"])
+        if len(flat) == 0:
+            return _dfempty
+        doc_of = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+        uniq, tok_id = np.unique(flat, return_inverse=True)
+        nv = np.int64(len(uniq))
+        dfc = np.bincount(
+            np.unique(doc_of * nv + tok_id) % nv, minlength=len(uniq)
+        ).astype(np.int64)
+        return pa.table({"term": pa.array(uniq, pa.string()), "df": pa.array(dfc, pa.int64())})
+
+    def _df_reduce(t: pa.Table) -> pa.Table:
+        return _pa_group_sum(t, ["term"], ["df"]) if t.num_rows else _dfempty
+
+    df_rows = map_partitions_by_key(
+        docs.map_batches(_df_partial, batch_format="pyarrow"), "term", _df_reduce,
+        num_partitions=8,
+    ).take_all()
+    vocab = np.array(sorted(r["term"] for r in df_rows), dtype=object)
+    dfmap = {r["term"]: r["df"] for r in df_rows}
+    dfv = np.array([dfmap[t] for t in vocab], dtype=np.int64)
+
+    _empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "term": pa.array([], pa.string()),
+            "tf": pa.array([], pa.int64()),
+            "df": pa.array([], pa.int64()),
+            "score": pa.array([], pa.int64()),
+        }
+    )
+
+    def _score(batch: pa.Table) -> pa.Table:
+        flat, counts = tx.flat_tokens(batch["text"])
+        if len(flat) == 0:
+            return _empty
+        ids = batch["doc_id"].to_numpy()
+        doc_of = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+        tok_id = np.searchsorted(vocab, flat)
+        nv = np.int64(len(vocab))
+        pair, tf = np.unique(doc_of * nv + tok_id, return_counts=True)
+        d, t = pair // nv, pair % nv
+        score = tf.astype(np.int64) * 1_000_000 // dfv[t]
+        order = np.lexsort((vocab[t], -score, d))
+        ds_, ts_, score_s = d[order], t[order], score[order]
+        starts = sg.segment_starts(ds_)
+        keep = sg.rel_index(starts, len(ds_)) < 3
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[ds_[keep]], pa.int64()),
+                "term": pa.array(vocab[ts_[keep]], pa.string()),
+                "tf": pa.array(tf[order][keep].astype(np.int64), pa.int64()),
+                "df": pa.array(dfv[ts_[keep]], pa.int64()),
+                "score": pa.array(score_s[keep], pa.int64()),
+            }
+        )
+
+    return docs.map_batches(_score, batch_format="pyarrow")
+
+
+@register(
+    "gini_by_type",
+    """
+    WITH v AS (SELECT event_type, CAST(FLOOR(value*100+0.5) AS BIGINT) AS c
+               FROM events),
+    r AS (SELECT event_type, c,
+            CAST(row_number() OVER (PARTITION BY event_type ORDER BY c) AS BIGINT) AS i
+          FROM v),
+    a AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(SUM(c) AS BIGINT) AS sum_cents,
+            CAST(SUM(i*c) AS BIGINT) AS rank_weighted_sum
+          FROM r GROUP BY 1)
+    SELECT event_type, n, sum_cents, rank_weighted_sum,
+      CASE WHEN n * sum_cents != 0 THEN
+        CAST(2*rank_weighted_sum - (n+1)*sum_cents AS DOUBLE)
+          / CAST(n * sum_cents AS DOUBLE)
+      END AS gini
+    FROM a
+    """,
+)
+def q_gini_by_type(sf_dir: str):
+    """Gini concentration coefficient of spend per event type — the
+    inequality/skew feature (is revenue driven by a few whale events?)
+    computed WITHOUT a global per-type sort: per-batch (type, cents)
+    histogram partials, one keyed shuffle of histogram rows, and a
+    closed-form rank-weighted sum over each type's sorted distinct values
+    (a run of m equal values x after r0 predecessors contributes
+    x*(m*r0 + m(m+1)/2) — tie order never matters, so the histogram
+    identity is exact).  All accumulators are int64 (bounded by
+    n^2*max_cents; overflow-guarded); gini itself is ONE double division
+    of <2^53 integers, bit-identical to the SQL window formulation."""
+    from multimedia_indexing_ray.stages.partition import map_partitions_by_key
+
+    ev = _rp(sf_dir, "events", ["event_type", "value"])
+
+    _hempty = pa.table(
+        {
+            "event_type": pa.array([], pa.string()),
+            "c": pa.array([], pa.int64()),
+            "cnt": pa.array([], pa.int64()),
+        }
+    )
+
+    def _hist(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _hempty
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        c = _cents(batch["value"].to_numpy(zero_copy_only=False)).astype(np.int64)
+        types, tcode = np.unique(et, return_inverse=True)
+        order = np.lexsort((c, tcode))
+        tc, cs = tcode[order], c[order]
+        bounds = np.flatnonzero(np.r_[True, (tc[1:] != tc[:-1]) | (cs[1:] != cs[:-1])])
+        cnt = np.diff(np.r_[bounds, len(tc)]).astype(np.int64)
+        return pa.table(
+            {
+                "event_type": pa.array(types[tc[bounds]], pa.string()),
+                "c": pa.array(cs[bounds], pa.int64()),
+                "cnt": pa.array(cnt, pa.int64()),
+            }
+        )
+
+    _gempty = pa.table(
+        {
+            "event_type": pa.array([], pa.string()),
+            "n": pa.array([], pa.int64()),
+            "sum_cents": pa.array([], pa.int64()),
+            "rank_weighted_sum": pa.array([], pa.int64()),
+            "gini": pa.array([], pa.float64()),
+        }
+    )
+
+    def _finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _gempty
+        g = _pa_group_sum(t, ["event_type", "c"], ["cnt"])
+        et = g["event_type"].to_numpy(zero_copy_only=False)
+        c = g["c"].to_numpy()
+        m = g["cnt"].to_numpy()
+        order = np.lexsort((c, et))
+        et, c, m = et[order], c[order], m[order]
+        starts = sg.segment_starts(et)
+        nseg = len(starts)
+        # r0 = items of this type strictly before each run
+        cum = np.concatenate([[0], np.cumsum(m)[:-1]])
+        seg_base = np.repeat(cum[starts], sg.segment_counts(starts, len(et)))
+        r0 = cum - seg_base
+        contrib = c * (m * r0 + m * (m + 1) // 2)
+        n = np.add.reduceat(m, starts)
+        sum_c = np.add.reduceat(c * m, starts)
+        sum_ic = np.add.reduceat(contrib, starts)
+        num = (2 * sum_ic - (n + 1) * sum_c).astype(np.float64)
+        den = (n * sum_c).astype(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            gini = num / den
+        return pa.table(
+            {
+                "event_type": pa.array(et[starts], pa.string()),
+                "n": pa.array(n, pa.int64()),
+                "sum_cents": pa.array(sum_c, pa.int64()),
+                "rank_weighted_sum": pa.array(sum_ic, pa.int64()),
+                "gini": pa.array(gini, pa.float64(), mask=(den == 0)),
+            }
+        )
+
+    partials = ev.map_batches(_hist, batch_format="pyarrow")
+    return map_partitions_by_key(partials, "event_type", _finish, num_partitions=8)
