@@ -4936,3 +4936,216 @@ def q_gini_by_type(sf_dir: str):
 
     partials = ev.map_batches(_hist, batch_format="pyarrow")
     return map_partitions_by_key(partials, "event_type", _finish, num_partitions=8)
+
+
+@register(
+    "calendar_features",
+    """
+    SELECT event_id,
+      ((epoch_us(ts) // 86400000000 + 3) % 7) + 1 AS dow_iso,
+      (epoch_us(ts) % 86400000000) // 3600000000 AS hour_utc,
+      CAST(date_part('month', ts) AS BIGINT) AS month,
+      ((epoch_us(ts) // 86400000000 + 3) % 7) + 1 >= 6 AS is_weekend
+    FROM events
+    """,
+)
+def q_calendar_features(sf_dir: str):
+    """Calendar one-hot precursors (ISO day-of-week, UTC hour, month,
+    weekend flag) — the seasonality features every tabular model gets
+    first.  Day-of-week and hour are PURE integer arithmetic on epoch
+    microseconds (1970-01-01 is a Thursday, hence the +3 fold) so no
+    calendar-kernel convention (Sunday-0 vs Monday-0) can diverge between
+    engines; month uses the Gregorian kernel on both sides.  Shuffle-free
+    single pass."""
+    ev = _rp(sf_dir, "events", ["event_id", "ts"])
+
+    DAY = 86_400_000_000
+    HOUR = 3_600_000_000
+
+    def _cal(batch: pa.Table) -> pa.Table:
+        us = batch["ts"].cast(pa.int64()).to_numpy()
+        dow = (us // DAY + 3) % 7 + 1
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "dow_iso": pa.array(dow, pa.int64()),
+                "hour_utc": pa.array(us % DAY // HOUR, pa.int64()),
+                "month": pc.month(batch["ts"]).cast(pa.int64()),
+                "is_weekend": pa.array(dow >= 6, pa.bool_()),
+            }
+        )
+
+    return ev.map_batches(_cal, batch_format="pyarrow")
+
+
+@register(
+    "daily_user_spend_rank",
+    """
+    WITH d AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day_idx,
+                 CAST(SUM(CAST(FLOOR(value*100+0.5) AS BIGINT)) AS BIGINT)
+                   AS spend_cents
+               FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+    SELECT user_id, day_idx, spend_cents,
+      CAST(row_number() OVER (PARTITION BY day_idx
+                              ORDER BY spend_cents DESC, user_id) AS BIGINT)
+        AS spend_rank
+    FROM d
+    """,
+)
+def q_daily_user_spend_rank(sf_dir: str):
+    """Daily leaderboard position: each purchasing user's rank among ALL
+    users that day by purchase spend — the cross-entity competitive
+    feature (within-entity windows can't see it; this ranks ACROSS
+    entities per time bucket).  Per-batch (user, day) partial cent sums
+    shrink the exchange to the aggregate's cardinality, then ONE keyed
+    shuffle on day_idx and a per-partition lexsort ranks each day's
+    cohort; tie rule (spend DESC, user ASC) is total, so row_number is
+    deterministic on both sides."""
+    from multimedia_indexing_ray.stages.partition import map_partitions_by_key
+
+    ev = _rp(sf_dir, "events", ["user_id", "ts", "event_type", "value"])
+    DAY = 86_400_000_000
+
+    _pempty = pa.table(
+        {
+            "user_id": pa.array([], pa.int64()),
+            "day_idx": pa.array([], pa.int64()),
+            "spend_cents": pa.array([], pa.int64()),
+        }
+    )
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        sel = pc.equal(batch["event_type"], "purchase")
+        t = batch.filter(sel)
+        if t.num_rows == 0:
+            return _pempty
+        uid = t["user_id"].to_numpy()
+        day = t["ts"].cast(pa.int64()).to_numpy() // DAY
+        c = _cents(t["value"].to_numpy(zero_copy_only=False)).astype(np.int64)
+        order = np.lexsort((day, uid))
+        u, d_, cs = uid[order], day[order], c[order]
+        bounds = np.flatnonzero(np.r_[True, (u[1:] != u[:-1]) | (d_[1:] != d_[:-1])])
+        sums = np.add.reduceat(cs, bounds)
+        return pa.table(
+            {
+                "user_id": pa.array(u[bounds], pa.int64()),
+                "day_idx": pa.array(d_[bounds], pa.int64()),
+                "spend_cents": pa.array(sums, pa.int64()),
+            }
+        )
+
+    def _rank(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _pempty.append_column("spend_rank", pa.array([], pa.int64()))
+        g = _pa_group_sum(t, ["user_id", "day_idx"], ["spend_cents"])
+        u = g["user_id"].to_numpy()
+        d_ = g["day_idx"].to_numpy()
+        s = g["spend_cents"].to_numpy()
+        order = np.lexsort((u, -s, d_))
+        starts = sg.segment_starts(d_[order])
+        rk = sg.rel_index(starts, len(d_)) + 1
+        return pa.table(
+            {
+                "user_id": pa.array(u[order], pa.int64()),
+                "day_idx": pa.array(d_[order], pa.int64()),
+                "spend_cents": pa.array(s[order], pa.int64()),
+                "spend_rank": pa.array(rk.astype(np.int64), pa.int64()),
+            }
+        )
+
+    partials = ev.map_batches(_partial, batch_format="pyarrow")
+    return map_partitions_by_key(partials, "day_idx", _rank, num_partitions=16)
+
+
+@register(
+    "user_session_profile",
+    """
+    WITH g AS (
+      SELECT user_id, ts, event_id,
+        COALESCE(date_diff('microsecond',
+          lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts), 0) AS gap_us
+      FROM events),
+    s AS (
+      SELECT user_id, ts,
+        CAST(SUM(CASE WHEN gap_us > 1800000000 THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS session_id
+      FROM g),
+    per_sess AS (
+      SELECT user_id, session_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+        date_diff('microsecond', MIN(ts), MAX(ts)) AS dur_us
+      FROM s GROUP BY 1, 2)
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+      CAST(SUM(n_events) AS BIGINT) AS n_events,
+      CAST(SUM(n_events) AS DOUBLE) / COUNT(*) AS events_per_session,
+      CAST(SUM(dur_us) AS BIGINT) AS total_session_us,
+      CAST(SUM(dur_us) AS DOUBLE) / COUNT(*) AS mean_session_us
+    FROM per_sess GROUP BY 1
+    """,
+)
+def q_user_session_profile(sf_dir: str):
+    """Per-user engagement profile rolled up from 30-min sessions
+    (n_sessions, events/session, mean session duration) — the
+    user-granularity aggregate of `session_stats_30m`, i.e. the feature
+    row a churn model consumes per entity.  ONE shuffle on user_id and a
+    single kernel does sessionization AND both rollup levels with
+    segment reduceats (the SQL needs two grouped subqueries); the means
+    are single int/int divisions of exact sums."""
+    from multimedia_indexing_ray.stages.partition import map_partitions_by_key
+
+    ev = _rp(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    _empty = pa.table(
+        {
+            "user_id": pa.array([], pa.int64()),
+            "n_sessions": pa.array([], pa.int64()),
+            "n_events": pa.array([], pa.int64()),
+            "events_per_session": pa.array([], pa.float64()),
+            "total_session_us": pa.array([], pa.int64()),
+            "mean_session_us": pa.array([], pa.float64()),
+        }
+    )
+
+    def kernel(table: pa.Table) -> pa.Table:
+        n = table.num_rows
+        if n == 0:
+            return _empty
+        uid = table["user_id"].to_numpy()
+        eid = table["event_id"].to_numpy()
+        ts = table["ts"].cast(pa.int64()).to_numpy()
+        order = np.lexsort((eid, ts, uid))
+        su, st = uid[order], ts[order]
+        ustarts = sg.segment_starts(su)
+        rel = sg.rel_index(ustarts, n)
+        gap = np.empty(n, dtype=np.int64)
+        gap[0] = 0
+        gap[1:] = st[1:] - st[:-1]
+        gap[ustarts] = 0
+        sess_start = (rel == 0) | (gap > 1_800_000_000)
+        sstarts = np.flatnonzero(sess_start)
+        scounts = np.diff(np.r_[sstarts, n]).astype(np.int64)
+        # duration per session = last ts - first ts (sorted, so max=last)
+        last = np.r_[sstarts[1:] - 1, n - 1]
+        dur = st[last] - st[sstarts]
+        # roll sessions up to users: sessions belong to the user at their
+        # first row; users are contiguous, so reduceat over user bounds
+        sess_user = su[sstarts]
+        ub = sg.segment_starts(sess_user)
+        n_sessions = sg.segment_counts(ub, len(sess_user)).astype(np.int64)
+        n_events = np.add.reduceat(scounts, ub)
+        total_dur = np.add.reduceat(dur, ub)
+        return pa.table(
+            {
+                "user_id": pa.array(sess_user[ub], pa.int64()),
+                "n_sessions": pa.array(n_sessions, pa.int64()),
+                "n_events": pa.array(n_events, pa.int64()),
+                "events_per_session": pa.array(
+                    n_events.astype(np.float64) / n_sessions, pa.float64()
+                ),
+                "total_session_us": pa.array(total_dur, pa.int64()),
+                "mean_session_us": pa.array(
+                    total_dur.astype(np.float64) / n_sessions, pa.float64()
+                ),
+            }
+        )
+
+    return map_partitions_by_key(ev, "user_id", kernel, num_partitions=32)
