@@ -5149,3 +5149,33 @@ def q_user_session_profile(sf_dir: str):
         )
 
     return map_partitions_by_key(ev, "user_id", kernel, num_partitions=32)
+
+
+@register(
+    "media_phash_dups",
+    """
+    SELECT 'q-' || lpad(CAST(i AS VARCHAR), 4, '0') AS media_id_a,
+           'q-' || lpad(CAST(i + 120 AS VARCHAR), 4, '0') AS media_id_b
+    FROM range(0, 120) t(i)
+    """,
+)
+def q_media_phash_dups(sf_dir: str):
+    """Image near-duplicate detection by perceptual hash over REAL image
+    bytes: decode PNM (pure-numpy codec) -> 9x8 luma dHash -> exact-hash
+    bucket pairs — what byte-level `dedup_exact_docs` cannot catch (the
+    planted duplicates re-encode the same raster with different header
+    metadata, so every payload hash differs; only the DECODED pixels
+    match).  The oracle is the planted ground truth, derivable from ids
+    alone (pair (i, i+120) for each of 120 bases): hash-green iff the
+    decode + hash + bucket pipeline recovers exactly the planted pairs
+    with no collisions among the 120 distinct random rasters.  Payload
+    bytes never cross an exchange — only (id, hash) rows shuffle."""
+    import ray.data as rd
+
+    from multimedia_indexing_ray.stages.multimodal import (
+        media_phash_pairs,
+        synthetic_dup_ppm_table,
+    )
+
+    media = rd.from_arrow(synthetic_dup_ppm_table(120, seed=7))
+    return media_phash_pairs(media, concurrency=2, num_partitions=8)

@@ -26,12 +26,15 @@ tolerant decode, rescale, feature-extract
 from __future__ import annotations
 
 import hashlib
+import logging
 from typing import Optional
 
 import numpy as np
 import pyarrow as pa
 
 import ray.data
+
+logger = logging.getLogger(__name__)
 
 MEDIA_SCHEMA = pa.schema(
     [
@@ -231,22 +234,36 @@ def decode_and_featurize(
         batch_size=batch_size,
         concurrency=(1, concurrency),
         fn_constructor_kwargs={"codec": codec},
+        # pickle-by-value package => ctor payload lives in the object
+        # store; restarts can't recover a lost payload (ray#53727) — let
+        # the pool replace dead actors instead
+        max_restarts=0,
     )
     return decoded.map_batches(
         MediaFeaturizer,
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=(1, concurrency),
+        max_restarts=0,
     )
 
 
-def make_ppm(width: int, height: int, seed: int = 0, gray: bool = False) -> bytes:
-    """Deterministic REAL PPM (P6) / PGM (P5) bytes for tests/benches."""
+def make_ppm(
+    width: int,
+    height: int,
+    seed: int = 0,
+    gray: bool = False,
+    comment: bytes = b"synthetic",
+) -> bytes:
+    """Deterministic REAL PPM (P6) / PGM (P5) bytes for tests/benches.
+    ``comment`` varies the header metadata without touching the raster —
+    the "same image, different file bytes" case (re-encoded / EXIF-stripped
+    copies) that perceptual dedup exists to catch."""
     rng = np.random.default_rng(seed)
     channels = 1 if gray else 3
     raster = rng.integers(0, 256, size=height * width * channels, dtype=np.uint8)
     magic = b"P5" if gray else b"P6"
-    header = magic + b"\n# synthetic\n%d %d\n255\n" % (width, height)
+    header = magic + b"\n# " + comment + b"\n%d %d\n255\n" % (width, height)
     return header + raster.tobytes()
 
 
@@ -291,3 +308,134 @@ def synthetic_media_table(n: int = 32, seed: int = 42) -> pa.Table:
             }
         )
     return pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# perceptual-hash image dedup (the image analog of §2.7 near-dup text ops)
+# --------------------------------------------------------------------------
+
+
+def dhash64(img: np.ndarray) -> int:
+    """64-bit difference hash (dHash): resize to 9x8 luma, take the sign
+    of each horizontal gradient (public algorithm — Krawetz, "Kind of
+    Like That", hackerfactor 2013).  Invariant to uniform re-encoding of
+    identical rasters by construction: identical pixels -> identical
+    floats -> identical bits."""
+    g = resize_bilinear(img, 8, 9)
+    bits = (g[:, 1:] > g[:, :-1]).ravel()
+    packed = np.packbits(bits)  # 8 bytes, bit 0 of hash = first gradient
+    return int.from_bytes(packed.tobytes(), "big", signed=True)
+
+
+def synthetic_dup_ppm_table(n_base: int = 120, seed: int = 7) -> pa.Table:
+    """Deterministic corpus with planted pixel-exact duplicate PAIRS:
+    row i in [0, n_base) is a base image; row n_base+i re-encodes the SAME
+    raster with different header metadata (different file bytes, same
+    pixels).  Ground truth is derivable from the ids alone — the oracle
+    for `media_phash_dups` is `(q-i, q-(n_base+i))` for every i."""
+    rows = []
+    for dup in (False, True):
+        for i in range(n_base):
+            w, h = 24 + (i % 5) * 8, 18 + (i % 3) * 10
+            comment = b"copy variant=2 encoder=b" if dup else b"synthetic"
+            payload = make_ppm(w, h, seed=seed + i, gray=(i % 4 == 0), comment=comment)
+            rows.append(
+                {
+                    "media_id": f"q-{(n_base + i) if dup else i:04d}",
+                    "media_type": "image",
+                    "payload": payload,
+                    "meta_width": w,
+                    "meta_height": h,
+                    "meta_duration_s": None,
+                }
+            )
+    return pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA)
+
+
+class MediaPHasher:
+    """Actor-pool stage: PNM payload -> (media_id, phash int64).
+
+    Decode is inherently per-payload (variable-size rasters), so the loop
+    is per image — the hash itself is 72 resized pixels, trivial next to
+    the decode.  Undecodable payloads are dropped here (they can't match
+    anything); the decode-error side channel is `decode_and_featurize`'s
+    job."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["media_id"].to_pylist()
+        out_ids, hashes = [], []
+        for mid, payload in zip(ids, batch["payload"].to_pylist()):
+            try:
+                img = decode_ppm_gray(payload)
+            except _PpmError:
+                continue
+            out_ids.append(mid)
+            hashes.append(dhash64(img))
+        return pa.table(
+            {
+                "media_id": pa.array(out_ids, pa.string()),
+                "phash": pa.array(hashes, pa.int64()),
+            }
+        )
+
+
+def media_phash_pairs(
+    ds: "ray.data.Dataset",
+    concurrency: int = 4,
+    num_partitions: int = 8,
+    bucket_cap: int = 64,
+) -> "ray.data.Dataset":
+    """Image near-dup pairs by EXACT perceptual-hash match: actor-pool
+    decode+hash (payload bytes never cross an exchange — only 16-byte
+    (id, hash) rows do), one keyed shuffle on phash, in-bucket sorted
+    pair emission.  Buckets over ``bucket_cap`` (mass-duplicated logos
+    at web scale) are dropped with a logged count, same policy as
+    `dedup.minhash_lsh_pairs`."""
+    from multimedia_indexing_ray.stages.partition import map_partitions_by_key
+
+    hashes = ds.map_batches(
+        MediaPHasher, batch_format="pyarrow", batch_size=64,
+        concurrency=(1, concurrency),
+        max_restarts=0,  # ray#53727, see decode_and_featurize
+    )
+
+    _empty = pa.table(
+        {
+            "media_id_a": pa.array([], pa.string()),
+            "media_id_b": pa.array([], pa.string()),
+        }
+    )
+
+    def _pairs(t: pa.Table) -> pa.Table:
+        if t.num_rows < 2:
+            return _empty
+        ph = t["phash"].to_numpy()
+        ids = np.asarray(t["media_id"].to_numpy(zero_copy_only=False), dtype=object)
+        order = np.lexsort((ids, ph))
+        ph, ids = ph[order], ids[order]
+        starts = np.flatnonzero(np.r_[True, ph[1:] != ph[:-1]])
+        counts = np.diff(np.r_[starts, len(ph)])
+        a_list, b_list, dropped = [], [], 0
+        for s, m in zip(starts, counts):
+            if m < 2:
+                continue
+            if m > bucket_cap:
+                dropped += 1
+                continue
+            grp = ids[s : s + m]
+            ia, ib = np.triu_indices(m, k=1)
+            a_list.append(grp[ia])
+            b_list.append(grp[ib])
+        if dropped:
+            logger.warning("media_phash_pairs: dropped %d oversize buckets (> %d)",
+                           dropped, bucket_cap)
+        if not a_list:
+            return _empty
+        return pa.table(
+            {
+                "media_id_a": pa.array(np.concatenate(a_list), pa.string()),
+                "media_id_b": pa.array(np.concatenate(b_list), pa.string()),
+            }
+        )
+
+    return map_partitions_by_key(hashes, "phash", _pairs, num_partitions=num_partitions)

@@ -117,3 +117,49 @@ def test_ppm_pipeline_end_to_end(ray_session):
     # real pixels: tile means are in [0,1] and not degenerate
     assert feats[:, :16].min() >= 0.0 and feats[:, :16].max() <= 1.0
     assert feats[:, :16].std() > 0.01
+
+
+def test_dhash64_metadata_invariant_and_discriminative():
+    from multimedia_indexing_ray.stages.multimodal import decode_ppm_gray, dhash64, make_ppm
+
+    a = make_ppm(40, 30, seed=3)
+    b = make_ppm(40, 30, seed=3, comment=b"different encoder pass")
+    c = make_ppm(40, 30, seed=4)
+    assert a != b  # file bytes differ...
+    assert dhash64(decode_ppm_gray(a)) == dhash64(decode_ppm_gray(b))  # ...pixels hash equal
+    assert dhash64(decode_ppm_gray(a)) != dhash64(decode_ppm_gray(c))
+
+
+def test_media_phash_pairs_drops_undecodable_and_caps_buckets(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from multimedia_indexing_ray.stages.multimodal import (
+        MEDIA_SCHEMA,
+        make_ppm,
+        media_phash_pairs,
+        synthetic_dup_ppm_table,
+    )
+
+    t = synthetic_dup_ppm_table(8, seed=11)
+    # plant one undecodable payload and a 5-copy bucket of one raster
+    extra = [
+        {"media_id": "bad-0", "media_type": "image", "payload": b"JUNK",
+         "meta_width": 1, "meta_height": 1, "meta_duration_s": None},
+    ] + [
+        {"media_id": f"mass-{j}", "media_type": "image",
+         "payload": make_ppm(20, 20, seed=99, comment=b"v%d" % j),
+         "meta_width": 20, "meta_height": 20, "meta_duration_s": None}
+        for j in range(5)
+    ]
+    full = pa.concat_tables([t, pa.Table.from_pylist(extra, schema=MEDIA_SCHEMA)])
+
+    out = media_phash_pairs(rd.from_arrow(full), num_partitions=4).to_pandas()
+    got = set(map(tuple, out[["media_id_a", "media_id_b"]].to_numpy()))
+    want = {(f"q-{i:04d}", f"q-{8 + i:04d}") for i in range(8)}
+    want |= {(f"mass-{i}", f"mass-{j}") for i in range(5) for j in range(i + 1, 5)}
+    assert got == want  # bad-0 silently dropped, mass bucket fully paired
+
+    capped = media_phash_pairs(rd.from_arrow(full), num_partitions=4, bucket_cap=3).to_pandas()
+    got_capped = set(map(tuple, capped[["media_id_a", "media_id_b"]].to_numpy()))
+    assert got_capped == {(f"q-{i:04d}", f"q-{8 + i:04d}") for i in range(8)}
