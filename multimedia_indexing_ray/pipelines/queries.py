@@ -5179,3 +5179,142 @@ def q_media_phash_dups(sf_dir: str):
 
     media = rd.from_arrow(synthetic_dup_ppm_table(120, seed=7))
     return media_phash_pairs(media, concurrency=2, num_partitions=8)
+
+
+@register(
+    "churn_label_7d",
+    """
+    SELECT event_id, user_id,
+      COALESCE(date_diff('microsecond', ts,
+        lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)), -1)
+        AS next_gap_us,
+      COALESCE(date_diff('microsecond', ts,
+        lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+          > 604800000000, TRUE) AS churned_7d
+    FROM events
+    """,
+)
+def q_churn_label_7d(sf_dir: str):
+    """Training-label generation: `churned_7d` is TRUE when the user has
+    NO further event within 7 days (including never returning) — the
+    standard churn target, built point-in-time-correctly from the lead
+    gap so each row's label uses only the next event's timestamp, never
+    aggregate future behavior.  One keyed shuffle; the kernel is a
+    segmented lead (`seg_lead` shape) with the last row of each user
+    getting the sentinel gap -1 / label TRUE."""
+    from multimedia_indexing_ray.stages.partition import map_partitions_by_key
+
+    ev = _rp(sf_dir, "events", ["event_id", "user_id", "ts"])
+    WEEK = 604_800_000_000
+
+    _empty = pa.table(
+        {
+            "event_id": pa.array([], pa.int64()),
+            "user_id": pa.array([], pa.int64()),
+            "next_gap_us": pa.array([], pa.int64()),
+            "churned_7d": pa.array([], pa.bool_()),
+        }
+    )
+
+    def kernel(table: pa.Table) -> pa.Table:
+        n = table.num_rows
+        if n == 0:
+            return _empty
+        uid = table["user_id"].to_numpy()
+        eid = table["event_id"].to_numpy()
+        ts = table["ts"].cast(pa.int64()).to_numpy()
+        order = np.lexsort((eid, ts, uid))
+        su, st = uid[order], ts[order]
+        starts = sg.segment_starts(su)
+        is_last = np.zeros(n, dtype=bool)
+        is_last[starts - 1] = True  # wraps: starts[0]-1 == -1 == last row
+        gap = np.full(n, -1, dtype=np.int64)
+        gap[~is_last] = st[1:][~is_last[:-1]] - st[~is_last]
+        return pa.table(
+            {
+                "event_id": pa.array(eid[order], pa.int64()),
+                "user_id": pa.array(su, pa.int64()),
+                "next_gap_us": pa.array(gap, pa.int64()),
+                "churned_7d": pa.array(is_last | (gap > WEEK), pa.bool_()),
+            }
+        )
+
+    return map_partitions_by_key(ev, "user_id", kernel, num_partitions=32)
+
+
+@register(
+    "spend_trend_per_user",
+    """
+    WITH f AS (SELECT user_id, MIN(ts) AS t0 FROM events GROUP BY 1),
+    v AS (SELECT e.user_id,
+            date_diff('microsecond', f.t0, e.ts) // 3600000000 AS th,
+            CAST(FLOOR(e.value*100+0.5) AS BIGINT) AS c
+          FROM events e JOIN f USING (user_id)),
+    a AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(SUM(th) AS BIGINT) AS sum_t, CAST(SUM(c) AS BIGINT) AS sum_x,
+            CAST(SUM(th*c) AS BIGINT) AS sum_tx,
+            CAST(SUM(th*th) AS BIGINT) AS sum_tt
+          FROM v GROUP BY 1)
+    SELECT user_id, n,
+      CASE WHEN n*sum_tt - sum_t*sum_t != 0 THEN
+        CAST(n*sum_tx - sum_t*sum_x AS DOUBLE)
+          / CAST(n*sum_tt - sum_t*sum_t AS DOUBLE)
+      END AS slope_cents_per_hour
+    FROM a
+    """,
+)
+def q_spend_trend_per_user(sf_dir: str):
+    """Per-user spend TREND: ordinary-least-squares slope of event value
+    (cents) against hours-since-first-event — the is-this-user-ramping-up
+    signal.  All four regression sums are exact int64 (hour-granular time
+    keeps n*sum_tx under 2^62 even at 100x this data; overflow margin
+    documented); the slope is ONE double division of two identically-
+    computed integers, so bit parity holds without any float-sum order
+    concerns.  One shuffle on user_id; the kernel fuses the min-ts pass
+    and the sums (the SQL needs a join against a grouped subquery)."""
+    from multimedia_indexing_ray.stages.partition import map_partitions_by_key
+
+    ev = _rp(sf_dir, "events", ["user_id", "ts", "value"])
+    HOUR = 3_600_000_000
+
+    _empty = pa.table(
+        {
+            "user_id": pa.array([], pa.int64()),
+            "n": pa.array([], pa.int64()),
+            "slope_cents_per_hour": pa.array([], pa.float64()),
+        }
+    )
+
+    def kernel(table: pa.Table) -> pa.Table:
+        if table.num_rows == 0:
+            return _empty
+        uid = table["user_id"].to_numpy()
+        ts = table["ts"].cast(pa.int64()).to_numpy()
+        c = _cents(table["value"].to_numpy(zero_copy_only=False)).astype(np.int64)
+        order = np.argsort(uid, kind="stable")
+        su, st, sc = uid[order], ts[order], c[order]
+        n_all = len(su)
+        starts = sg.segment_starts(su)
+        # rows are grouped by user but NOT time-sorted — segmented min, not
+        # first-row, gives each user's true t0
+        tmin = np.minimum.reduceat(st, starts)
+        t0 = np.repeat(tmin, sg.segment_counts(starts, n_all))
+        th = (st - t0) // HOUR
+        n = sg.segment_counts(starts, n_all).astype(np.int64)
+        sum_t = np.add.reduceat(th, starts)
+        sum_x = np.add.reduceat(sc, starts)
+        sum_tx = np.add.reduceat(th * sc, starts)
+        sum_tt = np.add.reduceat(th * th, starts)
+        num = (n * sum_tx - sum_t * sum_x).astype(np.float64)
+        den = (n * sum_tt - sum_t * sum_t).astype(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            slope = num / den
+        return pa.table(
+            {
+                "user_id": pa.array(su[starts], pa.int64()),
+                "n": pa.array(n, pa.int64()),
+                "slope_cents_per_hour": pa.array(slope, pa.float64(), mask=(den == 0)),
+            }
+        )
+
+    return map_partitions_by_key(ev, "user_id", kernel, num_partitions=32)
