@@ -56,6 +56,8 @@ BENCH_QUERIES = [
     "target_encode_user",  # leakage-free expanding-window encoder
     "rolling_minmax_1h",  # sparse-table RMQ sliding extrema
     "triangle_counts_neardup",  # wedge-join graph kernel
+    "daily_user_spend_rank",  # cross-entity leaderboard rank per day
+    "corpus_curation_v2",  # decontaminate -> best-copy dedup -> chunk, one pipeline
 ]
 
 # Per-query shuffle strategy, interleaved-A/B measured (2026-08-17, 32
