@@ -5318,3 +5318,138 @@ def q_spend_trend_per_user(sf_dir: str):
         )
 
     return map_partitions_by_key(ev, "user_id", kernel, num_partitions=32)
+
+
+@register(
+    "percentile_rank_value",
+    """
+    SELECT event_id,
+      percent_rank() OVER (PARTITION BY event_type
+                           ORDER BY CAST(FLOOR(value*100+0.5) AS BIGINT)) AS pr
+    FROM events
+    """,
+)
+def q_percentile_rank_value(sf_dir: str):
+    """Percentile-rank normalization of value within its event type —
+    the rank-based scaler (robust to outliers, uniform output) — computed
+    WITHOUT any sort or shuffle of the events: percent_rank with ties is
+    (count of strictly-smaller values) / (n-1), so a per-type cents
+    histogram (cardinality-bounded, built from per-batch partials and
+    coalesced) broadcast back to a second streaming pass gives every row
+    its rank via ONE searchsorted into the cumulative histogram.  The
+    division is int/int, bit-identical to the SQL window."""
+    ev = _rp(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def _hist(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        c = _cents(batch["value"].to_numpy(zero_copy_only=False)).astype(np.int64)
+        types, tcode = np.unique(et, return_inverse=True)
+        order = np.lexsort((c, tcode))
+        tc, cs = tcode[order], c[order]
+        bounds = np.flatnonzero(np.r_[True, (tc[1:] != tc[:-1]) | (cs[1:] != cs[:-1])])
+        cnt = np.diff(np.r_[bounds, len(tc)]).astype(np.int64)
+        return pa.table(
+            {
+                "event_type": pa.array(types[tc[bounds]], pa.string()),
+                "c": pa.array(cs[bounds], pa.int64()),
+                "cnt": pa.array(cnt, pa.int64()),
+            }
+        )
+
+    rows = ev.map_batches(_hist, batch_format="pyarrow").take_all()
+    agg: "dict[str, dict[int, int]]" = {}
+    for r in rows:
+        agg.setdefault(r["event_type"], {}).setdefault(r["c"], 0)
+        agg[r["event_type"]][r["c"]] += r["cnt"]
+    # per type: sorted distinct cents, count strictly below each, total n
+    hist = {}
+    for t, d in agg.items():
+        vals = np.array(sorted(d), dtype=np.int64)
+        cnts = np.array([d[v] for v in vals], dtype=np.int64)
+        below = np.concatenate([[0], np.cumsum(cnts)[:-1]])
+        hist[t] = (vals, below, int(cnts.sum()))
+
+    def _rank(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        c = _cents(batch["value"].to_numpy(zero_copy_only=False)).astype(np.int64)
+        pr = np.zeros(len(c), dtype=np.float64)
+        for t in np.unique(et):
+            m = et == t
+            vals, below, n = hist[t]
+            if n > 1:
+                idx = np.searchsorted(vals, c[m])
+                pr[m] = below[idx].astype(np.float64) / (n - 1)
+        return pa.table(
+            {"event_id": batch["event_id"], "pr": pa.array(pr, pa.float64())}
+        )
+
+    return ev.map_batches(_rank, batch_format="pyarrow")
+
+
+@register(
+    "term_cooccurrence",
+    r"""
+    WITH t2 AS (SELECT DISTINCT doc_id,
+                  unnest(regexp_extract_all(text, '\S+')) AS tok
+                FROM documents)
+    SELECT a.tok AS term_a, b.tok AS term_b, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM t2 a JOIN t2 b ON a.doc_id = b.doc_id AND a.tok < b.tok
+    GROUP BY 1, 2
+    """,
+)
+def q_term_cooccurrence(sf_dir: str):
+    """Term co-occurrence counts (document-level, distinct terms) — the
+    PMI-numerator / word-association table topic models and embedding
+    pretraining start from.  Each batch emits pair counts from its own
+    docs (pairs are vocabulary-bounded: V^2/2 rows max, not corpus-
+    bounded), then one keyed reduce on term_a sums partials; the SQL
+    needs a self-join of the exploded token table.  In-doc pair
+    generation is one triu_indices per doc over the SORTED distinct
+    term ids, so term_a < term_b holds by construction."""
+    from multimedia_indexing_ray.stages.partition import map_partitions_by_key
+
+    docs = _rp(sf_dir, "documents", ["doc_id", "text"])
+
+    _empty = pa.table(
+        {
+            "term_a": pa.array([], pa.string()),
+            "term_b": pa.array([], pa.string()),
+            "n_docs": pa.array([], pa.int64()),
+        }
+    )
+
+    def _pairs(batch: pa.Table) -> pa.Table:
+        flat, counts = tx.flat_tokens(batch["text"])
+        if len(flat) == 0:
+            return _empty
+        doc_of = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+        uniq, tok_id = np.unique(flat, return_inverse=True)
+        nv = np.int64(len(uniq))
+        dt = np.unique(doc_of * nv + tok_id)  # distinct (doc, term), sorted
+        dids, tids = dt // nv, dt % nv
+        starts = sg.segment_starts(dids)
+        cnts = sg.segment_counts(starts, len(dids))
+        pair_keys = []
+        for s, m in zip(starts, cnts):
+            if m < 2:
+                continue
+            t = tids[s : s + m]  # sorted ascending within the doc
+            ia, ib = np.triu_indices(m, k=1)
+            pair_keys.append(t[ia] * nv + t[ib])
+        if not pair_keys:
+            return _empty
+        keys, n = np.unique(np.concatenate(pair_keys), return_counts=True)
+        return pa.table(
+            {
+                "term_a": pa.array(uniq[keys // nv], pa.string()),
+                "term_b": pa.array(uniq[keys % nv], pa.string()),
+                "n_docs": pa.array(n.astype(np.int64), pa.int64()),
+            }
+        )
+
+    partials = docs.map_batches(_pairs, batch_format="pyarrow")
+    return map_partitions_by_key(
+        partials, "term_a",
+        lambda t: _pa_group_sum(t, ["term_a", "term_b"], ["n_docs"]) if t.num_rows else _empty,
+        num_partitions=8,
+    )
