@@ -49,6 +49,8 @@ QUERIES = [
     "pagerank_neardup",
     "triangle_counts_neardup",
     "corpus_curation_v2",
+    "tfidf_top_terms",
+    "term_cooccurrence",
 ]
 
 
