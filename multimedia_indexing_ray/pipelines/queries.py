@@ -4784,6 +4784,8 @@ def q_tfidf_top_terms(sf_dir: str):
     def _df_reduce(t: pa.Table) -> pa.Table:
         return _pa_group_sum(t, ["term"], ["df"]) if t.num_rows else _dfempty
 
+    import ray as _ray
+
     df_rows = map_partitions_by_key(
         docs.map_batches(_df_partial, batch_format="pyarrow"), "term", _df_reduce,
         num_partitions=8,
@@ -4791,6 +4793,9 @@ def q_tfidf_top_terms(sf_dir: str):
     vocab = np.array(sorted(r["term"] for r in df_rows), dtype=object)
     dfmap = {r["term"]: r["df"] for r in df_rows}
     dfv = np.array([dfmap[t] for t in vocab], dtype=np.int64)
+    # vocabulary-sized state: ship through the object store once, not in
+    # every task's pickled closure (web-scale vocab is 1e7 terms)
+    vref = _ray.put((vocab, dfv))
 
     _empty = pa.table(
         {
@@ -4803,6 +4808,7 @@ def q_tfidf_top_terms(sf_dir: str):
     )
 
     def _score(batch: pa.Table) -> pa.Table:
+        vocab, dfv = _ray.get(vref)
         flat, counts = tx.flat_tokens(batch["text"])
         if len(flat) == 0:
             return _empty
@@ -5356,26 +5362,42 @@ def q_percentile_rank_value(sf_dir: str):
             }
         )
 
+    import ray as _ray
+
     rows = ev.map_batches(_hist, batch_format="pyarrow").take_all()
     agg: "dict[str, dict[int, int]]" = {}
     for r in rows:
         agg.setdefault(r["event_type"], {}).setdefault(r["c"], 0)
         agg[r["event_type"]][r["c"]] += r["cnt"]
-    # per type: sorted distinct cents, count strictly below each, total n
+    # per type: sorted distinct cents, count strictly below each, total n.
+    # Histogram size is bounded by the VALUE GRID (distinct cents), not by
+    # the row count — ~10k/type here, ~1e6/type worst case for prices;
+    # broadcast once via the object store, never closure-captured
     hist = {}
+    n_entries = 0
     for t, d in agg.items():
         vals = np.array(sorted(d), dtype=np.int64)
         cnts = np.array([d[v] for v in vals], dtype=np.int64)
         below = np.concatenate([[0], np.cumsum(cnts)[:-1]])
         hist[t] = (vals, below, int(cnts.sum()))
+        n_entries += len(vals)
+    if n_entries > 5_000_000:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "percentile_rank_value: %d histogram entries — the value grid "
+            "is near-continuous; consider quantizing coarser", n_entries,
+        )
+    href = _ray.put(hist)
 
     def _rank(batch: pa.Table) -> pa.Table:
+        h = _ray.get(href)
         et = batch["event_type"].to_numpy(zero_copy_only=False)
         c = _cents(batch["value"].to_numpy(zero_copy_only=False)).astype(np.int64)
         pr = np.zeros(len(c), dtype=np.float64)
         for t in np.unique(et):
             m = et == t
-            vals, below, n = hist[t]
+            vals, below, n = h[t]
             if n > 1:
                 idx = np.searchsorted(vals, c[m])
                 pr[m] = below[idx].astype(np.float64) / (n - 1)
