@@ -5475,3 +5475,128 @@ def q_term_cooccurrence(sf_dir: str):
         lambda t: _pa_group_sum(t, ["term_a", "term_b"], ["n_docs"]) if t.num_rows else _empty,
         num_partitions=8,
     )
+
+
+@register(
+    "dataset_checksum",
+    """
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      bit_xor(list_reduce(
+        list_prepend(CAST(2166136261 AS BIGINT),
+          list_transform(split(CAST(event_id AS VARCHAR), ''), c -> ascii(c))),
+        (a, b) -> (xor(a, b) * 16777619) % 4294967296
+      )) AS id_checksum
+    FROM events GROUP BY 1
+    """,
+)
+def q_dataset_checksum(sf_dir: str):
+    """Order-independent content checksum per partition key (XOR-fold of
+    row FNV-1a hashes + row count) — the integrity gate a resumable
+    100-TB pipeline runs after a migration/restart to prove the output
+    matches without re-reading either side into one place: XOR is
+    commutative/associative, so per-batch partials merge in any order
+    under ANY partitioning.  Catches missing AND duplicated rows (count
+    catches same-row-twice; XOR catches substitutions).  Per-batch
+    partial (K rows) -> coalesced final; no shuffle."""
+    ev = _rp(sf_dir, "events", ["event_id", "event_type"])
+
+    _empty = pa.table(
+        {
+            "event_type": pa.array([], pa.string()),
+            "n": pa.array([], pa.int64()),
+            "id_checksum": pa.array([], pa.int64()),
+        }
+    )
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _empty
+        h = _fnv1a32(batch["event_id"].to_numpy()).astype(np.int64)
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        types, inv = np.unique(et, return_inverse=True)
+        n = np.bincount(inv, minlength=len(types)).astype(np.int64)
+        xs = np.zeros(len(types), dtype=np.int64)
+        np.bitwise_xor.at(xs, inv, h)
+        return pa.table(
+            {
+                "event_type": pa.array(types, pa.string()),
+                "n": pa.array(n, pa.int64()),
+                "id_checksum": pa.array(xs, pa.int64()),
+            }
+        )
+
+    def _final(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _empty
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        types, inv = np.unique(et, return_inverse=True)
+        n = np.zeros(len(types), dtype=np.int64)
+        np.add.at(n, inv, t["n"].to_numpy())
+        xs = np.zeros(len(types), dtype=np.int64)
+        np.bitwise_xor.at(xs, inv, t["id_checksum"].to_numpy())
+        return pa.table(
+            {
+                "event_type": pa.array(types, pa.string()),
+                "n": pa.array(n, pa.int64()),
+                "id_checksum": pa.array(xs, pa.int64()),
+            }
+        )
+
+    return (
+        ev.map_batches(_partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(_final, batch_format="pyarrow", batch_size=None)
+    )
+
+
+@register(
+    "bpe_pair_counts",
+    r"""
+    WITH toks AS (SELECT unnest(regexp_extract_all(text, '\S+')) AS tok
+                  FROM documents)
+    SELECT substring(tok, CAST(i AS INTEGER), 2) AS pair,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM toks, unnest(range(1, length(tok))) t(i)
+    WHERE length(tok) >= 2
+    GROUP BY 1
+    """,
+)
+def q_bpe_pair_counts(sf_dir: str):
+    """The first step of BPE tokenizer TRAINING: adjacent-codepoint pair
+    frequencies across all token occurrences (the argmax pair is the
+    first merge).  Fully vectorized — each batch joins its tokens with a
+    NUL separator, views the string as a uint32 codepoint array, masks
+    cross-token positions, and packs each pair into one int64 key
+    (cp1 << 21 | cp2); per-batch partials carry the PAIR VOCABULARY (not
+    the corpus), and one keyed reduce sums them.  Pair strings are
+    materialized only for result rows."""
+    from multimedia_indexing_ray.stages.partition import map_partitions_by_key
+
+    docs = _rp(sf_dir, "documents", ["text"])
+
+    _empty = pa.table(
+        {"pair": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+    )
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        flat, _ = tx.flat_tokens(batch["text"])
+        if len(flat) == 0:
+            return _empty
+        s = "\x00".join(flat)
+        cp = np.frombuffer(s.encode("utf-32-le"), dtype="<u4").astype(np.int64)
+        if len(cp) < 2:
+            return _empty
+        a, b = cp[:-1], cp[1:]
+        valid = (a != 0) & (b != 0)
+        keys, n = np.unique((a[valid] << 21) | b[valid], return_counts=True)
+        pairs = [chr(k >> 21) + chr(k & 0x1FFFFF) for k in keys]
+        return pa.table(
+            {"pair": pa.array(pairs, pa.string()), "n": pa.array(n.astype(np.int64), pa.int64())}
+        )
+
+    partials = docs.map_batches(_partial, batch_format="pyarrow")
+    return map_partitions_by_key(
+        partials, "pair",
+        lambda t: _pa_group_sum(t, ["pair"], ["n"]) if t.num_rows else _empty,
+        num_partitions=8,
+    )
