@@ -51,6 +51,7 @@ QUERIES = [
     "corpus_curation_v2",
     "tfidf_top_terms",
     "term_cooccurrence",
+    "bpe_pair_counts",
 ]
 
 
