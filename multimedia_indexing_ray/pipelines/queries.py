@@ -48,6 +48,12 @@ class Query:
     sql: Optional[str]  # None => driver records a weaker rows-only check
 
 
+# exchange-vs-coalesce rule for anchor-blocked Jaccard: below this many
+# docs the keyed exchange's fixed cost (~1-1.5s at 32 cpus) dwarfs the
+# kernel, so the identical kernel runs once in-process; the gate uses a
+# METADATA-ONLY parquet row count, so at scale nothing materializes
+_COALESCE_DOCS = 100_000
+
 REGISTRY: "Dict[str, Query]" = {}
 
 
@@ -2858,7 +2864,10 @@ def q_ngram_jaccard(sf_dir: str):
     blocks — shingle sets, never text, cross the ONE shuffle; fully
     SQL-oracled (replaces the round-1 corpus-broadcast verify)."""
     docs = _rp(sf_dir, "documents", ["doc_id", "text"])
-    return dd.anchor_jaccard_pairs(docs, "text", "doc_id", threshold=0.3, num_partitions=16)
+    return dd.anchor_jaccard_pairs(
+        docs, "text", "doc_id", threshold=0.3, num_partitions=16,
+        coalesce=docs.count() <= _COALESCE_DOCS,
+    )
 
 
 _NGRAM_PAIRS_CTE = r"""
@@ -2909,7 +2918,8 @@ def q_dedup_clusters(sf_dir: str):
 
     docs = _rp(sf_dir, "documents", ["doc_id", "text"])
     pairs = dd.anchor_jaccard_pairs(
-        docs, "text", "doc_id", threshold=0.3, num_partitions=16
+        docs, "text", "doc_id", threshold=0.3, num_partitions=16,
+        coalesce=docs.count() <= _COALESCE_DOCS,
     )
     return resolve_clusters(
         docs.select_columns(["doc_id"]), "doc_id", pairs, num_partitions=16
@@ -2955,6 +2965,7 @@ def q_dedup_canonical_best(sf_dir: str):
         "doc_id",
         threshold=0.3,
         num_partitions=16,
+        coalesce=docs.count() <= _COALESCE_DOCS,
     )
     return resolve_clusters_best(
         docs.select_columns(["doc_id", "n_chars"]), "doc_id", "n_chars", pairs
@@ -3971,7 +3982,8 @@ def q_pagerank_neardup(sf_dir: str):
 
     docs = _rp(sf_dir, "documents", ["doc_id", "text"])
     pairs = dd.anchor_jaccard_pairs(
-        docs, "text", "doc_id", threshold=0.3, num_partitions=16
+        docs, "text", "doc_id", threshold=0.3, num_partitions=16,
+        coalesce=docs.count() <= _COALESCE_DOCS,
     )
     return pagerank(pairs, rounds=3)
 
@@ -4074,7 +4086,8 @@ def q_triangle_counts_neardup(sf_dir: str):
 
     docs = _rp(sf_dir, "documents", ["doc_id", "text"])
     pairs = dd.anchor_jaccard_pairs(
-        docs, "text", "doc_id", threshold=0.3, num_partitions=16
+        docs, "text", "doc_id", threshold=0.3, num_partitions=16,
+        coalesce=docs.count() <= _COALESCE_DOCS,
     )
     return triangle_counts(pairs)
 
@@ -4424,6 +4437,7 @@ def q_corpus_curation_v2(sf_dir: str):
     pairs = dd.anchor_jaccard_pairs(
         surv.select_columns(["doc_id", "text"]), "text", "doc_id",
         threshold=0.3, num_partitions=16,
+        coalesce=surv.count() <= _COALESCE_DOCS,  # surv is materialized
     )
     resolved = resolve_clusters_best(
         surv.select_columns(["doc_id", "n_chars"]), "doc_id", "n_chars", pairs

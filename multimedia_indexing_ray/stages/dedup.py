@@ -758,11 +758,18 @@ def anchor_jaccard_pairs(
     num_partitions: int = DEFAULT_NUM_PARTITIONS,
     concurrency: int = 4,
     bucket_cap: "int | None" = None,
+    coalesce: bool = False,
 ) -> "ray.data.Dataset":
     """Exact n-gram-Jaccard near-dup pairs within anchor blocks: ONE
     shuffle on the anchor key, shingle SETS (never text) cross the wire,
     all-pairs verification inside blocks.  Replaces the round-1
     broadcast-the-whole-corpus verify (a driver-side materialization).
+
+    ``coalesce=True`` runs the identical kernel once in-process instead
+    of through the keyed exchange — for CANDIDATE-SIZED corpora where
+    the exchange's ~1-1.5s fixed cost dwarfs the kernel (same rule as
+    `_dedup_pairs`); callers gate it on a metadata-only row count, so
+    the at-scale path never materializes.
 
     ``bucket_cap`` defaults to None (NO cap): this operator is exact and
     SQL-oracled, and a cap would silently drop pairs the oracle computes.
@@ -848,6 +855,27 @@ def anchor_jaccard_pairs(
             }
         )
 
+    if coalesce:
+        import ray as _ray
+
+        import ray.data as _rd
+
+        tables = [
+            t
+            for t in _ray.get(sk.to_arrow_refs())
+            if t.num_rows  # empty Ray blocks can carry a FIELDLESS schema
+        ]
+        if not tables:
+            return _rd.from_arrow(
+                pa.table(
+                    {
+                        "a_id": pa.array([], pa.int64()),
+                        "b_id": pa.array([], pa.int64()),
+                        "jaccard": pa.array([], pa.float64()),
+                    }
+                )
+            )
+        return _rd.from_arrow(kernel(pa.concat_tables(tables)))
     return map_partitions_by_key(sk, "anchor", kernel, num_partitions)
 
 
