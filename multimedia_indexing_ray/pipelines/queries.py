@@ -4726,9 +4726,17 @@ def q_minmax_scale_pit(sf_dir: str):
     def _scale(batch: pa.Table) -> pa.Table:
         et = batch["event_type"].to_numpy(zero_copy_only=False)
         c = _cents(batch["value"].to_numpy(zero_copy_only=False)).astype(np.int64)
+        if len(types_s) == 0:  # no train rows at all -> every output NULL
+            return pa.table(
+                {
+                    "event_id": batch["event_id"],
+                    "event_type": batch["event_type"],
+                    "value_scaled_ppm": pa.array([None] * len(c), pa.int64()),
+                }
+            )
         idx = np.searchsorted(types_s, et)
         idx_c = np.clip(idx, 0, len(types_s) - 1)
-        known = (len(types_s) > 0) & (types_s[idx_c] == et)
+        known = types_s[idx_c] == et
         lo, hi = vmin_s[idx_c], vmax_s[idx_c]
         ok = known & (hi > lo)
         rng = np.where(hi > lo, hi - lo, 1)
@@ -4984,6 +4992,10 @@ def q_calendar_features(sf_dir: str):
 
     def _cal(batch: pa.Table) -> pa.Table:
         us = batch["ts"].cast(pa.int64()).to_numpy()
+        if np.any(us < 0):
+            # numpy floor-divides, DuckDB // truncates: pre-1970 timestamps
+            # would silently diverge — fail loudly instead
+            raise ValueError("calendar_features requires ts >= 1970-01-01")
         dow = (us // DAY + 3) % 7 + 1
         return pa.table(
             {
@@ -5040,7 +5052,10 @@ def q_daily_user_spend_rank(sf_dir: str):
         if t.num_rows == 0:
             return _pempty
         uid = t["user_id"].to_numpy()
-        day = t["ts"].cast(pa.int64()).to_numpy() // DAY
+        ts_us = t["ts"].cast(pa.int64()).to_numpy()
+        if np.any(ts_us < 0):
+            raise ValueError("daily_user_spend_rank requires ts >= 1970-01-01")
+        day = ts_us // DAY
         c = _cents(t["value"].to_numpy(zero_copy_only=False)).astype(np.int64)
         order = np.lexsort((day, uid))
         u, d_, cs = uid[order], day[order], c[order]
