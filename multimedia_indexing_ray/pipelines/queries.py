@@ -4484,6 +4484,42 @@ def q_corpus_curation_v2(sf_dir: str):
 # --------------------------------------------------------------------------
 
 
+_TYPE_CENTS_HEMPTY = pa.table(
+    {
+        "event_type": pa.array([], pa.string()),
+        "c": pa.array([], pa.int64()),
+        "cnt": pa.array([], pa.int64()),
+    }
+)
+
+
+def _type_cents_hist(batch: pa.Table) -> pa.Table:
+    """Per-batch (event_type, value_cents) histogram partial — shared by
+    the histogram-identity queries (gini, percentile rank)."""
+    if batch.num_rows == 0:
+        return _TYPE_CENTS_HEMPTY
+    et = batch["event_type"].to_numpy(zero_copy_only=False)
+    c = _cents(batch["value"].to_numpy(zero_copy_only=False)).astype(np.int64)
+    types, tcode = np.unique(et, return_inverse=True)
+    order = np.lexsort((c, tcode))
+    tc, cs = tcode[order], c[order]
+    bounds = np.flatnonzero(np.r_[True, (tc[1:] != tc[:-1]) | (cs[1:] != cs[:-1])])
+    cnt = np.diff(np.r_[bounds, len(tc)]).astype(np.int64)
+    return pa.table(
+        {
+            "event_type": pa.array(types[tc[bounds]], pa.string()),
+            "c": pa.array(cs[bounds], pa.int64()),
+            "cnt": pa.array(cnt, pa.int64()),
+        }
+    )
+
+
+# 30-minute inactivity sessionization rule shared by every session query
+# (sessionize_30m / session_stats / funnel / trigrams / user profile):
+# strict gap > threshold, reset at entity starts
+_SESSION_GAP_US = 1_800_000_000
+
+
 @register(
     "event_transition_probs",
     """
@@ -4619,11 +4655,8 @@ def q_session_trigrams(sf_dir: str):
         su, sc, st = uid[order], code[order], ts[order]
         starts = sg.segment_starts(su)
         rel = sg.rel_index(starts, n)
-        gap = np.empty(n, dtype=np.int64)
-        gap[0] = 0
-        gap[1:] = st[1:] - st[:-1]
-        gap[starts] = 0
-        brk = (rel == 0) | (gap > 1_800_000_000)  # new user or new session
+        gap = sg.seg_gap_us(st, starts)
+        brk = (rel == 0) | (gap > _SESSION_GAP_US)  # new user or new session
         # a trigram ending at i needs rows i-2, i-1, i in ONE session:
         # no break at i or i-1 (row i-2 only needs to be in the session)
         ok = np.zeros(n, dtype=bool)
@@ -4686,6 +4719,16 @@ def q_minmax_scale_pit(sf_dir: str):
         return pa.table({"t0": pa.array([t.min()], pa.int64()), "t1": pa.array([t.max()], pa.int64())})
 
     parts = ev.map_batches(_ts_bounds, batch_format="pyarrow").take_all()
+    if not parts:  # zero-row events table: SQL returns zero rows too
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "event_type": pa.array([], pa.string()),
+                    "value_scaled_ppm": pa.array([], pa.int64()),
+                }
+            )
+        )
     t0 = min(r["t0"] for r in parts)
     t1 = max(r["t1"] for r in parts)
 
@@ -4893,32 +4936,6 @@ def q_gini_by_type(sf_dir: str):
 
     ev = _rp(sf_dir, "events", ["event_type", "value"])
 
-    _hempty = pa.table(
-        {
-            "event_type": pa.array([], pa.string()),
-            "c": pa.array([], pa.int64()),
-            "cnt": pa.array([], pa.int64()),
-        }
-    )
-
-    def _hist(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return _hempty
-        et = batch["event_type"].to_numpy(zero_copy_only=False)
-        c = _cents(batch["value"].to_numpy(zero_copy_only=False)).astype(np.int64)
-        types, tcode = np.unique(et, return_inverse=True)
-        order = np.lexsort((c, tcode))
-        tc, cs = tcode[order], c[order]
-        bounds = np.flatnonzero(np.r_[True, (tc[1:] != tc[:-1]) | (cs[1:] != cs[:-1])])
-        cnt = np.diff(np.r_[bounds, len(tc)]).astype(np.int64)
-        return pa.table(
-            {
-                "event_type": pa.array(types[tc[bounds]], pa.string()),
-                "c": pa.array(cs[bounds], pa.int64()),
-                "cnt": pa.array(cnt, pa.int64()),
-            }
-        )
-
     _gempty = pa.table(
         {
             "event_type": pa.array([], pa.string()),
@@ -4962,7 +4979,7 @@ def q_gini_by_type(sf_dir: str):
             }
         )
 
-    partials = ev.map_batches(_hist, batch_format="pyarrow")
+    partials = ev.map_batches(_type_cents_hist, batch_format="pyarrow")
     return map_partitions_by_key(partials, "event_type", _finish, num_partitions=8)
 
 
@@ -5151,11 +5168,8 @@ def q_user_session_profile(sf_dir: str):
         su, st = uid[order], ts[order]
         ustarts = sg.segment_starts(su)
         rel = sg.rel_index(ustarts, n)
-        gap = np.empty(n, dtype=np.int64)
-        gap[0] = 0
-        gap[1:] = st[1:] - st[:-1]
-        gap[ustarts] = 0
-        sess_start = (rel == 0) | (gap > 1_800_000_000)
+        gap = sg.seg_gap_us(st, ustarts)
+        sess_start = (rel == 0) | (gap > _SESSION_GAP_US)
         sstarts = np.flatnonzero(sess_start)
         scounts = np.diff(np.r_[sstarts, n]).astype(np.int64)
         # duration per session = last ts - first ts (sorted, so max=last)
@@ -5375,25 +5389,9 @@ def q_percentile_rank_value(sf_dir: str):
     division is int/int, bit-identical to the SQL window."""
     ev = _rp(sf_dir, "events", ["event_id", "event_type", "value"])
 
-    def _hist(batch: pa.Table) -> pa.Table:
-        et = batch["event_type"].to_numpy(zero_copy_only=False)
-        c = _cents(batch["value"].to_numpy(zero_copy_only=False)).astype(np.int64)
-        types, tcode = np.unique(et, return_inverse=True)
-        order = np.lexsort((c, tcode))
-        tc, cs = tcode[order], c[order]
-        bounds = np.flatnonzero(np.r_[True, (tc[1:] != tc[:-1]) | (cs[1:] != cs[:-1])])
-        cnt = np.diff(np.r_[bounds, len(tc)]).astype(np.int64)
-        return pa.table(
-            {
-                "event_type": pa.array(types[tc[bounds]], pa.string()),
-                "c": pa.array(cs[bounds], pa.int64()),
-                "cnt": pa.array(cnt, pa.int64()),
-            }
-        )
-
     import ray as _ray
 
-    rows = ev.map_batches(_hist, batch_format="pyarrow").take_all()
+    rows = ev.map_batches(_type_cents_hist, batch_format="pyarrow").take_all()
     agg: "dict[str, dict[int, int]]" = {}
     for r in rows:
         agg.setdefault(r["event_type"], {}).setdefault(r["c"], 0)
@@ -5611,12 +5609,19 @@ def q_bpe_pair_counts(sf_dir: str):
         flat, _ = tx.flat_tokens(batch["text"])
         if len(flat) == 0:
             return _empty
-        s = "\x00".join(flat)
-        cp = np.frombuffer(s.encode("utf-32-le"), dtype="<u4").astype(np.int64)
+        # no join sentinel (a NUL inside a token would alias it): tokens
+        # concatenate directly and cross-token pairs are masked off via
+        # the cumulative token-length boundaries
+        lens = np.fromiter((len(t) for t in flat), dtype=np.int64, count=len(flat))
+        cp = np.frombuffer(
+            "".join(flat).encode("utf-32-le"), dtype="<u4"
+        ).astype(np.int64)
         if len(cp) < 2:
             return _empty
+        valid = np.ones(len(cp) - 1, dtype=bool)
+        bnd = np.cumsum(lens)[:-1]  # first codepoint index of tokens 1..k-1
+        valid[bnd - 1] = False
         a, b = cp[:-1], cp[1:]
-        valid = (a != 0) & (b != 0)
         keys, n = np.unique((a[valid] << 21) | b[valid], return_counts=True)
         pairs = [chr(k >> 21) + chr(k & 0x1FFFFF) for k in keys]
         return pa.table(

@@ -115,3 +115,39 @@ def test_edge_corpus_query_parity(ray_session, edge_dir, edge_con, name):
             )
         else:
             assert a.tolist() == b.tolist(), f"{name}.{c}"
+
+
+def test_bpe_pair_counts_nul_in_token(ray_session, tmp_path):
+    """U+0000 is NOT whitespace: a token may contain it, and the pair
+    kernel must count pairs touching it (regression: a NUL join-sentinel
+    silently dropped them)."""
+    import duckdb
+
+    d = tmp_path / "nul_corpus"
+    d.mkdir()
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array(["a\x00b cd", "plain text"], pa.string()),
+            "lang": pa.array(["en", "en"], pa.string()),
+            "source": pa.array(["t", "t"], pa.string()),
+            "n_chars": pa.array([6, 10], pa.int64()),
+        }
+    )
+    papq.write_table(t, str(d / "documents.parquet"))
+
+    import __ray_entry__ as e
+
+    mine = e.queries()["bpe_pair_counts"](str(d)).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet')"
+    )
+    theirs = con.execute(e.oracle_sql()["bpe_pair_counts"]).df()
+    mine = mine.sort_values(["pair"]).reset_index(drop=True)
+    theirs = theirs.sort_values(["pair"]).reset_index(drop=True)
+    assert len(mine) == len(theirs)
+    assert (mine["pair"].to_numpy() == theirs["pair"].to_numpy()).all()
+    assert (mine["n"].to_numpy() == theirs["n"].to_numpy()).all()
+    # the NUL-touching pairs are present
+    assert "a\x00" in set(mine["pair"]) and "\x00b" in set(mine["pair"])
