@@ -1,0 +1,127 @@
+"""Adversarial EVENTS table: run the SQL-oracled temporal/keyed queries
+against a corpus built to stress every tie and boundary rule — all-equal
+timestamps (total-order tiebreaks), gaps exactly AT the session/window
+threshold (strict-> semantics), single-event users, zero / negative /
+huge values (cents rounding, gini/percentile ties), events exactly on
+hour boundaries (tumbling edges), duplicate values (rank ties).  The sf*
+testdata is benign; this is where the (ts, event_id) ordering invariant
+and the integer-parity rules actually get exercised."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as papq
+import pytest
+
+US = 1_000_000
+HOUR = 3600 * US
+HALF = 1800 * US  # the 30-min session threshold
+BASE = 1_700_000_000 * US  # 2023-11-14T22:13:20Z
+
+
+def _events_table() -> pa.Table:
+    rows = []  # (user_id, ts_us, event_type, value)
+    # user 1: 50 events at the SAME microsecond — every window/rank/lag
+    # rule must fall back to the event_id tiebreak
+    for i in range(50):
+        rows.append((1, BASE, ["click", "view", "purchase", "error", "signup"][i % 5], float(i)))
+    # user 2: a single event (n=1 degenerate stats/slope/percentile)
+    rows.append((2, BASE + 17, "purchase", 42.5))
+    # user 3: gaps EXACTLY 30min — strict '>' keeps one session
+    for i in range(5):
+        rows.append((3, BASE + i * HALF, "click", 1.0))
+    # user 4: gaps 30min + 1us — every event its own session
+    for i in range(5):
+        rows.append((4, BASE + i * (HALF + 1), "view", -3.75))
+    # user 5: zero and negative values (cents floor of negatives)
+    for i, v in enumerate([0.0, -0.005, -1.005, 2.345, -99.99]):
+        rows.append((5, BASE + i * 60 * US, "purchase", v))
+    # user 6: huge values + events exactly ON hour boundaries
+    for i in range(4):
+        rows.append((6, (BASE // HOUR + i) * HOUR, "error", 1.0e7 + i))
+    # user 7: duplicate values across users for rank/percentile ties
+    for i in range(6):
+        rows.append((7, BASE + i * 90 * US, "click", 1.0))
+    uid, ts, et, val = zip(*rows)
+    n = len(rows)
+    return pa.table(
+        {
+            "event_id": pa.array(np.arange(1, n + 1, dtype=np.int64), pa.int64()),
+            "ts": pa.array(np.array(ts, dtype=np.int64), pa.timestamp("us")),
+            "user_id": pa.array(np.array(uid, dtype=np.int64), pa.int64()),
+            "event_type": pa.array(list(et), pa.string()),
+            "value": pa.array(np.array(val, dtype=np.float64), pa.float64()),
+            "props": pa.array(['{"k":1}'] * n, pa.string()),
+        }
+    )
+
+
+QUERIES = [
+    "sessionize_30m",
+    "lag_lead_value",
+    "session_stats_30m",
+    "sliding_1h",
+    "tumbling_1h",
+    "target_encode_user",
+    "temporal_split_assign",
+    "user_tenure_features",
+    "churn_label_7d",
+    "spend_trend_per_user",
+    "user_session_profile",
+    "session_trigrams",
+    "event_transition_probs",
+    "daily_user_spend_rank",
+    "gini_by_type",
+    "percentile_rank_value",
+    "minmax_scale_pit",
+    "calendar_features",
+    "zscore_value_per_user",
+    "ewma_value_per_user",
+    "rolling_minmax_1h",
+    "median_value_per_user",
+    "cum_distinct_types_per_user",
+    "dataset_checksum",
+]
+
+
+@pytest.fixture(scope="module")
+def edge_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("edge_events")
+    papq.write_table(_events_table(), str(d / "events.parquet"))
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def con(edge_dir):
+    c = duckdb.connect()
+    c.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{edge_dir}/events.parquet')"
+    )
+    return c
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+@pytest.mark.parametrize("name", QUERIES)
+def test_edge_events_query_parity(ray_session, con, edge_dir, name):
+    import __ray_entry__ as e
+
+    mine = _normalize(e.queries()[name](edge_dir).to_pandas())
+    theirs = _normalize(con.execute(e.oracle_sql()[name]).df())
+    assert list(mine.columns) == list(theirs.columns), f"{name}: columns differ"
+    assert len(mine) == len(theirs), f"{name}: {len(mine)} != {len(theirs)} rows"
+    for c in mine.columns:
+        a, b = mine[c], theirs[c]
+        if a.dtype.kind in "fc" or b.dtype.kind in "fc":
+            an, bn = a.astype(float), b.astype(float)
+            assert an.isna().equals(bn.isna()), f"{name}.{c}: null mask differs"
+            np.testing.assert_array_equal(
+                an.fillna(0.0).to_numpy(), bn.fillna(0.0).to_numpy(),
+                err_msg=f"{name}.{c}",
+            )
+        else:
+            assert a.astype(str).equals(b.astype(str)), f"{name}.{c}: values differ"
