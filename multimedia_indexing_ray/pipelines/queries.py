@@ -526,9 +526,6 @@ def q_region_revenue(sf_dir: str):
         )
         return _pa_group_sum(t2, ["l_orderkey"], ["revenue_cents"])
 
-    li_partial = li.map_batches(_pre_agg, batch_format="pyarrow")
-    # big x big: bucketed hash join on the pre-aggregated left side
-    li_ord = hash_join(li_partial, orders, left_on="l_orderkey", right_on="o_orderkey", num_partitions=32)
     cust = _pq(sf_dir, "customer", ["c_custkey", "c_nationkey"])
     nation = _pq(sf_dir, "nation", ["n_nationkey", "n_regionkey"])
     region = _pq(sf_dir, "region", ["r_regionkey", "r_name"])
@@ -536,6 +533,56 @@ def q_region_revenue(sf_dir: str):
         region, keys="n_regionkey", right_keys="r_regionkey"
     )
     dim = dim.select(["c_custkey", "r_name"])
+
+    # below ~10M orders (METADATA count) the orderkey -> region map fits a
+    # broadcast, so the whole query is ONE streaming fold over lineitem
+    # with a per-batch |regions|-row partial — zero exchanges; at scale
+    # the bucketed hash-join plan below is unchanged
+    if orders.count() <= 10_000_000:
+        import ray as _ray
+
+        ot = _pq(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+        ck = dim["c_custkey"].to_numpy()
+        rnames = np.asarray(dim["r_name"]).astype(object)
+        co = np.argsort(ck, kind="stable")
+        ck_s = ck[co]
+        uniq_regions, rid_of_cust = np.unique(rnames[co], return_inverse=True)
+        oc = ot["o_custkey"].to_numpy()
+        ci = np.searchsorted(ck_s, oc)
+        ci = np.clip(ci, 0, max(len(ck_s) - 1, 0))
+        rid_of_order = rid_of_cust[ci]  # every o_custkey exists in customer
+        ok = ot["o_orderkey"].to_numpy()
+        oo = np.argsort(ok, kind="stable")
+        bref = _ray.put((ok[oo], rid_of_order[oo], uniq_regions))
+
+        def _fold(batch: pa.Table) -> pa.Table:
+            okeys, rid, regions = _ray.get(bref)
+            price = batch["l_extendedprice"].to_numpy()
+            disc = batch["l_discount"].to_numpy()
+            cents = _cents(price * (1 - disc)).astype(np.int64)
+            lo = batch["l_orderkey"].to_numpy()
+            idx = np.searchsorted(okeys, lo)
+            idx = np.clip(idx, 0, max(len(okeys) - 1, 0))
+            m = len(okeys) > 0
+            hit = okeys[idx] == lo if m else np.zeros(len(lo), dtype=bool)
+            sums = np.bincount(rid[idx[hit]], weights=cents[hit].astype(np.float64),
+                               minlength=len(regions)).astype(np.int64)
+            nz = np.flatnonzero(sums)
+            return pa.table(
+                {
+                    "r_name": pa.array(regions[nz], pa.string()),
+                    "revenue_cents": pa.array(sums[nz], pa.int64()),
+                }
+            )
+
+        return _tiny_group_sum(
+            li.map_batches(_fold, batch_format="pyarrow"),
+            ["r_name"], ["revenue_cents"],
+        )
+
+    li_partial = li.map_batches(_pre_agg, batch_format="pyarrow")
+    # big x big: bucketed hash join on the pre-aggregated left side
+    li_ord = hash_join(li_partial, orders, left_on="l_orderkey", right_on="o_orderkey", num_partitions=32)
     joined = broadcast_join(li_ord, dim, keys="o_custkey", right_keys="c_custkey")
 
     return _tiny_group_sum(joined, ["r_name"], ["revenue_cents"])
