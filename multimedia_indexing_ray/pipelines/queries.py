@@ -5723,3 +5723,66 @@ def q_bpe_pair_counts(sf_dir: str):
         lambda t: _pa_group_sum(t, ["pair"], ["n"]) if t.num_rows else _empty,
         num_partitions=8,
     )
+
+
+@register(
+    "pareto_front_events",
+    """
+    SELECT event_id, ts, value FROM events a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM events b
+      WHERE b.ts <= a.ts AND b.value >= a.value
+        AND (b.ts < a.ts OR b.value > a.value))
+    """,
+)
+def q_pareto_front_events(sf_dir: str):
+    """Skyline (Pareto front) over (earlier ts, higher value) — the
+    multi-objective selection operator (pick training samples no other
+    sample beats on BOTH freshness and quality; a distinct algorithmic
+    class from top-k, which needs one total order).  Distributed via the
+    skyline identity: the global front is contained in the union of
+    per-batch local fronts, so each batch emits its own front (tiny for
+    non-adversarial data) and one coalesced final pass re-runs the same
+    kernel.  Domination is pure comparisons on stored doubles — no
+    arithmetic, so engine/SQL agreement is exact; equal (ts, value)
+    twins dominate neither and are BOTH kept, matching the SQL's
+    strict-in-one-dimension rule."""
+    ev = _rp(sf_dir, "events", ["event_id", "ts", "value"])
+
+    _empty = pa.table(
+        {
+            "event_id": pa.array([], pa.int64()),
+            "ts": pa.array([], pa.timestamp("us")),
+            "value": pa.array([], pa.float64()),
+        }
+    )
+
+    def _front(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return _empty
+        ts = batch["ts"].cast(pa.int64()).to_numpy()
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((-v, ts))  # ts asc, value desc
+        st, sv = ts[order], v[order]
+        starts = sg.segment_starts(st)  # same-ts groups (sorted)
+        # dominated iff best value at any strictly-earlier ts >= v, or a
+        # same-ts row has strictly greater value
+        grp_max = sv[starts]  # value desc within group -> first is max
+        before = np.maximum.accumulate(np.concatenate([[-np.inf], grp_max[:-1]]))
+        gid = sg.group_index(np.isin(np.arange(n), starts))
+        dominated = (before[gid] >= sv) | (np.repeat(grp_max, sg.segment_counts(starts, n)) > sv)
+        keep = order[~dominated]
+        return pa.table(
+            {
+                "event_id": batch["event_id"].take(pa.array(keep, pa.int64())),
+                "ts": batch["ts"].take(pa.array(keep, pa.int64())),
+                "value": batch["value"].take(pa.array(keep, pa.int64())),
+            }
+        )
+
+    return (
+        ev.map_batches(_front, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(_front, batch_format="pyarrow", batch_size=None)
+    )

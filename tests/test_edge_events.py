@@ -82,6 +82,7 @@ QUERIES = [
     "median_value_per_user",
     "cum_distinct_types_per_user",
     "dataset_checksum",
+    "pareto_front_events",
 ]
 
 
