@@ -5786,3 +5786,58 @@ def q_pareto_front_events(sf_dir: str):
         .repartition(1)
         .map_batches(_front, batch_format="pyarrow", batch_size=None)
     )
+
+
+@register(
+    "embedding_gram_matrix",
+    """
+    WITH q AS (SELECT vec_id,
+            generate_subscripts(embedding, 1) AS i,
+            CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT)
+              AS qv
+          FROM embeddings)
+    SELECT a.i AS i, b.i AS j, CAST(SUM(a.qv * b.qv) AS BIGINT) AS gram
+    FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i
+    GROUP BY 1, 2
+    """,
+)
+def q_embedding_gram_matrix(sf_dir: str):
+    """Exact D x D Gram matrix of the embedding corpus (upper triangle)
+    — the one aggregate PCA/whitening learning needs (A4,
+    `dimreduction/PCA.java` learns from exactly this second-moment
+    matrix), computed as MERGEABLE per-batch int64 matmul partials:
+    values micro-quantize to ppm ints, each batch contributes q^T q
+    (one 64 x 64 integer matmul), partials add associatively, and the
+    SQL's exploded self-join (D^2 x n intermediate rows) reduces to ONE
+    coalesced D(D+1)/2-row block.  All sums bounded by n * (1e6)^2 —
+    int64-safe to ~9e6 unit vectors per partial; overflow-guarded by
+    the quantization scale, never by row order."""
+    emb = _rp(sf_dir, "embeddings", ["embedding"])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        col = batch["embedding"].combine_chunks()
+        if len(col) == 0:
+            return pa.table(
+                {
+                    "i": pa.array([], pa.int64()),
+                    "j": pa.array([], pa.int64()),
+                    "gram": pa.array([], pa.int64()),
+                }
+            )
+        offs = col.offsets.to_numpy()
+        d = int(offs[1] - offs[0])
+        mat = col.flatten().to_numpy(zero_copy_only=False).reshape(-1, d)
+        q = np.floor(mat.astype(np.float64) * 1_000_000).astype(np.int64)
+        g = q.T @ q
+        iu, ju = np.triu_indices(d)
+        return pa.table(
+            {
+                "i": pa.array(iu.astype(np.int64) + 1, pa.int64()),  # SQL 1-based
+                "j": pa.array(ju.astype(np.int64) + 1, pa.int64()),
+                "gram": pa.array(g[iu, ju], pa.int64()),
+            }
+        )
+
+    return _tiny_group_sum(
+        emb.map_batches(_partial, batch_format="pyarrow"), ["i", "j"], ["gram"]
+    )
