@@ -58,6 +58,8 @@ BENCH_QUERIES = [
     "triangle_counts_neardup",  # wedge-join graph kernel
     "daily_user_spend_rank",  # cross-entity leaderboard rank per day
     "corpus_curation_v2",  # decontaminate -> best-copy dedup -> chunk, one pipeline
+    "pareto_front_events",  # skyline via mergeable local fronts
+    "embedding_gram_matrix",  # exact integer second-moment matrix (PCA input)
 ]
 
 # Per-query shuffle strategy, interleaved-A/B measured (2026-08-17, 32
