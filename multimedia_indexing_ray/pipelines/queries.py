@@ -5841,3 +5841,133 @@ def q_embedding_gram_matrix(sf_dir: str):
     return _tiny_group_sum(
         emb.map_batches(_partial, batch_format="pyarrow"), ["i", "j"], ["gram"]
     )
+
+
+@register(
+    "user_feature_store",
+    """
+    WITH g AS (
+      SELECT user_id, ts, event_id, event_type, value,
+        COALESCE(date_diff('microsecond',
+          lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts), 0)
+          AS gap_us
+      FROM events),
+    s AS (
+      SELECT user_id, ts, event_type, value,
+        CAST(SUM(CASE WHEN gap_us > 1800000000 THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+          AS session_id
+      FROM g),
+    sess AS (SELECT user_id, CAST(COUNT(DISTINCT session_id) AS BIGINT)
+               AS n_sessions FROM s GROUP BY 1),
+    base AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+        date_diff('microsecond', MIN(ts), MAX(ts)) // 1000000 AS tenure_s,
+        CAST(SUM(CAST(FLOOR(value*100+0.5) AS BIGINT)) AS BIGINT)
+          AS total_value_cents,
+        CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_purchase,
+        CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_error
+      FROM events GROUP BY 1),
+    tr AS (
+      SELECT user_id,
+        CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(th) AS BIGINT) AS sum_t, CAST(SUM(c) AS BIGINT) AS sum_x,
+        CAST(SUM(th*c) AS BIGINT) AS sum_tx,
+        CAST(SUM(th*th) AS BIGINT) AS sum_tt
+      FROM (SELECT e.user_id,
+              date_diff('microsecond', f.t0, e.ts) // 3600000000 AS th,
+              CAST(FLOOR(e.value*100+0.5) AS BIGINT) AS c
+            FROM events e
+            JOIN (SELECT user_id, MIN(ts) AS t0 FROM events GROUP BY 1) f
+              USING (user_id))
+      GROUP BY 1)
+    SELECT b.user_id, b.n_events, sess.n_sessions,
+      CAST(b.n_events AS DOUBLE) / sess.n_sessions AS events_per_session,
+      b.tenure_s, b.total_value_cents, b.n_purchase, b.n_error,
+      CASE WHEN tr.n*tr.sum_tt - tr.sum_t*tr.sum_t != 0 THEN
+        CAST(tr.n*tr.sum_tx - tr.sum_t*tr.sum_x AS DOUBLE)
+          / CAST(tr.n*tr.sum_tt - tr.sum_t*tr.sum_t AS DOUBLE)
+      END AS slope_cents_per_hour
+    FROM base b JOIN sess USING (user_id) JOIN tr USING (user_id)
+    """,
+)
+def q_user_feature_store(sf_dir: str):
+    """The feature-store materialization: one wide feature row per user
+    (event/session counts, tenure, spend, type counts, OLS spend trend)
+    assembled in ONE shuffle and ONE kernel — where the SQL needs four
+    grouped subqueries and three joins, the engine computes every family
+    from the same sorted segments in a single pass (the multi-aggregate
+    fusion that makes feature backfills affordable at 100 TB: each extra
+    feature is one more reduceat, not one more pass or join)."""
+    from multimedia_indexing_ray.stages.partition import map_partitions_by_key
+
+    ev = _rp(sf_dir, "events", ["event_id", "user_id", "ts", "event_type", "value"])
+    HOUR = 3_600_000_000
+
+    _empty = pa.table(
+        {
+            "user_id": pa.array([], pa.int64()),
+            "n_events": pa.array([], pa.int64()),
+            "n_sessions": pa.array([], pa.int64()),
+            "events_per_session": pa.array([], pa.float64()),
+            "tenure_s": pa.array([], pa.int64()),
+            "total_value_cents": pa.array([], pa.int64()),
+            "n_purchase": pa.array([], pa.int64()),
+            "n_error": pa.array([], pa.int64()),
+            "slope_cents_per_hour": pa.array([], pa.float64()),
+        }
+    )
+
+    def kernel(table: pa.Table) -> pa.Table:
+        n = table.num_rows
+        if n == 0:
+            return _empty
+        uid = table["user_id"].to_numpy()
+        eid = table["event_id"].to_numpy()
+        ts = table["ts"].cast(pa.int64()).to_numpy()
+        et = table["event_type"].to_numpy(zero_copy_only=False)
+        c = _cents(table["value"].to_numpy(zero_copy_only=False)).astype(np.int64)
+        order = np.lexsort((eid, ts, uid))
+        su, st, sc = uid[order], ts[order], c[order]
+        se = et[order]
+        starts = sg.segment_starts(su)
+        counts = sg.segment_counts(starts, n)
+        rel = sg.rel_index(starts, n)
+        # sessions (30-min rule, sorted so first/last are min/max ts)
+        gap = sg.seg_gap_us(st, starts)
+        sess_start = (rel == 0) | (gap > _SESSION_GAP_US)
+        n_sessions = np.add.reduceat(sess_start.astype(np.int64), starts)
+        n_events = counts.astype(np.int64)
+        tenure_s = (st[np.r_[starts[1:] - 1, n - 1]] - st[starts]) // 1_000_000
+        total_cents = np.add.reduceat(sc, starts)
+        n_purchase = np.add.reduceat((se == "purchase").astype(np.int64), starts)
+        n_error = np.add.reduceat((se == "error").astype(np.int64), starts)
+        # OLS slope on (hours since user t0, cents)
+        t0 = np.repeat(st[starts], counts)
+        th = (st - t0) // HOUR
+        sum_t = np.add.reduceat(th, starts)
+        sum_tx = np.add.reduceat(th * sc, starts)
+        sum_tt = np.add.reduceat(th * th, starts)
+        num = (n_events * sum_tx - sum_t * total_cents).astype(np.float64)
+        den = (n_events * sum_tt - sum_t * sum_t).astype(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            slope = num / den
+        return pa.table(
+            {
+                "user_id": pa.array(su[starts], pa.int64()),
+                "n_events": pa.array(n_events, pa.int64()),
+                "n_sessions": pa.array(n_sessions, pa.int64()),
+                "events_per_session": pa.array(
+                    n_events.astype(np.float64) / n_sessions, pa.float64()
+                ),
+                "tenure_s": pa.array(tenure_s, pa.int64()),
+                "total_value_cents": pa.array(total_cents, pa.int64()),
+                "n_purchase": pa.array(n_purchase, pa.int64()),
+                "n_error": pa.array(n_error, pa.int64()),
+                "slope_cents_per_hour": pa.array(slope, pa.float64(), mask=(den == 0)),
+            }
+        )
+
+    return map_partitions_by_key(ev, "user_id", kernel, num_partitions=32)

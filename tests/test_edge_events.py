@@ -83,6 +83,7 @@ QUERIES = [
     "cum_distinct_types_per_user",
     "dataset_checksum",
     "pareto_front_events",
+    "user_feature_store",
 ]
 
 
