@@ -546,12 +546,19 @@ def q_region_revenue(sf_dir: str):
         rnames = np.asarray(dim["r_name"]).astype(object)
         co = np.argsort(ck, kind="stable")
         ck_s = ck[co]
-        uniq_regions, rid_of_cust = np.unique(rnames[co], return_inverse=True)
+        uniq_regions, rid_of_cust = (
+            np.unique(rnames[co], return_inverse=True)
+            if len(co)
+            else (np.array([], dtype=object), np.array([], dtype=np.int64))
+        )
         oc = ot["o_custkey"].to_numpy()
         ci = np.searchsorted(ck_s, oc)
         ci = np.clip(ci, 0, max(len(ck_s) - 1, 0))
-        rid_of_order = rid_of_cust[ci]  # every o_custkey exists in customer
-        ok = ot["o_orderkey"].to_numpy()
+        # inner-join semantics: drop orders whose custkey has no customer
+        # row (same as the SQL and the at-scale broadcast_join path)
+        cmatch = (len(ck_s) > 0) & (ck_s[ci] == oc) if len(ck_s) else np.zeros(len(oc), bool)
+        rid_of_order = rid_of_cust[ci[cmatch]]
+        ok = ot["o_orderkey"].to_numpy()[cmatch]
         oo = np.argsort(ok, kind="stable")
         bref = _ray.put((ok[oo], rid_of_order[oo], uniq_regions))
 
@@ -565,9 +572,12 @@ def q_region_revenue(sf_dir: str):
             idx = np.clip(idx, 0, max(len(okeys) - 1, 0))
             m = len(okeys) > 0
             hit = okeys[idx] == lo if m else np.zeros(len(lo), dtype=bool)
+            hits = np.bincount(rid[idx[hit]], minlength=len(regions))
             sums = np.bincount(rid[idx[hit]], weights=cents[hit].astype(np.float64),
                                minlength=len(regions)).astype(np.int64)
-            nz = np.flatnonzero(sums)
+            # keep zero-SUM regions that had matched rows (SQL's GROUP BY
+            # emits (r_name, 0)); only regions with no match at all drop
+            nz = np.flatnonzero(hits)
             return pa.table(
                 {
                     "r_name": pa.array(regions[nz], pa.string()),
@@ -759,13 +769,16 @@ def q_shipping_priority(sf_dir: str):
         )
         return _pa_group_sum(t2, ["l_orderkey"], ["revenue_cents"])
 
-    joined = hash_join(
-        li.map_batches(_li_pre, batch_format="pyarrow"),
-        orders.map_batches(_ofilter, batch_format="pyarrow"),
-        left_on="l_orderkey",
-        right_on="o_orderkey",
-        num_partitions=16,
-    )
+    def _joined():
+        # constructed lazily: hash_join calls .schema() on both sides,
+        # which executes a limit(1) pass — wasted on the coalesced path
+        return hash_join(
+            li.map_batches(_li_pre, batch_format="pyarrow"),
+            orders.map_batches(_ofilter, batch_format="pyarrow"),
+            left_on="l_orderkey",
+            right_on="o_orderkey",
+            num_partitions=16,
+        )
 
     # a joined block is NOT guaranteed key-complete (Ray can split a
     # large map_groups output mid-table), so the top-k runs after one
@@ -837,7 +850,7 @@ def q_shipping_priority(sf_dir: str):
         )
         return ray.data.from_arrow(_merge(_topk(t)))
 
-    partials = joined.map_batches(_partial_sum, batch_format="pyarrow")
+    partials = _joined().map_batches(_partial_sum, batch_format="pyarrow")
     per_part = map_partitions_by_key(partials, "l_orderkey", _topk, num_partitions=16)
     return per_part.repartition(1).map_batches(
         _merge, batch_format="pyarrow", batch_size=None
@@ -5770,8 +5783,9 @@ def q_pareto_front_events(sf_dir: str):
         # same-ts row has strictly greater value
         grp_max = sv[starts]  # value desc within group -> first is max
         before = np.maximum.accumulate(np.concatenate([[-np.inf], grp_max[:-1]]))
-        gid = sg.group_index(np.isin(np.arange(n), starts))
-        dominated = (before[gid] >= sv) | (np.repeat(grp_max, sg.segment_counts(starts, n)) > sv)
+        counts = sg.segment_counts(starts, n)
+        gid = np.repeat(np.arange(len(starts)), counts)
+        dominated = (before[gid] >= sv) | (np.repeat(grp_max, counts) > sv)
         keep = order[~dominated]
         return pa.table(
             {
@@ -5815,8 +5829,7 @@ def q_embedding_gram_matrix(sf_dir: str):
     emb = _rp(sf_dir, "embeddings", ["embedding"])
 
     def _partial(batch: pa.Table) -> pa.Table:
-        col = batch["embedding"].combine_chunks()
-        if len(col) == 0:
+        if batch.num_rows == 0:
             return pa.table(
                 {
                     "i": pa.array([], pa.int64()),
@@ -5824,9 +5837,9 @@ def q_embedding_gram_matrix(sf_dir: str):
                     "gram": pa.array([], pa.int64()),
                 }
             )
-        offs = col.offsets.to_numpy()
-        d = int(offs[1] - offs[0])
-        mat = col.flatten().to_numpy(zero_copy_only=False).reshape(-1, d)
+        # shared helper handles list AND fixed_size_list layouts
+        mat = nn._batch_matrix(batch, "embedding")
+        d = mat.shape[1]
         q = np.floor(mat.astype(np.float64) * 1_000_000).astype(np.int64)
         g = q.T @ q
         iu, ju = np.triu_indices(d)
