@@ -5984,3 +5984,30 @@ def q_user_feature_store(sf_dir: str):
         )
 
     return map_partitions_by_key(ev, "user_id", kernel, num_partitions=32)
+
+
+@register(
+    "incremental_feature_store_parity",
+    REGISTRY["user_feature_store"].sql,
+)
+def q_incremental_feature_store_parity(sf_dir: str):
+    """Streaming feature-store maintenance replayed against the batch
+    truth: events stream through `IncrementalUserFeatureStore` in
+    arrival order (micro-batches of 2048, globally (ts, event_id)
+    sorted), updating O(1) per-user accumulators; the final `current()`
+    must equal the batch `user_feature_store` SQL bit-for-bit.  This is
+    the §2.9 stream/batch unification check for the FEATURE-ROW family
+    (the flagship parity query covers the window family) — proof that
+    backfill and live-serving paths cannot drift."""
+    from multimedia_indexing_ray.state.incremental import IncrementalUserFeatureStore
+
+    ev = _rp(sf_dir, "events", ["event_id", "user_id", "ts", "event_type", "value"])
+    tbl = pa.concat_tables(list(ev.iter_batches(batch_size=None, batch_format="pyarrow")))
+    order = np.lexsort(
+        (tbl["event_id"].to_numpy(), tbl["ts"].cast(pa.int64()).to_numpy())
+    )
+    tbl = tbl.take(pa.array(order, pa.int64()))
+    inc = IncrementalUserFeatureStore()
+    for lo in range(0, tbl.num_rows, 2048):
+        inc.append_batch(tbl.slice(lo, 2048))
+    return inc.current()

@@ -389,3 +389,118 @@ def sharded_incremental(
         return refs
 
     return actors, route
+
+
+class IncrementalUserFeatureStore:
+    """Streaming maintenance of the per-user feature-store row
+    (`pipelines/queries.py:q_user_feature_store`): every feature is an
+    ASSOCIATIVE accumulator, so per-user state is O(1) scalars — no ring
+    buffer, unlike the window featurizer above.  Feed event batches in
+    nondecreasing (ts, event_id) order (the arrival order of a log
+    stream); `current()` then reproduces the batch query bit-for-bit
+    (integer sums, single divisions with identical operands).
+
+    State per user: [n, first_ts, last_ts, n_sessions, total_cents,
+    n_purchase, n_error, sum_t, sum_tx, sum_tt] — all int64.  The OLS
+    time axis is hours since the user's FIRST event, which streaming
+    arrival order pins at first sight, so late accumulators never need
+    re-basing."""
+
+    _GAP_US = 1_800_000_000
+    _HOUR_US = 3_600_000_000
+
+    def __init__(self):
+        self.state: "Dict[int, np.ndarray]" = {}
+
+    def append_batch(self, batch: pa.Table) -> None:
+        if batch.num_rows == 0:
+            return
+        uid = batch["user_id"].to_numpy()
+        eid = batch["event_id"].to_numpy()
+        ts = batch["ts"].cast(pa.int64()).to_numpy()
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        val = batch["value"].to_numpy(zero_copy_only=False)
+        c = np.floor(val * 100.0 + 0.5).astype(np.int64)
+        order = np.lexsort((eid, ts, uid))
+        su, st, sc = uid[order], ts[order], c[order]
+        se = et[order]
+        bounds = np.flatnonzero(np.r_[True, su[1:] != su[:-1]])
+        ends = np.r_[bounds[1:], len(su)]
+        for s, e in zip(bounds, ends):
+            u = int(su[s])
+            seg_ts, seg_c = st[s:e], sc[s:e]
+            prev = self.state.get(u)
+            if prev is None:
+                first = seg_ts[0]
+                sessions = 1
+                gap_prev = None
+            else:
+                first = prev[1]
+                sessions = 0
+                gap_prev = seg_ts[0] - prev[2]
+            gaps = np.diff(seg_ts)
+            sessions += int((gaps > self._GAP_US).sum())
+            if gap_prev is not None and gap_prev > self._GAP_US:
+                sessions += 1
+            th = (seg_ts - first) // self._HOUR_US
+            add = np.array(
+                [
+                    e - s,
+                    0,  # first handled below
+                    0,  # last handled below
+                    sessions,
+                    int(seg_c.sum()),
+                    int((se[s:e] == "purchase").sum()),
+                    int((se[s:e] == "error").sum()),
+                    int(th.sum()),
+                    int((th * seg_c).sum()),
+                    int((th * th).sum()),
+                ],
+                dtype=np.int64,
+            )
+            if prev is None:
+                cur = add
+                cur[1] = first
+            else:
+                cur = prev + add
+                cur[1] = first
+            cur[2] = seg_ts[-1]
+            self.state[u] = cur
+
+    def current(self) -> pa.Table:
+        if not self.state:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "n_events": pa.array([], pa.int64()),
+                    "n_sessions": pa.array([], pa.int64()),
+                    "events_per_session": pa.array([], pa.float64()),
+                    "tenure_s": pa.array([], pa.int64()),
+                    "total_value_cents": pa.array([], pa.int64()),
+                    "n_purchase": pa.array([], pa.int64()),
+                    "n_error": pa.array([], pa.int64()),
+                    "slope_cents_per_hour": pa.array([], pa.float64()),
+                }
+            )
+        uids = np.array(sorted(self.state), dtype=np.int64)
+        m = np.stack([self.state[int(u)] for u in uids])
+        n, first, last = m[:, 0], m[:, 1], m[:, 2]
+        sessions, cents = m[:, 3], m[:, 4]
+        sum_t, sum_tx, sum_tt = m[:, 7], m[:, 8], m[:, 9]
+        num = (n * sum_tx - sum_t * cents).astype(np.float64)
+        den = (n * sum_tt - sum_t * sum_t).astype(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            slope = num / den
+        return pa.table(
+            {
+                "user_id": pa.array(uids, pa.int64()),
+                "n_events": pa.array(n, pa.int64()),
+                "n_sessions": pa.array(sessions, pa.int64()),
+                "events_per_session": pa.array(n.astype(np.float64) / sessions, pa.float64()),
+                "tenure_s": pa.array((last - first) // 1_000_000, pa.int64()),
+                "total_value_cents": pa.array(cents, pa.int64()),
+                "n_purchase": pa.array(m[:, 5], pa.int64()),
+                "n_error": pa.array(m[:, 6], pa.int64()),
+                "slope_cents_per_hour": pa.array(slope, pa.float64(), mask=(den == 0)),
+            }
+        )

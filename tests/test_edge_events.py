@@ -84,6 +84,7 @@ QUERIES = [
     "dataset_checksum",
     "pareto_front_events",
     "user_feature_store",
+    "incremental_feature_store_parity",
 ]
 
 
@@ -127,3 +128,25 @@ def test_edge_events_query_parity(ray_session, con, edge_dir, name):
             )
         else:
             assert a.astype(str).equals(b.astype(str)), f"{name}.{c}: values differ"
+
+
+def test_incremental_feature_store_batch_size_invariance(ray_session, edge_dir):
+    """Replaying one event at a time must equal the one-shot replay —
+    the accumulator merge rule cannot depend on where micro-batches
+    split (mid-user, mid-session, equal-ts runs)."""
+    import pyarrow.compute as pc
+
+    from multimedia_indexing_ray.state.incremental import IncrementalUserFeatureStore
+
+    t = papq.read_table(f"{edge_dir}/events.parquet")
+    order = np.lexsort(
+        (t["event_id"].to_numpy(), t["ts"].cast(pa.int64()).to_numpy())
+    )
+    t = t.take(pa.array(order, pa.int64()))
+    one = IncrementalUserFeatureStore()
+    one.append_batch(t)
+    per_row = IncrementalUserFeatureStore()
+    for i in range(t.num_rows):
+        per_row.append_batch(t.slice(i, 1))
+    a, b = one.current().to_pandas(), per_row.current().to_pandas()
+    pd.testing.assert_frame_equal(a, b)
