@@ -6011,3 +6011,99 @@ def q_incremental_feature_store_parity(sf_dir: str):
     for lo in range(0, tbl.num_rows, 2048):
         inc.append_batch(tbl.slice(lo, 2048))
     return inc.current()
+
+
+@register(
+    "hourly_concurrent_sessions",
+    """
+    WITH g AS (
+      SELECT user_id, ts, event_id,
+        COALESCE(date_diff('microsecond',
+          lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts), 0)
+          AS gap_us
+      FROM events),
+    s AS (
+      SELECT user_id, ts,
+        CAST(SUM(CASE WHEN gap_us > 1800000000 THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+          AS session_id
+      FROM g),
+    b AS (SELECT user_id, session_id,
+            MIN(epoch_us(ts)) AS st, MAX(epoch_us(ts)) AS en
+          FROM s GROUP BY 1, 2),
+    d AS (SELECT (st + 3599999999) // 3600000000 AS h, 1 AS delta FROM b
+          UNION ALL
+          SELECT en // 3600000000 + 1, -1 FROM b),
+    agg AS (SELECT h, CAST(SUM(delta) AS BIGINT) AS d FROM d GROUP BY 1)
+    SELECT h AS hour_idx, CAST(SUM(d) OVER (ORDER BY h) AS BIGINT) AS concurrency
+    FROM agg
+    """,
+)
+def q_hourly_concurrent_sessions(sf_dir: str):
+    """Sweep-line concurrency: how many 30-min-gap sessions are active
+    at each hour mark — the capacity-planning / peak-load aggregate, and
+    a DISTRIBUTED PREFIX SCAN shape none of the other queries exercise.
+    Scale story: the per-user kernel emits +1/-1 deltas bucketed to hour
+    indices (cardinality = hours of history, BOUNDED — ~9k/year — unlike
+    raw boundary timestamps), partials group-sum, and the cumulative
+    scan runs once over the tiny hour histogram.  A session that spans
+    no hour mark yields +1/-1 at the same bucket and cancels, exactly as
+    in the SQL."""
+    from multimedia_indexing_ray.stages.partition import map_partitions_by_key
+
+    ev = _rp(sf_dir, "events", ["event_id", "user_id", "ts"])
+    HOUR = 3_600_000_000
+
+    _dempty = pa.table(
+        {"h": pa.array([], pa.int64()), "d": pa.array([], pa.int64())}
+    )
+
+    def kernel(table: pa.Table) -> pa.Table:
+        n = table.num_rows
+        if n == 0:
+            return _dempty
+        uid = table["user_id"].to_numpy()
+        eid = table["event_id"].to_numpy()
+        ts = table["ts"].cast(pa.int64()).to_numpy()
+        order = np.lexsort((eid, ts, uid))
+        su, st = uid[order], ts[order]
+        ustarts = sg.segment_starts(su)
+        rel = sg.rel_index(ustarts, n)
+        gap = sg.seg_gap_us(st, ustarts)
+        sess_start = (rel == 0) | (gap > _SESSION_GAP_US)
+        sstarts = np.flatnonzero(sess_start)
+        last = np.r_[sstarts[1:] - 1, n - 1]
+        h1 = (st[sstarts] + HOUR - 1) // HOUR  # ceil: first hour mark covered
+        h2 = st[last] // HOUR + 1  # one past the last hour mark covered
+        hs = np.concatenate([h1, h2])
+        ds_ = np.concatenate([np.ones(len(h1), np.int64), -np.ones(len(h2), np.int64)])
+        uniq, inv = np.unique(hs, return_inverse=True)
+        sums = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(sums, inv, ds_)
+        return pa.table(
+            {"h": pa.array(uniq, pa.int64()), "d": pa.array(sums, pa.int64())}
+        )
+
+    def _scan(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "hour_idx": pa.array([], pa.int64()),
+                    "concurrency": pa.array([], pa.int64()),
+                }
+            )
+        g = _pa_group_sum(t, ["h"], ["d"])
+        h = g["h"].to_numpy()
+        d = g["d"].to_numpy()
+        order = np.argsort(h, kind="stable")
+        return pa.table(
+            {
+                "hour_idx": pa.array(h[order], pa.int64()),
+                "concurrency": pa.array(np.cumsum(d[order]), pa.int64()),
+            }
+        )
+
+    partials = map_partitions_by_key(ev, "user_id", kernel, num_partitions=32)
+    return partials.repartition(1).map_batches(
+        _scan, batch_format="pyarrow", batch_size=None
+    )

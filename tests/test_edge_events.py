@@ -85,6 +85,7 @@ QUERIES = [
     "pareto_front_events",
     "user_feature_store",
     "incremental_feature_store_parity",
+    "hourly_concurrent_sessions",
 ]
 
 
