@@ -6107,3 +6107,84 @@ def q_hourly_concurrent_sessions(sf_dir: str):
     return partials.repartition(1).map_batches(
         _scan, batch_format="pyarrow", batch_size=None
     )
+
+
+@register(
+    "sliding_distinct_users_1h",
+    """
+    SELECT e.event_id,
+      (SELECT CAST(COUNT(DISTINCT u.user_id) AS BIGINT) FROM events u
+       WHERE u.event_type = e.event_type
+         AND u.ts BETWEEN e.ts - INTERVAL 1 HOUR AND e.ts) AS du_1h
+    FROM events e
+    """,
+)
+def q_sliding_distinct_users_1h(sf_dir: str):
+    """EXACT sliding-window distinct count (unique users active in the
+    trailing hour, per event, within its event type) — the hard sliding
+    aggregate: distinct has no subtraction, so no window frame computes
+    it.  Vectorized identity: a window row is a DUPLICATE iff the same
+    user's previous occurrence is also inside the window (prev_ts >=
+    t-W); with rows time-sorted the window starts b_i are nondecreasing,
+    so each row j's "I am a duplicate" condition holds exactly on the
+    index interval [j, e_j) with e_j = searchsorted(b, prev_ts_j,
+    'right') — duplicates-per-window is one +1/-1 interval cumsum, and
+    distinct = window_size - duplicates.  O(n log n), zero Python loops,
+    ONE shuffle on event_type; the SQL needs a correlated
+    COUNT(DISTINCT) subquery per row."""
+    from multimedia_indexing_ray.stages.partition import map_partitions_by_key
+
+    ev = _rp(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    W = 3_600_000_000
+    NEG = np.int64(-(2**62))
+
+    _empty = pa.table(
+        {"event_id": pa.array([], pa.int64()), "du_1h": pa.array([], pa.int64())}
+    )
+
+    def kernel(table: pa.Table) -> pa.Table:
+        if table.num_rows == 0:
+            return _empty
+        et = table["event_type"].to_numpy(zero_copy_only=False)
+        types = np.unique(et)
+        outs = []
+        for t in types:  # <= K event types per partition (tiny loop)
+            sel = np.flatnonzero(et == t)
+            sub = table.take(pa.array(sel, pa.int64()))
+            n = sub.num_rows
+            eid = sub["event_id"].to_numpy()
+            ts = sub["ts"].cast(pa.int64()).to_numpy()
+            uid = sub["user_id"].to_numpy()
+            order = np.lexsort((eid, ts))
+            st, su, se = ts[order], uid[order], eid[order]
+            # prev same-user occurrence ts (within this type)
+            uorder = np.lexsort((st, su))  # stable: user, then ts
+            pu, pt = su[uorder], st[uorder]
+            prev_sorted = np.empty(n, dtype=np.int64)
+            prev_sorted[0] = NEG
+            prev_sorted[1:] = np.where(pu[1:] == pu[:-1], pt[:-1], NEG)
+            prev = np.empty(n, dtype=np.int64)
+            prev[uorder] = prev_sorted
+            b = st - W
+            lo = np.searchsorted(st, b, side="left")
+            hi = np.searchsorted(st, st, side="right") - 1  # last idx with ts <= t_i
+            # duplicate j active on window-evaluation indices [j, e_j)
+            e_j = np.searchsorted(b, prev, side="right")
+            j = np.arange(n)
+            valid = e_j > j
+            delta = np.zeros(n + 1, dtype=np.int64)
+            np.add.at(delta, j[valid], 1)
+            np.add.at(delta, e_j[valid], -1)
+            dup = np.cumsum(delta)[:n]
+            du = (hi - lo + 1) - dup[hi]
+            outs.append(
+                pa.table(
+                    {
+                        "event_id": pa.array(se, pa.int64()),
+                        "du_1h": pa.array(du.astype(np.int64), pa.int64()),
+                    }
+                )
+            )
+        return pa.concat_tables(outs)
+
+    return map_partitions_by_key(ev, "event_type", kernel, num_partitions=8)

@@ -86,6 +86,7 @@ QUERIES = [
     "user_feature_store",
     "incremental_feature_store_parity",
     "hourly_concurrent_sessions",
+    "sliding_distinct_users_1h",
 ]
 
 
