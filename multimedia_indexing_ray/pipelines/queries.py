@@ -6188,3 +6188,45 @@ def q_sliding_distinct_users_1h(sf_dir: str):
         return pa.concat_tables(outs)
 
     return map_partitions_by_key(ev, "event_type", kernel, num_partitions=8)
+
+
+def _kcore_sql(k: int = 2, rounds: int = 5) -> str:
+    its = []
+    prev = "n0"
+    for i in range(1, rounds + 1):
+        its.append(
+            f"""r{i} AS (SELECT e.u FROM edges e
+            JOIN {prev} a ON a.u = e.u JOIN {prev} b ON b.u = e.v
+            GROUP BY e.u HAVING count(*) >= {k})"""
+        )
+        prev = f"r{i}"
+    return f"""
+    WITH {_NGRAM_PAIRS_CTE},
+    edges AS (SELECT a_id AS u, b_id AS v FROM pairs
+              UNION SELECT b_id, a_id FROM pairs),
+    n0 AS (SELECT DISTINCT u FROM edges),
+    {', '.join(its)}
+    SELECT e.u AS doc_id, CAST(count(*) AS BIGINT) AS core_degree
+    FROM edges e JOIN {prev} a ON a.u = e.u JOIN {prev} b ON b.u = e.v
+    GROUP BY 1
+    """
+
+
+@register("kcore_neardup", _kcore_sql(2, 5))
+def q_kcore_neardup(sf_dir: str):
+    """2-core of the near-dup graph (5 peel rounds): drop documents
+    whose duplicate relationships vanish once weakly-connected hangers-on
+    are removed — the density filter separating genuine template
+    families from incidental single-pair matches, and the fourth graph
+    kernel (after CC, PageRank, triangles) over the same slim pair set.
+    `stages/cc.py:kcore`; exactly R rounds on both sides, so the
+    unrolled SQL matches bit-for-bit even on graphs that have not
+    reached fixpoint."""
+    from multimedia_indexing_ray.stages.cc import kcore
+
+    docs = _rp(sf_dir, "documents", ["doc_id", "text"])
+    pairs = dd.anchor_jaccard_pairs(
+        docs, "text", "doc_id", threshold=0.3, num_partitions=16,
+        coalesce=docs.count() <= _COALESCE_DOCS,
+    )
+    return kcore(pairs, k=2, rounds=5)

@@ -771,3 +771,170 @@ def triangle_counts(
     return map_partitions_by_key(
         partial, "doc_id", _reduce, num_partitions=num_partitions
     )
+
+
+def kcore(
+    pairs: "ray.data.Dataset",
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+    k: int = 2,
+    rounds: int = 5,
+    num_partitions: int = 8,
+    driver_edge_cap: int = DRIVER_EDGE_CAP,
+) -> "ray.data.Dataset":
+    """R-round k-core peeling over a symmetrized pair graph (Seidman
+    1983): iteratively drop nodes with degree < k in the surviving
+    subgraph — the density filter that separates tight duplicate
+    communities from incidental pair noise.  EXACTLY ``rounds`` peels
+    are applied (deterministic whether or not a fixpoint is reached, so
+    an unrolled SQL oracle matches bit-for-bit; when the graph converges
+    earlier the extra rounds are no-ops and the result IS the k-core).
+
+    Output: surviving (doc_id, core_degree) — degree measured in the
+    final surviving subgraph.  Scale shape: per-round state is the slim
+    alive-node set; a distributed round is two keyed semi-joins (filter
+    edges by alive u, then alive v) plus one degree group-by; edge sets
+    at or under ``driver_edge_cap`` run the identical peel in-memory."""
+
+    def _init(batch: pa.Table) -> pa.Table:
+        u = batch[a_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = batch[b_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = u != v
+        u, v = u[keep], v[keep]
+        return _dedup_uv(np.concatenate([u, v]), np.concatenate([v, u]))
+
+    edges = pairs.map_batches(_init, batch_format="pyarrow").materialize()
+    out_schema = pa.schema([("doc_id", pa.int64()), ("core_degree", pa.int64())])
+    n_edges = edges.count()
+    if n_edges == 0:
+        return ray.data.from_arrow(out_schema.empty_table())
+
+    if n_edges <= driver_edge_cap:
+        import ray as _ray
+
+        t = pa.concat_tables(
+            tb.select(["u", "v"]) for tb in _ray.get(edges.to_arrow_refs()) if tb.num_rows
+        ).combine_chunks()
+        uv = np.unique(
+            np.stack(
+                [t["u"].to_numpy(zero_copy_only=False), t["v"].to_numpy(zero_copy_only=False)],
+                axis=1,
+            ),
+            axis=0,
+        )
+        u_arr, v_arr = uv[:, 0], uv[:, 1]
+        nodes, u_idx = np.unique(u_arr, return_inverse=True)
+        v_idx = np.searchsorted(nodes, v_arr)
+        alive = np.ones(len(nodes), dtype=bool)
+        for _ in range(rounds):
+            live = alive[u_idx] & alive[v_idx]
+            deg = np.bincount(u_idx[live], minlength=len(nodes))
+            alive = alive & (deg >= k)
+        live = alive[u_idx] & alive[v_idx]
+        deg = np.bincount(u_idx[live], minlength=len(nodes)).astype(np.int64)
+        sel = np.flatnonzero(alive)
+        return ray.data.from_arrow(
+            pa.table(
+                {"doc_id": nodes[sel], "core_degree": deg[sel]}, schema=out_schema
+            )
+        )
+
+    # distributed: in-group dedup once (neighborhoods are whole per
+    # group), then rounds x (semi-join alive on u / on v, degree)
+    def _dedup_group(table: pa.Table) -> pa.Table:
+        return _dedup_uv(
+            table["u"].to_numpy(zero_copy_only=False),
+            table["v"].to_numpy(zero_copy_only=False),
+        )
+
+    edges = map_partitions_by_key(
+        edges, "u", _dedup_group, num_partitions=num_partitions
+    ).materialize()
+
+    _ALIVE_SCHEMA = pa.schema([("u", pa.int64()), ("side", pa.int64())])
+
+    def _all_nodes(table: pa.Table) -> pa.Table:
+        u = np.unique(table["u"].to_numpy(zero_copy_only=False))
+        return pa.table(
+            {"u": u, "side": np.zeros(len(u), dtype=np.int64)}, schema=_ALIVE_SCHEMA
+        )
+
+    alive = map_partitions_by_key(
+        edges, "u", _all_nodes, num_partitions=num_partitions
+    ).materialize()
+
+    def _semi(edge_tbl: "ray.data.Dataset", col: str) -> "ray.data.Dataset":
+        # union edges (side=1 rows) with alive markers (side=0) keyed on
+        # `col`; groups whose key is alive keep their edge rows
+        def _mark(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "key": batch[col],
+                    "u": batch["u"],
+                    "v": batch["v"],
+                    "side": pa.array(np.ones(batch.num_rows, np.int64), pa.int64()),
+                }
+            )
+
+        def _alias(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "key": batch["u"],
+                    "u": batch["u"],
+                    "v": batch["u"],
+                    "side": pa.array(np.zeros(batch.num_rows, np.int64), pa.int64()),
+                }
+            )
+
+        both = edge_tbl.map_batches(_mark, batch_format="pyarrow").union(
+            alive.map_batches(_alias, batch_format="pyarrow")
+        )
+
+        def _filter(table: pa.Table) -> pa.Table:
+            key = table["key"].to_numpy(zero_copy_only=False)
+            side = table["side"].to_numpy(zero_copy_only=False)
+            ok_keys = np.unique(key[side == 0])
+            m = (side == 1) & sg.sorted_member(ok_keys, key)
+            return pa.table(
+                {
+                    "u": table["u"].filter(pa.array(m)),
+                    "v": table["v"].filter(pa.array(m)),
+                }
+            )
+
+        return map_partitions_by_key(both, "key", _filter, num_partitions=num_partitions)
+
+    def _deg_alive(table: pa.Table) -> pa.Table:
+        u = table["u"].to_numpy(zero_copy_only=False)
+        uniq, cnt = np.unique(u, return_counts=True)
+        keep = cnt >= k
+        return pa.table(
+            {
+                "u": pa.array(uniq[keep], pa.int64()),
+                "side": pa.array(np.zeros(int(keep.sum()), np.int64), pa.int64()),
+            },
+            schema=_ALIVE_SCHEMA,
+        )
+
+    for _ in range(rounds):
+        live_edges = _semi(_semi(edges, "u"), "v")
+        alive = map_partitions_by_key(
+            live_edges, "u", _deg_alive, num_partitions=num_partitions
+        ).materialize()
+
+    final_edges = _semi(_semi(edges, "u"), "v")
+
+    def _final_deg(table: pa.Table) -> pa.Table:
+        u = table["u"].to_numpy(zero_copy_only=False)
+        uniq, cnt = np.unique(u, return_counts=True)
+        return pa.table(
+            {
+                "doc_id": pa.array(uniq, pa.int64()),
+                "core_degree": pa.array(cnt.astype(np.int64), pa.int64()),
+            },
+            schema=out_schema,
+        )
+
+    return map_partitions_by_key(
+        final_edges, "u", _final_deg, num_partitions=num_partitions
+    )

@@ -312,3 +312,50 @@ def test_pack64_rejects_out_of_range_ids(ray_session):
 
     with _pytest.raises(Exception, match="_pack64|2\\*\\*31"):
         triangle_counts(ds).take_all()
+
+
+def test_kcore_distributed_matches_coalesced_and_reference(ray_session):
+    """Distributed k-core peel rounds == the coalesced kernel == a
+    straight numpy reference (2 rounds: each distributed round costs
+    five keyed exchanges, so the equality check keeps the round count
+    small; round-count-independence is covered by the coalesced
+    reference loop)."""
+    from multimedia_indexing_ray.stages import cc
+
+    rng = np.random.default_rng(5)
+    raw = [tuple(sorted(p)) for p in rng.integers(0, 40, size=(90, 2)) if p[0] != p[1]]
+    pairs = sorted(set(raw))
+    ds = _pairs_ds(ray_session, pairs)
+
+    out_small = {r["doc_id"]: r["core_degree"] for r in cc.kcore(ds, rounds=2).take_all()}
+    out_large = {
+        r["doc_id"]: r["core_degree"]
+        for r in cc.kcore(ds, rounds=2, driver_edge_cap=0, num_partitions=4).take_all()
+    }
+    assert out_small == out_large
+
+    # numpy reference peel
+    u = np.array([p[0] for p in pairs] + [p[1] for p in pairs], np.int64)
+    v = np.array([p[1] for p in pairs] + [p[0] for p in pairs], np.int64)
+    nodes, ui = np.unique(u, return_inverse=True)
+    vi = np.searchsorted(nodes, v)
+    alive = np.ones(len(nodes), bool)
+    for _ in range(2):
+        live = alive[ui] & alive[vi]
+        deg = np.bincount(ui[live], minlength=len(nodes))
+        alive = alive & (deg >= 2)
+    live = alive[ui] & alive[vi]
+    deg = np.bincount(ui[live], minlength=len(nodes))
+    ref = {int(nd): int(dd) for nd, dd in zip(nodes[alive], deg[alive])}
+    assert out_small == ref
+
+
+def test_kcore_peels_path_keeps_triangle(ray_session):
+    """A triangle with a pendant path: the 2-core is exactly the
+    triangle (degree 2 each); the path peels away over rounds."""
+    from multimedia_indexing_ray.stages import cc
+
+    pairs = [(0, 1), (1, 2), (0, 2), (2, 3), (3, 4), (4, 5)]
+    ds = _pairs_ds(ray_session, pairs)
+    out = {r["doc_id"]: r["core_degree"] for r in cc.kcore(ds).take_all()}
+    assert out == {0: 2, 1: 2, 2: 2}
