@@ -289,8 +289,13 @@ def top_term_batch(
         nv = np.int64(len(uniq))
         ukey, tf = np.unique(doc_of * nv + tok_id, return_counts=True)
         kdoc, ktok = ukey // nv, ukey % nv
-        # corpus df lookup for each distinct (doc, token)
-        pos = np.searchsorted(vocab, uniq[ktok])
+        # corpus df lookup for each distinct (doc, token); the contract
+        # requires vocab to cover the corpus — verify membership so a
+        # missing token fails loudly instead of reading a neighbor's df
+        pos = np.clip(np.searchsorted(vocab, uniq[ktok]), 0, len(vocab) - 1)
+        if len(vocab) == 0 or not np.all(vocab[pos] == uniq[ktok]):
+            missing = uniq[ktok][~(vocab[pos] == uniq[ktok])][:5] if len(vocab) else uniq[:5]
+            raise ValueError(f"top_term_batch: tokens missing from vocab: {missing!r}")
         kdf = df[pos]
         # first row per doc after ordering by (tf desc, df asc, token asc);
         # ukey is already sorted by (doc, token asc), so a stable lexsort

@@ -573,8 +573,11 @@ def q_region_revenue(sf_dir: str):
             m = len(okeys) > 0
             hit = okeys[idx] == lo if m else np.zeros(len(lo), dtype=bool)
             hits = np.bincount(rid[idx[hit]], minlength=len(regions))
-            sums = np.bincount(rid[idx[hit]], weights=cents[hit].astype(np.float64),
-                               minlength=len(regions)).astype(np.int64)
+            # int64 scatter-add: float64-weighted bincount silently rounds
+            # above 2^53 (see stages/scan.py), and this path's contract is
+            # bit-exact oracle parity
+            sums = np.zeros(len(regions), dtype=np.int64)
+            np.add.at(sums, rid[idx[hit]], cents[hit])
             # keep zero-SUM regions that had matched rows (SQL's GROUP BY
             # emits (r_name, 0)); only regions with no match at all drop
             nz = np.flatnonzero(hits)

@@ -832,7 +832,10 @@ def kcore(
             alive = alive & (deg >= k)
         live = alive[u_idx] & alive[v_idx]
         deg = np.bincount(u_idx[live], minlength=len(nodes)).astype(np.int64)
-        sel = np.flatnonzero(alive)
+        # drop alive-but-edgeless nodes (possible when `rounds` stops
+        # short of the fixpoint) so this path matches the distributed
+        # _final_deg/GROUP BY semantics and the unrolled SQL oracle
+        sel = np.flatnonzero(alive & (deg > 0))
         return ray.data.from_arrow(
             pa.table(
                 {"doc_id": nodes[sel], "core_degree": deg[sel]}, schema=out_schema

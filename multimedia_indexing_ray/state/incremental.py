@@ -435,6 +435,12 @@ class IncrementalUserFeatureStore:
                 sessions = 1
                 gap_prev = None
             else:
+                if seg_ts[0] < prev[2]:
+                    raise ValueError(
+                        "append_batch requires nondecreasing (ts, event_id) "
+                        f"arrival per user: user {u} got ts {seg_ts[0]} after "
+                        f"stored last_ts {prev[2]}"
+                    )
                 first = prev[1]
                 sessions = 0
                 gap_prev = seg_ts[0] - prev[2]

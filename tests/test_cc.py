@@ -346,7 +346,8 @@ def test_kcore_distributed_matches_coalesced_and_reference(ray_session):
         alive = alive & (deg >= 2)
     live = alive[ui] & alive[vi]
     deg = np.bincount(ui[live], minlength=len(nodes))
-    ref = {int(nd): int(dd) for nd, dd in zip(nodes[alive], deg[alive])}
+    keep = alive & (deg > 0)  # alive-but-edgeless nodes are omitted
+    ref = {int(nd): int(dd) for nd, dd in zip(nodes[keep], deg[keep])}
     assert out_small == ref
 
 
@@ -359,3 +360,19 @@ def test_kcore_peels_path_keeps_triangle(ray_session):
     ds = _pairs_ds(ray_session, pairs)
     out = {r["doc_id"]: r["core_degree"] for r in cc.kcore(ds).take_all()}
     assert out == {0: 2, 1: 2, 2: 2}
+
+
+def test_kcore_pendant_star_unconverged_paths_agree(ray_session):
+    """Pendant star {0-1, 0-2} at k=2, rounds=1: the single peel kills
+    the leaves, leaving the hub alive but edgeless.  BOTH paths must
+    omit it (degree measured in the surviving subgraph is 0), matching
+    the unrolled SQL oracle's final GROUP BY semantics."""
+    from multimedia_indexing_ray.stages import cc
+
+    ds = _pairs_ds(ray_session, [(0, 1), (0, 2)])
+    out_coalesced = cc.kcore(ds, k=2, rounds=1).take_all()
+    out_distributed = cc.kcore(
+        ds, k=2, rounds=1, driver_edge_cap=0, num_partitions=2
+    ).take_all()
+    assert out_coalesced == []
+    assert out_distributed == []
