@@ -191,25 +191,52 @@ def run_serving() -> dict:
 
 
 def run_queries() -> dict:
+    """Per-query timings, min of GRAFT_QUERY_REPEATS interleaved rounds.
+
+    This VM's throughput swings 3-4x with co-tenant load on a minutes
+    timescale (BASELINE.md); a single sequential pass can land entirely
+    inside a degraded window and read as a 2-3x regression on identical
+    code (that is exactly what BENCH_r03 did).  Full ROUNDS over the
+    query list (not N back-to-back runs per query) make every query
+    sample multiple time windows; the per-query minimum is the estimator
+    closest to the machine's actual capability."""
+    import shutil
+
     from ray.data import DataContext
 
-    from multimedia_indexing_ray.pipelines.queries import REGISTRY, _ensure_ann_index
+    from multimedia_indexing_ray.pipelines.queries import (
+        REGISTRY,
+        _ann_index_dir,
+        _ensure_ann_index,
+    )
 
+    repeats = max(1, int(os.environ.get("GRAFT_QUERY_REPEATS", "3")))
     ctx = DataContext.get_current()
-    out = {}
-    # build-once/query-many: the ivfpq artifact build is the reference's
-    # one-time index construction — report it separately so the query
-    # number reflects the warm probe the artifact exists for
-    t0 = time.perf_counter()
-    _ensure_ann_index(SF_DIR, "ivfpq")
-    out["ivfpq_build_cold"] = round(time.perf_counter() - t0, 3)
-    for name in BENCH_QUERIES:
-        ctx.use_push_based_shuffle = name in PUSH_QUERIES
-        t0 = time.perf_counter()
-        res = REGISTRY[name].fn(SF_DIR)
-        if hasattr(res, "to_pandas"):  # Dataset or pyarrow Table: materialize
-            res.to_pandas()
-        out[name] = round(time.perf_counter() - t0, 3)
+    out: dict = {}
+
+    def record(name: str, sec: float) -> None:
+        sec = round(sec, 3)
+        out[name] = min(out.get(name, sec), sec)
+
+    for rnd in range(repeats):
+        # build-once/query-many: the ivfpq artifact build is the
+        # reference's one-time index construction — timed separately so
+        # the query number reflects the warm probe the artifact exists
+        # for.  Prune the artifact first (first two rounds) so the timed
+        # build is genuinely COLD; the surviving artifact keeps
+        # ivfpq_knn_l2 warm, which is the semantics that query reports.
+        if rnd < 2:
+            shutil.rmtree(_ann_index_dir(SF_DIR, "ivfpq"), ignore_errors=True)
+            t0 = time.perf_counter()
+            _ensure_ann_index(SF_DIR, "ivfpq")
+            record("ivfpq_build_cold", time.perf_counter() - t0)
+        for name in BENCH_QUERIES:
+            ctx.use_push_based_shuffle = name in PUSH_QUERIES
+            t0 = time.perf_counter()
+            res = REGISTRY[name].fn(SF_DIR)
+            if hasattr(res, "to_pandas"):  # Dataset or pyarrow Table: materialize
+                res.to_pandas()
+            record(name, time.perf_counter() - t0)
     ctx.use_push_based_shuffle = os.environ.get("GRAFT_SHUFFLE", "push") == "push"
     return out
 
@@ -243,10 +270,24 @@ def main() -> None:
     logging.getLogger("ray.data").setLevel(logging.ERROR)
 
     warm_cluster()
-    flagship = run_flagship()
     flagship_only = os.environ.get("GRAFT_BENCH_ONLY") == "flagship"
+    # best-of-N for the headline too (same window-noise rationale as
+    # run_queries); the two flagship runs bracket the query rounds so
+    # they sample different time windows
+    flag_repeats = max(1, int(os.environ.get("GRAFT_FLAGSHIP_REPEATS", "1" if flagship_only else "2")))
+    flagship = run_flagship()
     qtimes = {} if flagship_only else run_queries()
-    serving = {} if flagship_only else run_serving()
+    for _ in range(flag_repeats - 1):
+        f2 = run_flagship()
+        if f2["sec"] < flagship["sec"]:
+            flagship = f2
+    if flagship_only:
+        serving = {}
+    else:
+        serving = run_serving()
+        s2 = run_serving()
+        if s2["sec"] < serving["sec"]:
+            serving = s2
     ray.shutdown()
     print(
         json.dumps(

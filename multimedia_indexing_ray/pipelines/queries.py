@@ -1094,6 +1094,46 @@ def q_repetition(sf_dir: str):
     return docs.map_batches(_fn, batch_format="pyarrow")
 
 
+def _vocab_broadcast_cap() -> int:
+    """Row cap for driver-collected vocabulary/df tables (the tf-idf
+    family's analog of exact_jaccard_verify's max_broadcast_ids gate,
+    `stages/dedup.py`): under the cap the df table broadcasts via
+    ray.put; above it the scoring pass co-partitions doc-token pairs
+    with the df table on token so the vocabulary never hits the driver
+    (open-domain 100-TB corpora have unbounded vocabularies)."""
+    return int(os.environ.get("GRAFT_MAX_VOCAB_BROADCAST", "5000000"))
+
+
+_TF_PAIRS_EMPTY = pa.table(
+    {
+        "doc_id": pa.array([], pa.int64()),
+        "term": pa.array([], pa.string()),
+        "tf": pa.array([], pa.int64()),
+    }
+)
+
+
+def _tf_pairs_batch(batch: pa.Table) -> pa.Table:
+    """Distinct (doc_id, term) pairs with per-doc term frequency — the
+    slim exchange payload of the distributed tf-idf paths (text itself
+    never crosses the wire)."""
+    flat, counts = tx.flat_tokens(batch["text"])
+    if len(flat) == 0:
+        return _TF_PAIRS_EMPTY
+    ids = batch["doc_id"].to_numpy()
+    doc_of = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+    uniq, tok_id = np.unique(flat, return_inverse=True)
+    nv = np.int64(len(uniq))
+    pair, tf = np.unique(doc_of * nv + tok_id, return_counts=True)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids[pair // nv], pa.int64()),
+            "term": pa.array(uniq[pair % nv], pa.string()),
+            "tf": pa.array(tf.astype(np.int64), pa.int64()),
+        }
+    )
+
+
 @register(
     "top_term_docs",
     r"""
@@ -1143,33 +1183,77 @@ def q_top_term(sf_dir: str):
     df_ds = map_partitions_by_key(
         docs.map_batches(_partial_df, batch_format="pyarrow"), "tok", _reduce_df,
         num_partitions=8,
+    ).materialize()
+    if df_ds.count() <= _vocab_broadcast_cap():
+        # the df table is the small aggregated side (vocabulary-sized);
+        # broadcast it once — the ray.put/actor-constructor pattern of
+        # `mapreduce/VisualThreadedMapper.java:119-167` (DistributedCache)
+        df_all = df_ds.take_all()
+        vocab = np.array([r["tok"] for r in df_all])
+        dfv = np.array([r["df"] for r in df_all], np.int64)
+        order = np.argsort(vocab)
+        vocab, dfv = vocab[order], dfv[order]
+        import ray as _ray
+
+        ref = _ray.put((vocab, dfv))
+
+        def _argmax(batch: pa.Table) -> pa.Table:
+            voc, dfa = _ray.get(ref)
+            mask, terms, tfs, dfs = tx.top_term_batch(batch["text"], voc, dfa)
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)[mask]
+            return pa.table(
+                {
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "top_term": pa.array(list(terms[mask]), pa.string()),
+                    "tf": pa.array(tfs[mask], pa.int64()),
+                    "df": pa.array(dfs[mask], pa.int64()),
+                }
+            )
+
+        return docs.map_batches(_argmax, batch_format="pyarrow")
+
+    # at-scale path (vocab above the broadcast cap): co-partition the
+    # slim (doc_id, term, tf) pairs with the df table on token, then one
+    # doc_id-keyed argmax by (tf DESC, df ASC, term ASC)
+    from multimedia_indexing_ray.stages.join import hash_join
+
+    _empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "top_term": pa.array([], pa.string()),
+            "tf": pa.array([], pa.int64()),
+            "df": pa.array([], pa.int64()),
+        }
     )
-    # the df table IS the small aggregated side (vocabulary-sized);
-    # broadcast it once — the ray.put/actor-constructor pattern of
-    # `mapreduce/VisualThreadedMapper.java:119-167` (DistributedCache)
-    df_all = df_ds.take_all()
-    vocab = np.array([r["tok"] for r in df_all])
-    dfv = np.array([r["df"] for r in df_all], np.int64)
-    order = np.argsort(vocab)
-    vocab, dfv = vocab[order], dfv[order]
-    import ray as _ray
 
-    ref = _ray.put((vocab, dfv))
-
-    def _argmax(batch: pa.Table) -> pa.Table:
-        voc, dfa = _ray.get(ref)
-        mask, terms, tfs, dfs = tx.top_term_batch(batch["text"], voc, dfa)
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False)[mask]
+    def _argmax_group(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _empty
+        d = t["doc_id"].to_numpy(zero_copy_only=False)
+        terms = np.asarray(t["term"]).astype(object)
+        tf = t["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dfv = t["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((terms, dfv, -tf, d))
+        ds_ = d[order]
+        first = np.unique(ds_, return_index=True)[1]
+        sel = order[first]
         return pa.table(
             {
-                "doc_id": pa.array(ids, pa.int64()),
-                "top_term": pa.array(list(terms[mask]), pa.string()),
-                "tf": pa.array(tfs[mask], pa.int64()),
-                "df": pa.array(dfs[mask], pa.int64()),
+                "doc_id": pa.array(d[sel], pa.int64()),
+                "top_term": pa.array(terms[sel], pa.string()),
+                "tf": pa.array(tf[sel], pa.int64()),
+                "df": pa.array(dfv[sel], pa.int64()),
             }
         )
 
-    return docs.map_batches(_argmax, batch_format="pyarrow")
+    joined = hash_join(
+        docs.map_batches(_tf_pairs_batch, batch_format="pyarrow"),
+        df_ds,
+        left_on="term",
+        right_on="tok",
+        num_partitions=16,
+    )
+    return map_partitions_by_key(joined, "doc_id", _argmax_group, num_partitions=16)
 
 
 @register(
@@ -1568,24 +1652,29 @@ def q_embedding_neardup(sf_dir: str):
     )
 
 
-def _ensure_ann_index(sf_dir: str, kind: str) -> str:
-    """Build-once / query-many: the index artifact is built on first use
-    and every later call only reads the probed partitions (the reference's
-    append/open/query lifecycle, `AbstractSearchStructure.java:229-257`)."""
+def _ann_index_dir(sf_dir: str, kind: str) -> str:
+    """Artifact directory for (sf_dir, kind) — cache key = path + data
+    fingerprint (mtime, size): regenerated data at the same path or an
+    encoder/model change must never serve a stale artifact.  Exposed so
+    bench.py can prune it before timing a genuinely COLD build."""
     import hashlib
 
-    from multimedia_indexing_ray.stages.ann_index import build_ann_index
-
-    # cache key = path + data fingerprint (mtime, size) + code version:
-    # regenerated data at the same path or an encoder/model change must
-    # never serve a stale artifact
     src = os.path.join(sf_dir, "embeddings.parquet")
     st = os.stat(src)
     tag = hashlib.md5(
         f"{os.path.abspath(sf_dir)}|{st.st_mtime_ns}|{st.st_size}".encode()
     ).hexdigest()[:12]
-    root = "/tmp/graft_ann/v2"
-    d = f"{root}/{tag}/{kind}"
+    return f"/tmp/graft_ann/v2/{tag}/{kind}"
+
+
+def _ensure_ann_index(sf_dir: str, kind: str) -> str:
+    """Build-once / query-many: the index artifact is built on first use
+    and every later call only reads the probed partitions (the reference's
+    append/open/query lifecycle, `AbstractSearchStructure.java:229-257`)."""
+    from multimedia_indexing_ray.stages.ann_index import build_ann_index
+
+    d = _ann_index_dir(sf_dir, kind)
+    root, tag = os.path.dirname(os.path.dirname(d)), os.path.basename(os.path.dirname(d))
     if not os.path.exists(os.path.join(d, "manifest.json")):
         # prune stale sibling tags for the SAME source dir (regenerated
         # data changes the fingerprint, so old artifacts never get read
@@ -4956,17 +5045,6 @@ def q_tfidf_top_terms(sf_dir: str):
 
     import ray as _ray
 
-    df_rows = map_partitions_by_key(
-        docs.map_batches(_df_partial, batch_format="pyarrow"), "term", _df_reduce,
-        num_partitions=8,
-    ).take_all()
-    vocab = np.array(sorted(r["term"] for r in df_rows), dtype=object)
-    dfmap = {r["term"]: r["df"] for r in df_rows}
-    dfv = np.array([dfmap[t] for t in vocab], dtype=np.int64)
-    # vocabulary-sized state: ship through the object store once, not in
-    # every task's pickled closure (web-scale vocab is 1e7 terms)
-    vref = _ray.put((vocab, dfv))
-
     _empty = pa.table(
         {
             "doc_id": pa.array([], pa.int64()),
@@ -4977,33 +5055,86 @@ def q_tfidf_top_terms(sf_dir: str):
         }
     )
 
-    def _score(batch: pa.Table) -> pa.Table:
-        vocab, dfv = _ray.get(vref)
-        flat, counts = tx.flat_tokens(batch["text"])
-        if len(flat) == 0:
+    df_ds = map_partitions_by_key(
+        docs.map_batches(_df_partial, batch_format="pyarrow"), "term", _df_reduce,
+        num_partitions=8,
+    ).materialize()
+    # open-domain corpora have UNBOUNDED vocabularies: the broadcast df
+    # table is gated (same pattern as exact_jaccard_verify's
+    # max_broadcast_ids); above the cap the scoring pass co-partitions
+    # (doc_id, term, tf) pairs with the df table on term instead of
+    # shipping the vocabulary to the driver
+    if df_ds.count() <= _vocab_broadcast_cap():
+        df_rows = df_ds.take_all()
+        vocab = np.array(sorted(r["term"] for r in df_rows), dtype=object)
+        dfmap = {r["term"]: r["df"] for r in df_rows}
+        dfv = np.array([dfmap[t] for t in vocab], dtype=np.int64)
+        # vocabulary-sized state: ship through the object store once, not
+        # in every task's pickled closure (web-scale vocab is 1e7 terms)
+        vref = _ray.put((vocab, dfv))
+
+        def _score(batch: pa.Table) -> pa.Table:
+            vocab, dfv = _ray.get(vref)
+            flat, counts = tx.flat_tokens(batch["text"])
+            if len(flat) == 0:
+                return _empty
+            ids = batch["doc_id"].to_numpy()
+            doc_of = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+            tok_id = np.searchsorted(vocab, flat)
+            nv = np.int64(len(vocab))
+            pair, tf = np.unique(doc_of * nv + tok_id, return_counts=True)
+            d, t = pair // nv, pair % nv
+            score = tf.astype(np.int64) * 1_000_000 // dfv[t]
+            order = np.lexsort((vocab[t], -score, d))
+            ds_, ts_, score_s = d[order], t[order], score[order]
+            starts = sg.segment_starts(ds_)
+            keep = sg.rel_index(starts, len(ds_)) < 3
+            return pa.table(
+                {
+                    "doc_id": pa.array(ids[ds_[keep]], pa.int64()),
+                    "term": pa.array(vocab[ts_[keep]], pa.string()),
+                    "tf": pa.array(tf[order][keep].astype(np.int64), pa.int64()),
+                    "df": pa.array(dfv[ts_[keep]], pa.int64()),
+                    "score": pa.array(score_s[keep], pa.int64()),
+                }
+            )
+
+        return docs.map_batches(_score, batch_format="pyarrow")
+
+    # at-scale path: tf pairs hash-joined with the df table on term
+    # (both sides shuffle once, vocabulary never leaves the workers),
+    # then one doc_id-keyed top-k
+    from multimedia_indexing_ray.stages.join import hash_join
+
+    def _topk(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
             return _empty
-        ids = batch["doc_id"].to_numpy()
-        doc_of = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
-        tok_id = np.searchsorted(vocab, flat)
-        nv = np.int64(len(vocab))
-        pair, tf = np.unique(doc_of * nv + tok_id, return_counts=True)
-        d, t = pair // nv, pair % nv
-        score = tf.astype(np.int64) * 1_000_000 // dfv[t]
-        order = np.lexsort((vocab[t], -score, d))
-        ds_, ts_, score_s = d[order], t[order], score[order]
+        d = t["doc_id"].to_numpy(zero_copy_only=False)
+        terms = np.asarray(t["term"]).astype(object)
+        tf = t["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dfv = t["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+        score = tf * 1_000_000 // dfv
+        order = np.lexsort((terms, -score, d))
+        ds_ = d[order]
         starts = sg.segment_starts(ds_)
-        keep = sg.rel_index(starts, len(ds_)) < 3
+        sel = order[sg.rel_index(starts, len(ds_)) < 3]
         return pa.table(
             {
-                "doc_id": pa.array(ids[ds_[keep]], pa.int64()),
-                "term": pa.array(vocab[ts_[keep]], pa.string()),
-                "tf": pa.array(tf[order][keep].astype(np.int64), pa.int64()),
-                "df": pa.array(dfv[ts_[keep]], pa.int64()),
-                "score": pa.array(score_s[keep], pa.int64()),
+                "doc_id": pa.array(d[sel], pa.int64()),
+                "term": pa.array(terms[sel], pa.string()),
+                "tf": pa.array(tf[sel], pa.int64()),
+                "df": pa.array(dfv[sel], pa.int64()),
+                "score": pa.array(score[sel], pa.int64()),
             }
         )
 
-    return docs.map_batches(_score, batch_format="pyarrow")
+    joined = hash_join(
+        docs.map_batches(_tf_pairs_batch, batch_format="pyarrow"),
+        df_ds,
+        left_on="term",
+        num_partitions=16,
+    )
+    return map_partitions_by_key(joined, "doc_id", _topk, num_partitions=16)
 
 
 @register(

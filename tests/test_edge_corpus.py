@@ -117,6 +117,26 @@ def test_edge_corpus_query_parity(ray_session, edge_dir, edge_con, name):
             assert a.tolist() == b.tolist(), f"{name}.{c}"
 
 
+@pytest.mark.parametrize("name", ["tfidf_top_terms", "top_term_docs"])
+def test_vocab_cap_forces_distributed_path(
+    ray_session, edge_dir, edge_con, name, monkeypatch
+):
+    """GRAFT_MAX_VOCAB_BROADCAST=0 forces the tf-idf family onto its
+    at-scale plan (doc-token pairs hash-joined with the df table on
+    token, then a doc-keyed top-k) — it must produce the identical
+    result as the broadcast fast path / SQL oracle."""
+    monkeypatch.setenv("GRAFT_MAX_VOCAB_BROADCAST", "0")
+    import __ray_entry__ as e
+
+    res = e.queries()[name](edge_dir)
+    mine = _normalize(res.to_pandas() if hasattr(res, "to_pandas") else res)
+    theirs = _normalize(edge_con.execute(e.oracle_sql()[name]).df())
+    assert list(mine.columns) == list(theirs.columns), f"{name}: columns"
+    assert len(mine) == len(theirs), f"{name}: rows {len(mine)} != {len(theirs)}"
+    for c in mine.columns:
+        assert mine[c].tolist() == theirs[c].tolist(), f"{name}.{c}"
+
+
 def test_bpe_pair_counts_nul_in_token(ray_session, tmp_path):
     """U+0000 is NOT whitespace: a token may contain it, and the pair
     kernel must count pairs touching it (regression: a NUL join-sentinel
