@@ -3445,18 +3445,36 @@ def q_zscore_per_user(sf_dir: str):
 def q_median(sf_dir: str):
     """Holistic (non-decomposable) aggregate: per-key median.  Unlike the
     cents-sum queries this cannot pre-aggregate — the key shuffle carries
-    raw values and each partition computes exact medians per key (pandas
-    linear interpolation == DuckDB quantile_cont, verified bit-exact)."""
+    raw values and each partition computes exact medians per key with a
+    segmented numpy quantile on the sorted partition: (lo+hi)/2 of the two
+    middle elements is np.median's formula and matches DuckDB's
+    quantile_cont(0.5) bit-exactly on doubles (lo==hi when n is odd, so
+    one fancy-index pass covers both parities)."""
     from multimedia_indexing_ray.stages.partition import map_partitions_by_key
 
     ev = _rp(sf_dir, "events", ["user_id", "value"])
 
+    _empty = pa.table(
+        {"user_id": pa.array([], pa.int64()), "median_value": pa.array([], pa.float64())}
+    )
+
     def kernel(table: pa.Table) -> pa.Table:
-        df = table.to_pandas()
-        g = df.groupby("user_id", sort=False)["value"].median().reset_index(name="median_value")
-        # strip pandas schema metadata: an unhashable metadata dict defeats
-        # Ray's schema dedup (logged per exchange task)
-        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
+        if table.num_rows == 0:
+            return _empty
+        uid = table["user_id"].to_numpy(zero_copy_only=False)
+        val = table["value"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((val, uid))
+        u, v = uid[order], val[order]
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        n = np.r_[starts[1:], len(u)] - starts
+        lo = starts + (n - 1) // 2
+        hi = starts + n // 2
+        return pa.table(
+            {
+                "user_id": pa.array(u[starts], pa.int64()),
+                "median_value": pa.array((v[lo] + v[hi]) / 2.0, pa.float64()),
+            }
+        )
 
     return map_partitions_by_key(ev, "user_id", kernel, num_partitions=32)
 

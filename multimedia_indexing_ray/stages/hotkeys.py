@@ -8,7 +8,8 @@ skew splitting for hot conversations").
 Scheme (zero-semantic-drift, tested against the unsplit pipeline):
 
 - A conversation is HOT when its row count exceeds ``hot_threshold``
-  (found with a cheap partial-count groupby).
+  (candidates from a one-scan Misra-Gries-style heavy-hitter sketch,
+  confirmed with exact counts).
 - Split points are chosen ONLY at inactivity gaps strictly greater than
   ``safe_gap = max(max window width, every session threshold)``: no
   sliding/tumbling window and no session can span such a gap, so window
@@ -67,83 +68,103 @@ class SplitPlan:
 
 
 def find_hot_candidates(
-    ds: "ray.data.Dataset", key: str, hot_threshold: int
+    ds: "ray.data.Dataset",
+    key: str,
+    hot_threshold: int,
+    sketch_counters: int = 4096,
 ) -> "list[str]":
-    """GUARANTEED superset of the keys with > hot_threshold rows.
+    """GUARANTEED superset of the keys with > hot_threshold rows, from ONE
+    streaming scan — no materialization, no dependence on the block count.
 
-    Pigeonhole with the TRUE block count B (ds must be materialized so
-    num_blocks() is exact and map_batches(batch_size=None) sees whole
-    blocks): a key with more than T rows over B blocks has >= ceil(T/B)
-    rows in at least one block, so per-block reporting at that cutoff
-    cannot miss a hot key.  Candidates are verified EXACTLY downstream
-    from their detail rows (build_split_plan), so false positives only
-    cost a little extra driver work.
+    Per-batch heavy hitters with a RELATIVE cutoff (the Misra-Gries /
+    SpaceSaving bound, Misra & Gries 1982): each batch of n_b rows
+    reports every key with batch count > n_b/m (at most m keys) plus a
+    sentinel row carrying n_b.  A key's unreported contributions sum to
+    at most sum_b(n_b/m) = N/m across the whole input, so every key with
+    true count > T has reported sum > T - N/m — keeping keys above that
+    driver-side cutoff cannot miss a hot key.  Candidates are verified
+    EXACTLY downstream (restricted count or the detail pass), so false
+    positives only cost a little extra work.
 
-    When blocks are so numerous that the cutoff degenerates (< 8), fall
-    back to an exact partial-count groupby (one small shuffle)."""
-    num_blocks = ds.num_blocks() if hasattr(ds, "num_blocks") else None
-    # a materialized EMPTY dataset reports 0 blocks -> guard the division
-    cutoff = max(1, -(-hot_threshold // num_blocks)) if num_blocks else 1
+    When the sketch is too coarse for the data (T <= N/m, i.e. the bound
+    degenerates to "everything"), fall back to an exact partial-count
+    groupby (one small shuffle)."""
+    m = max(2, int(sketch_counters))
 
-    if cutoff >= 8:
-        def _partial(batch: pa.Table) -> pa.Table:
-            df = batch.select([key]).to_pandas()
-            g = df.groupby(key, sort=False).size()
-            g = g[g >= cutoff].reset_index(name="n")
-            # strip pandas schema metadata: an unhashable metadata dict defeats
-            # Ray's schema dedup (logged per exchange task)
-            return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
+    def _hh_partial(batch: pa.Table) -> pa.Table:
+        keys = batch[key].to_numpy(zero_copy_only=False)
+        n_b = len(keys)
+        uniq, cnt = np.unique(keys, return_counts=True)
+        keep = cnt > n_b / m
+        return pa.table(
+            {
+                key: pa.array(
+                    np.concatenate([uniq[keep], np.array([None], dtype=object)])
+                ),
+                "n": pa.array(
+                    np.concatenate([cnt[keep], [n_b]]).astype(np.int64), pa.int64()
+                ),
+            }
+        )
 
-        parts = ds.map_batches(
-            _partial, batch_format="pyarrow", batch_size=None
-        ).to_pandas()
-        if parts.empty:
-            return []
-        cand = set(parts[key].unique().tolist())
-        # the detail pass pulls at most len(cand) x hot_threshold rows of a
-        # NON-hot candidate to the driver; when that worst case is small,
-        # skip the exact-count confirmation (one full scan saved)
-        if len(cand) * hot_threshold <= 5_000_000:
-            return sorted(cand)
-        # key-clustered layouts can flag every mid-size key as a candidate;
-        # confirm with EXACT counts restricted to the candidates so only
-        # genuinely hot keys reach the driver-side detail pass
-        cand_arr = pa.array(sorted(cand))
+    parts = ds.map_batches(
+        _hh_partial, batch_format="pyarrow", batch_size=None
+    ).to_pandas()
+    if parts.empty:
+        return []
+    sentinel = parts[key].isna()
+    total_rows = int(parts.loc[sentinel, "n"].sum())
+    if hot_threshold <= total_rows / m:
+        # sketch bound degenerate for this input: exact partial-count
+        # groupby over ALL keys (one small shuffle over (key, n) pairs)
+        from ray.data.aggregate import Sum
 
-        def _cand_counts(batch: pa.Table) -> pa.Table:
-            m = pc.is_in(batch[key], value_set=cand_arr)
-            df = batch.filter(m).select([key]).to_pandas()
-            g = df.groupby(key, sort=False).size().reset_index(name="n")
-            # strip pandas schema metadata: an unhashable metadata dict defeats
-            # Ray's schema dedup (logged per exchange task)
-            return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
+        def _partial_all(batch: pa.Table) -> pa.Table:
+            keys = batch[key].to_numpy(zero_copy_only=False)
+            uniq, cnt = np.unique(keys, return_counts=True)
+            return pa.table(
+                {key: pa.array(uniq), "n": pa.array(cnt.astype(np.int64), pa.int64())}
+            )
 
         totals = (
-            ds.map_batches(_cand_counts, batch_format="pyarrow", batch_size=None)
+            ds.map_batches(_partial_all, batch_format="pyarrow")
+            .groupby(key)
+            .aggregate(Sum("n", alias_name="n"))
+            .filter(expr=f"n > {int(hot_threshold)}")
             .to_pandas()
         )
-        if totals.empty:
-            return []
-        sums = totals.groupby(key, sort=False)["n"].sum()
-        return sorted(sums[sums > hot_threshold].index.tolist())
+        return sorted(totals[key].tolist())
 
-    from ray.data.aggregate import Sum
+    sums = parts.loc[~sentinel].groupby(key, sort=False)["n"].sum()
+    cand = set(sums[sums > hot_threshold - total_rows / m].index.tolist())
+    if not cand:
+        return []
+    # the detail pass pulls at most len(cand) x hot_threshold rows of a
+    # NON-hot candidate to the driver; when that worst case is small,
+    # skip the exact-count confirmation (one full scan saved)
+    if len(cand) * hot_threshold <= 5_000_000:
+        return sorted(cand)
+    # key-clustered layouts can flag every mid-size key as a candidate;
+    # confirm with EXACT counts restricted to the candidates so only
+    # genuinely hot keys reach the driver-side detail pass
+    cand_arr = pa.array(sorted(cand))
 
-    def _partial_all(batch: pa.Table) -> pa.Table:
-        df = batch.select([key]).to_pandas()
-        g = df.groupby(key, sort=False).size().reset_index(name="n")
-        # strip pandas schema metadata: an unhashable metadata dict defeats
-        # Ray's schema dedup (logged per exchange task)
-        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
+    def _cand_counts(batch: pa.Table) -> pa.Table:
+        sel = batch.filter(pc.is_in(batch[key], value_set=cand_arr))
+        keys = sel[key].to_numpy(zero_copy_only=False)
+        uniq, cnt = np.unique(keys, return_counts=True)
+        return pa.table(
+            {key: pa.array(uniq), "n": pa.array(cnt.astype(np.int64), pa.int64())}
+        )
 
     totals = (
-        ds.map_batches(_partial_all, batch_format="pyarrow")
-        .groupby(key)
-        .aggregate(Sum("n", alias_name="n"))
-        .filter(expr=f"n > {int(hot_threshold)}")
+        ds.map_batches(_cand_counts, batch_format="pyarrow", batch_size=None)
         .to_pandas()
     )
-    return sorted(totals[key].tolist())
+    if totals.empty:
+        return []
+    sums = totals.groupby(key, sort=False)["n"].sum()
+    return sorted(sums[sums > hot_threshold].index.tolist())
 
 
 def build_split_plan(
@@ -155,10 +176,11 @@ def build_split_plan(
     on: str = "ts",
 ) -> SplitPlan:
     plan = SplitPlan()
-    # ONE projection-pruned read: the slim (key, ts, turn_idx) view is
-    # materialized so the candidate pass and the detail pass share it
-    # (~20 bytes/row in the object store; spills if needed)
-    slim = ds.select_columns([key, on, "turn_idx"]).materialize()
+    # projection-pruned STREAMING view — never materialized: at 100 TB
+    # even the slim (key, ts, turn_idx) view is multi-TB, so the
+    # candidate sketch and the detail pass each stream a pruned scan
+    # instead of pinning it in the object store
+    slim = ds.select_columns([key, on, "turn_idx"])
     hot = find_hot_candidates(slim, key, hot_threshold)
     if not hot:
         return plan

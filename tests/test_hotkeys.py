@@ -88,6 +88,32 @@ def test_plan_builds_and_flattens(ray_session):
     assert np.all(np.diff(off) >= 1)
 
 
+def test_find_hot_candidates_sketch_and_fallback_paths(ray_session):
+    """The heavy-hitter sketch (normal counters) and the degenerate-bound
+    exact-groupby fallback (sketch_counters=2 makes T <= N/m) must both
+    find exactly the hot keys on a skewed, block-scattered input."""
+    import ray.data as rd
+
+    from multimedia_indexing_ray.stages.hotkeys import find_hot_candidates
+
+    rng = np.random.default_rng(3)
+    cold = np.array([f"k{i}" for i in range(200)], dtype=object)
+    col = np.concatenate(
+        [
+            np.repeat(np.array(["hot-a"], dtype=object), 5000),
+            np.repeat(np.array(["hot-b"], dtype=object), 3000),
+            rng.choice(cold, 20000),
+        ]
+    )
+    rng.shuffle(col)
+    ds = rd.from_arrow(pa.table({"conv_id": pa.array(col, pa.string())})).repartition(8)
+    assert find_hot_candidates(ds, "conv_id", 2000) == ["hot-a", "hot-b"]
+    assert find_hot_candidates(ds, "conv_id", 2000, sketch_counters=2) == [
+        "hot-a",
+        "hot-b",
+    ]
+
+
 def test_unsplittable_conv_stays_whole(ray_session):
     """A continuous hot conversation (no safe gap) must not be split."""
     import ray.data as rd
