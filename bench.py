@@ -190,6 +190,75 @@ def run_serving() -> dict:
     return {"probes": n, "sec": round(sec, 3), "probes_per_sec": round(n / sec, 1)}
 
 
+def run_incremental_serving() -> dict:
+    """Sharded live feature store (the YFCC100M open-index serving
+    analog): ingest the sf events stream into 8 IncrementalFeaturizer
+    actor shards in arrival order, then hammer `current()` point lookups.
+    Reports ingest rows/sec and probe throughput."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray as _ray
+
+    from multimedia_indexing_ray.pipelines.queries import (
+        _NOLEAD_SPECS,
+        _rp,
+        events_to_transcripts,
+    )
+    from multimedia_indexing_ray.stages.partition import partition_ids
+    from multimedia_indexing_ray.state.incremental import sharded_incremental
+
+    tbl = pa.concat_tables(
+        list(
+            events_to_transcripts(_rp(SF_DIR, "events")).iter_batches(
+                batch_size=None, batch_format="pyarrow"
+            )
+        )
+    )
+    idx = pc.sort_indices(
+        tbl,
+        sort_keys=[("conv_id", "ascending"), ("ts", "ascending"), ("turn_idx", "ascending")],
+    )
+    tbl = tbl.take(idx)
+    n_shards = 8
+    actors, route = sharded_incremental(_NOLEAD_SPECS, num_shards=n_shards, equal_ts="batch")
+    conv = np.asarray(tbl["conv_id"].to_numpy(zero_copy_only=False), dtype=object)
+    bounds = np.flatnonzero(np.r_[True, conv[1:] != conv[:-1]])
+    step = max(1, len(bounds) // 64)
+    cuts = [int(bounds[i]) for i in range(0, len(bounds), step)] + [tbl.num_rows]
+    t0 = time.perf_counter()
+    refs = []
+    for s, e in zip(cuts[:-1], cuts[1:]):
+        refs.extend(route(tbl.slice(s, e - s)))
+    _ray.get(refs)
+    ingest_sec = time.perf_counter() - t0
+    convs = sorted(set(conv))
+    pids = partition_ids(np.array(convs, dtype=object), n_shards)
+    shard_ids = [
+        [c for c, p in zip(convs, pids) if p == s] for s in range(n_shards)
+    ]
+    reps = 200
+    best = None
+    for _ in range(2):  # best-of-2 (window noise)
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            _ray.get(
+                [actors[s].current.remote(shard_ids[s]) for s in range(n_shards) if shard_ids[s]]
+            )
+        sec = time.perf_counter() - t0
+        best = sec if best is None else min(best, sec)
+    for a in actors:
+        _ray.kill(a)
+    n_probes = reps * len(convs)
+    return {
+        "rows": tbl.num_rows,
+        "ingest_sec": round(ingest_sec, 3),
+        "ingest_rows_per_sec": round(tbl.num_rows / ingest_sec, 1),
+        "probes": n_probes,
+        "probes_per_sec": round(n_probes / best, 1),
+    }
+
+
 def run_queries() -> dict:
     """Per-query timings, min of GRAFT_QUERY_REPEATS interleaved rounds.
 
@@ -283,11 +352,13 @@ def main() -> None:
             flagship = f2
     if flagship_only:
         serving = {}
+        serving_inc = {}
     else:
         serving = run_serving()
         s2 = run_serving()
         if s2["sec"] < serving["sec"]:
             serving = s2
+        serving_inc = run_incremental_serving()
     ray.shutdown()
     print(
         json.dumps(
@@ -299,6 +370,7 @@ def main() -> None:
                 "turns_per_sec": round(flagship["turns_per_sec"], 1),
                 "queries": qtimes,
                 "serving": serving,
+                "serving_incremental": serving_inc,
                 "sf": SF_DIR,
                 "num_cpus": NUM_CPUS,
                 "num_partitions": NUM_PARTITIONS,

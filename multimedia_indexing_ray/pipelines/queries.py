@@ -1976,6 +1976,80 @@ def q_incremental_parity(sf_dir: str):
     return inc.append_batch(tbl)
 
 
+def _serving_current_sql() -> str:
+    feats = ", ".join(
+        f"{n} AS matched_{n}" for n in _NOLEAD_SPECS.feature_columns()
+    )
+    return f"""
+    WITH flag AS ({_flagship_sql(_NOLEAD_SPECS)}),
+    r AS (SELECT *, row_number() OVER (PARTITION BY conv_id
+                                       ORDER BY ts DESC, turn_idx DESC) AS rn
+          FROM flag)
+    SELECT conv_id, ts AS matched_ts,
+      CAST(turn_idx AS BIGINT) AS matched_turn_idx, {feats}
+    FROM r WHERE rn = 1
+    """
+
+
+@register("incremental_serving_current", _serving_current_sql())
+def q_incremental_serving_current(sf_dir: str):
+    """LIVE point-lookup serving over sharded long-lived actors — the
+    YFCC100M open-index query loop
+    (`visual/examples/YFCC100MExample.java:64-195`) re-expressed as Ray
+    actors: the event stream is routed by conv-hash to N
+    IncrementalFeaturizer shards in arrival (ts) order, then `current()`
+    returns the latest feature vector per conversation.  The oracle is
+    the batch flagship SQL's LAST row per conversation, so hash-green
+    means the streaming store serves exactly what a batch rebuild would.
+
+    Scale shape: per-shard state is O(live conversations) bounded-window
+    buffers; ingest is embarrassingly parallel across shards (one actor
+    call per (shard, batch)); lookups never touch the event log."""
+    import ray as _ray
+
+    from multimedia_indexing_ray.stages.partition import partition_ids
+    from multimedia_indexing_ray.state.incremental import sharded_incremental
+
+    ev = _rp(sf_dir, "events")
+    t = events_to_transcripts(ev)
+    tbl = pa.concat_tables(
+        list(t.iter_batches(batch_size=None, batch_format="pyarrow"))
+    )
+    # arrival order: ts within conversation (the stream contract); whole
+    # table sorted once so every shard sees nondecreasing ts per conv
+    idx = pc.sort_indices(
+        tbl,
+        sort_keys=[("conv_id", "ascending"), ("ts", "ascending"), ("turn_idx", "ascending")],
+    )
+    tbl = tbl.take(idx)
+    num_shards = 4
+    actors, route = sharded_incremental(
+        _NOLEAD_SPECS, num_shards=num_shards, equal_ts="batch"
+    )
+    refs = []
+    # batches aligned on conversation boundaries so equal-(conv, ts) runs
+    # arrive intact (equal_ts='batch' visibility contract)
+    conv = np.asarray(tbl["conv_id"].to_numpy(zero_copy_only=False), dtype=object)
+    bounds = np.flatnonzero(np.r_[True, conv[1:] != conv[:-1]])
+    step = max(1, len(bounds) // 32)
+    cuts = [int(bounds[i]) for i in range(0, len(bounds), step)] + [tbl.num_rows]
+    for s, e in zip(cuts[:-1], cuts[1:]):
+        refs.extend(route(tbl.slice(s, e - s)))
+    _ray.get(refs)  # ingest complete
+
+    convs = sorted(set(conv))
+    pids = partition_ids(np.array(convs, dtype=object), num_shards)
+    lookups = [
+        actors[s].current.remote([c for c, p in zip(convs, pids) if p == s])
+        for s in range(num_shards)
+        if (pids == s).any()
+    ]
+    out = pa.concat_tables(_ray.get(lookups))
+    for a in actors:
+        _ray.kill(a)
+    return out
+
+
 @register("flagship_features", _flagship_sql())
 def q_flagship(sf_dir: str):
     ev = _rp(sf_dir, "events")
@@ -3223,6 +3297,43 @@ def q_media_features_ppm(sf_dir: str):
 
     def _flat(batch: pa.Table) -> pa.Table:
         # stable scalar projection for the driver's rows/schema check
+        feats = batch["features"].combine_chunks()
+        dim = feats.type.list_size
+        mat = feats.flatten().to_numpy(zero_copy_only=False).reshape(-1, dim)
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "feat_mean": pa.array(mat.mean(axis=1), pa.float64()),
+                "feat_l2": pa.array(np.sqrt((mat * mat).sum(axis=1)), pa.float64()),
+                "decode_error": batch["decode_error"],
+            }
+        )
+
+    return out.map_batches(_flat, batch_format="pyarrow")
+
+
+@register("media_features_jpeg")  # real JPEG decode pipeline — rows-only (binary
+# decode is not SQL-expressible; codec correctness lives in tests/test_jpeg.py:
+# round trips, color-luma equality, tolerance cases, Annex-K tables from DHT)
+def q_media_features_jpeg(sf_dir: str):
+    """The S4 gap closed: REAL baseline-JFIF payloads (gray + 4:2:0
+    color, seeded; no external data) -> actor-pool tolerant decode
+    (`functions/jpeg.py`, the `ImageIOGreyScale.java:176-185` fallback
+    analog) -> bilinear rescale -> tile-statistics featurizer.  Planted
+    malformed rows exercise the side-channel: truncated entropy data
+    decodes partially (``tolerated:…`` with real pixels), junk payloads
+    fail hard (``decode_failed:…``)."""
+    import ray.data as rd
+
+    from multimedia_indexing_ray.stages.multimodal import (
+        decode_and_featurize,
+        synthetic_jpeg_table,
+    )
+
+    media = rd.from_arrow(synthetic_jpeg_table(256, seed=11))
+    out = decode_and_featurize(media, codec="real", concurrency=2)
+
+    def _flat(batch: pa.Table) -> pa.Table:
         feats = batch["features"].combine_chunks()
         dim = feats.type.list_size
         mat = feats.flatten().to_numpy(zero_copy_only=False).reshape(-1, dim)
@@ -5464,15 +5575,17 @@ def q_user_session_profile(sf_dir: str):
 )
 def q_media_phash_dups(sf_dir: str):
     """Image near-duplicate detection by perceptual hash over REAL image
-    bytes: decode PNM (pure-numpy codec) -> 9x8 luma dHash -> exact-hash
-    bucket pairs — what byte-level `dedup_exact_docs` cannot catch (the
-    planted duplicates re-encode the same raster with different header
-    metadata, so every payload hash differs; only the DECODED pixels
-    match).  The oracle is the planted ground truth, derivable from ids
-    alone (pair (i, i+120) for each of 120 bases): hash-green iff the
-    decode + hash + bucket pipeline recovers exactly the planted pairs
-    with no collisions among the 120 distinct random rasters.  Payload
-    bytes never cross an exchange — only (id, hash) rows shuffle."""
+    bytes in MIXED formats: decode PNM or baseline JPEG (both pure-numpy
+    codecs, auto-detected) -> 9x8 luma dHash -> exact-hash bucket pairs —
+    what byte-level `dedup_exact_docs` cannot catch (the planted
+    duplicates re-encode the same raster with different header metadata
+    — PNM comment / JPEG COM segment — so every payload hash differs;
+    only the DECODED pixels match).  The oracle is the planted ground
+    truth, derivable from ids alone (pair (i, i+120) for each of 120
+    bases): hash-green iff the decode + hash + bucket pipeline recovers
+    exactly the planted pairs with no collisions among the 120 distinct
+    rasters.  Payload bytes never cross an exchange — only (id, hash)
+    rows shuffle."""
     import ray.data as rd
 
     from multimedia_indexing_ray.stages.multimodal import (

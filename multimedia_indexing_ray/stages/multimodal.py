@@ -11,12 +11,10 @@ tolerant decode, rescale, feature-extract
   duration metadata)``;
 - decode / resize / frame-sample are ACTOR-POOL ``map_batches`` stages
   with state built once per actor (ST1 singleton analog);
-- codecs: ``codec="ppm"`` is a REAL pure-numpy decoder for binary
-  PPM/PGM (P6/P5) payloads — header parse, luma grayscale, vectorized
-  bilinear rescale — so the decode -> rescale -> featurize path runs
-  end-to-end on real image bytes with no external library;
-  ``codec="real"`` (JPEG/PNG/audio) raises NotImplementedError at the
-  exact integration point (the container ships no PIL/libav), and
+- codecs: ``codec="real"`` auto-detects and REALLY decodes JFIF/JPEG
+  (pure-numpy tolerant baseline decoder, `functions/jpeg.py` — the
+  `ImageIOGreyScale.java` analog) and binary PPM/PGM (P6/P5); audio and
+  video payloads remain a documented container-limit stub (no libav).
   ``codec="fake"`` is a deterministic stand-in (seeded by content hash);
 - failures never crash the batch: bad payloads are routed to an error
   side-channel column (``decode_error``), mirroring the reference's
@@ -33,6 +31,8 @@ import numpy as np
 import pyarrow as pa
 
 import ray.data
+
+from multimedia_indexing_ray.functions import jpeg
 
 logger = logging.getLogger(__name__)
 
@@ -125,27 +125,45 @@ def resize_bilinear(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
 class MediaDecoder:
     """Actor-pool decode stage.
 
-    codec="real" is the integration point for PIL/libav — unavailable in
-    this container, so it raises NotImplementedError (clearly marked
-    stub).  codec="fake" emits a deterministic (seeded) small raster so
-    the downstream plumbing is fully exercised."""
+    codec="real" auto-detects the payload format and REALLY decodes it:
+    JFIF/JPEG via the pure-numpy tolerant baseline decoder
+    (`functions/jpeg.py`, the engine's `ImageIOGreyScale.java` analog —
+    tolerated malformations surface as ``decode_error="tolerated:…"``
+    with real pixels), PNM (P5/P6) via the PPM codec.  Audio/video
+    payloads remain a documented container-limit stub (no libav).
+    codec="fake" emits a deterministic (seeded) small raster so the
+    plumbing can be exercised without real payloads."""
 
-    def __init__(self, codec: str = "fake", target_pixels: int = 64 * 64):
-        if codec not in ("fake", "ppm", "real"):
+    def __init__(self, codec: str = "real", target_pixels: int = 64 * 64):
+        if codec not in ("fake", "ppm", "jpeg", "real"):
             raise ValueError(codec)
         self.codec = codec
         self.target_pixels = target_pixels
 
     def _decode_one(self, payload: bytes, media_type: str):
-        """Returns (raster, error) — exactly one is None."""
+        """Returns (raster, error) — the raster is None on hard failure;
+        a non-None error alongside a raster marks a TOLERATED decode."""
         side = int(np.sqrt(self.target_pixels))
-        if self.codec == "real":
-            raise NotImplementedError(
-                "JPEG/PNG/audio decode requires PIL/libav — not available in "
-                "this container; use codec='ppm' (real, pure numpy) or "
-                "codec='fake' (deterministic stand-in)"
-            )
-        if self.codec == "ppm":
+        codec = self.codec
+        if codec == "real":
+            if media_type in ("audio", "video"):
+                # documented stub: no libav in this container — the
+                # actor/batch/error-channel plumbing is identical
+                return None, "decode_failed:unsupported_media_type"
+            if jpeg.is_jpeg(payload):
+                codec = "jpeg"
+            elif payload[:2] in (b"P5", b"P6"):
+                codec = "ppm"
+            else:
+                return None, "decode_failed:unknown_format"
+        if codec == "jpeg":
+            try:
+                img, warns = jpeg.decode_jpeg_gray(payload, tolerant=True)
+            except jpeg.JpegError as e:
+                return None, f"decode_failed:{e.args[0]}"
+            err = f"tolerated:{'+'.join(warns)}" if warns else None
+            return resize_bilinear(img, side, side), err
+        if codec == "ppm":
             try:
                 img = decode_ppm_gray(payload)
             except _PpmError as e:
@@ -168,7 +186,7 @@ class MediaDecoder:
                 errors.append(err)
             else:
                 pixels.append(arr.reshape(-1))
-                errors.append(None)
+                errors.append(err)  # None, or "tolerated:…" with real pixels
         mat = np.stack(pixels)
         col = pa.FixedSizeListArray.from_arrays(
             pa.array(mat.reshape(-1), pa.float32()), side * side
@@ -291,6 +309,63 @@ def synthetic_ppm_table(n: int = 32, seed: int = 42) -> pa.Table:
     return pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA)
 
 
+def make_jpeg(
+    width: int,
+    height: int,
+    seed: int = 0,
+    quality: int = 85,
+    comment: "Optional[bytes]" = None,
+    color: bool = False,
+) -> bytes:
+    """Deterministic REAL baseline-JFIF bytes for tests/benches — a smooth
+    seeded raster (random pixels quantize terribly; smooth fields are the
+    realistic JPEG case).  ``comment`` varies the header without touching
+    the entropy data: the decoded pixels are bit-identical across comment
+    variants (the re-encoded-copy case perceptual dedup exists for)."""
+    rng = np.random.default_rng(seed)
+    y, x = np.mgrid[0:height, 0:width]
+    a, b, c = rng.uniform(4, 14, 3)
+    base = 128 + 70 * np.sin(x / a) * np.cos(y / b) + 40 * np.sin((x + y) / c)
+    img = np.clip(base, 0, 255).astype(np.uint8)
+    if color:
+        rgb = np.stack(
+            [img, np.roll(img, 2, axis=0), np.roll(img, 3, axis=1)], axis=-1
+        )
+        return jpeg.encode_jpeg_color(rgb, quality=quality, comment=comment)
+    return jpeg.encode_jpeg_gray(img, quality=quality, comment=comment)
+
+
+def synthetic_jpeg_table(n: int = 32, seed: int = 42) -> pa.Table:
+    """Media rows whose payloads are REAL decodable baseline-JFIF bytes
+    (gray and 4:2:0 color), with planted malformed rows: truncated
+    entropy data (tolerated, partial raster), missing EOI (tolerated),
+    and non-JPEG junk (hard decode failure)."""
+    rows = []
+    for i in range(n):
+        w, h = 24 + (i % 5) * 8, 18 + (i % 3) * 10
+        if i % 11 == 5:
+            payload = b"JUNK" + make_jpeg(w, h, seed=seed + i)[4:]  # bad magic
+        else:
+            payload = make_jpeg(w, h, seed=seed + i, color=(i % 4 == 0))
+            if i % 7 == 3:
+                # cut midway through the ENTROPY data (past the SOS header)
+                # so the tolerant partial-decode path is what gets hit
+                sos = payload.find(b"\xff\xda")
+                body = sos + 2 + int.from_bytes(payload[sos + 2 : sos + 4], "big")
+                payload = payload[: (body + len(payload)) // 2]
+        rows.append(
+            {
+                "media_id": f"j-{i:04d}",
+                "media_type": "image",
+                "payload": payload,
+                "meta_width": w,
+                "meta_height": h,
+                "meta_duration_s": None,
+            }
+        )
+    return pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA)
+
+
 def synthetic_media_table(n: int = 32, seed: int = 42) -> pa.Table:
     """Deterministic fake media rows for tests/benches (binary payloads)."""
     rng = np.random.default_rng(seed)
@@ -328,17 +403,27 @@ def dhash64(img: np.ndarray) -> int:
 
 
 def synthetic_dup_ppm_table(n_base: int = 120, seed: int = 7) -> pa.Table:
-    """Deterministic corpus with planted pixel-exact duplicate PAIRS:
-    row i in [0, n_base) is a base image; row n_base+i re-encodes the SAME
-    raster with different header metadata (different file bytes, same
-    pixels).  Ground truth is derivable from the ids alone — the oracle
-    for `media_phash_dups` is `(q-i, q-(n_base+i))` for every i."""
+    """Deterministic MIXED-FORMAT corpus with planted pixel-exact
+    duplicate PAIRS: row i in [0, n_base) is a base image; row n_base+i
+    re-encodes the SAME raster with different header metadata (different
+    file bytes, same decoded pixels).  Even i are PNM (raster comment
+    variant), odd i are baseline JPEG (COM segment variant — the entropy
+    data is byte-identical, so the decode is bit-identical).  Ground
+    truth is derivable from the ids alone — the oracle for
+    `media_phash_dups` is `(q-i, q-(n_base+i))` for every i."""
     rows = []
     for dup in (False, True):
         for i in range(n_base):
             w, h = 24 + (i % 5) * 8, 18 + (i % 3) * 10
             comment = b"copy variant=2 encoder=b" if dup else b"synthetic"
-            payload = make_ppm(w, h, seed=seed + i, gray=(i % 4 == 0), comment=comment)
+            if i % 2 == 1:
+                payload = make_jpeg(
+                    w, h, seed=seed + i, comment=comment, color=(i % 4 == 3)
+                )
+            else:
+                payload = make_ppm(
+                    w, h, seed=seed + i, gray=(i % 4 == 0), comment=comment
+                )
             rows.append(
                 {
                     "media_id": f"q-{(n_base + i) if dup else i:04d}",
@@ -353,7 +438,7 @@ def synthetic_dup_ppm_table(n_base: int = 120, seed: int = 7) -> pa.Table:
 
 
 class MediaPHasher:
-    """Actor-pool stage: PNM payload -> (media_id, phash int64).
+    """Actor-pool stage: PNM or JPEG payload -> (media_id, phash int64).
 
     Decode is inherently per-payload (variable-size rasters), so the loop
     is per image — the hash itself is 72 resized pixels, trivial next to
@@ -366,8 +451,11 @@ class MediaPHasher:
         out_ids, hashes = [], []
         for mid, payload in zip(ids, batch["payload"].to_pylist()):
             try:
-                img = decode_ppm_gray(payload)
-            except _PpmError:
+                if jpeg.is_jpeg(payload):
+                    img, _ = jpeg.decode_jpeg_gray(payload, tolerant=True)
+                else:
+                    img = decode_ppm_gray(payload)
+            except (_PpmError, jpeg.JpegError):
                 continue
             out_ids.append(mid)
             hashes.append(dhash64(img))

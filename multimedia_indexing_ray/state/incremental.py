@@ -367,7 +367,9 @@ class IncrementalFeaturizer:
 
 
 def sharded_incremental(
-    specs: FeatureSpecs = DEFAULT_SPECS, num_shards: int = 4
+    specs: FeatureSpecs = DEFAULT_SPECS,
+    num_shards: int = 4,
+    equal_ts: str = "causal",
 ) -> "tuple[list, object]":
     """Create `num_shards` long-lived actors each owning a conv-hash
     shard, plus a `route(batch) -> list[ObjectRef]` function.  This is the
@@ -377,7 +379,7 @@ def sharded_incremental(
     from multimedia_indexing_ray.stages.partition import partition_ids
 
     Actor = ray.remote(IncrementalFeaturizer)
-    actors = [Actor.remote(specs) for _ in range(num_shards)]
+    actors = [Actor.remote(specs, equal_ts) for _ in range(num_shards)]
 
     def route(batch: pa.Table) -> "list":
         pids = partition_ids(batch["conv_id"].to_numpy(zero_copy_only=False), num_shards)

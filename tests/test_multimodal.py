@@ -18,10 +18,21 @@ def test_media_schema_and_fixture():
     assert any(len(p) == 0 for p in t["payload"].to_pylist())  # planted bad rows
 
 
-def test_real_codec_is_marked_stub():
+def test_real_codec_decodes_images_stubs_av():
+    """codec='real' now REALLY decodes image payloads (JPEG via the
+    pure-numpy baseline decoder, PNM via the PPM codec); audio/video
+    remain the documented container-limit stub (error side-channel, not
+    an exception)."""
+    from multimedia_indexing_ray.functions.jpeg import encode_jpeg_gray
+
     dec = MediaDecoder(codec="real")
-    with pytest.raises(NotImplementedError):
-        dec._decode_one(b"\xff\xd8\xff", "image")
+    img = np.full((16, 16), 200, dtype=np.uint8)
+    arr, err = dec._decode_one(encode_jpeg_gray(img, 90), "image")
+    assert err is None and arr is not None and arr.shape == (64, 64)
+    arr2, err2 = dec._decode_one(b"\x00\x01junk", "image")
+    assert arr2 is None and err2 == "decode_failed:unknown_format"
+    arr3, err3 = dec._decode_one(b"anything", "audio")
+    assert arr3 is None and err3 == "decode_failed:unsupported_media_type"
 
 
 def test_decode_featurize_pipeline(ray_session):
