@@ -319,6 +319,9 @@ def main() -> None:
         include_dashboard=False,
         ignore_reinit_error=True,
         logging_level="ERROR",
+        # worker-log forwarding writes to the DRIVER'S STDOUT; the bench
+        # contract is exactly one JSON line there
+        log_to_driver=False,
     )
     from ray.data import DataContext
 

@@ -52,7 +52,7 @@ class Query:
 # docs the keyed exchange's fixed cost (~1-1.5s at 32 cpus) dwarfs the
 # kernel, so the identical kernel runs once in-process; the gate uses a
 # METADATA-ONLY parquet row count, so at scale nothing materializes
-_COALESCE_DOCS = 100_000
+_COALESCE_DOCS = int(os.environ.get("GRAFT_COALESCE_DOCS", "100000"))
 
 REGISTRY: "Dict[str, Query]" = {}
 
@@ -538,7 +538,7 @@ def q_region_revenue(sf_dir: str):
     # broadcast, so the whole query is ONE streaming fold over lineitem
     # with a per-batch |regions|-row partial — zero exchanges; at scale
     # the bucketed hash-join plan below is unchanged
-    if orders.count() <= 10_000_000:
+    if orders.count() <= _broadcast_row_cap():
         import ray as _ray
 
         ot = _pq(sf_dir, "orders", ["o_orderkey", "o_custkey"])
@@ -815,7 +815,7 @@ def q_shipping_priority(sf_dir: str):
     # fixed costs dwarf the kernel: both filtered+pre-agged sides are
     # tiny, so join + final sum + top-10 run once in-process (identical
     # rules); the at-scale path below is unchanged
-    if li.count() <= 10_000_000:
+    if li.count() <= _broadcast_row_cap():
         import ray as _ray
 
         lt = [t for t in _ray.get(
@@ -1092,6 +1092,14 @@ def q_repetition(sf_dir: str):
         )
 
     return docs.map_batches(_fn, batch_format="pyarrow")
+
+
+def _broadcast_row_cap() -> int:
+    """Row cap for the metadata-gated broadcast fast paths of
+    region_revenue / shipping_priority (GRAFT_BROADCAST_ROW_CAP env —
+    the scale-rehearsal pressure knob; default 10M rows, at which point
+    the pre-agg + bucketed-join at-scale plan takes over)."""
+    return int(os.environ.get("GRAFT_BROADCAST_ROW_CAP", "10000000"))
 
 
 def _vocab_broadcast_cap() -> int:

@@ -132,6 +132,30 @@ def _fingerprint(edges: "ray.data.Dataset") -> tuple:
 DRIVER_EDGE_CAP = 2_000_000
 
 
+def _edge_cap(explicit) -> int:
+    """Resolve a driver_edge_cap argument: explicit value wins, else the
+    GRAFT_DRIVER_EDGE_CAP env override (the scale-rehearsal pressure
+    knob, scripts/scale_rehearsal.py), else the module default."""
+    if explicit is not None:
+        return int(explicit)
+    import os
+
+    return int(os.environ.get("GRAFT_DRIVER_EDGE_CAP", DRIVER_EDGE_CAP))
+
+
+def _compact(ds: "ray.data.Dataset", num_partitions: int) -> "ray.data.Dataset":
+    """Bound and densify the block structure of a slim iteration input.
+
+    Ray 2.49's sort scheduler can DEADLOCK when an iterative union+sort
+    pipeline is fed many mostly-empty input blocks (observed: a 32-block
+    pair set with a handful of non-empty blocks hangs the per-round
+    keyed exchanges of kcore forever, while the same edges compacted to
+    a few dense blocks finish in seconds).  Every distributed graph
+    kernel compacts its edge set ONCE before iterating; the cost is one
+    small repartition of the slim (u, v) int64 set."""
+    return ds.repartition(num_partitions).materialize()
+
+
 def _local_cc(table: pa.Table, max_rounds: int) -> pa.Table:
     """Same alternating star rounds on one in-memory table — the
     small-edge-set fast path (a few M int64 pairs is tens of MB; the
@@ -153,7 +177,7 @@ def connected_components(
     b_col: str = "b_id",
     num_partitions: int = 8,
     max_rounds: int = 30,
-    driver_edge_cap: int = DRIVER_EDGE_CAP,
+    driver_edge_cap: "int | None" = None,
 ) -> "ray.data.Dataset":
     """Star edges ``(u, root)`` for every non-root node of every
     component; root = min node id of the component.  Nodes that appear
@@ -176,7 +200,7 @@ def connected_components(
     n_edges = edges.count()
     if n_edges == 0:
         return ray.data.from_arrow(_EDGE_SCHEMA.empty_table())
-    if n_edges <= driver_edge_cap:
+    if n_edges <= _edge_cap(driver_edge_cap):
         import ray as _ray
 
         local = pa.concat_tables(
@@ -187,6 +211,7 @@ def connected_components(
         ).combine_chunks()
         return ray.data.from_arrow(_local_cc(local, max_rounds))
 
+    edges = _compact(edges, num_partitions)
     prev = None
     for _ in range(max_rounds):
         edges = map_partitions_by_key(
@@ -236,7 +261,7 @@ def resolve_clusters(
 
     both = docs.map_batches(_self_edges, batch_format="pyarrow").union(stars)
     both = both.materialize()
-    if both.count() <= DRIVER_EDGE_CAP:
+    if both.count() <= _edge_cap(None):
         both = both.repartition(1)
         num_partitions = None  # marker: single-block path below
 
@@ -335,7 +360,7 @@ def resolve_clusters_best(
     # small corpora: collapse both fixed-cost keyed exchanges into one
     # coalesced block (same kernels, batch = everything)
     both = both.materialize()
-    small = both.count() <= DRIVER_EDGE_CAP
+    small = both.count() <= _edge_cap(None)
     if small:
         assigned = both.repartition(1).map_batches(
             _attach, batch_format="pyarrow", batch_size=None
@@ -379,7 +404,7 @@ def pagerank(
     damping_num: int = 85,
     damping_den: int = 100,
     num_partitions: int = 8,
-    driver_edge_cap: int = DRIVER_EDGE_CAP,
+    driver_edge_cap: "int | None" = None,
 ) -> "ray.data.Dataset":
     """Integer-quantized PageRank over a symmetrized pair graph
     (Brin & Page 1998): centrality scoring of near-duplicate / citation
@@ -418,7 +443,7 @@ def pagerank(
     if n_edges == 0:
         return ray.data.from_arrow(out_schema.empty_table())
 
-    if n_edges <= driver_edge_cap:
+    if n_edges <= _edge_cap(driver_edge_cap):
         import ray as _ray
 
         t = pa.concat_tables(
@@ -462,7 +487,7 @@ def pagerank(
         )
 
     edges = map_partitions_by_key(
-        edges, "u", _dedup_group, num_partitions=num_partitions
+        _compact(edges, num_partitions), "u", _dedup_group, num_partitions=num_partitions
     ).materialize()
 
     def _count_nodes(table: pa.Table) -> pa.Table:
@@ -646,7 +671,7 @@ def triangle_counts(
     a_col: str = "a_id",
     b_col: str = "b_id",
     num_partitions: int = 8,
-    driver_edge_cap: int = DRIVER_EDGE_CAP,
+    driver_edge_cap: "int | None" = None,
     wedge_cap: int = 4096,
 ) -> "ray.data.Dataset":
     """Per-node triangle participation counts over the (deduplicated,
@@ -683,7 +708,7 @@ def triangle_counts(
     if edges.count() == 0:
         return ray.data.from_arrow(out_schema.empty_table())
 
-    if edges.count() <= driver_edge_cap:
+    if edges.count() <= _edge_cap(driver_edge_cap):
         import ray as _ray
 
         t = pa.concat_tables(
@@ -704,6 +729,8 @@ def triangle_counts(
         return ray.data.from_arrow(
             pa.table({"doc_id": ids, "n_triangles": cnt.astype(np.int64)}, schema=out_schema)
         )
+
+    edges = _compact(edges, num_partitions)
 
     _W_SCHEMA = pa.schema(
         [("u", pa.int64()), ("v", pa.int64()), ("apex", pa.int64())]
@@ -780,7 +807,7 @@ def kcore(
     k: int = 2,
     rounds: int = 5,
     num_partitions: int = 8,
-    driver_edge_cap: int = DRIVER_EDGE_CAP,
+    driver_edge_cap: "int | None" = None,
 ) -> "ray.data.Dataset":
     """R-round k-core peeling over a symmetrized pair graph (Seidman
     1983): iteratively drop nodes with degree < k in the surviving
@@ -809,7 +836,7 @@ def kcore(
     if n_edges == 0:
         return ray.data.from_arrow(out_schema.empty_table())
 
-    if n_edges <= driver_edge_cap:
+    if n_edges <= _edge_cap(driver_edge_cap):
         import ray as _ray
 
         t = pa.concat_tables(
@@ -851,7 +878,8 @@ def kcore(
         )
 
     edges = map_partitions_by_key(
-        edges, "u", _dedup_group, num_partitions=num_partitions
+        _compact(edges, num_partitions), "u", _dedup_group,
+        num_partitions=num_partitions,
     ).materialize()
 
     _ALIVE_SCHEMA = pa.schema([("u", pa.int64()), ("side", pa.int64())])

@@ -15,6 +15,7 @@ shuffle instead of text wherever possible.
 from __future__ import annotations
 
 import logging
+import os
 from typing import Sequence
 
 import numpy as np
@@ -207,13 +208,15 @@ class MinHashSketcher:
 
 def _dedup_pairs(
     pairs: "ray.data.Dataset", value_col: str, num_partitions: int,
-    coalesce_cap: int = 2_000_000,
+    coalesce_cap: "int | None" = None,
 ) -> "ray.data.Dataset":
     """Cross-band/bucket pair dedup (first row per (a_id, b_id) ordered
     by value_col).  Candidate sets are normally tiny relative to the
     corpus and a keyed exchange costs ~1-2s of fixed sort overhead, so
     small sets dedup in ONE coalesced block; the distributed first-per-
     key path remains for sets over the cap."""
+    if coalesce_cap is None:
+        coalesce_cap = int(os.environ.get("GRAFT_PAIR_COALESCE_CAP", "2000000"))
     pairs = pairs.materialize()
     if pairs.count() <= coalesce_cap:
 
@@ -337,7 +340,7 @@ def exact_jaccard_verify(
     shingle_k: int = 3,
     threshold: float = 0.8,
     num_partitions: int = DEFAULT_NUM_PARTITIONS,
-    max_broadcast_ids: int = 5_000_000,
+    max_broadcast_ids: "int | None" = None,
 ) -> "ray.data.Dataset":
     """EXACT-Jaccard verification of candidate pairs (a_id, b_id) against
     the corpus — the standard second stage after MinHash-LSH candidate
@@ -353,6 +356,10 @@ def exact_jaccard_verify(
     co-partition on doc id to attach each side's set; (2) sides
     co-partition on the pair key to compute |a∩b| / |a∪b| exactly.
     Never ships text."""
+    if max_broadcast_ids is None:
+        # GRAFT_MAX_BROADCAST_IDS: the scale-rehearsal pressure knob
+        # (scripts/scale_rehearsal.py forces the distributed verify)
+        max_broadcast_ids = int(os.environ.get("GRAFT_MAX_BROADCAST_IDS", "5000000"))
     pairs = pairs.materialize()  # consumed twice (id broadcast + melt)
     n_pairs = pairs.count()
     if 2 * n_pairs <= max_broadcast_ids:

@@ -1,0 +1,211 @@
+"""Scale rehearsal: prove every metadata-gated broadcast / coalesce fast
+path flips to its distributed sibling under pressure WITHOUT changing one
+bit of output, then run the dedup chain on a 10x-replicated corpus and
+record partition-size histograms for the main keyed exchanges.
+
+Two kinds of evidence (both demanded by VERDICT r3 item 5):
+
+1. **Forced-gate equality** — every gate reads an env pressure knob
+   (GRAFT_BROADCAST_ROW_CAP, GRAFT_DRIVER_EDGE_CAP,
+   GRAFT_MAX_BROADCAST_IDS, GRAFT_MAX_VOCAB_BROADCAST,
+   GRAFT_COALESCE_DOCS, GRAFT_PAIR_COALESCE_CAP).  Each gated query runs
+   twice in FRESH subprocesses (default knobs -> fast path; knobs at 0 ->
+   the at-scale plan) and the normalized results must hash-match.
+2. **10x pressure run** — documents replicated 10x (exact-duplicate
+   replicas: every text appears 10 times, so LSH buckets, pair sets and
+   CC clusters all inflate) through minhash -> CC -> curation with
+   DEFAULT gates, wall times + per-exchange partition-size histograms
+   recorded (skew evidence: max/median partition rows).
+
+Usage:
+    python scripts/scale_rehearsal.py             # full rehearsal
+    python scripts/scale_rehearsal.py --run NAME SF_DIR   # (internal)
+
+Owns its Ray session(s) via subprocesses.  Results land in
+SCALE_REHEARSAL.json (summarized into BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+# gate-flip EQUALITY is a correctness property, not a perf one — check it
+# at the small SF (fast subprocesses); the 10x pressure run uses SF_DIR
+GATE_SF = os.environ.get("GRAFT_REHEARSAL_SF", "/root/testdata/sf0.01")
+
+# query -> pressure env that forces its at-scale plan
+GATED = {
+    "region_revenue": {"GRAFT_BROADCAST_ROW_CAP": "0"},
+    "shipping_priority": {"GRAFT_BROADCAST_ROW_CAP": "0"},
+    "dedup_clusters": {"GRAFT_DRIVER_EDGE_CAP": "0", "GRAFT_PAIR_COALESCE_CAP": "0",
+                       "GRAFT_COALESCE_DOCS": "0", "GRAFT_MAX_BROADCAST_IDS": "0"},
+    "kcore_neardup": {"GRAFT_DRIVER_EDGE_CAP": "0", "GRAFT_PAIR_COALESCE_CAP": "0",
+                      "GRAFT_COALESCE_DOCS": "0", "GRAFT_MAX_BROADCAST_IDS": "0"},
+    "pagerank_neardup": {"GRAFT_DRIVER_EDGE_CAP": "0", "GRAFT_PAIR_COALESCE_CAP": "0",
+                         "GRAFT_COALESCE_DOCS": "0", "GRAFT_MAX_BROADCAST_IDS": "0"},
+    "triangle_counts_neardup": {"GRAFT_DRIVER_EDGE_CAP": "0", "GRAFT_PAIR_COALESCE_CAP": "0",
+                                "GRAFT_COALESCE_DOCS": "0", "GRAFT_MAX_BROADCAST_IDS": "0"},
+    "minhash_dedup_docs": {"GRAFT_MAX_BROADCAST_IDS": "0", "GRAFT_PAIR_COALESCE_CAP": "0"},
+    "ngram_jaccard_pairs": {"GRAFT_COALESCE_DOCS": "0", "GRAFT_PAIR_COALESCE_CAP": "0"},
+    "corpus_curation_v2": {"GRAFT_DRIVER_EDGE_CAP": "0", "GRAFT_PAIR_COALESCE_CAP": "0",
+                           "GRAFT_COALESCE_DOCS": "0", "GRAFT_MAX_BROADCAST_IDS": "0"},
+    "tfidf_top_terms": {"GRAFT_MAX_VOCAB_BROADCAST": "0"},
+    "top_term_docs": {"GRAFT_MAX_VOCAB_BROADCAST": "0"},
+}
+
+
+def _result_hash(df) -> str:
+    """Driver-compare-equivalent canonical hash: columns sorted by name,
+    rows sorted by all columns, exact values."""
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime"):
+            df[c] = df[c].astype("datetime64[us]")
+    df = df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+    return hashlib.md5(df.to_csv(index=False).encode()).hexdigest()
+
+
+def run_one(name: str, sf_dir: str) -> None:
+    """(internal --run mode) execute one query, print a JSON line."""
+    import ray
+
+    ray.init(address="local", num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "32")),
+             include_dashboard=False, logging_level="ERROR", log_to_driver=False)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    import logging
+
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+    from multimedia_indexing_ray.pipelines.queries import REGISTRY
+
+    t0 = time.perf_counter()
+    res = REGISTRY[name].fn(sf_dir)
+    df = res.to_pandas() if hasattr(res, "to_pandas") else res
+    sec = time.perf_counter() - t0
+    print(json.dumps({"name": name, "rows": len(df), "hash": _result_hash(df),
+                      "sec": round(sec, 3)}))
+    ray.shutdown()
+
+
+def _spawn(name: str, sf_dir: str, extra_env: dict) -> dict:
+    env = dict(os.environ, RAY_GRAFT_CPUS=os.environ.get("RAY_GRAFT_CPUS", "16"), **extra_env)
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--run", name, sf_dir],
+        env=env, capture_output=True, text=True, check=True,
+    ).stdout
+    return json.loads(out.strip().splitlines()[-1])
+
+
+def build_10x(src_sf: str, out_dir: str, replicas: int = 10) -> str:
+    """documents.parquet replicated `replicas`x with distinct doc_ids and
+    IDENTICAL text — maximal dup pressure for the LSH/CC/curation chain."""
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    os.makedirs(out_dir, exist_ok=True)
+    marker = os.path.join(out_dir, "_DONE")
+    if os.path.exists(marker) and open(marker).read() == f"v1-{replicas}":
+        return out_dir
+    t = papq.read_table(os.path.join(src_sf, "documents.parquet"))
+    ids = t["doc_id"].to_numpy()
+    parts = []
+    for r in range(replicas):
+        t2 = t.set_column(
+            t.schema.get_field_index("doc_id"), "doc_id",
+            pa.array(ids + r * 100_000_000, pa.int64()),
+        )
+        parts.append(t2)
+    papq.write_table(pa.concat_tables(parts), os.path.join(out_dir, "documents.parquet"))
+    with open(marker, "w") as f:
+        f.write(f"v1-{replicas}")
+    return out_dir
+
+
+def pressure_10x(out: dict) -> None:
+    """Run the dedup chain over the 10x corpus with DEFAULT gates; record
+    wall times and partition-size histograms of the main exchanges."""
+    import numpy as np
+    import ray
+
+    ray.init(address="local", num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "32")),
+             include_dashboard=False, logging_level="ERROR", log_to_driver=False)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    import logging
+
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    d10 = build_10x(SF_DIR, "/tmp/graft_docs10x")
+    from multimedia_indexing_ray.pipelines.queries import REGISTRY
+    from multimedia_indexing_ray.stages.partition import stable_hash
+
+    runs = {}
+    for name in ("minhash_dedup_docs", "dedup_clusters", "corpus_curation_v2"):
+        t0 = time.perf_counter()
+        res = REGISTRY[name].fn(d10)
+        df = res.to_pandas() if hasattr(res, "to_pandas") else res
+        runs[name] = {"rows": len(df), "sec": round(time.perf_counter() - t0, 3)}
+
+    # partition-size histogram of the LSH band-bucket exchange (the
+    # chain's widest shuffle): rows per hash partition at 32 partitions
+    from multimedia_indexing_ray.pipelines.queries import _rp
+    from multimedia_indexing_ray.stages.dedup import MinHashSketcher
+
+    docs = _rp(d10, "documents", ["doc_id", "text"])
+    sk = MinHashSketcher("text", "doc_id")
+    import pyarrow as pa
+
+    sizes = np.zeros(32, dtype=np.int64)
+    for b in docs.iter_batches(batch_size=2048, batch_format="pyarrow"):
+        t = sk(b)
+        h = stable_hash(t["band_hash"].to_numpy())
+        sizes += np.bincount((h % np.uint64(32)).astype(np.int64), minlength=32)
+    out["pressure_10x"] = {
+        "docs": int(docs.count()),
+        "runs": runs,
+        "band_bucket_exchange_partition_rows": {
+            "min": int(sizes.min()), "median": float(np.median(sizes)),
+            "max": int(sizes.max()),
+            "max_over_median_skew": round(float(sizes.max() / max(np.median(sizes), 1)), 3),
+        },
+    }
+    ray.shutdown()
+
+
+def main() -> None:
+    results = {"sf": SF_DIR, "gate_sf": GATE_SF, "gates": {}, "all_equal": True}
+    for name, forced_env in GATED.items():
+        fast = _spawn(name, GATE_SF, {})
+        slow = _spawn(name, GATE_SF, forced_env)
+        equal = fast["hash"] == slow["hash"] and fast["rows"] == slow["rows"]
+        results["gates"][name] = {
+            "rows": fast["rows"], "hash_equal": equal,
+            "fast_path_sec": fast["sec"], "distributed_sec": slow["sec"],
+            "forced_env": forced_env,
+        }
+        results["all_equal"] &= equal
+        print(f"{name:28s} rows={fast['rows']:7d} equal={equal} "
+              f"fast={fast['sec']:6.2f}s forced={slow['sec']:6.2f}s", file=sys.stderr)
+    pressure_10x(results)
+    print(json.dumps(results))
+    with open(os.path.join(REPO, "SCALE_REHEARSAL.json"), "w") as f:
+        json.dump(results, f, indent=1)
+    sys.exit(0 if results["all_equal"] else 1)
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "--run":
+        run_one(sys.argv[2], sys.argv[3])
+    else:
+        main()
