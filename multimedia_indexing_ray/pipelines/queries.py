@@ -2020,32 +2020,35 @@ def q_incremental_serving_current(sf_dir: str):
 
     ev = _rp(sf_dir, "events")
     t = events_to_transcripts(ev)
-    tbl = pa.concat_tables(
-        list(t.iter_batches(batch_size=None, batch_format="pyarrow"))
-    )
-    # arrival order: ts within conversation (the stream contract); whole
-    # table sorted once so every shard sees nondecreasing ts per conv
-    idx = pc.sort_indices(
-        tbl,
-        sort_keys=[("conv_id", "ascending"), ("ts", "ascending"), ("turn_idx", "ascending")],
-    )
-    tbl = tbl.take(idx)
     num_shards = 4
     actors, route = sharded_incremental(
         _NOLEAD_SPECS, num_shards=num_shards, equal_ts="batch"
     )
-    refs = []
-    # batches aligned on conversation boundaries so equal-(conv, ts) runs
-    # arrive intact (equal_ts='batch' visibility contract)
-    conv = np.asarray(tbl["conv_id"].to_numpy(zero_copy_only=False), dtype=object)
-    bounds = np.flatnonzero(np.r_[True, conv[1:] != conv[:-1]])
-    step = max(1, len(bounds) // 32)
-    cuts = [int(bounds[i]) for i in range(0, len(bounds), step)] + [tbl.num_rows]
-    for s, e in zip(cuts[:-1], cuts[1:]):
-        refs.extend(route(tbl.slice(s, e - s)))
+    # arrival order: one distributed sort establishes (conv, ts, turn)
+    # order (a unique key triple — no stability concern); the driver then
+    # STREAMS sorted batches to the shards, holding only a carry buffer
+    # of the last (possibly batch-spanning) conversation run so
+    # equal-(conv, ts) runs arrive intact (equal_ts='batch' contract).
+    # Nothing corpus-sized ever materializes on the driver.
+    refs, all_convs = [], set()
+    carry: "pa.Table | None" = None
+    for b in t.sort(["conv_id", "ts", "turn_idx"]).iter_batches(
+        batch_size=8192, batch_format="pyarrow"
+    ):
+        if carry is not None and carry.num_rows:
+            b = pa.concat_tables([carry, b]).combine_chunks()
+        conv = np.asarray(b["conv_id"].to_numpy(zero_copy_only=False), dtype=object)
+        all_convs.update(conv)
+        # split off the trailing run (it may continue in the next batch)
+        cut = int(np.flatnonzero(conv != conv[-1])[-1] + 1) if (conv != conv[-1]).any() else 0
+        if cut:
+            refs.extend(route(b.slice(0, cut)))
+        carry = b.slice(cut)
+    if carry is not None and carry.num_rows:
+        refs.extend(route(carry))
     _ray.get(refs)  # ingest complete
 
-    convs = sorted(set(conv))
+    convs = sorted(all_convs)
     pids = partition_ids(np.array(convs, dtype=object), num_shards)
     lookups = [
         actors[s].current.remote([c for c, p in zip(convs, pids) if p == s])
