@@ -3932,6 +3932,135 @@ def q_decontaminate(sf_dir: str):
     return docs.map_batches(_flag, batch_format="pyarrow")
 
 
+def _contamination_score_sql() -> str:
+    from multimedia_indexing_ray.functions.text import FNV_BASIS
+
+    fnv_gram = _fnv_sql("substr(text, i, 8)", FNV_BASIS)
+    return rf"""
+    WITH g AS (SELECT doc_id, CASE WHEN length(text) < 8 THEN CAST([] AS BIGINT[])
+        ELSE list_transform(range(1, length(text) - 6), i -> {fnv_gram}) END AS hs
+      FROM documents),
+    w AS (SELECT doc_id, CASE WHEN len(hs) = 0 THEN CAST([] AS BIGINT[])
+        WHEN len(hs) <= 4 THEN [list_min(hs)]
+        ELSE list_distinct(list_transform(range(1, len(hs) - 2), i -> list_min(hs[i:i+3]))) END AS mins
+      FROM g),
+    bl AS (SELECT COALESCE(list(DISTINCT fp), CAST([] AS BIGINT[])) AS fps
+           FROM (SELECT unnest(mins) AS fp FROM w WHERE doc_id % 23 = 7))
+    SELECT w.doc_id,
+      CAST(len(w.mins) AS BIGINT) AS n_fps,
+      CAST(len(list_intersect(w.mins, bl.fps)) AS BIGINT) AS n_shared,
+      CAST(CASE WHEN len(w.mins) = 0 THEN 0
+           ELSE len(list_intersect(w.mins, bl.fps)) * 1000000 // len(w.mins)
+           END AS BIGINT) AS score_ppm
+    FROM w, bl
+    """
+
+
+@register("contamination_score_docs", _contamination_score_sql())
+def q_contamination_score(sf_dir: str):
+    """Graded contamination scoring — the filter-threshold companion to
+    the binary `decontaminate_docs` gate (real curation pipelines drop
+    above a score, not on any single shared n-gram): per document, the
+    fraction (ppm, integer-exact) of its winnowing fingerprints that
+    appear in the benchmark set.  Same broadcast-blocklist shape: the
+    benchmark fingerprint set ships once via ray.put, the corpus pass is
+    a stateless vectorized membership probe — no corpus shuffle."""
+    import ray as _ray
+
+    docs = _rp(sf_dir, "documents", ["doc_id", "text"])
+
+    def _bench_fps(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        m = (ids % 23) == 7
+        if not m.any():
+            return pa.table({"fp": pa.array([], pa.int64())})
+        texts = [t for t, keep in zip(batch["text"].to_pylist(), m) if keep]
+        flat, _ = tx.winnow_sets_batch(texts)
+        return pa.table({"fp": pa.array(np.unique(flat), pa.int64())})
+
+    rows = docs.map_batches(_bench_fps, batch_format="pyarrow").take_all()
+    bench = np.unique(np.array([r["fp"] for r in rows], dtype=np.int64))
+    ref = _ray.put(bench)
+
+    def _score(batch: pa.Table) -> pa.Table:
+        bl = _ray.get(ref)
+        flat, counts = tx.winnow_sets_batch(batch["text"].to_pylist())
+        n = len(counts)
+        hit = sg.sorted_member(bl, flat)
+        doc_of = np.repeat(np.arange(n, dtype=np.int64), counts)
+        n_shared = np.bincount(doc_of[hit], minlength=n).astype(np.int64)
+        n_fps = counts.astype(np.int64)
+        score = np.where(n_fps > 0, n_shared * 1_000_000 // np.maximum(n_fps, 1), 0)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_fps": pa.array(n_fps, pa.int64()),
+                "n_shared": pa.array(n_shared, pa.int64()),
+                "score_ppm": pa.array(score, pa.int64()),
+            }
+        )
+
+    return docs.map_batches(_score, batch_format="pyarrow")
+
+
+@register(
+    "ntile_value_per_type",
+    """
+    SELECT event_id, event_type,
+      CAST(ntile(4) OVER (PARTITION BY event_type
+                          ORDER BY value, event_id) AS BIGINT) AS quartile
+    FROM events
+    """,
+)
+def q_ntile_value_per_type(sf_dir: str):
+    """Equal-frequency bucketing (NTILE): the feature-binning primitive
+    equal-width `value_bucketize` cannot express (quartile membership is
+    rank-based).  One keyed exchange on event_type; within a partition
+    group the kernel sorts by (value, event_id) and assigns tiles with
+    DuckDB's exact rule — the first n % k tiles get ceil(n/k) rows."""
+    from multimedia_indexing_ray.stages.partition import map_partitions_by_key
+
+    ev = _rp(sf_dir, "events", ["event_id", "event_type", "value"])
+    K = 4
+
+    _empty = pa.table(
+        {
+            "event_id": pa.array([], pa.int64()),
+            "event_type": pa.array([], pa.string()),
+            "quartile": pa.array([], pa.int64()),
+        }
+    )
+
+    def kernel(table: pa.Table) -> pa.Table:
+        if table.num_rows == 0:
+            return _empty
+        et = np.asarray(table["event_type"].to_numpy(zero_copy_only=False), dtype=object)
+        val = table["value"].to_numpy(zero_copy_only=False)
+        eid = table["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, val, et))
+        et_s, eid_s = et[order], eid[order]
+        starts = np.flatnonzero(np.r_[True, et_s[1:] != et_s[:-1]])
+        n_per = np.r_[starts[1:], len(et_s)] - starts
+        idx = np.arange(len(et_s)) - np.repeat(starts, n_per)  # 0-based rank
+        n = np.repeat(n_per, n_per)
+        base, rem = n // K, n % K
+        big = rem * (base + 1)  # rows covered by the ceil-sized tiles
+        tile = np.where(
+            idx < big,
+            idx // np.maximum(base + 1, 1),
+            rem + (idx - big) // np.maximum(base, 1),
+        )
+        return pa.table(
+            {
+                "event_id": pa.array(eid_s, pa.int64()),
+                "event_type": pa.array(et_s, pa.string()),
+                "quartile": pa.array(tile + 1, pa.int64()),
+            }
+        )
+
+    return map_partitions_by_key(ev, "event_type", kernel, num_partitions=8)
+
+
 @register(
     "json_props_extract",
     """

@@ -362,6 +362,37 @@ def test_kcore_peels_path_keeps_triangle(ray_session):
     assert out == {0: 2, 1: 2, 2: 2}
 
 
+def test_kcore_distributed_sparse_block_input_completes(ray_session):
+    """Regression for the Ray 2.49 sort-scheduler deadlock: an iterative
+    union+sort pipeline fed an edge set spread over many mostly-empty
+    blocks hung forever before the `_compact` step (observed live on a
+    32-block anchor-exchange pair set).  signal.alarm is the watchdog —
+    on regression this test ABORTS instead of hanging the suite."""
+    import signal
+
+    from multimedia_indexing_ray.stages import cc
+
+    pairs = [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5)]
+    ds = _pairs_ds(ray_session, pairs).repartition(32)
+
+    def _abort(signum, frame):
+        raise TimeoutError("kcore distributed deadlocked on sparse-block input")
+
+    old = signal.signal(signal.SIGALRM, _abort)
+    signal.alarm(300)
+    try:
+        out = {
+            r["doc_id"]: r["core_degree"]
+            for r in cc.kcore(
+                ds, k=2, rounds=1, driver_edge_cap=0, num_partitions=4
+            ).take_all()
+        }
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
+    assert out == {i: 2 for i in range(6)}  # two triangles, all 2-core
+
+
 def test_kcore_pendant_star_unconverged_paths_agree(ray_session):
     """Pendant star {0-1, 0-2} at k=2, rounds=1: the single peel kills
     the leaves, leaving the hub alive but edgeless.  BOTH paths must

@@ -49,6 +49,7 @@ QUERIES = [
     "pagerank_neardup",
     "triangle_counts_neardup",
     "corpus_curation_v2",
+    "contamination_score_docs",
     "tfidf_top_terms",
     "term_cooccurrence",
     "bpe_pair_counts",
