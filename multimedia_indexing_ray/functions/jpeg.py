@@ -567,7 +567,9 @@ def decode_jpeg_gray(
             height = int.from_bytes(body[1:3], "big")
             width = int.from_bytes(body[3:5], "big")
             ncomp = body[5]
-            if height == 0 or width == 0 or ncomp == 0:
+            # raw-size sanity cap (same rationale as the PNG decoder): a
+            # corrupted SOF dimension must refuse, not allocate GBs
+            if height == 0 or width == 0 or ncomp == 0 or height * width > (1 << 28):
                 raise JpegError("bad_dimensions")
             comps = []
             for ci in range(ncomp):

@@ -32,7 +32,7 @@ import pyarrow as pa
 
 import ray.data
 
-from multimedia_indexing_ray.functions import jpeg
+from multimedia_indexing_ray.functions import jpeg, png
 
 logger = logging.getLogger(__name__)
 
@@ -135,7 +135,7 @@ class MediaDecoder:
     plumbing can be exercised without real payloads."""
 
     def __init__(self, codec: str = "real", target_pixels: int = 64 * 64):
-        if codec not in ("fake", "ppm", "jpeg", "real"):
+        if codec not in ("fake", "ppm", "jpeg", "png", "real"):
             raise ValueError(codec)
         self.codec = codec
         self.target_pixels = target_pixels
@@ -152,14 +152,17 @@ class MediaDecoder:
                 return None, "decode_failed:unsupported_media_type"
             if jpeg.is_jpeg(payload):
                 codec = "jpeg"
+            elif png.is_png(payload):
+                codec = "png"
             elif payload[:2] in (b"P5", b"P6"):
                 codec = "ppm"
             else:
                 return None, "decode_failed:unknown_format"
-        if codec == "jpeg":
+        if codec in ("jpeg", "png"):
+            dec = jpeg.decode_jpeg_gray if codec == "jpeg" else png.decode_png_gray
             try:
-                img, warns = jpeg.decode_jpeg_gray(payload, tolerant=True)
-            except jpeg.JpegError as e:
+                img, warns = dec(payload, tolerant=True)
+            except (jpeg.JpegError, png.PngError) as e:
                 return None, f"decode_failed:{e.args[0]}"
             err = f"tolerated:{'+'.join(warns)}" if warns else None
             return resize_bilinear(img, side, side), err
@@ -266,6 +269,12 @@ def decode_and_featurize(
     )
 
 
+def _pnm_raster(width: int, height: int, seed: int, gray: bool) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    channels = 1 if gray else 3
+    return rng.integers(0, 256, size=height * width * channels, dtype=np.uint8)
+
+
 def make_ppm(
     width: int,
     height: int,
@@ -277,9 +286,7 @@ def make_ppm(
     ``comment`` varies the header metadata without touching the raster —
     the "same image, different file bytes" case (re-encoded / EXIF-stripped
     copies) that perceptual dedup exists to catch."""
-    rng = np.random.default_rng(seed)
-    channels = 1 if gray else 3
-    raster = rng.integers(0, 256, size=height * width * channels, dtype=np.uint8)
+    raster = _pnm_raster(width, height, seed, gray)
     magic = b"P5" if gray else b"P6"
     header = magic + b"\n# " + comment + b"\n%d %d\n255\n" % (width, height)
     return header + raster.tobytes()
@@ -405,12 +412,16 @@ def dhash64(img: np.ndarray) -> int:
 def synthetic_dup_ppm_table(n_base: int = 120, seed: int = 7) -> pa.Table:
     """Deterministic MIXED-FORMAT corpus with planted pixel-exact
     duplicate PAIRS: row i in [0, n_base) is a base image; row n_base+i
-    re-encodes the SAME raster with different header metadata (different
-    file bytes, same decoded pixels).  Even i are PNM (raster comment
-    variant), odd i are baseline JPEG (COM segment variant — the entropy
-    data is byte-identical, so the decode is bit-identical).  Ground
-    truth is derivable from the ids alone — the oracle for
-    `media_phash_dups` is `(q-i, q-(n_base+i))` for every i."""
+    re-encodes the SAME raster with different file bytes, same decoded
+    pixels.  Three planted variants: i % 4 == 0 — grayscale PNM base
+    whose dup is a PNG of the SAME raster (CROSS-FORMAT: lossless, so
+    the float32 decode is bit-identical by the shared division path);
+    other even i — PNM comment variant; odd i — baseline JPEG COM
+    variant (entropy data byte-identical).  Ground truth is derivable
+    from the ids alone — the oracle for `media_phash_dups` is
+    `(q-i, q-(n_base+i))` for every i."""
+    from multimedia_indexing_ray.functions.png import encode_png
+
     rows = []
     for dup in (False, True):
         for i in range(n_base):
@@ -419,6 +430,12 @@ def synthetic_dup_ppm_table(n_base: int = 120, seed: int = 7) -> pa.Table:
             if i % 2 == 1:
                 payload = make_jpeg(
                     w, h, seed=seed + i, comment=comment, color=(i % 4 == 3)
+                )
+            elif i % 4 == 0 and dup:
+                # same raster as the PGM base, saved as PNG
+                payload = encode_png(
+                    _pnm_raster(w, h, seed + i, gray=True).reshape(h, w),
+                    comment=comment,
                 )
             else:
                 payload = make_ppm(
@@ -453,9 +470,11 @@ class MediaPHasher:
             try:
                 if jpeg.is_jpeg(payload):
                     img, _ = jpeg.decode_jpeg_gray(payload, tolerant=True)
+                elif png.is_png(payload):
+                    img, _ = png.decode_png_gray(payload, tolerant=True)
                 else:
                     img = decode_ppm_gray(payload)
-            except (_PpmError, jpeg.JpegError):
+            except (_PpmError, jpeg.JpegError, png.PngError):
                 continue
             out_ids.append(mid)
             hashes.append(dhash64(img))

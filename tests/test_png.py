@@ -1,0 +1,152 @@
+"""Pure-numpy/zlib PNG codec (`functions/png.py`): lossless round trips,
+all five scanline filters, luma paths, tolerance cases, and the
+cross-format (PGM base / PNG dup) planted-pair contract."""
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from multimedia_indexing_ray.functions.png import (
+    PngError,
+    _SIG,
+    _chunk,
+    decode_png_gray,
+    encode_png,
+    is_png,
+)
+
+
+def _rand(shape, seed=1):
+    return np.random.default_rng(seed).integers(0, 256, shape, dtype=np.uint8)
+
+
+def test_gray_roundtrip_lossless():
+    img = _rand((20, 30))
+    dec, warns = decode_png_gray(encode_png(img))
+    assert warns == []
+    np.testing.assert_array_equal((dec * 255).round().astype(np.uint8), img)
+
+
+def test_rgb_rgba_luma():
+    rgb = _rand((17, 13, 3), seed=2)
+    dec, _ = decode_png_gray(encode_png(rgb))
+    ref = (rgb.astype(np.float64) @ np.array([0.299, 0.587, 0.114])) / 255.0
+    np.testing.assert_allclose(dec, ref.astype(np.float32), rtol=0, atol=1e-7)
+    dec4, _ = decode_png_gray(encode_png(_rand((9, 11, 4), seed=3)))
+    assert dec4.shape == (9, 11)
+
+
+def test_comment_variant_same_pixels():
+    img = _rand((16, 16), seed=4)
+    a, b = encode_png(img), encode_png(img, comment=b"v2")
+    assert a != b
+    da, _ = decode_png_gray(a)
+    db, _ = decode_png_gray(b)
+    np.testing.assert_array_equal(da, db)
+
+
+def _encode_filtered_gray(img: np.ndarray, ft: int) -> bytes:
+    """Hand-apply scanline filter `ft` (the encoder only emits 0) so the
+    decoder's sub/up/avg/Paeth reconstruction paths get exercised."""
+    h, w = img.shape
+    raw = bytearray()
+    prev = np.zeros(w, dtype=np.int32)
+    for y in range(h):
+        row = img[y].astype(np.int32)
+        out = np.zeros(w, dtype=np.int32)
+        for x in range(w):
+            a = int(row[x - 1]) if x >= 1 else 0
+            b = int(prev[x])
+            c = int(prev[x - 1]) if x >= 1 else 0
+            if ft == 1:
+                pred = a
+            elif ft == 2:
+                pred = b
+            elif ft == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            out[x] = (row[x] - pred) & 0xFF
+        raw += bytes([ft]) + bytes(out.astype(np.uint8))
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    return (
+        _SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _chunk(b"IEND", b"")
+    )
+
+
+@pytest.mark.parametrize("ft", [1, 2, 3, 4])
+def test_all_scanline_filters_reconstruct(ft):
+    img = _rand((12, 19), seed=5 + ft)
+    dec, warns = decode_png_gray(_encode_filtered_gray(img, ft))
+    assert warns == []
+    np.testing.assert_array_equal((dec * 255).round().astype(np.uint8), img)
+
+
+def test_tolerances():
+    img = _rand((18, 18), seed=9)
+    p = encode_png(img)
+    dec, warns = decode_png_gray(p[: len(p) // 2])  # truncated IDAT
+    assert dec.shape == img.shape and warns
+    _, w2 = decode_png_gray(p + b"JUNK")
+    assert "trailing_garbage_after_iend" in w2
+    bad = bytearray(p)
+    bad[-1] ^= 0xFF  # corrupt the IEND CRC -> warning, pixels unaffected
+    dec3, w3 = decode_png_gray(bytes(bad))
+    assert any(m.startswith("bad_crc") for m in w3)
+    np.testing.assert_array_equal(dec3, decode_png_gray(p)[0])
+    bomb = bytearray(p)
+    bomb[20] ^= 0xFF  # IHDR height byte -> ~4B rows: must refuse, not allocate
+    with pytest.raises(PngError):
+        decode_png_gray(bytes(bomb))
+    with pytest.raises(PngError):
+        decode_png_gray(p[: len(p) // 2], tolerant=False)
+    for hopeless in (b"", b"not a png"):
+        with pytest.raises(PngError):
+            decode_png_gray(hopeless)
+
+
+def test_cross_format_pgm_png_bit_identical():
+    """The planted-pair contract: a grayscale raster decodes to the SAME
+    float32 plane through the PNM and PNG decoders (shared float32
+    division), so cross-format dHash dedup is deterministic."""
+    from multimedia_indexing_ray.stages.multimodal import (
+        _pnm_raster,
+        decode_ppm_gray,
+        make_ppm,
+    )
+
+    w, h = 24, 18
+    raster = _pnm_raster(w, h, seed=77, gray=True).reshape(h, w)
+    via_pgm = decode_ppm_gray(make_ppm(w, h, seed=77, gray=True))
+    via_png, warns = decode_png_gray(encode_png(raster))
+    assert warns == []
+    np.testing.assert_array_equal(via_pgm, via_png)
+
+
+def test_phash_pairs_cross_format(ray_session):
+    """The extended dup table (PNM/PNG cross-format + JPEG COM variants)
+    yields exactly the planted pairs through the mixed-format hasher."""
+    import ray.data as rd
+
+    from multimedia_indexing_ray.stages.multimodal import (
+        media_phash_pairs,
+        synthetic_dup_ppm_table,
+    )
+
+    n = 32
+    media = rd.from_arrow(synthetic_dup_ppm_table(n, seed=7))
+    assert is_png(media.take_all()[0]["payload"]) is False  # base side is PNM
+    got = {
+        (r["media_id_a"], r["media_id_b"])
+        for r in media_phash_pairs(media, concurrency=2, num_partitions=4).take_all()
+    }
+    want = {(f"q-{i:04d}", f"q-{i + n:04d}") for i in range(n)}
+    assert got == want
