@@ -2030,35 +2030,36 @@ def q_incremental_serving_current(sf_dir: str):
     # of the last (possibly batch-spanning) conversation run so
     # equal-(conv, ts) runs arrive intact (equal_ts='batch' contract).
     # Nothing corpus-sized ever materializes on the driver.
-    refs, all_convs = [], set()
-    carry: "pa.Table | None" = None
-    for b in t.sort(["conv_id", "ts", "turn_idx"]).iter_batches(
-        batch_size=8192, batch_format="pyarrow"
-    ):
+    try:
+        refs, all_convs = [], set()
+        carry: "pa.Table | None" = None
+        for b in t.sort(["conv_id", "ts", "turn_idx"]).iter_batches(
+            batch_size=8192, batch_format="pyarrow"
+        ):
+            if carry is not None and carry.num_rows:
+                b = pa.concat_tables([carry, b]).combine_chunks()
+            conv = np.asarray(b["conv_id"].to_numpy(zero_copy_only=False), dtype=object)
+            all_convs.update(conv)
+            # split off the trailing run (it may continue in the next batch)
+            cut = int(np.flatnonzero(conv != conv[-1])[-1] + 1) if (conv != conv[-1]).any() else 0
+            if cut:
+                refs.extend(route(b.slice(0, cut)))
+            carry = b.slice(cut)
         if carry is not None and carry.num_rows:
-            b = pa.concat_tables([carry, b]).combine_chunks()
-        conv = np.asarray(b["conv_id"].to_numpy(zero_copy_only=False), dtype=object)
-        all_convs.update(conv)
-        # split off the trailing run (it may continue in the next batch)
-        cut = int(np.flatnonzero(conv != conv[-1])[-1] + 1) if (conv != conv[-1]).any() else 0
-        if cut:
-            refs.extend(route(b.slice(0, cut)))
-        carry = b.slice(cut)
-    if carry is not None and carry.num_rows:
-        refs.extend(route(carry))
-    _ray.get(refs)  # ingest complete
+            refs.extend(route(carry))
+        _ray.get(refs)  # ingest complete
 
-    convs = sorted(all_convs)
-    pids = partition_ids(np.array(convs, dtype=object), num_shards)
-    lookups = [
-        actors[s].current.remote([c for c, p in zip(convs, pids) if p == s])
-        for s in range(num_shards)
-        if (pids == s).any()
-    ]
-    out = pa.concat_tables(_ray.get(lookups))
-    for a in actors:
-        _ray.kill(a)
-    return out
+        convs = sorted(all_convs)
+        pids = partition_ids(np.array(convs, dtype=object), num_shards)
+        lookups = [
+            actors[s].current.remote([c for c, p in zip(convs, pids) if p == s])
+            for s in range(num_shards)
+            if (pids == s).any()
+        ]
+        return pa.concat_tables(_ray.get(lookups))
+    finally:
+        for a in actors:  # long-lived shards must not leak on error paths
+            _ray.kill(a)
 
 
 @register("flagship_features", _flagship_sql())
