@@ -3361,6 +3361,71 @@ def q_media_features_jpeg(sf_dir: str):
     return out.map_batches(_flat, batch_format="pyarrow")
 
 
+@register("media_features_wav")  # real PCM audio decode pipeline — rows-only
+# (binary decode is not SQL-expressible; codec correctness lives in
+# tests/test_wav.py: lossless PCM round trips, stereo downmix, tolerance)
+def q_media_features_wav(sf_dir: str):
+    """The audio stub closed: REAL RIFF/PCM WAV payloads (seeded tone
+    mixtures, mono + stereo) -> actor-pool decode (pure-struct/numpy,
+    `functions/wav.py`) -> deterministic log-STFT spectrogram raster ->
+    the SAME bilinear-rescale + tile-statistics featurizer the image
+    path uses.  Planted malformed rows exercise the side-channel:
+    truncated data chunks decode partially (``tolerated:…``), junk
+    payloads fail hard."""
+    import ray.data as rd
+
+    from multimedia_indexing_ray.stages.multimodal import (
+        decode_and_featurize,
+        synthetic_wav_table,
+    )
+
+    media = rd.from_arrow(synthetic_wav_table(256, seed=13))
+    out = decode_and_featurize(media, codec="real", concurrency=2)
+
+    def _flat(batch: pa.Table) -> pa.Table:
+        feats = batch["features"].combine_chunks()
+        dim = feats.type.list_size
+        mat = feats.flatten().to_numpy(zero_copy_only=False).reshape(-1, dim)
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "feat_mean": pa.array(mat.mean(axis=1), pa.float64()),
+                "feat_l2": pa.array(np.sqrt((mat * mat).sum(axis=1)), pa.float64()),
+                "decode_error": batch["decode_error"],
+            }
+        )
+
+    return out.map_batches(_flat, batch_format="pyarrow")
+
+
+@register(
+    "media_audio_dups",
+    """
+    SELECT 'w-' || lpad(CAST(i AS VARCHAR), 4, '0') AS media_id_a,
+           'w-' || lpad(CAST(i + 60 AS VARCHAR), 4, '0') AS media_id_b
+    FROM range(0, 60) t(i)
+    """,
+)
+def q_media_audio_dups(sf_dir: str):
+    """Audio near-duplicate detection over REAL PCM bytes: decode ->
+    log-STFT spectrogram raster -> 9x8 dHash -> exact-hash bucket pairs
+    (the classic spectrogram-fingerprint shape).  Planted duplicates
+    re-encode the SAME samples with a different LIST/INFO metadata
+    chunk, so byte-level dedup cannot catch them; only the decoded
+    waveform matches.  Oracle = the planted id arithmetic, hash-green
+    iff the pipeline recovers exactly the 60 pairs with no collisions
+    among distinct seeded tone mixtures."""
+    import ray.data as rd
+
+    from multimedia_indexing_ray.stages.multimodal import (
+        media_phash_pairs,
+        synthetic_dup_wav_table,
+    )
+
+    media = rd.from_arrow(synthetic_dup_wav_table(60, seed=19))
+    return media_phash_pairs(media, concurrency=2, num_partitions=8)
+
+
 @register("pq_knn_l2")  # ADC scan of STORED PQ codes (PQ.java analog) — rows-only
 def q_pq_knn(sf_dir: str):
     from multimedia_indexing_ray.stages.ann_index import ann_search

@@ -13,8 +13,11 @@ tolerant decode, rescale, feature-extract
   with state built once per actor (ST1 singleton analog);
 - codecs: ``codec="real"`` auto-detects and REALLY decodes JFIF/JPEG
   (pure-numpy tolerant baseline decoder, `functions/jpeg.py` — the
-  `ImageIOGreyScale.java` analog) and binary PPM/PGM (P6/P5); audio and
-  video payloads remain a documented container-limit stub (no libav).
+  `ImageIOGreyScale.java` analog), PNG (`functions/png.py`), binary
+  PPM/PGM (P6/P5), and RIFF/PCM WAV audio (`functions/wav.py` — the
+  waveform renders as a deterministic log-STFT spectrogram raster so
+  the image machinery applies unchanged); only compressed audio/video
+  remain a documented container-limit stub (no libav).
   ``codec="fake"`` is a deterministic stand-in (seeded by content hash);
 - failures never crash the batch: bad payloads are routed to an error
   side-channel column (``decode_error``), mirroring the reference's
@@ -32,7 +35,7 @@ import pyarrow as pa
 
 import ray.data
 
-from multimedia_indexing_ray.functions import jpeg, png
+from multimedia_indexing_ray.functions import jpeg, png, wav
 
 logger = logging.getLogger(__name__)
 
@@ -146,9 +149,21 @@ class MediaDecoder:
         side = int(np.sqrt(self.target_pixels))
         codec = self.codec
         if codec == "real":
+            if wav.is_wav(payload):
+                # REAL audio: decode PCM, render the deterministic
+                # log-STFT spectrogram raster — the downstream image
+                # machinery (resize / tile stats / dHash) applies as-is
+                try:
+                    x, _rate, warns = wav.decode_wav(payload, tolerant=True)
+                except wav.WavError as e:
+                    return None, f"decode_failed:{e.args[0]}"
+                img = wav.spectrogram_gray(x)
+                err = f"tolerated:{'+'.join(warns)}" if warns else None
+                return resize_bilinear(img, side, side), err
             if media_type in ("audio", "video"):
-                # documented stub: no libav in this container — the
-                # actor/batch/error-channel plumbing is identical
+                # remaining documented stub: compressed audio / video
+                # (no libav in this container) — the actor/batch/error-
+                # channel plumbing is identical
                 return None, "decode_failed:unsupported_media_type"
             if jpeg.is_jpeg(payload):
                 codec = "jpeg"
@@ -373,6 +388,87 @@ def synthetic_jpeg_table(n: int = 32, seed: int = 42) -> pa.Table:
     return pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA)
 
 
+def make_wav(
+    n_samples: int = 4000,
+    seed: int = 0,
+    rate: int = 16000,
+    stereo: bool = False,
+    comment: "Optional[bytes]" = None,
+) -> bytes:
+    """Deterministic REAL PCM WAV bytes: a seeded mixture of tones +
+    noise (distinct seeds give distinct spectrograms).  ``comment``
+    varies a LIST/INFO metadata chunk without touching one sample."""
+    rng = np.random.default_rng(seed)
+    t = np.arange(n_samples) / rate
+    x = np.zeros(n_samples)
+    for _ in range(3):
+        f, a, ph = rng.uniform(100, 4000), rng.uniform(0.1, 0.3), rng.uniform(0, 6.28)
+        x += a * np.sin(2 * np.pi * f * t + ph)
+    x += rng.normal(0, 0.02, n_samples)
+    pcm = np.clip(x * 32767 / max(np.abs(x).max(), 1e-9) * 0.8, -32768, 32767).astype(
+        np.int16
+    )
+    if stereo:
+        pcm = np.stack([pcm, np.roll(pcm, 7)], axis=1)
+    from multimedia_indexing_ray.functions.wav import encode_wav
+
+    return encode_wav(pcm, rate=rate, extra_chunk=comment)
+
+
+def synthetic_wav_table(n: int = 32, seed: int = 42) -> pa.Table:
+    """Media rows whose payloads are REAL PCM WAV bytes (mono + stereo),
+    with planted malformed rows: truncated data chunk (tolerated,
+    partial waveform) and non-RIFF junk (hard decode failure)."""
+    rows = []
+    for i in range(n):
+        ns = 3000 + (i % 5) * 800
+        if i % 11 == 5:
+            payload = b"JUNK" + make_wav(ns, seed=seed + i)[4:]  # bad magic
+        else:
+            payload = make_wav(ns, seed=seed + i, stereo=(i % 4 == 0))
+            if i % 7 == 3:
+                payload = payload[: len(payload) * 2 // 3]  # truncated data
+        rows.append(
+            {
+                "media_id": f"w-{i:04d}",
+                "media_type": "audio",
+                "payload": payload,
+                "meta_width": None,
+                "meta_height": None,
+                "meta_duration_s": ns / 16000.0,
+            }
+        )
+    return pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA)
+
+
+def synthetic_dup_wav_table(n_base: int = 60, seed: int = 19) -> pa.Table:
+    """Planted audio duplicate PAIRS: row n_base+i re-encodes the SAME
+    samples with a different LIST/INFO metadata chunk — different file
+    bytes, bit-identical decoded waveform, hence identical spectrogram
+    dHash.  Oracle derivable from ids: (w-i, w-(n_base+i))."""
+    rows = []
+    for dup in (False, True):
+        for i in range(n_base):
+            ns = 3000 + (i % 5) * 800
+            payload = make_wav(
+                ns,
+                seed=seed + i,
+                stereo=(i % 4 == 0),
+                comment=b"encoder=b copy" if dup else None,
+            )
+            rows.append(
+                {
+                    "media_id": f"w-{(n_base + i) if dup else i:04d}",
+                    "media_type": "audio",
+                    "payload": payload,
+                    "meta_width": None,
+                    "meta_height": None,
+                    "meta_duration_s": ns / 16000.0,
+                }
+            )
+    return pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA)
+
+
 def synthetic_media_table(n: int = 32, seed: int = 42) -> pa.Table:
     """Deterministic fake media rows for tests/benches (binary payloads)."""
     rng = np.random.default_rng(seed)
@@ -472,9 +568,12 @@ class MediaPHasher:
                     img, _ = jpeg.decode_jpeg_gray(payload, tolerant=True)
                 elif png.is_png(payload):
                     img, _ = png.decode_png_gray(payload, tolerant=True)
+                elif wav.is_wav(payload):
+                    x, _rate, _w = wav.decode_wav(payload, tolerant=True)
+                    img = wav.spectrogram_gray(x)  # audio fingerprint raster
                 else:
                     img = decode_ppm_gray(payload)
-            except (_PpmError, jpeg.JpegError, png.PngError):
+            except (_PpmError, jpeg.JpegError, png.PngError, wav.WavError):
                 continue
             out_ids.append(mid)
             hashes.append(dhash64(img))

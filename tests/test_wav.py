@@ -1,0 +1,124 @@
+"""WAV (RIFF PCM) codec + spectrogram path (`functions/wav.py`):
+lossless PCM round trips, stereo downmix, metadata-variant invariance,
+tolerance cases, and the audio perceptual-dedup pipeline."""
+
+import numpy as np
+import pytest
+
+from multimedia_indexing_ray.functions.wav import (
+    WavError,
+    decode_wav,
+    encode_wav,
+    is_wav,
+    spectrogram_gray,
+)
+
+
+def _pcm(n=3000, seed=1):
+    rng = np.random.default_rng(seed)
+    return rng.integers(-32768, 32767, n, dtype=np.int16)
+
+
+def test_mono_roundtrip_lossless():
+    pcm = _pcm()
+    x, rate, warns = decode_wav(encode_wav(pcm, rate=8000))
+    assert warns == [] and rate == 8000
+    np.testing.assert_array_equal(
+        np.round(x * 32768.0).astype(np.int16), pcm
+    )
+
+
+def test_stereo_downmix():
+    left = _pcm(seed=2)
+    stereo = np.stack([left, left], axis=1)
+    x, _, warns = decode_wav(encode_wav(stereo))
+    assert warns == []
+    mono, _, _ = decode_wav(encode_wav(left))
+    np.testing.assert_array_equal(x, mono)  # mean of identical channels
+
+
+def test_metadata_chunk_variant_same_samples():
+    pcm = _pcm(seed=3)
+    a = encode_wav(pcm)
+    b = encode_wav(pcm, extra_chunk=b"encoder=b copy")
+    assert a != b
+    xa, _, _ = decode_wav(a)
+    xb, _, wb = decode_wav(b)
+    assert wb == []
+    np.testing.assert_array_equal(xa, xb)
+    np.testing.assert_array_equal(spectrogram_gray(xa), spectrogram_gray(xb))
+
+
+def test_odd_length_metadata_word_alignment():
+    pcm = _pcm(seed=4)
+    x, _, warns = decode_wav(encode_wav(pcm, extra_chunk=b"odd"))  # 3 bytes
+    assert warns == [] and len(x) == len(pcm)
+
+
+def test_tolerances():
+    pcm = _pcm(seed=5)
+    p = encode_wav(pcm)
+    x, _, warns = decode_wav(p[: len(p) * 2 // 3])
+    assert "truncated_data_chunk" in warns and 0 < len(x) < len(pcm)
+    # decoded prefix is exact
+    full, _, _ = decode_wav(p)
+    np.testing.assert_array_equal(x, full[: len(x)])
+    _, _, w2 = decode_wav(p + b"JUNK")
+    assert "trailing_garbage_after_riff" in w2
+    with pytest.raises(WavError):
+        decode_wav(p[: len(p) * 2 // 3], tolerant=False)
+    for hopeless in (b"", b"RIFFxxxxNOPE", b"not audio"):
+        with pytest.raises(WavError):
+            decode_wav(hopeless)
+    assert is_wav(p) and not is_wav(b"RIFFxxxxNOPE")
+
+
+def test_spectrogram_shapes_and_determinism():
+    x, _, _ = decode_wav(encode_wav(_pcm(4000, seed=6)))
+    s1, s2 = spectrogram_gray(x), spectrogram_gray(x)
+    np.testing.assert_array_equal(s1, s2)
+    assert s1.ndim == 2 and 0.0 <= s1.min() and s1.max() <= 1.0
+    # silence and sub-frame clips do not crash
+    assert spectrogram_gray(np.zeros(10, np.float32)).max() == 0.0
+
+
+def test_media_decoder_real_wav(ray_session):
+    """codec='real' end-to-end over the WAV fixture: decode ->
+    spectrogram -> featurize with the error side-channel populated."""
+    import ray.data as rd
+
+    from multimedia_indexing_ray.stages.multimodal import (
+        decode_and_featurize,
+        synthetic_wav_table,
+    )
+
+    rows = decode_and_featurize(
+        rd.from_arrow(synthetic_wav_table(22, seed=13)), codec="real", concurrency=2
+    ).take_all()
+    by_id = {r["media_id"]: r for r in rows}
+    assert len(rows) == 22
+    assert by_id["w-0005"]["decode_error"].startswith("decode_failed:")
+    assert by_id["w-0003"]["decode_error"].startswith("tolerated:")
+    assert by_id["w-0001"]["decode_error"] is None
+    assert by_id["w-0000"]["decode_error"] is None  # stereo
+
+
+def test_audio_phash_pairs(ray_session):
+    """Planted metadata-variant audio duplicates come back exactly."""
+    import ray.data as rd
+
+    from multimedia_indexing_ray.stages.multimodal import (
+        media_phash_pairs,
+        synthetic_dup_wav_table,
+    )
+
+    n = 24
+    got = {
+        (r["media_id_a"], r["media_id_b"])
+        for r in media_phash_pairs(
+            rd.from_arrow(synthetic_dup_wav_table(n, seed=19)),
+            concurrency=2,
+            num_partitions=4,
+        ).take_all()
+    }
+    assert got == {(f"w-{i:04d}", f"w-{i + n:04d}") for i in range(n)}
