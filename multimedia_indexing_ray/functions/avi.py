@@ -1,0 +1,189 @@
+"""Pure-struct RIFF-AVI MJPEG container codec + frame sampling — the
+REAL video path behind `stages/multimodal.py` (closing the last media
+stub: image, audio, and now video all decode for real in-container;
+only inter-frame-compressed codecs remain out of scope, no libav).
+
+Motion-JPEG is the one video format a pure-Python engine can honestly
+support end-to-end: each frame is an independent baseline JFIF picture,
+so the container work is RIFF chunk walking (shared heritage with
+`functions/wav.py` — AVI and WAV are both RIFF forms) and the per-frame
+decode is the existing tolerant JPEG codec (`functions/jpeg.py`).  This
+mirrors how the reference treats video as a bag of keyframes to run the
+image pipeline over (frame extraction feeding
+`visual/extraction/SURFExtractor.java`-style featurization).
+
+Design points, matching the sibling codecs:
+
+- an optional LIST/INFO comment chunk varies the FILE bytes without
+  touching one frame byte, so planted duplicate pairs decode
+  bit-identically (the cross-encode oracle trick);
+- decode is TOLERANT: a truncated ``movi`` list yields the decoded
+  frame prefix plus a warning, unknown chunks are skipped, trailing
+  garbage warns; a bad RIFF/AVI signature or an empty ``movi`` raises
+  ``AviError``;
+- the frame-SAMPLING schedule is pure integer arithmetic
+  (``sample_frame_indices``) so the container-parse + sample stage has
+  an exact SQL oracle: idx_j = ((2j+1) * n_frames) // (2k).
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import List, Optional, Tuple
+
+
+class AviError(ValueError):
+    pass
+
+
+def is_avi(payload: bytes) -> bool:
+    return len(payload) >= 12 and payload[:4] == b"RIFF" and payload[8:12] == b"AVI "
+
+
+def _chunk(tag: bytes, body: bytes) -> bytes:
+    pad = b"\x00" if len(body) % 2 else b""  # RIFF chunks are word-aligned
+    return tag + struct.pack("<I", len(body)) + body + pad
+
+
+def _list(list_type: bytes, body: bytes) -> bytes:
+    return _chunk(b"LIST", list_type + body)
+
+
+def encode_mjpeg_avi(
+    frames: List[bytes],
+    fps: int = 10,
+    width: int = 0,
+    height: int = 0,
+    extra_chunk: Optional[bytes] = None,
+) -> bytes:
+    """JPEG frame payloads -> RIFF/AVI MJPG bytes (hdrl + movi + idx1).
+
+    ``extra_chunk`` lands in a LIST/INFO comment chunk — header-only
+    variation (the re-encoded-copy planting knob; frames unchanged)."""
+    if not frames:
+        raise ValueError("encode_mjpeg_avi needs at least one frame")
+    n = len(frames)
+    max_bytes = max(len(f) for f in frames)
+    # MainAVIHeader: us/frame, max bytes/s, granularity, flags(HASINDEX),
+    # total frames, initial frames, streams, buffer size, w, h, reserved[4]
+    avih = struct.pack(
+        "<10I4I",
+        1_000_000 // fps, max_bytes * fps, 0, 0x10, n, 0, 1, max_bytes,
+        width, height, 0, 0, 0, 0,
+    )
+    # AVIStreamHeader: fccType, fccHandler, flags, prio+lang, init frames,
+    # scale, rate, start, length, buffer size, quality, sample size, rcFrame
+    strh = (
+        b"vids" + b"MJPG"
+        + struct.pack("<IIIIIIIIii4H", 0, 0, 0, 1, fps, 0, n, max_bytes, -1, 0,
+                      0, 0, width, height)
+    )
+    # BITMAPINFOHEADER with biCompression='MJPG'
+    strf = struct.pack("<IiiHH", 40, width, height, 1, 24) + b"MJPG" + struct.pack(
+        "<IiiII", width * height * 3, 0, 0, 0, 0
+    )
+    hdrl = _list(b"hdrl", _chunk(b"avih", avih) + _list(b"strl", _chunk(b"strh", strh) + _chunk(b"strf", strf)))
+    body = hdrl
+    if extra_chunk is not None:
+        body += _list(b"INFO", _chunk(b"ICMT", extra_chunk))
+    movi_frames = b"".join(_chunk(b"00dc", f) for f in frames)
+    body += _list(b"movi", movi_frames)
+    # idx1: (ckid, flags AVIIF_KEYFRAME, offset from movi list type, size)
+    idx, off = b"", 4
+    for f in frames:
+        idx += b"00dc" + struct.pack("<III", 0x10, off, len(f))
+        off += 8 + len(f) + (len(f) % 2)
+    body += _chunk(b"idx1", idx)
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"AVI " + body
+
+
+def parse_mjpeg_avi(
+    payload: bytes, tolerant: bool = True
+) -> Tuple[List[bytes], float, List[str]]:
+    """RIFF/AVI bytes -> (frame payloads, fps, warnings).
+
+    Frames are the raw ``00dc``/``00db`` chunk bodies (JPEG bytes for
+    MJPG), decoded downstream by `functions/jpeg.py`.  A truncated movi
+    list yields the frame prefix (the final partial frame body is kept —
+    the JPEG decoder's own tolerance handles a cut entropy stream)."""
+    warnings: List[str] = []
+
+    def _tolerate(msg: str) -> None:
+        if not tolerant:
+            raise AviError(msg)
+        warnings.append(msg)
+
+    if not is_avi(payload):
+        raise AviError("bad_signature")
+    declared = struct.unpack("<I", payload[4:8])[0]
+    if 8 + declared < len(payload):
+        _tolerate("trailing_garbage_after_riff")
+    n = min(len(payload), 8 + declared)
+    fps = 0.0
+    frames: List[bytes] = []
+    saw_movi = False
+
+    def _walk(lo: int, hi: int, depth: int) -> None:
+        nonlocal fps, saw_movi
+        pos = lo
+        while pos + 8 <= hi:
+            tag = payload[pos : pos + 4]
+            size = struct.unpack("<I", payload[pos + 4 : pos + 8])[0]
+            body_lo, body_hi = pos + 8, pos + 8 + size
+            truncated = body_hi > hi
+            if truncated:
+                body_hi = hi
+            if tag == b"LIST" and body_hi - body_lo >= 4:
+                ltype = payload[body_lo : body_lo + 4]
+                if truncated:
+                    _tolerate(f"truncated_list_{ltype.decode('ascii', 'replace').strip()}")
+                if ltype == b"movi":
+                    saw_movi = True
+                if ltype in (b"hdrl", b"movi", b"strl"):
+                    _walk(body_lo + 4, body_hi, depth + 1)
+                # INFO / odml / unknown lists are skipped
+            elif tag == b"avih" and body_hi - body_lo >= 4:
+                usec = struct.unpack("<I", payload[body_lo : body_lo + 4])[0]
+                if usec > 0 and fps == 0.0:
+                    fps = 1_000_000.0 / usec
+            elif tag == b"strh" and body_hi - body_lo >= 32:
+                fcc = payload[body_lo : body_lo + 4]
+                scale, rate = struct.unpack(
+                    "<II", payload[body_lo + 20 : body_lo + 28]
+                )
+                if fcc == b"vids" and scale > 0 and rate > 0:
+                    fps = rate / scale  # stream header wins over avih
+            elif tag[2:4] in (b"dc", b"db"):
+                if truncated:
+                    _tolerate("truncated_frame_chunk")
+                frames.append(payload[body_lo:body_hi])
+            if truncated:
+                if tag not in (b"LIST",) and tag[2:4] not in (b"dc", b"db"):
+                    _tolerate("truncated_chunk")
+                break
+            pos = body_hi + (size % 2)  # word alignment
+
+    _walk(12, n, 0)
+    if not saw_movi:
+        raise AviError("no_movi_list")
+    if not frames:
+        raise AviError("no_frames")
+    if fps == 0.0:
+        _tolerate("no_frame_rate_header")
+        fps = 25.0
+    return frames, fps, warnings
+
+
+def sample_frame_indices(n_frames: int, k: int) -> List[int]:
+    """Deterministic uniform frame-sample schedule: the midpoints of k
+    equal spans, idx_j = ((2j+1) * n_frames) // (2k), deduplicated in
+    order.  Pure integer arithmetic — exactly SQL-expressible, which is
+    what gives the container-parse + sample stage a real oracle."""
+    if n_frames <= 0 or k <= 0:
+        return []
+    out: List[int] = []
+    for j in range(k):
+        idx = ((2 * j + 1) * n_frames) // (2 * k)
+        if not out or idx != out[-1]:
+            out.append(idx)
+    return out

@@ -3398,6 +3398,104 @@ def q_media_features_wav(sf_dir: str):
     return out.map_batches(_flat, batch_format="pyarrow")
 
 
+@register("media_features_video")  # real MJPEG-AVI video decode pipeline —
+# rows-only (binary decode is not SQL-expressible; container/codec
+# correctness lives in tests/test_avi.py and the SQL-oracled
+# `video_frame_sample` / `media_video_dups` siblings)
+def q_media_features_video(sf_dir: str):
+    """The video stub closed: REAL RIFF-AVI Motion-JPEG payloads (seeded
+    smooth rasters with per-frame motion, `functions/avi.py`) ->
+    actor-pool container parse -> uniform frame sample -> per-frame
+    tolerant JPEG decode -> temporal-mean poster raster -> the SAME
+    bilinear-rescale + tile-statistics featurizer the image path uses.
+    Planted malformed rows exercise the side-channel: truncated movi
+    lists decode partially (``tolerated:…``), junk payloads fail hard."""
+    import ray.data as rd
+
+    from multimedia_indexing_ray.stages.multimodal import (
+        decode_and_featurize,
+        synthetic_avi_table,
+    )
+
+    media = rd.from_arrow(synthetic_avi_table(128, seed=17))
+    out = decode_and_featurize(media, codec="real", concurrency=2)
+
+    def _flat(batch: pa.Table) -> pa.Table:
+        feats = batch["features"].combine_chunks()
+        dim = feats.type.list_size
+        mat = feats.flatten().to_numpy(zero_copy_only=False).reshape(-1, dim)
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "feat_mean": pa.array(mat.mean(axis=1), pa.float64()),
+                "feat_l2": pa.array(np.sqrt((mat * mat).sum(axis=1)), pa.float64()),
+                "decode_error": batch["decode_error"],
+            }
+        )
+
+    return out.map_batches(_flat, batch_format="pyarrow")
+
+
+@register(
+    "video_frame_sample",
+    """
+    SELECT 'v-' || lpad(CAST(i AS VARCHAR), 4, '0') AS media_id,
+           CAST(6 + (i % 5) * 2 AS INT) AS n_frames,
+           CAST(((2 * j + 1) * (6 + (i % 5) * 2)) // 8 AS INT) AS frame_idx
+    FROM range(0, 128) t(i), range(0, 4) s(j)
+    """,
+)
+def q_video_frame_sample(sf_dir: str):
+    """Frame extraction as its own verified operator: actor-pool RIFF-AVI
+    container parse -> uniform k=4 frame-sample schedule, one row per
+    sampled frame.  The oracle reproduces the schedule in pure SQL
+    (idx_j = ((2j+1) * n) // (2k)) — hash-green iff the CONTAINER PARSE
+    recovers exactly the planted frame count for all 128 real videos
+    (n_frames comes from walking RIFF chunks, not from the generator)."""
+    import ray.data as rd
+
+    from multimedia_indexing_ray.stages.multimodal import (
+        VideoFrameSampler,
+        synthetic_avi_table,
+    )
+
+    media = rd.from_arrow(synthetic_avi_table(128, seed=17, plant_malformed=False))
+    return media.map_batches(
+        VideoFrameSampler,
+        batch_format="pyarrow",
+        batch_size=32,
+        concurrency=(1, 2),
+        max_restarts=0,  # ray#53727, see decode_and_featurize
+    )
+
+
+@register(
+    "media_video_dups",
+    """
+    SELECT 'v-' || lpad(CAST(i AS VARCHAR), 4, '0') AS media_id_a,
+           'v-' || lpad(CAST(i + 60 AS VARCHAR), 4, '0') AS media_id_b
+    FROM range(0, 60) t(i)
+    """,
+)
+def q_media_video_dups(sf_dir: str):
+    """Video near-duplicate detection over REAL MJPEG-AVI bytes: frame
+    sample -> per-frame JPEG decode -> temporal-mean poster raster ->
+    9x8 dHash -> exact-hash bucket pairs.  Planted duplicates re-wrap
+    the SAME frames with an extra LIST/INFO metadata chunk, so byte-level
+    dedup cannot catch them; only the decoded frames match.  Oracle =
+    the planted id arithmetic, hash-green iff the pipeline recovers
+    exactly the 60 pairs with no collisions among distinct videos."""
+    import ray.data as rd
+
+    from multimedia_indexing_ray.stages.multimodal import (
+        media_phash_pairs,
+        synthetic_dup_avi_table,
+    )
+
+    media = rd.from_arrow(synthetic_dup_avi_table(60, seed=23))
+    return media_phash_pairs(media, concurrency=2, num_partitions=8)
+
+
 @register(
     "media_audio_dups",
     """

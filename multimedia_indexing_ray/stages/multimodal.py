@@ -14,10 +14,12 @@ tolerant decode, rescale, feature-extract
 - codecs: ``codec="real"`` auto-detects and REALLY decodes JFIF/JPEG
   (pure-numpy tolerant baseline decoder, `functions/jpeg.py` — the
   `ImageIOGreyScale.java` analog), PNG (`functions/png.py`), binary
-  PPM/PGM (P6/P5), and RIFF/PCM WAV audio (`functions/wav.py` — the
+  PPM/PGM (P6/P5), RIFF/PCM WAV audio (`functions/wav.py` — the
   waveform renders as a deterministic log-STFT spectrogram raster so
-  the image machinery applies unchanged); only compressed audio/video
-  remain a documented container-limit stub (no libav).
+  the image machinery applies unchanged), and RIFF-AVI Motion-JPEG
+  video (`functions/avi.py` — uniform frame-sample, per-frame JPEG
+  decode, temporal-mean poster raster); only inter-frame-compressed
+  codecs remain a documented container-limit stub (no libav).
   ``codec="fake"`` is a deterministic stand-in (seeded by content hash);
 - failures never crash the batch: bad payloads are routed to an error
   side-channel column (``decode_error``), mirroring the reference's
@@ -35,7 +37,7 @@ import pyarrow as pa
 
 import ray.data
 
-from multimedia_indexing_ray.functions import jpeg, png, wav
+from multimedia_indexing_ray.functions import avi, jpeg, png, wav
 
 logger = logging.getLogger(__name__)
 
@@ -125,6 +127,44 @@ def resize_bilinear(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     return (top * (1 - wy) + bot * wy).astype(np.float32)
 
 
+def decode_avi_poster(
+    payload: bytes, n_sample_frames: int = 4, side: int = 0
+) -> "tuple[np.ndarray, list[str]]":
+    """REAL video decode: RIFF-AVI MJPEG bytes -> temporal-mean "poster"
+    raster over a uniform frame sample (`functions/avi.py` container
+    parse + per-frame tolerant JPEG decode).  The poster is the video's
+    canonical image, consumed by the same resize / tile-stats / dHash
+    machinery as stills — identical frames give a bit-identical poster
+    (the mean is over float32 decodes in fixed frame order).  ``side``
+    > 0 resizes each frame BEFORE averaging so mixed frame sizes pool;
+    0 keeps the native size (requires uniform frames).  Raises AviError
+    when the container is undecodable; frames that fail JPEG decode are
+    skipped with a warning (all-fail raises)."""
+    frames, _fps, warns = avi.parse_mjpeg_avi(payload, tolerant=True)
+    acc = None
+    used = 0
+    for fi in avi.sample_frame_indices(len(frames), n_sample_frames):
+        try:
+            img, fwarns = jpeg.decode_jpeg_gray(frames[fi], tolerant=True)
+        except jpeg.JpegError as e:
+            warns.append(f"frame{fi}_{e.args[0]}")
+            continue
+        warns.extend(f"frame{fi}_{w}" for w in fwarns)
+        if side > 0:
+            img = resize_bilinear(img, side, side)
+        if acc is None:
+            acc = img.astype(np.float64)
+        elif img.shape == acc.shape:
+            acc += img
+        else:
+            warns.append(f"frame{fi}_shape_mismatch")
+            continue
+        used += 1
+    if acc is None or used == 0:
+        raise avi.AviError("no_decodable_frames")
+    return (acc / used).astype(np.float32), warns
+
+
 class MediaDecoder:
     """Actor-pool decode stage.
 
@@ -132,8 +172,10 @@ class MediaDecoder:
     JFIF/JPEG via the pure-numpy tolerant baseline decoder
     (`functions/jpeg.py`, the engine's `ImageIOGreyScale.java` analog —
     tolerated malformations surface as ``decode_error="tolerated:…"``
-    with real pixels), PNM (P5/P6) via the PPM codec.  Audio/video
-    payloads remain a documented container-limit stub (no libav).
+    with real pixels), PNM (P5/P6) via the PPM codec, PNG, RIFF/PCM WAV
+    (spectrogram raster), and RIFF-AVI MJPEG video (frame-sampled
+    temporal-mean poster raster).  Inter-frame-compressed audio/video
+    remain a documented container-limit stub (no libav).
     codec="fake" emits a deterministic (seeded) small raster so the
     plumbing can be exercised without real payloads."""
 
@@ -160,10 +202,20 @@ class MediaDecoder:
                 img = wav.spectrogram_gray(x)
                 err = f"tolerated:{'+'.join(warns)}" if warns else None
                 return resize_bilinear(img, side, side), err
+            if avi.is_avi(payload):
+                # REAL video: container parse -> uniform frame sample ->
+                # per-frame JPEG decode -> temporal-mean poster raster;
+                # the downstream image machinery applies as-is
+                try:
+                    img, warns = decode_avi_poster(payload, side=side)
+                except avi.AviError as e:
+                    return None, f"decode_failed:{e.args[0]}"
+                err = f"tolerated:{'+'.join(warns)}" if warns else None
+                return resize_bilinear(img, side, side), err
             if media_type in ("audio", "video"):
-                # remaining documented stub: compressed audio / video
-                # (no libav in this container) — the actor/batch/error-
-                # channel plumbing is identical
+                # remaining documented stub: inter-frame-compressed
+                # audio / video (no libav in this container) — the
+                # actor/batch/error-channel plumbing is identical
                 return None, "decode_failed:unsupported_media_type"
             if jpeg.is_jpeg(payload):
                 codec = "jpeg"
@@ -469,6 +521,136 @@ def synthetic_dup_wav_table(n_base: int = 60, seed: int = 19) -> pa.Table:
     return pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA)
 
 
+def make_mjpeg_avi(
+    n_frames: int,
+    width: int,
+    height: int,
+    seed: int = 0,
+    fps: int = 10,
+    comment: "Optional[bytes]" = None,
+) -> bytes:
+    """Deterministic REAL RIFF-AVI MJPEG bytes: each frame is a seeded
+    smooth raster rolled VERTICALLY by 2px per frame index (synthetic
+    motion), independently JPEG-encoded.  The roll is axis=0 on purpose:
+    the dup-detection poster is a temporal MEAN over sampled frames, so
+    motion along an axis box-filters that axis — a vertical roll keeps
+    the horizontal structure (and seeded phases) that the 9x8 dHash
+    fingerprints, so distinct seeds stay distinct after averaging.
+    ``comment`` varies a LIST/INFO chunk without touching one frame
+    byte — the re-encoded-copy case."""
+    rng = np.random.default_rng(seed)
+    y, x = np.mgrid[0:height, 0:width]
+    a, b, c = rng.uniform(4, 14, 3)
+    p, q = rng.uniform(0, 2 * np.pi, 2)
+    base = (
+        128
+        + 70 * np.sin(x / a + p) * np.cos(y / b)
+        + 40 * np.sin((x + y) / c + q)
+    )
+    base = np.clip(base, 0, 255).astype(np.uint8)
+    frames = [
+        jpeg.encode_jpeg_gray(np.roll(base, 2 * f, axis=0)) for f in range(n_frames)
+    ]
+    return avi.encode_mjpeg_avi(
+        frames, fps=fps, width=width, height=height, extra_chunk=comment
+    )
+
+
+def synthetic_avi_table(
+    n: int = 32, seed: int = 42, plant_malformed: bool = True
+) -> pa.Table:
+    """Media rows whose payloads are REAL RIFF-AVI MJPEG bytes, with
+    planted malformed rows: truncated movi list (tolerated, partial
+    frames) and non-RIFF junk (hard decode failure).  Frame counts are
+    the deterministic ``6 + (i % 5) * 2`` schedule the frame-sample
+    oracle reproduces in SQL (``plant_malformed=False`` keeps every
+    container intact so parsed counts match that schedule exactly)."""
+    rows = []
+    for i in range(n):
+        w, h = 24 + (i % 5) * 8, 18 + (i % 3) * 10
+        nf = 6 + (i % 5) * 2
+        if plant_malformed and i % 11 == 5:
+            payload = b"JUNK" + make_mjpeg_avi(nf, w, h, seed=seed + i)[4:]
+        else:
+            payload = make_mjpeg_avi(nf, w, h, seed=seed + i)
+            if plant_malformed and i % 7 == 3:
+                payload = payload[: len(payload) * 2 // 3]  # truncated movi
+        rows.append(
+            {
+                "media_id": f"v-{i:04d}",
+                "media_type": "video",
+                "payload": payload,
+                "meta_width": w,
+                "meta_height": h,
+                "meta_duration_s": nf / 10.0,
+            }
+        )
+    return pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA)
+
+
+def synthetic_dup_avi_table(n_base: int = 60, seed: int = 23) -> pa.Table:
+    """Planted video duplicate PAIRS: row n_base+i re-wraps the SAME
+    JPEG frames with an extra LIST/INFO metadata chunk — different file
+    bytes, bit-identical decoded frames, hence identical poster dHash.
+    Oracle derivable from ids: (v-i, v-(n_base+i))."""
+    rows = []
+    for dup in (False, True):
+        for i in range(n_base):
+            w, h = 24 + (i % 5) * 8, 18 + (i % 3) * 10
+            nf = 6 + (i % 5) * 2
+            payload = make_mjpeg_avi(
+                nf, w, h, seed=seed + i,
+                comment=b"encoder=b copy" if dup else None,
+            )
+            rows.append(
+                {
+                    "media_id": f"v-{(n_base + i) if dup else i:04d}",
+                    "media_type": "video",
+                    "payload": payload,
+                    "meta_width": w,
+                    "meta_height": h,
+                    "meta_duration_s": nf / 10.0,
+                }
+            )
+    return pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA)
+
+
+class VideoFrameSampler:
+    """Actor-pool container-parse + frame-sample stage: AVI payload ->
+    one row per SAMPLED frame ``(media_id, n_frames, frame_idx)``.
+
+    This is the frame-extraction front of a video pipeline isolated as
+    its own operator: the schedule is `avi.sample_frame_indices`' pure
+    integer arithmetic, so the stage has an exact SQL oracle — which
+    verifies the CONTAINER PARSE end-to-end (n_frames comes from walking
+    real RIFF chunks, not from the generator).  Undecodable payloads are
+    dropped (the error side-channel is `decode_and_featurize`'s job)."""
+
+    def __init__(self, k: int = 4):
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, nfs, idxs = [], [], []
+        for mid, payload in zip(
+            batch["media_id"].to_pylist(), batch["payload"].to_pylist()
+        ):
+            try:
+                frames, _fps, _w = avi.parse_mjpeg_avi(payload, tolerant=True)
+            except avi.AviError:
+                continue
+            for fi in avi.sample_frame_indices(len(frames), self.k):
+                ids.append(mid)
+                nfs.append(len(frames))
+                idxs.append(fi)
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.string()),
+                "n_frames": pa.array(nfs, pa.int32()),
+                "frame_idx": pa.array(idxs, pa.int32()),
+            }
+        )
+
+
 def synthetic_media_table(n: int = 32, seed: int = 42) -> pa.Table:
     """Deterministic fake media rows for tests/benches (binary payloads)."""
     rng = np.random.default_rng(seed)
@@ -571,9 +753,12 @@ class MediaPHasher:
                 elif wav.is_wav(payload):
                     x, _rate, _w = wav.decode_wav(payload, tolerant=True)
                     img = wav.spectrogram_gray(x)  # audio fingerprint raster
+                elif avi.is_avi(payload):
+                    img, _w = decode_avi_poster(payload)  # video poster raster
                 else:
                     img = decode_ppm_gray(payload)
-            except (_PpmError, jpeg.JpegError, png.PngError, wav.WavError):
+            except (_PpmError, jpeg.JpegError, png.PngError, wav.WavError,
+                    avi.AviError):
                 continue
             out_ids.append(mid)
             hashes.append(dhash64(img))

@@ -1,0 +1,160 @@
+"""RIFF-AVI MJPEG codec + video poster path (`functions/avi.py`):
+lossless frame-payload round trips, metadata-variant invariance, the
+SQL-expressible frame-sample schedule, tolerance cases, and the video
+perceptual-dedup / frame-sample Ray stages."""
+
+import numpy as np
+import pytest
+
+from multimedia_indexing_ray.functions.avi import (
+    AviError,
+    encode_mjpeg_avi,
+    is_avi,
+    parse_mjpeg_avi,
+    sample_frame_indices,
+)
+from multimedia_indexing_ray.functions.jpeg import encode_jpeg_gray
+
+
+def _frames(n=5, w=24, h=16, seed=7):
+    rng = np.random.default_rng(seed)
+    y, x = np.mgrid[0:h, 0:w]
+    a = rng.uniform(3, 9)
+    base = np.clip(128 + 90 * np.sin(x / a) * np.cos(y / a), 0, 255).astype(np.uint8)
+    return [encode_jpeg_gray(np.roll(base, f, axis=0)) for f in range(n)]
+
+
+def test_roundtrip_lossless_frames_and_fps():
+    frames = _frames(5)
+    payload = encode_mjpeg_avi(frames, fps=12, width=24, height=16)
+    assert is_avi(payload)
+    got, fps, warns = parse_mjpeg_avi(payload)
+    assert warns == [] and fps == 12.0
+    assert got == frames  # byte-exact 00dc bodies
+
+
+def test_odd_length_frame_word_alignment():
+    # a frame body of odd length forces the RIFF pad byte path
+    frames = [b"\xff\xd8odd", b"\xff\xd8even!"]
+    got, _, warns = parse_mjpeg_avi(encode_mjpeg_avi(frames, width=1, height=1))
+    assert warns == [] and got == frames
+
+
+def test_metadata_chunk_variant_same_frames():
+    frames = _frames(4, seed=9)
+    a = encode_mjpeg_avi(frames, width=24, height=16)
+    b = encode_mjpeg_avi(frames, width=24, height=16, extra_chunk=b"encoder=b copy")
+    assert a != b
+    fa, _, _ = parse_mjpeg_avi(a)
+    fb, _, wb = parse_mjpeg_avi(b)
+    assert wb == [] and fa == fb
+
+
+def test_tolerances():
+    frames = _frames(6)
+    payload = encode_mjpeg_avi(frames, width=24, height=16)
+    # bad signature: hard failure, never tolerated
+    with pytest.raises(AviError, match="bad_signature"):
+        parse_mjpeg_avi(b"JUNK" + payload[4:])
+    # truncated movi: decoded frame prefix + warning
+    cut = payload[: len(payload) * 2 // 3]
+    got, _, warns = parse_mjpeg_avi(cut)
+    assert 1 <= len(got) < len(frames)
+    assert got[: len(got) - 1] == frames[: len(got) - 1]  # intact prefix exact
+    assert any(w.startswith("truncated") for w in warns)
+    with pytest.raises(AviError):
+        parse_mjpeg_avi(cut, tolerant=False)
+    # trailing garbage after the declared RIFF size warns
+    got2, _, warns2 = parse_mjpeg_avi(payload + b"\x00" * 7)
+    assert got2 == frames and "trailing_garbage_after_riff" in warns2
+    # header-only container (cut just before the movi list) is undecodable
+    header_only = payload[: payload.index(b"movi") - 8]
+    with pytest.raises(AviError, match="no_movi_list"):
+        parse_mjpeg_avi(header_only)
+
+
+def test_sample_frame_indices_schedule():
+    # midpoint-of-k-spans schedule: idx_j = ((2j+1) * n) // (2k)
+    assert sample_frame_indices(10, 4) == [1, 3, 6, 8]
+    assert sample_frame_indices(8, 4) == [1, 3, 5, 7]
+    # fewer frames than samples: deduplicated, in order, all valid
+    idx = sample_frame_indices(3, 8)
+    assert idx == sorted(set(idx)) and all(0 <= i < 3 for i in idx)
+    assert sample_frame_indices(0, 4) == []
+    assert sample_frame_indices(5, 0) == []
+
+
+def test_poster_identical_for_rewrapped_frames():
+    from multimedia_indexing_ray.stages.multimodal import (
+        decode_avi_poster,
+        dhash64,
+        make_mjpeg_avi,
+    )
+
+    a = make_mjpeg_avi(8, 32, 18, seed=5)
+    b = make_mjpeg_avi(8, 32, 18, seed=5, comment=b"re-encode")
+    other = make_mjpeg_avi(8, 32, 18, seed=6)
+    pa_, _ = decode_avi_poster(a)
+    pb_, _ = decode_avi_poster(b)
+    po_, _ = decode_avi_poster(other)
+    np.testing.assert_array_equal(pa_, pb_)  # bit-identical poster
+    assert dhash64(pa_) == dhash64(pb_) != dhash64(po_)
+
+
+def test_poster_skips_bad_frames_and_all_fail_raises():
+    from multimedia_indexing_ray.stages.multimodal import decode_avi_poster
+
+    frames = _frames(4)
+    # one frame replaced by undecodable junk: skipped with a warning
+    mixed = encode_mjpeg_avi([frames[0], b"notajpeg", frames[2], frames[3]],
+                             width=24, height=16)
+    img, warns = decode_avi_poster(mixed, n_sample_frames=4)
+    assert img.shape == (16, 24) and any(w.startswith("frame1_") for w in warns)
+    # every frame undecodable: hard failure
+    allbad = encode_mjpeg_avi([b"junk1", b"junk2"], width=24, height=16)
+    with pytest.raises(AviError, match="no_decodable_frames"):
+        decode_avi_poster(allbad)
+
+
+def test_media_decoder_real_avi(ray_session):
+    import ray.data as rd
+
+    from multimedia_indexing_ray.stages.multimodal import (
+        decode_and_featurize,
+        synthetic_avi_table,
+    )
+
+    t = synthetic_avi_table(22, seed=3, plant_malformed=True)
+    out = decode_and_featurize(
+        rd.from_arrow(t), codec="real", concurrency=2
+    ).to_pandas().sort_values("media_id")
+    assert len(out) == 22
+    errs = out["decode_error"]
+    # planted non-RIFF junk rows hard-fail in the side-channel...
+    junk = errs[out["media_id"].isin([f"v-{i:04d}" for i in range(22) if i % 11 == 5])]
+    assert junk.str.startswith("decode_failed").all()
+    # ...truncated rows are tolerated, intact rows decode clean
+    trunc = errs[out["media_id"].isin(
+        [f"v-{i:04d}" for i in range(22) if i % 7 == 3 and i % 11 != 5])]
+    assert trunc.str.startswith("tolerated:").all()
+    clean = out[errs.isna()]
+    assert len(clean) >= 15
+    feats = np.stack(clean["features"].to_numpy())
+    assert feats.shape[1] == 2 * 4 * 4 and np.isfinite(feats).all()
+
+
+def test_video_phash_pairs(ray_session):
+    import ray.data as rd
+
+    from multimedia_indexing_ray.stages.multimodal import (
+        media_phash_pairs,
+        synthetic_dup_avi_table,
+    )
+
+    t = synthetic_dup_avi_table(12, seed=23)
+    pairs = media_phash_pairs(
+        rd.from_arrow(t), concurrency=2, num_partitions=4
+    ).to_pandas()
+    got = set(zip(pairs["media_id_a"], pairs["media_id_b"]))
+    want = {(f"v-{i:04d}", f"v-{i + 12:04d}") for i in range(12)}
+    assert got == want  # exactly the planted pairs, no dHash collisions
