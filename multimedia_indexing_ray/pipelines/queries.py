@@ -3524,6 +3524,42 @@ def q_media_audio_dups(sf_dir: str):
     return media_phash_pairs(media, concurrency=2, num_partitions=8)
 
 
+@register(
+    "media_mixed_dups",
+    """
+    SELECT p || lpad(CAST(i AS VARCHAR), 4, '0') AS media_id_a,
+           p || lpad(CAST(i + 60 AS VARCHAR), 4, '0') AS media_id_b
+    FROM range(0, 60) t(i), (VALUES ('q-'), ('w-'), ('v-')) m(p)
+    """,
+)
+def q_media_mixed_dups(sf_dir: str):
+    """ONE dedup pass over a MIXED-MODALITY corpus: images (PNM/JPEG/PNG),
+    audio (PCM-WAV -> spectrogram raster) and video (MJPEG-AVI ->
+    temporal-mean poster raster) in the same binary column, hashed by the
+    same actor pool (`MediaPHasher` auto-detects the container) and
+    bucketed in the same exchange — the "opaque binary column + typed
+    dispatch" contract a web-scale crawl table needs.  Oracle = the
+    union of the three planted-pair id schedules; hash-green iff every
+    modality's re-encoded duplicates are found AND no dHash collisions
+    occur ACROSS modalities (spectrogram / poster / image rasters share
+    one 64-bit hash space)."""
+    import ray.data as rd
+
+    from multimedia_indexing_ray.stages.multimodal import (
+        media_phash_pairs,
+        synthetic_dup_avi_table,
+        synthetic_dup_ppm_table,
+        synthetic_dup_wav_table,
+    )
+
+    media = (
+        rd.from_arrow(synthetic_dup_ppm_table(60, seed=7))
+        .union(rd.from_arrow(synthetic_dup_wav_table(60, seed=19)))
+        .union(rd.from_arrow(synthetic_dup_avi_table(60, seed=23)))
+    )
+    return media_phash_pairs(media, concurrency=2, num_partitions=8)
+
+
 @register("pq_knn_l2")  # ADC scan of STORED PQ codes (PQ.java analog) — rows-only
 def q_pq_knn(sf_dir: str):
     from multimedia_indexing_ray.stages.ann_index import ann_search
