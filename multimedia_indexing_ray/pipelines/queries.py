@@ -3560,6 +3560,49 @@ def q_media_mixed_dups(sf_dir: str):
     return media_phash_pairs(media, concurrency=2, num_partitions=8)
 
 
+@register(
+    "url_fetch_manifest",
+    """
+    SELECT 'u-' || lpad(CAST(i AS VARCHAR), 4, '0') AS url_id,
+           CAST(CASE WHEN i % 11 = 3 THEN -1
+                     ELSE 6 * (8 + (i % 7) * 3) END AS BIGINT) AS fetch_bytes,
+           CASE WHEN i % 11 = 3 THEN 'fetch_failed:not_found'
+                ELSE 'ok' END AS fetch_status
+    FROM range(0, 128) t(i)
+    """,
+)
+def q_url_fetch_manifest(sf_dir: str):
+    """The S3 fetch stage driver-gated end-to-end: a URL table fans out
+    to a rate-limited I/O actor pool (`stages/fetch.py:UrlFetcher` —
+    the `UrlIndexingMT.java:84-149` download-pool analog over the
+    container's file:// transport), failures counted-and-skipped into
+    the `fetch_error` side-channel, payload sizes recorded.  The fixture
+    plants every eleventh-shifted URL as missing and makes every body's
+    byte count pure id arithmetic, so fetched sizes AND failure rows are
+    both SQL-derivable: hash-green iff the pool fetched every reachable
+    URL exactly and failed exactly the planted ones."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from multimedia_indexing_ray.stages.fetch import fetch_urls, write_url_fixture
+
+    urls = write_url_fixture("/tmp/mir_url_fixture_128_31", n=128, seed=31)
+    fetched = fetch_urls(rd.from_arrow(urls), concurrency=4,
+                         min_call_interval_s=0.0)
+
+    def _manifest(t: pa.Table) -> pa.Table:
+        status = pc.coalesce(t["fetch_error"], pa.scalar("ok", pa.string()))
+        return pa.table(
+            {
+                "url_id": t["url_id"],
+                "fetch_bytes": t["fetch_bytes"],
+                "fetch_status": status,
+            }
+        )
+
+    return fetched.map_batches(_manifest, batch_format="pyarrow")
+
+
 @register("pq_knn_l2")  # ADC scan of STORED PQ codes (PQ.java analog) — rows-only
 def q_pq_knn(sf_dir: str):
     from multimedia_indexing_ray.stages.ann_index import ann_search
