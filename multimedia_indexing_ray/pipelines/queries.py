@@ -1428,6 +1428,73 @@ def q_token_shard(sf_dir: str):
 
 
 @register(
+    "pack_context_windows",
+    r"""
+    WITH RECURSIVE d AS (
+      SELECT doc_id, doc_id // 32 AS grp,
+             CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+      FROM documents),
+    r(doc_id, grp, n_tokens, it, bin_loc, bin_offset) AS (
+      SELECT doc_id, grp, n_tokens, CAST(0 AS BIGINT),
+             CAST(NULL AS BIGINT), CAST(NULL AS BIGINT) FROM d
+      UNION ALL
+      SELECT doc_id, grp, n_tokens, it + 1,
+             CASE WHEN cum <= 128 OR rn = 1 THEN it END,
+             CASE WHEN cum <= 128 OR rn = 1 THEN cum - n_tokens END
+      FROM (
+        SELECT doc_id, grp, n_tokens, it,
+               SUM(n_tokens) OVER (PARTITION BY grp ORDER BY doc_id) AS cum,
+               ROW_NUMBER() OVER (PARTITION BY grp ORDER BY doc_id) AS rn
+        FROM r WHERE bin_loc IS NULL
+      ) s
+    )
+    SELECT doc_id, n_tokens,
+           CAST(grp * 1048576 + bin_loc AS BIGINT) AS bin_id,
+           bin_offset
+    FROM r WHERE bin_loc IS NOT NULL
+    """,
+)
+def q_pack_context_windows(sf_dir: str):
+    """Sequence packing (training-batch assembly): greedy next-fit of
+    documents into 128-token context windows, the NO-STRADDLE sibling of
+    `token_shard_docs` — a doc that does not fit closes the bin and
+    opens the next; an oversized doc overflows a bin alone.  Packing is
+    a sequential recurrence, so the parallelism unit is a 32-doc group
+    (`doc_id // 32`, the per-shard packing production pipelines use):
+    one hash exchange of slim (doc_id, n_tokens) pairs co-locates each
+    group, then `functions/packing.py:pack_next_fit` assigns bins with a
+    vectorized frontier sweep (one numpy pass per bin ACROSS all groups
+    simultaneously — no per-row Python).  The SQL oracle is the same
+    frontier iteration as a recursive CTE (one bin per group per
+    recursion step), so the equivalence of the vectorized rule
+    (`running-sum <= capacity OR first-remaining`) to the sequential
+    recurrence is hash-checked end-to-end."""
+    from multimedia_indexing_ray.functions.packing import pack_partition
+    from multimedia_indexing_ray.stages.partition import map_partitions_by_key
+
+    docs = _rp(sf_dir, "documents", ["doc_id", "text"])
+
+    def _tok(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+                "n_tokens": pa.array(tx.token_count(batch["text"]), pa.int64()),
+                "grp": pc.cast(
+                    pc.divide(pc.cast(batch["doc_id"], pa.int64()), 32), pa.int64()
+                ),
+            }
+        )
+
+    counted = docs.map_batches(_tok, batch_format="pyarrow")
+    return map_partitions_by_key(
+        counted,
+        "grp",
+        lambda t: pack_partition(t, capacity=128, group_size=32),
+        num_partitions=16,
+    )
+
+
+@register(
     "centroid_assign",
     """
     WITH q AS (SELECT vec_id,
