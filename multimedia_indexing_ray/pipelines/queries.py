@@ -2251,6 +2251,56 @@ def q_split_assign(sf_dir: str):
 
 
 @register(
+    "mixture_resample_docs",
+    f"""
+    WITH d AS (
+      SELECT doc_id, source,
+        2500 + (CAST(replace(source, 'src', '') AS BIGINT) % 4) * 7500 AS wbp,
+        list_reduce(
+          list_prepend(CAST(2166136261 AS BIGINT),
+            list_transform(split(CAST(doc_id AS VARCHAR), ''), c -> ascii(c))),
+          (a, b) -> (xor(a, b) * 16777619) % 4294967296
+        ) % 10000 AS h
+      FROM documents)
+    SELECT doc_id, source, CAST(copy_idx AS BIGINT) AS copy_idx
+    FROM d, range(0, 3) r(copy_idx)
+    WHERE copy_idx < wbp // 10000
+       OR (copy_idx = wbp // 10000 AND h < wbp % 10000)
+    """,
+)
+def q_mixture_resample_docs(sf_dir: str):
+    """Data-mixture resampling — the corpus-assembly step that up/down-
+    weights sources to a target mixture (epochs-per-source).  Each
+    source carries a weight in basis points (here a deterministic
+    function of the source index: 0.25x / 1.0x / 1.75x / 2.5x), a doc
+    emits floor(w) full copies plus one fractional copy kept iff its
+    content hash clears the remainder — so the expected token mixture
+    hits the target EXACTLY while every decision is a pure function of
+    (doc_id, source): same rows out on every run, any partitioning, no
+    coordination, no RNG state (the K8 rejection-sampling hash,
+    `_fnv1a32`).  1->N amplification is one np.repeat per batch;
+    zero shuffles."""
+    docs = _rp(sf_dir, "documents", ["doc_id", "source"])
+
+    def _resample(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        src_idx = pc.cast(
+            pc.utf8_slice_codeunits(batch["source"], 3, 32), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        wbp = 2500 + (src_idx % 4) * 7500
+        h = (_fnv1a32(ids) % np.uint64(10000)).astype(np.int64)
+        n_copies = wbp // 10000 + (h < wbp % 10000)
+        rep = np.repeat(np.arange(len(ids)), n_copies)
+        # copy_idx = position within each doc's run of repeats
+        first = np.r_[0, np.cumsum(n_copies)[:-1]]
+        copy_idx = np.arange(len(rep)) - np.repeat(first, n_copies)
+        out = batch.take(pa.array(rep))
+        return out.append_column("copy_idx", pa.array(copy_idx, pa.int64()))
+
+    return docs.map_batches(_resample, batch_format="pyarrow")
+
+
+@register(
     "export_roundtrip",
     f"""
     SELECT event_id, event_type,
