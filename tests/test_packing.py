@@ -79,3 +79,31 @@ def test_pack_partition_contract():
     assert out["bin_offset"].to_pylist() == [0, 0, 0, 0]
     with pytest.raises(ValueError, match="stride"):
         pack_partition(t, capacity=128, group_size=BIN_ID_STRIDE + 1)
+
+
+def test_pack_query_partition_invariant(ray_session):
+    """Bins depend only on (group contents, order), never on the
+    exchange layout: 2 vs 16 partitions give identical packings."""
+    import pandas as pd
+    import ray.data as rd
+
+    from multimedia_indexing_ray.stages.partition import map_partitions_by_key
+
+    rng = np.random.default_rng(3)
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(300, dtype=np.int64)),
+            "n_tokens": pa.array(rng.integers(0, 90, 300), pa.int64()),
+            "grp": pa.array(np.arange(300, dtype=np.int64) // 32),
+        }
+    )
+    outs = []
+    for parts in (2, 16):
+        out = map_partitions_by_key(
+            rd.from_arrow(t),
+            "grp",
+            lambda g: pack_partition(g, capacity=128, group_size=32),
+            num_partitions=parts,
+        ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        outs.append(out)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
