@@ -323,6 +323,47 @@ def run_queries() -> dict:
     return out
 
 
+def run_media() -> dict:
+    """Real-codec multimodal decode throughput: mixed JPEG + PCM-WAV +
+    MJPEG-AVI payloads through the `decode_and_featurize` actor pool
+    (pure-numpy codecs, error side-channel live).  Fixture synthesized
+    once on the driver; min of 2 runs (window-noise estimator)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from multimedia_indexing_ray.stages.multimodal import (
+        decode_and_featurize,
+        synthetic_avi_table,
+        synthetic_jpeg_table,
+        synthetic_wav_table,
+    )
+
+    tbl = pa.concat_tables(
+        [
+            synthetic_jpeg_table(2000, seed=1),
+            synthetic_wav_table(2000, seed=2),
+            synthetic_avi_table(600, seed=3, plant_malformed=False),
+        ]
+    )
+    # one in-memory table is ONE block — split it or a single actor does
+    # all the work (the input-side analog of override_num_blocks)
+    ds = rd.from_arrow(tbl).repartition(64).materialize()
+    best = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        # pinned (12, 12) pools: the autoscaler's queue-pressure ramp
+        # halves a seconds-long job's throughput (A/B in BASELINE.md);
+        # 12+12 actors leave read/driver headroom at 32 cpus
+        n = decode_and_featurize(ds, codec="real", concurrency=(12, 12)).count()
+        sec = time.perf_counter() - t0
+        best = sec if best is None else min(best, sec)
+    return {
+        "rows": n,
+        "sec": round(best, 3),
+        "rows_per_sec": round(n / best, 1),
+    }
+
+
 def main() -> None:
     import ray
 
@@ -375,6 +416,7 @@ def main() -> None:
         if s2["sec"] < serving["sec"]:
             serving = s2
         serving_inc = run_incremental_serving()
+    media = {} if flagship_only else run_media()
     ray.shutdown()
     print(
         json.dumps(
@@ -388,6 +430,7 @@ def main() -> None:
                 "queries": qtimes,
                 "serving": serving,
                 "serving_incremental": serving_inc,
+                "media_decode": media,
                 "sf": SF_DIR,
                 "num_cpus": NUM_CPUS,
                 "num_partitions": NUM_PARTITIONS,

@@ -312,15 +312,22 @@ def decode_and_featurize(
     """media table -> (media_id, features, decode_error).
 
     Small batch_size: binary payloads are wide rows — batch x concurrency
-    must fit the worker heap (SURVEY.md memory-aware sizing)."""
-    # autoscaling (1, N) pools: a fixed pool of N per stage can reserve
-    # every CPU of a small cluster and starve the upstream read tasks
-    # (streaming-executor deadlock); min 1 actor always leaves headroom
+    must fit the worker heap (SURVEY.md memory-aware sizing).
+
+    ``concurrency``: an int N becomes an AUTOSCALING (1, N) pool — a
+    fixed pool of N per stage can reserve every CPU of a small cluster
+    and starve the upstream read tasks (streaming-executor deadlock);
+    min 1 actor always leaves headroom.  Pass a (min, max) tuple to
+    override when the job is short and the cluster has headroom: the
+    autoscaler ramps on queue pressure over seconds, which can HALVE the
+    throughput of a seconds-long decode job (bench-measured 2x at 32
+    cpus) — a pinned (N, N) pool skips the ramp."""
+    conc = concurrency if isinstance(concurrency, tuple) else (1, concurrency)
     decoded = ds.map_batches(
         MediaDecoder,
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=(1, concurrency),
+        concurrency=conc,
         fn_constructor_kwargs={"codec": codec},
         # pickle-by-value package => ctor payload lives in the object
         # store; restarts can't recover a lost payload (ray#53727) — let
@@ -331,7 +338,7 @@ def decode_and_featurize(
         MediaFeaturizer,
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=(1, concurrency),
+        concurrency=conc,
         max_restarts=0,
     )
 
