@@ -62,8 +62,12 @@ def encode_mjpeg_avi(
     variation (the re-encoded-copy planting knob; frames unchanged)."""
     if not frames:
         raise ValueError("encode_mjpeg_avi needs at least one frame")
+    if fps <= 0:
+        raise ValueError("encode_mjpeg_avi needs fps >= 1")
     n = len(frames)
     max_bytes = max(len(f) for f in frames)
+    if max_bytes * fps >= 2**32:
+        raise ValueError("frame size x fps exceeds the RIFF u32 rate field")
     # MainAVIHeader: us/frame, max bytes/s, granularity, flags(HASINDEX),
     # total frames, initial frames, streams, buffer size, w, h, reserved[4]
     avih = struct.pack(
@@ -122,9 +126,11 @@ def parse_mjpeg_avi(
     fps = 0.0
     frames: List[bytes] = []
     saw_movi = False
+    n_streams = 0
+    video_stream: Optional[int] = None  # strl index of the vids stream
 
     def _walk(lo: int, hi: int, depth: int) -> None:
-        nonlocal fps, saw_movi
+        nonlocal fps, saw_movi, n_streams, video_stream
         pos = lo
         while pos + 8 <= hi:
             tag = payload[pos : pos + 4]
@@ -139,7 +145,10 @@ def parse_mjpeg_avi(
                     _tolerate(f"truncated_list_{ltype.decode('ascii', 'replace').strip()}")
                 if ltype == b"movi":
                     saw_movi = True
-                if ltype in (b"hdrl", b"movi", b"strl"):
+                # 'rec ' lists are the standard VfW interleave grouping
+                # INSIDE movi — data chunks of spec-valid writers live
+                # there, so they must be walked like movi itself
+                if ltype in (b"hdrl", b"movi", b"strl", b"rec "):
                     _walk(body_lo + 4, body_hi, depth + 1)
                 # INFO / odml / unknown lists are skipped
             elif tag == b"avih" and body_hi - body_lo >= 4:
@@ -151,12 +160,21 @@ def parse_mjpeg_avi(
                 scale, rate = struct.unpack(
                     "<II", payload[body_lo + 20 : body_lo + 28]
                 )
-                if fcc == b"vids" and scale > 0 and rate > 0:
-                    fps = rate / scale  # stream header wins over avih
-            elif tag[2:4] in (b"dc", b"db"):
-                if truncated:
-                    _tolerate("truncated_frame_chunk")
-                frames.append(payload[body_lo:body_hi])
+                if fcc == b"vids":
+                    if video_stream is None:
+                        video_stream = n_streams  # first video stream wins
+                    if scale > 0 and rate > 0 and n_streams == video_stream:
+                        fps = rate / scale  # stream header wins over avih
+                n_streams += 1
+            elif tag[2:4] in (b"dc", b"db") and tag[:2].isdigit():
+                # only the VIDEO stream's chunks are frames — a second
+                # stream's '01dc'/'01wb' data must not pollute the frame
+                # list (wrong poster, wrong n_frames sample schedule)
+                want = video_stream if video_stream is not None else 0
+                if int(tag[:2]) == want:
+                    if truncated:
+                        _tolerate("truncated_frame_chunk")
+                    frames.append(payload[body_lo:body_hi])
             if truncated:
                 if tag not in (b"LIST",) and tag[2:4] not in (b"dc", b"db"):
                     _tolerate("truncated_chunk")

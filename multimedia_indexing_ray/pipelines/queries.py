@@ -3698,12 +3698,19 @@ def q_url_fetch_manifest(sf_dir: str):
     byte count pure id arithmetic, so fetched sizes AND failure rows are
     both SQL-derivable: hash-green iff the pool fetched every reachable
     URL exactly and failed exactly the planted ones."""
+    import tempfile
+
     import pyarrow.compute as pc
     import ray.data as rd
 
     from multimedia_indexing_ray.stages.fetch import fetch_urls, write_url_fixture
 
-    urls = write_url_fixture("/tmp/mir_url_fixture_128_31", n=128, seed=31)
+    # fresh per-run dir: a fixed shared path would let a concurrent
+    # run's 'wb' rewrite race this run's fetch actors (observed-partial
+    # bodies -> flaky hash mismatch); content is id-deterministic either
+    # way, so the oracle is unaffected
+    root = tempfile.mkdtemp(prefix="mir_url_fixture_")
+    urls = write_url_fixture(root, n=128)
     fetched = fetch_urls(rd.from_arrow(urls), concurrency=4,
                          min_call_interval_s=0.0)
 

@@ -171,13 +171,17 @@ def fetch_urls(
     )
 
 
-def write_url_fixture(root: str, n: int = 128, seed: int = 31) -> pa.Table:
+def write_url_fixture(root: str, n: int = 128) -> pa.Table:
     """Deterministic local URL corpus for the S3 queries/tests: file
     ``u-i`` holds its own id ASCII-repeated ``8 + (i % 7) * 3`` times, so
     the fetched byte count is pure id arithmetic (SQL-expressible:
     ``6 * (8 + i%7*3)``).  Every third-of-eleven id points at a missing
-    file (the planted fetch failure).  Idempotent: rewrites the same
-    bytes in place."""
+    file (the planted fetch failure).  Content is a pure function of the
+    id (no seed), so any two writers produce identical bytes.
+
+    Callers sharing a FIXED root must not run concurrently (the 'wb'
+    rewrite is not atomic) — use a fresh per-run directory when racing
+    is possible (see `q_url_fetch_manifest`)."""
     os.makedirs(root, exist_ok=True)
     ids, urls = [], []
     for i in range(n):

@@ -207,11 +207,13 @@ class MediaDecoder:
                 # per-frame JPEG decode -> temporal-mean poster raster;
                 # the downstream image machinery applies as-is
                 try:
+                    # side= resizes each frame BEFORE averaging, so the
+                    # poster is already side x side — no second resize
                     img, warns = decode_avi_poster(payload, side=side)
                 except avi.AviError as e:
                     return None, f"decode_failed:{e.args[0]}"
                 err = f"tolerated:{'+'.join(warns)}" if warns else None
-                return resize_bilinear(img, side, side), err
+                return img, err
             if media_type in ("audio", "video"):
                 # remaining documented stub: inter-frame-compressed
                 # audio / video (no libav in this container) — the
@@ -306,7 +308,7 @@ class MediaFeaturizer:
 def decode_and_featurize(
     ds: "ray.data.Dataset",
     codec: str = "fake",
-    concurrency: int = 4,
+    concurrency: "int | tuple[int, int]" = 4,
     batch_size: int = 64,
 ) -> "ray.data.Dataset":
     """media table -> (media_id, features, decode_error).
@@ -322,7 +324,11 @@ def decode_and_featurize(
     autoscaler ramps on queue pressure over seconds, which can HALVE the
     throughput of a seconds-long decode job (bench-measured 2x at 32
     cpus) — a pinned (N, N) pool skips the ramp."""
-    conc = concurrency if isinstance(concurrency, tuple) else (1, concurrency)
+    conc = (
+        tuple(concurrency)
+        if isinstance(concurrency, (tuple, list))
+        else (1, concurrency)
+    )
     decoded = ds.map_batches(
         MediaDecoder,
         batch_format="pyarrow",

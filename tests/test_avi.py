@@ -158,3 +158,64 @@ def test_video_phash_pairs(ray_session):
     got = set(zip(pairs["media_id_a"], pairs["media_id_b"]))
     want = {(f"v-{i:04d}", f"v-{i + 12:04d}") for i in range(12)}
     assert got == want  # exactly the planted pairs, no dHash collisions
+
+
+def test_rec_interleave_lists_are_walked():
+    """Spec-valid VfW writers group movi data chunks in 'rec ' LISTs —
+    the walker must descend into them like movi itself."""
+    import struct
+
+    from multimedia_indexing_ray.functions import avi as A
+
+    frames = [b"\xff\xd8f0", b"\xff\xd8f1x"]
+    avih = struct.pack("<10I4I", 100000, 0, 0, 0x10, 2, 0, 1, 0, 8, 8, 0, 0, 0, 0)
+    hdrl = A._list(b"hdrl", A._chunk(b"avih", avih))
+    movi = A._list(
+        b"movi",
+        b"".join(A._list(b"rec ", A._chunk(b"00dc", f)) for f in frames),
+    )
+    body = hdrl + movi
+    payload = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"AVI " + body
+    got, fps, warns = parse_mjpeg_avi(payload)
+    assert got == frames and fps == 10.0 and warns == []
+
+
+def test_foreign_stream_chunks_are_not_frames():
+    """An audio stream's '00wb' data must not pollute the video frame
+    list: the vids strh's strl index selects which NNdc/NNdb chunks are
+    frames (here audio is stream 0, video stream 1)."""
+    import struct
+
+    from multimedia_indexing_ray.functions import avi as A
+
+    def strh(fcc, scale, rate):
+        return struct.pack("<4s4sIIIII", fcc, b"    ", 0, 0, 0, scale, rate) + b"\x00" * 8
+
+    avih = struct.pack("<10I4I", 100000, 0, 0, 0x10, 2, 0, 2, 0, 8, 8, 0, 0, 0, 0)
+    hdrl = A._list(
+        b"hdrl",
+        A._chunk(b"avih", avih)
+        + A._list(b"strl", A._chunk(b"strh", strh(b"auds", 1, 8000)))
+        + A._list(b"strl", A._chunk(b"strh", strh(b"vids", 1, 12))),
+    )
+    frames = [b"\xff\xd8v0", b"\xff\xd8v1"]
+    movi = A._list(
+        b"movi",
+        A._chunk(b"00wb", b"AUDIOSAMPLES")
+        + A._chunk(b"01dc", frames[0])
+        + A._chunk(b"00wb", b"MOREAUDIO")
+        + A._chunk(b"01dc", frames[1]),
+    )
+    body = hdrl + movi
+    payload = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"AVI " + body
+    got, fps, warns = parse_mjpeg_avi(payload)
+    assert got == frames  # only the vids stream's chunks
+    assert fps == 12.0  # the VIDEO strh's rate, not the audio one
+    assert warns == []
+
+
+def test_encode_input_guards():
+    with pytest.raises(ValueError, match="fps"):
+        encode_mjpeg_avi([b"\xff\xd8x"], fps=0, width=1, height=1)
+    with pytest.raises(ValueError, match="u32"):
+        encode_mjpeg_avi([b"\xff\xd8xy"], fps=2**31, width=1, height=1)

@@ -105,7 +105,7 @@ def test_timeout_budget_and_size_cap():
 
 def test_url_fixture_schedule(tmp_path):
     root = str(tmp_path / "corpus")
-    urls = write_url_fixture(root, n=23, seed=5)
+    urls = write_url_fixture(root, n=23)
     assert len(urls) == 23
     for i, url in enumerate(urls["url"].to_pylist()):
         path = url[7:]
@@ -114,7 +114,7 @@ def test_url_fixture_schedule(tmp_path):
         else:
             assert os.path.getsize(path) == 6 * (8 + (i % 7) * 3)
     # idempotent: second write leaves identical bytes
-    urls2 = write_url_fixture(root, n=23, seed=5)
+    urls2 = write_url_fixture(root, n=23)
     assert urls.equals(urls2)
 
 
