@@ -18,11 +18,12 @@ def test_media_schema_and_fixture():
     assert any(len(p) == 0 for p in t["payload"].to_pylist())  # planted bad rows
 
 
-def test_real_codec_decodes_images_stubs_av():
-    """codec='real' now REALLY decodes image payloads (JPEG via the
-    pure-numpy baseline decoder, PNM via the PPM codec); audio/video
-    remain the documented container-limit stub (error side-channel, not
-    an exception)."""
+def test_real_codec_decodes_images_rejects_unknown_av():
+    """codec='real' REALLY decodes image payloads (JPEG via the
+    pure-numpy baseline decoder, PNM via the PPM codec).  Audio/video
+    decode for real too when the container is RIFF (WAV/AVI — see
+    test_wav/test_avi); NON-RIFF audio/video bytes hit the documented
+    inter-frame-codec stub (error side-channel, not an exception)."""
     from multimedia_indexing_ray.functions.jpeg import encode_jpeg_gray
 
     dec = MediaDecoder(codec="real")
