@@ -466,6 +466,11 @@ class _BitReader:
     def read(self, k: int) -> int:
         if k == 0:
             return 0
+        if k > 16:
+            # a valid baseline stream never asks for >16 magnitude bits;
+            # a corrupted DHT can decode to s up to 255 — typed error,
+            # not a negative-shift ValueError (fuzz-found)
+            raise JpegError("bad_magnitude_bits")
         self._fill16()
         v = (self.acc >> (self.n - k)) & ((1 << k) - 1)
         self.skip(k)
@@ -566,15 +571,26 @@ def decode_jpeg_gray(
         elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
             height = int.from_bytes(body[1:3], "big")
             width = int.from_bytes(body[3:5], "big")
+            if len(body) < 6:
+                raise JpegError("truncated_sof")
             ncomp = body[5]
             # raw-size sanity cap (same rationale as the PNG decoder): a
             # corrupted SOF dimension must refuse, not allocate GBs
             if height == 0 or width == 0 or ncomp == 0 or height * width > (1 << 28):
                 raise JpegError("bad_dimensions")
+            if len(body) < 6 + 3 * ncomp:
+                # corrupted ncomp vs actual segment length — typed error,
+                # not an IndexError escape (fuzz-found)
+                raise JpegError("truncated_sof")
             comps = []
             for ci in range(ncomp):
                 b = body[6 + ci * 3 : 9 + ci * 3]
-                comps.append(_Component(b[0], b[1] >> 4, b[1] & 0xF, b[2]))
+                h, v = b[1] >> 4, b[1] & 0xF
+                if not (1 <= h <= 4 and 1 <= v <= 4):
+                    # spec range is 1..4; a corrupted nibble of 0 would
+                    # divide-by-zero at chroma upsampling (fuzz-found)
+                    raise JpegError("bad_sampling_factors")
+                comps.append(_Component(b[0], h, v, b[2]))
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise JpegError("unsupported_progressive_or_extended")
         elif marker == 0xDD:  # DRI
@@ -582,7 +598,11 @@ def decode_jpeg_gray(
         elif marker == 0xDA:  # SOS
             if not comps:
                 raise JpegError("sos_before_sof")
+            if len(body) < 1:
+                raise JpegError("truncated_sos")
             ns = body[0]
+            if ns == 0 or len(body) < 1 + 2 * ns:
+                raise JpegError("truncated_sos")
             scan_comps = []
             by_id = {c.cid: c for c in comps}
             for si in range(ns):

@@ -135,8 +135,14 @@ def decode_png_gray(
             _tolerate(f"bad_crc_{tag.decode('latin1')}")
         pos += 12 + length
         if tag == b"IHDR":
+            if len(body) != 13:
+                # a corrupted length field can shrink the IHDR body —
+                # typed error, not a struct.error escape (fuzz-found)
+                raise PngError("bad_ihdr_length")
             ihdr = struct.unpack(">IIBBBBB", body)
         elif tag == b"PLTE":
+            if len(body) % 3 != 0:
+                raise PngError("bad_plte_length")
             palette = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
         elif tag == b"IDAT":
             idat += body

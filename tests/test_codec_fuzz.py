@@ -1,0 +1,87 @@
+"""Deterministic corruption fuzz over every tolerant codec: byte flips,
+truncations, and garbage prefixes must ALWAYS yield either a decoded
+result or the codec's TYPED error — never IndexError / struct.error /
+ZeroDivisionError / OverflowError / a hang.  This is the engine-wide
+guarantee behind the decode-error side-channel: one hostile payload in
+a 100-TB corpus must not kill a batch with an unhandled exception
+(S4 tolerance contract, `ImageIOGreyScale.java` analog)."""
+
+import numpy as np
+import pytest
+
+from multimedia_indexing_ray.functions import avi, jpeg, png, wav
+from multimedia_indexing_ray.stages import multimodal as mm
+
+
+def _payloads():
+    img = mm._pnm_raster(24, 18, 7, gray=True).reshape(18, 24)
+    yield (
+        "jpeg",
+        jpeg.encode_jpeg_gray(img, 85),
+        lambda p: jpeg.decode_jpeg_gray(p, tolerant=True),
+        jpeg.JpegError,
+    )
+    yield (
+        "jpeg_color",  # 3-component 4:2:0 path: sampling-factor guards
+        mm.make_jpeg(24, 18, seed=9, color=True),
+        lambda p: jpeg.decode_jpeg_gray(p, tolerant=True),
+        jpeg.JpegError,
+    )
+    yield (
+        "png",
+        png.encode_png(img),
+        lambda p: png.decode_png_gray(p, tolerant=True),
+        png.PngError,
+    )
+    pcm = (np.sin(np.arange(2000) / 7.0) * 20000).astype(np.int16)
+    yield (
+        "wav",
+        wav.encode_wav(pcm, rate=8000),
+        lambda p: wav.decode_wav(p, tolerant=True),
+        wav.WavError,
+    )
+    yield (
+        "avi",
+        mm.make_mjpeg_avi(5, 24, 18, seed=3),
+        lambda p: mm.decode_avi_poster(p),
+        avi.AviError,
+    )
+    yield (
+        "ppm",
+        mm.make_ppm(24, 18, seed=5, gray=True),
+        mm.decode_ppm_gray,
+        mm._PpmError,
+    )
+
+
+@pytest.mark.parametrize("name,payload,decode,err", list(_payloads()),
+                         ids=lambda v: v if isinstance(v, str) else "")
+def test_corruption_never_escapes_typed_error(name, payload, decode, err):
+    rng = np.random.default_rng(13)
+    cases = []
+    buf = bytearray(payload)
+    # single byte flips across the whole container (headers, tables,
+    # entropy stream, index), deterministic sample
+    for off in rng.choice(len(buf), size=min(120, len(buf)), replace=False):
+        mut = bytearray(buf)
+        mut[off] ^= int(rng.integers(1, 256))
+        cases.append(bytes(mut))
+    # truncations at seeded lengths, incl. the pathological short ones
+    for cut in sorted(set(rng.integers(0, len(buf), 20).tolist()) | {0, 1, 7}):
+        cases.append(bytes(buf[:cut]))
+    # garbage prefixes / suffixes
+    cases.append(rng.bytes(64) + bytes(buf))
+    cases.append(bytes(buf) + rng.bytes(64))
+    decoded = failed = 0
+    for c in cases:
+        try:
+            decode(c)
+            decoded += 1
+        except err:
+            failed += 1
+        # anything else (IndexError, struct.error, ZeroDivisionError,
+        # MemoryError from a corrupted dimension field, ...) propagates
+        # and FAILS the test
+    assert decoded + failed == len(cases)
+    # sanity: the corpus exercised both outcomes
+    assert failed > 0, f"{name}: no corruption case failed (fuzz too weak?)"
