@@ -72,6 +72,22 @@ def test_corruption_never_escapes_typed_error(name, payload, decode, err):
     # garbage prefixes / suffixes
     cases.append(rng.bytes(64) + bytes(buf))
     cases.append(bytes(buf) + rng.bytes(64))
+    # structural splices: move / duplicate / overwrite a random span
+    # (chunk-boundary-crossing mutations byte flips cannot produce)
+    for _ in range(40):
+        a, b = sorted(rng.integers(0, len(buf), 2).tolist())
+        c = int(rng.integers(0, len(buf)))
+        mut = bytearray(buf)
+        span = bytes(mut[a:b])
+        mode = int(rng.integers(0, 3))
+        if mode == 0:
+            del mut[a:b]
+            mut[c:c] = span
+        elif mode == 1:
+            mut[c:c] = span
+        else:
+            mut[c : c + len(span)] = span
+        cases.append(bytes(mut))
     decoded = failed = 0
     for c in cases:
         try:
