@@ -349,12 +349,18 @@ def run_media() -> dict:
     # all the work (the input-side analog of override_num_blocks)
     ds = rd.from_arrow(tbl).repartition(64).materialize()
     best = None
+    # pinned pools beat the autoscaler's queue-pressure ramp on this
+    # seconds-long job (A/B in BASELINE.md), but two chained pinned
+    # pools must leave read/driver headroom at ANY session size —
+    # NUM_CPUS is env-configurable and 2x12 pinned actors on a <26-cpu
+    # session would reserve every CPU and deadlock the streaming
+    # executor (ADVICE r4).  k per pool = NUM_CPUS // 3 keeps a third
+    # of the session free; below 6 cpus fall back to autoscaling.
+    k = max(2, min(12, NUM_CPUS // 3))
+    conc = (k, k) if NUM_CPUS >= 6 else (1, 4)
     for _ in range(2):
         t0 = time.perf_counter()
-        # pinned (12, 12) pools: the autoscaler's queue-pressure ramp
-        # halves a seconds-long job's throughput (A/B in BASELINE.md);
-        # 12+12 actors leave read/driver headroom at 32 cpus
-        n = decode_and_featurize(ds, codec="real", concurrency=(12, 12)).count()
+        n = decode_and_featurize(ds, codec="real", concurrency=conc).count()
         sec = time.perf_counter() - t0
         best = sec if best is None else min(best, sec)
     return {

@@ -529,8 +529,14 @@ def decode_jpeg_gray(
     n = len(data)
     while pos < n:
         if data[pos] != 0xFF:
-            _tolerate("garbage_between_segments")
-            pos += 1
+            # Skip the whole garbage run in one step: a byte-at-a-time
+            # loop appending one warning per byte is a memory/CPU
+            # amplifier (a 64MB hostile payload would build tens of
+            # millions of warning strings). One warning per run.
+            nxt = data.find(b"\xff", pos)
+            skipped = (nxt if nxt != -1 else n) - pos
+            _tolerate(f"garbage_between_segments:{skipped}b")
+            pos = nxt if nxt != -1 else n
             continue
         marker = data[pos + 1] if pos + 1 < n else 0
         pos += 2

@@ -63,36 +63,68 @@ def encode_png(img: np.ndarray, comment: "bytes | None" = None) -> bytes:
     return bytes(out)
 
 
+# Cumulative CPU budget (in scanline bytes) for the two filters whose
+# recurrence is genuinely serial along x (average / Paeth).  Sub is
+# vectorized exactly via uint8 accumulate and up is pure numpy, so only
+# avg/Paeth rows count.  2^23 bytes ≈ a 2896x2896 gray all-Paeth image
+# (~1-2s worst case); beyond it the decode raises a TYPED error instead
+# of pinning an actor for minutes on a tiny hostile zlib payload that
+# declares huge dimensions (CPU-bomb guard; pure-python container limit).
+_SLOW_FILTER_BUDGET = 1 << 23
+
+
 def _unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
     """raw: (h, 1 + stride) filter-byte-prefixed scanlines -> (h, stride).
     Row filters have a previous-row dependency, so the outer loop is per
-    row; within a row sub/avg/Paeth have a per-pixel-group recurrence
-    (loop over stride/bpp steps of vectorized column ops)."""
+    row.  Within a row: sub is an exact uint8 cumulative sum (mod-256
+    wrap is native), up is one vectorized add, and avg/Paeth run a
+    per-pixel-column loop vectorized across the bpp channel offsets —
+    bounded by ``_SLOW_FILTER_BUDGET`` total bytes."""
     out = np.zeros((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
+    w_px = stride // bpp
+    slow_bytes = 0
     for y in range(h):
         ft = int(raw[y, 0])
-        row = raw[y, 1:].copy()
+        row = raw[y, 1:]
         if ft == 0:
-            pass
-        elif ft == 1:  # sub
-            for x in range(bpp, stride):
-                row[x] = (int(row[x]) + int(row[x - bpp])) & 0xFF
+            row = row.copy()
+        elif ft == 1:  # sub: out[x] = raw[x] + out[x-bpp] == per-channel cumsum
+            row = np.add.accumulate(
+                row.reshape(w_px, bpp), axis=0, dtype=np.uint8
+            ).reshape(stride)
         elif ft == 2:  # up
-            row = (row.astype(np.int32) + prev).astype(np.uint8)
-        elif ft == 3:  # average
-            for x in range(stride):
-                left = int(row[x - bpp]) if x >= bpp else 0
-                row[x] = (int(row[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
-        elif ft == 4:  # Paeth
-            for x in range(stride):
-                a = int(row[x - bpp]) if x >= bpp else 0
-                c = int(prev[x - bpp]) if x >= bpp else 0
-                b = int(prev[x])
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                row[x] = (int(row[x]) + pred) & 0xFF
+            row = row + prev  # uint8 wrap-add
+        elif ft in (3, 4):  # average / Paeth: genuinely serial along x —
+            # plain python-int lists are ~30x faster per element than
+            # numpy scalar indexing, so the budget buys real pixels
+            slow_bytes += stride
+            if slow_bytes > _SLOW_FILTER_BUDGET:
+                raise PngError("unfilter_cpu_budget_exceeded")
+            rw = row.tolist()
+            pv = prev.tolist()
+            o = [0] * stride
+            if ft == 3:
+                for x in range(stride):
+                    left = o[x - bpp] if x >= bpp else 0
+                    o[x] = (rw[x] + ((left + pv[x]) >> 1)) & 0xFF
+            else:
+                for x in range(stride):
+                    if x >= bpp:
+                        a_, c_ = o[x - bpp], pv[x - bpp]
+                    else:
+                        a_ = c_ = 0
+                    b_ = pv[x]
+                    p = a_ + b_ - c_
+                    pa_, pb_, pc_ = abs(p - a_), abs(p - b_), abs(p - c_)
+                    if pa_ <= pb_ and pa_ <= pc_:
+                        pred = a_
+                    elif pb_ <= pc_:
+                        pred = b_
+                    else:
+                        pred = c_
+                    o[x] = (rw[x] + pred) & 0xFF
+            row = np.asarray(o, dtype=np.uint8)
         else:
             raise PngError(f"bad_filter_type_{ft}")
         out[y] = row
@@ -157,10 +189,13 @@ def decode_png_gray(
     if not saw_iend and pos >= n:
         _tolerate("missing_iend")
     w, h, depth, color_type, _comp, _filt, interlace = ihdr
-    # raw-size sanity cap: a corrupted IHDR (one flipped dimension byte)
+    # raw-size sanity caps: a corrupted IHDR (one flipped dimension byte)
     # would otherwise demand a multi-GB allocation for the pad/unfilter
-    # buffers — a decode-time memory bomb, not a recoverable warning
-    if w == 0 or h == 0 or w * h > (1 << 28):
+    # buffers — a decode-time memory bomb, not a recoverable warning.
+    # Pixel cap 2^24 (16.8MP) AND a byte cap on the filtered buffer
+    # (h*(1+stride)) so 4-channel images at the pixel cap can't allocate
+    # >1GB across the pad/unfilter copies.
+    if w == 0 or h == 0 or w * h > (1 << 24):
         raise PngError("bad_dimensions")
     if depth != 8:
         raise PngError("unsupported_bit_depth")
@@ -169,6 +204,8 @@ def decode_png_gray(
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
     if channels is None:
         raise PngError("bad_color_type")
+    if h * (1 + w * channels) > (1 << 26):
+        raise PngError("bad_dimensions")
     if color_type == 3 and palette is None:
         raise PngError("missing_palette")
 

@@ -3677,6 +3677,31 @@ def q_media_mixed_dups(sf_dir: str):
     return media_phash_pairs(media, concurrency=2, num_partitions=8)
 
 
+_URL_FIXTURE_CACHE: "dict[str, object]" = {}
+
+
+def _url_fixture_cached():
+    """Write the 128-file url fixture once per process under a pid-keyed
+    /tmp dir, register atexit cleanup, and reuse it across invocations
+    (the content is id-deterministic, so reuse can't change results)."""
+    if "urls" not in _URL_FIXTURE_CACHE:
+        import atexit
+        import os
+        import shutil
+        import tempfile
+
+        from multimedia_indexing_ray.stages.fetch import write_url_fixture
+
+        root = os.path.join(
+            tempfile.gettempdir(), f"mir_url_fixture_{os.getpid()}"
+        )
+        shutil.rmtree(root, ignore_errors=True)
+        os.makedirs(root, exist_ok=True)
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        _URL_FIXTURE_CACHE["urls"] = write_url_fixture(root, n=128)
+    return _URL_FIXTURE_CACHE["urls"]
+
+
 @register(
     "url_fetch_manifest",
     """
@@ -3698,19 +3723,16 @@ def q_url_fetch_manifest(sf_dir: str):
     byte count pure id arithmetic, so fetched sizes AND failure rows are
     both SQL-derivable: hash-green iff the pool fetched every reachable
     URL exactly and failed exactly the planted ones."""
-    import tempfile
-
     import pyarrow.compute as pc
     import ray.data as rd
 
-    from multimedia_indexing_ray.stages.fetch import fetch_urls, write_url_fixture
+    from multimedia_indexing_ray.stages.fetch import fetch_urls
 
-    # fresh per-run dir: a fixed shared path would let a concurrent
-    # run's 'wb' rewrite race this run's fetch actors (observed-partial
-    # bodies -> flaky hash mismatch); content is id-deterministic either
-    # way, so the oracle is unaffected
-    root = tempfile.mkdtemp(prefix="mir_url_fixture_")
-    urls = write_url_fixture(root, n=128)
+    # one fixture dir per PROCESS (pid-keyed, so concurrent runs can't
+    # race each other's 'wb' rewrites), written once and removed at
+    # process exit — a fresh mkdtemp per invocation leaked a 128-file
+    # directory into /tmp on every sweep/bench/test run (ADVICE r4)
+    urls = _url_fixture_cached()
     fetched = fetch_urls(rd.from_arrow(urls), concurrency=4,
                          min_call_interval_s=0.0)
 

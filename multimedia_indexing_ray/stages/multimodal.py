@@ -165,6 +165,21 @@ def decode_avi_poster(
     return (acc / used).astype(np.float32), warns
 
 
+def _tolerated_error(warns: list) -> Optional[str]:
+    """Bounded decode_error string from a warning list.
+
+    Hostile payloads can emit very many warnings; dedup (order-kept)
+    and hard-cap the joined string so the error side-channel can never
+    amplify a capped payload into a multi-GB column value."""
+    if not warns:
+        return None
+    uniq = list(dict.fromkeys(warns))
+    s = f"tolerated:{'+'.join(uniq[:32])}"
+    if len(uniq) > 32:
+        s += f"+...({len(warns)}_warnings)"
+    return s[:2048]
+
+
 class MediaDecoder:
     """Actor-pool decode stage.
 
@@ -200,7 +215,7 @@ class MediaDecoder:
                 except wav.WavError as e:
                     return None, f"decode_failed:{e.args[0]}"
                 img = wav.spectrogram_gray(x)
-                err = f"tolerated:{'+'.join(warns)}" if warns else None
+                err = _tolerated_error(warns)
                 return resize_bilinear(img, side, side), err
             if avi.is_avi(payload):
                 # REAL video: container parse -> uniform frame sample ->
@@ -212,7 +227,7 @@ class MediaDecoder:
                     img, warns = decode_avi_poster(payload, side=side)
                 except avi.AviError as e:
                     return None, f"decode_failed:{e.args[0]}"
-                err = f"tolerated:{'+'.join(warns)}" if warns else None
+                err = _tolerated_error(warns)
                 return img, err
             if media_type in ("audio", "video"):
                 # remaining documented stub: inter-frame-compressed
@@ -233,7 +248,7 @@ class MediaDecoder:
                 img, warns = dec(payload, tolerant=True)
             except (jpeg.JpegError, png.PngError) as e:
                 return None, f"decode_failed:{e.args[0]}"
-            err = f"tolerated:{'+'.join(warns)}" if warns else None
+            err = _tolerated_error(warns)
             return resize_bilinear(img, side, side), err
         if codec == "ppm":
             try:

@@ -192,3 +192,21 @@ def test_phash_pairs_mixed_formats(ray_session):
     }
     want = {(f"q-{i:04d}", f"q-{i + n:04d}") for i in range(n)}
     assert got == want
+
+
+def test_garbage_run_single_warning_no_amplification():
+    """ADVICE r4: a long garbage run between segments must yield ONE
+    warning (with a byte count), not one list entry per byte — a 64MB
+    hostile payload would otherwise build tens of millions of strings."""
+    import time
+
+    img = _smooth(16, 16, seed=3)
+    clean = encode_jpeg_gray(img, 85)
+    hostile = clean[:2] + b"\x00" * (1 << 20) + clean[2:]
+    t = time.time()
+    dec, warns = decode_jpeg_gray(hostile)
+    assert time.time() - t < 1.0
+    garbage = [w for w in warns if w.startswith("garbage_between_segments")]
+    assert garbage == ["garbage_between_segments:1048576b"]
+    ref, _ = decode_jpeg_gray(clean)
+    np.testing.assert_array_equal(dec, ref)

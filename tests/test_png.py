@@ -150,3 +150,39 @@ def test_phash_pairs_cross_format(ray_session):
     }
     want = {(f"q-{i:04d}", f"q-{i + n:04d}") for i in range(n)}
     assert got == want
+
+
+def test_unfilter_cpu_budget_bounds_hostile_paeth():
+    """ADVICE r4: a tiny zlib payload declaring huge all-Paeth dimensions
+    must hit a TYPED error in bounded time, not pin an actor for minutes
+    (the serial avg/Paeth recurrences carry a cumulative byte budget)."""
+    import time
+
+    w = h = 4000  # 16MP: passes the 2^24 pixel cap, exceeds the CPU budget
+    row = b"\x04" + b"\x01" * w
+    payload = (
+        _SIG
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
+        + _chunk(b"IDAT", zlib.compress(row * h, 9))
+        + _chunk(b"IEND", b"")
+    )
+    assert len(payload) < 64 * 1024
+    t = time.time()
+    with pytest.raises(PngError, match="unfilter_cpu_budget_exceeded"):
+        decode_png_gray(payload)
+    assert time.time() - t < 10.0
+
+
+def test_dimension_caps_pixels_and_bytes():
+    # pixel cap: 2^24 < 4100*4100
+    big = _SIG + _chunk(
+        b"IHDR", struct.pack(">IIBBBBB", 4100, 4100, 8, 0, 0, 0, 0)
+    )
+    with pytest.raises(PngError, match="bad_dimensions"):
+        decode_png_gray(big + _chunk(b"IEND", b""))
+    # byte cap: RGBA at 16MP is 64MB filtered bytes > 2^26
+    rgba = _SIG + _chunk(
+        b"IHDR", struct.pack(">IIBBBBB", 4096, 4096, 8, 6, 0, 0, 0)
+    )
+    with pytest.raises(PngError, match="bad_dimensions"):
+        decode_png_gray(rgba + _chunk(b"IEND", b""))
