@@ -4545,9 +4545,17 @@ def q_users_without_high_value(sf_dir: str):
     as a distinct key set (aggregate-sized, not corpus-sized) and
     broadcast once; the probe side then distincts per batch and
     anti-filters with a sorted membership probe.  No shuffle carries the
-    full event table; the one distinct pass happens inside the same
-    map."""
+    full event table; the one distinct pass happens inside the same map.
+
+    Scale gate (GRAFT_BROADCAST_ROW_CAP): the purchaser KEY SET is
+    aggregate-sized but in principle unbounded (every user could
+    purchase), so the broadcast is capped — above the cap the anti-join
+    co-partitions slim distinct (user_id, has_high) pairs on user_id
+    and resolves per partition, never collecting a key set on the
+    driver (rehearsal-flipped hash-equal)."""
     import ray as _ray
+
+    from multimedia_indexing_ray.stages.partition import map_partitions_by_key
 
     ev = _rp(sf_dir, "events", ["user_id", "value"])
 
@@ -4556,7 +4564,41 @@ def q_users_without_high_value(sf_dir: str):
         u = np.unique(batch["user_id"].filter(m).to_numpy(zero_copy_only=False))
         return pa.table({"user_id": pa.array(u, pa.int64())})
 
-    rows = ev.map_batches(_purchasers, batch_format="pyarrow").take_all()
+    purch = ev.map_batches(_purchasers, batch_format="pyarrow").materialize()
+    if purch.count() > _broadcast_row_cap():
+        # at-scale plan: one shuffle of per-batch-distinct (user, flag)
+        # pairs; partitions are disjoint by user so the per-partition
+        # distinct IS the global distinct
+        def _pairs(batch: pa.Table) -> pa.Table:
+            u = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            hi = pc.greater_equal(batch["value"], 250.0).to_numpy(
+                zero_copy_only=False
+            )
+            code = np.unique((u << 1) | hi.astype(np.int64))
+            return pa.table(
+                {
+                    "user_id": pa.array(code >> 1, pa.int64()),
+                    "has_high": pa.array((code & 1).astype(np.int8), pa.int8()),
+                }
+            )
+
+        def _resolve(t: pa.Table) -> pa.Table:
+            u = t["user_id"].to_numpy(zero_copy_only=False)
+            hi = t["has_high"].to_numpy(zero_copy_only=False)
+            bad = np.unique(u[hi == 1])
+            allu = np.unique(u)
+            return pa.table(
+                {"user_id": pa.array(allu[~sg.sorted_member(bad, allu)], pa.int64())}
+            )
+
+        return map_partitions_by_key(
+            ev.map_batches(_pairs, batch_format="pyarrow"),
+            "user_id",
+            _resolve,
+            num_partitions=16,
+        )
+
+    rows = purch.take_all()
     have = np.unique(np.array([r["user_id"] for r in rows], dtype=np.int64))
     ref = _ray.put(have)
 
@@ -5299,10 +5341,6 @@ def q_corpus_curation_v2(sf_dir: str):
         keep = np.asarray(batch["keep"].to_numpy(zero_copy_only=False), dtype=bool)
         return pa.table({"doc_id": batch["doc_id"].filter(pa.array(~keep))})
 
-    lose = resolved.map_batches(_losers, batch_format="pyarrow").take_all()
-    dropped = np.unique(np.array([r["doc_id"] for r in lose], dtype=np.int64))
-    dref = _ray.put(dropped)
-
     _empty = pa.table(
         {
             "doc_id": pa.array([], pa.int64()),
@@ -5312,10 +5350,7 @@ def q_corpus_curation_v2(sf_dir: str):
         }
     )
 
-    def _chunk_keepers(batch: pa.Table) -> pa.Table:
-        dr = _ray.get(dref)
-        ids = batch["doc_id"].to_numpy()
-        t = batch.filter(pa.array(~sg.sorted_member(dr, ids)))
+    def _chunk_table(t: pa.Table) -> pa.Table:
         cid, cidx, ctxt, ntok = tx.chunk_tokens(t["text"], t["doc_id"].to_numpy(), 32)
         if len(cid) == 0:
             return _empty
@@ -5327,6 +5362,58 @@ def q_corpus_curation_v2(sf_dir: str):
                 "n_tokens": pa.array(ntok, pa.int64()),
             }
         )
+
+    lose_ds = resolved.map_batches(_losers, batch_format="pyarrow").materialize()
+    if lose_ds.count() > _broadcast_row_cap():
+        # at-scale plan (GRAFT_BROADCAST_ROW_CAP, rehearsal-flipped):
+        # the loser set is bounded by the duplicate-pair graph but in a
+        # worst case (everything duplicated) corpus-sized, so above the
+        # cap the anti-join co-partitions survivors and loser ids on
+        # doc_id (loser rows carry a null-text drop marker) and chunks
+        # per partition — no key set ever hits the driver
+        from multimedia_indexing_ray.stages.partition import map_partitions_by_key
+
+        def _tag_lose(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            return pa.table(
+                {
+                    "doc_id": batch["doc_id"],
+                    "text": pa.nulls(n, pa.string()),
+                    "__drop": pa.array(np.ones(n, dtype=np.int8), pa.int8()),
+                }
+            )
+
+        def _tag_surv(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            return pa.table(
+                {
+                    "doc_id": batch["doc_id"],
+                    "text": batch["text"],
+                    "__drop": pa.array(np.zeros(n, dtype=np.int8), pa.int8()),
+                }
+            )
+
+        both = surv.map_batches(_tag_surv, batch_format="pyarrow").union(
+            lose_ds.map_batches(_tag_lose, batch_format="pyarrow")
+        )
+
+        def _anti_chunk(t: pa.Table) -> pa.Table:
+            drop_m = t["__drop"].to_numpy(zero_copy_only=False) == 1
+            dr = np.unique(t["doc_id"].to_numpy(zero_copy_only=False)[drop_m])
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            keep = (~drop_m) & ~sg.sorted_member(dr, ids)
+            return _chunk_table(t.filter(pa.array(keep)).drop_columns(["__drop"]))
+
+        return map_partitions_by_key(both, "doc_id", _anti_chunk, num_partitions=16)
+
+    lose = lose_ds.take_all()
+    dropped = np.unique(np.array([r["doc_id"] for r in lose], dtype=np.int64))
+    dref = _ray.put(dropped)
+
+    def _chunk_keepers(batch: pa.Table) -> pa.Table:
+        dr = _ray.get(dref)
+        ids = batch["doc_id"].to_numpy()
+        return _chunk_table(batch.filter(pa.array(~sg.sorted_member(dr, ids))))
 
     return surv.map_batches(_chunk_keepers, batch_format="pyarrow")
 

@@ -167,6 +167,68 @@ def find_hot_candidates(
     return sorted(sums[sums > hot_threshold].index.tolist())
 
 
+def _conv_plan(
+    ts: np.ndarray,
+    hot_threshold: int,
+    target_chunk_rows: int,
+    safe_gap_us: int,
+    k_lag: int,
+    k_lead: int,
+    specs: FeatureSpecs,
+) -> "ConvSplitPlan | str":
+    """Chunk boundaries for ONE conversation from its SORTED int64-us
+    timestamps.  Returns "cold" (pigeonhole candidate that isn't actually
+    hot), "unsplittable" (no safe gap / no viable chunking), or the plan.
+    Shared by the driver-side and the distributed detail passes so the
+    two paths are identical by construction."""
+    n = len(ts)
+    if n <= hot_threshold:
+        return "cold"
+    gaps = np.diff(ts)
+    candidates = np.flatnonzero(gaps > safe_gap_us) + 1  # row idx that STARTS a chunk
+    if len(candidates) == 0:
+        return "unsplittable"
+    # greedy: take the next candidate once the running chunk >= target
+    chosen = []
+    last = 0
+    for c in candidates:
+        if c - last >= target_chunk_rows:
+            chosen.append(c)
+            last = c
+    if not chosen:
+        return "unsplittable"
+    chosen_arr = np.array(chosen, dtype=np.int64)
+    boundaries = ts[chosen_arr]
+    head_ctx_min = ts[np.maximum(chosen_arr - k_lag, 0)]
+    tail_idx = np.minimum(chosen_arr + max(k_lead, 1) - 1, n - 1)
+    tail_ctx_max = ts[tail_idx] if k_lead > 0 else boundaries - 1  # empty if no leads
+    offsets: Dict[str, np.ndarray] = {}
+    for spec in specs.session:
+        thr = spec.gap_s * _US
+        is_start = np.concatenate([[True], gaps > thr])
+        cum = np.cumsum(is_start)  # sessions started up to and incl. row i
+        # sessions started BEFORE each chunk's first row
+        offsets[spec.name] = np.concatenate([[0], cum[chosen_arr - 1]]).astype(np.int64)
+    return ConvSplitPlan(
+        boundaries_us=boundaries,
+        head_ctx_min_us=head_ctx_min,
+        tail_ctx_max_us=tail_ctx_max,
+        session_offsets=offsets,
+    )
+
+
+def _hot_detail_row_cap() -> int:
+    """Row cap for the driver-side detail pass (GRAFT_HOT_DETAIL_ROW_CAP
+    env — scale-rehearsal pressure knob).  Below it the hot rows' slim
+    (key, ts, turn_idx) view is a driver pandas pass; above it each hot
+    conversation is co-partitioned to ONE worker which computes its
+    chunk plan locally and ships back only the (tiny) boundary arrays —
+    the driver never holds a hot conversation's rows."""
+    import os
+
+    return int(os.environ.get("GRAFT_HOT_DETAIL_ROW_CAP", "5000000"))
+
+
 def build_split_plan(
     ds: "ray.data.Dataset",
     specs: FeatureSpecs,
@@ -202,49 +264,79 @@ def build_split_plan(
         m = pc.is_in(batch[key], value_set=pa.array(sorted(hot_set)))
         return batch.filter(m).select([key, on, "turn_idx"])
 
-    # projection-pruned pass 2: detail rows for the (few) candidates only
-    hot_df = slim.map_batches(_filter_hot, batch_format="pyarrow").to_pandas()
-    hot_df["__ts"] = hot_df[on].astype("datetime64[us]").astype("int64")
-    hot_df = hot_df.sort_values([key, "__ts", "turn_idx"], kind="mergesort")
+    # projection-pruned pass 2: detail rows for the (few) candidates only,
+    # materialized ONCE (hot rows only — the skewed subset) so the gate
+    # count and whichever detail path runs both read it without a rescan
+    hot_ds = (
+        slim.map_batches(_filter_hot, batch_format="pyarrow").materialize()
+    )
+    if hot_ds.count() <= _hot_detail_row_cap():
+        hot_df = hot_ds.to_pandas()
+        hot_df["__ts"] = hot_df[on].astype("datetime64[us]").astype("int64")
+        hot_df = hot_df.sort_values([key, "__ts", "turn_idx"], kind="mergesort")
+        for conv, g in hot_df.groupby(key, sort=False):
+            res = _conv_plan(
+                g["__ts"].to_numpy(), hot_threshold, target_chunk_rows,
+                safe_gap_us, k_lag, k_lead, specs,
+            )
+            if res == "cold":
+                continue
+            if res == "unsplittable":
+                plan.unsplittable.append(conv)
+            else:
+                plan.convs[conv] = res
+        return plan
 
-    for conv, g in hot_df.groupby(key, sort=False):
-        if len(g) <= hot_threshold:
-            continue  # pigeonhole candidate that isn't actually hot
-        ts = g["__ts"].to_numpy()
-        n = len(ts)
-        gaps = np.diff(ts)
-        candidates = np.flatnonzero(gaps > safe_gap_us) + 1  # row idx that STARTS a chunk
-        if len(candidates) == 0:
-            plan.unsplittable.append(conv)
-            continue
-        # greedy: take the next candidate once the running chunk >= target
-        chosen = []
-        last = 0
-        for c in candidates:
-            if c - last >= target_chunk_rows:
-                chosen.append(c)
-                last = c
-        if not chosen:
-            plan.unsplittable.append(conv)
-            continue
-        chosen_arr = np.array(chosen, dtype=np.int64)
-        boundaries = ts[chosen_arr]
-        head_ctx_min = ts[np.maximum(chosen_arr - k_lag, 0)]
-        tail_idx = np.minimum(chosen_arr + max(k_lead, 1) - 1, n - 1)
-        tail_ctx_max = ts[tail_idx] if k_lead > 0 else boundaries - 1  # empty range if no leads
-        offsets: Dict[str, np.ndarray] = {}
-        for spec in specs.session:
-            thr = spec.gap_s * _US
-            is_start = np.concatenate([[True], gaps > thr])
-            cum = np.cumsum(is_start)  # sessions started up to and incl. row i
-            # sessions started BEFORE each chunk's first row
-            offsets[spec.name] = np.concatenate([[0], cum[chosen_arr - 1]]).astype(np.int64)
-        plan.convs[conv] = ConvSplitPlan(
-            boundaries_us=boundaries,
-            head_ctx_min_us=head_ctx_min,
-            tail_ctx_max_us=tail_ctx_max,
-            session_offsets=offsets,
+    # at-scale detail pass (rehearsal-flipped): co-partition hot rows on
+    # key so each hot conversation lands WHOLE in one worker, compute its
+    # plan there, ship back only pickled boundary arrays (~KBs per conv)
+    import pickle
+
+    from multimedia_indexing_ray.stages.partition import map_partitions_by_key
+
+    def _plan_kernel(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df["__ts"] = df[on].astype("datetime64[us]").astype("int64")
+        df = df.sort_values([key, "__ts", "turn_idx"], kind="mergesort")
+        convs, blobs = [], []
+        for conv, g in df.groupby(key, sort=False):
+            res = _conv_plan(
+                g["__ts"].to_numpy(), hot_threshold, target_chunk_rows,
+                safe_gap_us, k_lag, k_lead, specs,
+            )
+            if res == "cold":
+                continue
+            convs.append(conv)
+            # ship plain numpy payloads, not the dataclass: the class
+            # travels to workers pickled by VALUE (cloudpickle), so a
+            # worker-side by-reference re-pickle could fail to resolve it
+            blobs.append(
+                pickle.dumps(
+                    None
+                    if res == "unsplittable"
+                    else (
+                        res.boundaries_us,
+                        res.head_ctx_min_us,
+                        res.tail_ctx_max_us,
+                        res.session_offsets,
+                    )
+                )
+            )
+        key_type = t.schema.field(key).type
+        return pa.table(
+            {key: pa.array(convs, key_type), "plan": pa.array(blobs, pa.binary())}
         )
+
+    n_parts = max(4, min(64, len(hot_set)))
+    for row in map_partitions_by_key(
+        hot_ds, key, _plan_kernel, num_partitions=n_parts
+    ).take_all():
+        res = pickle.loads(row["plan"])
+        if res is None:
+            plan.unsplittable.append(row[key])
+        else:
+            plan.convs[row[key]] = ConvSplitPlan(*res)
+    plan.unsplittable.sort()
     return plan
 
 

@@ -57,7 +57,11 @@ GATED = {
     "minhash_dedup_docs": {"GRAFT_MAX_BROADCAST_IDS": "0", "GRAFT_PAIR_COALESCE_CAP": "0"},
     "ngram_jaccard_pairs": {"GRAFT_COALESCE_DOCS": "0", "GRAFT_PAIR_COALESCE_CAP": "0"},
     "corpus_curation_v2": {"GRAFT_DRIVER_EDGE_CAP": "0", "GRAFT_PAIR_COALESCE_CAP": "0",
-                           "GRAFT_COALESCE_DOCS": "0", "GRAFT_MAX_BROADCAST_IDS": "0"},
+                           "GRAFT_COALESCE_DOCS": "0", "GRAFT_MAX_BROADCAST_IDS": "0",
+                           # r5: also force the loser-set anti-join onto its
+                           # co-partitioned plan (the last key-set broadcast)
+                           "GRAFT_BROADCAST_ROW_CAP": "0"},
+    "users_without_high_value": {"GRAFT_BROADCAST_ROW_CAP": "0"},
     "tfidf_top_terms": {"GRAFT_MAX_VOCAB_BROADCAST": "0"},
     "top_term_docs": {"GRAFT_MAX_VOCAB_BROADCAST": "0"},
 }

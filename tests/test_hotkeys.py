@@ -138,3 +138,65 @@ def test_unsplittable_conv_stays_whole(ray_session):
     plan = build_split_plan(pre, DEFAULT_SPECS, hot_threshold=1000, target_chunk_rows=500)
     assert plan.convs == {}
     assert "conv-dense" in plan.unsplittable
+
+
+def test_distributed_detail_pass_identical_plan(ray_session, monkeypatch):
+    """VERDICT r4 item 2: with the driver row cap forced to 0 the detail
+    pass co-partitions hot rows to workers — the resulting SplitPlan
+    must be IDENTICAL to the driver-side plan (same boundaries, context
+    windows, session offsets, unsplittable list)."""
+    import ray.data as rd
+
+    from multimedia_indexing_ray.stages.features import prefeaturize
+    from multimedia_indexing_ray.stages.hotkeys import build_split_plan
+
+    # hot+splittable, hot+unsplittable, and cold conversations together
+    t = _hot_table()
+    n = 2000
+    ts = np.datetime64("2026-03-01", "us") + np.arange(n) * np.timedelta64(10, "s")
+    dense = pa.table(
+        {
+            "conv_id": pa.array(["conv-dense"] * n, pa.string()),
+            "turn_idx": pa.array(np.arange(n, dtype=np.int32), pa.int32()),
+            "role": pa.array(["user"] * n, pa.string()),
+            "text": pa.array(["x"] * n, pa.string()),
+            "tool": pa.array([None] * n, pa.string()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+        },
+        schema=TRANSCRIPT_SCHEMA,
+    )
+    t = pa.concat_tables([t, dense])
+
+    def _plan(cap):
+        monkeypatch.setenv("GRAFT_HOT_DETAIL_ROW_CAP", str(cap))
+        pre = rd.from_arrow(t).map_batches(prefeaturize, batch_format="pyarrow")
+        return build_split_plan(
+            pre, DEFAULT_SPECS, hot_threshold=1000, target_chunk_rows=500
+        )
+
+    driver = _plan(5_000_000)
+    dist = _plan(0)
+    assert sorted(driver.unsplittable) == sorted(dist.unsplittable) == ["conv-dense"]
+    assert set(driver.convs) == set(dist.convs) == {"conv-hot"}
+    a, b = driver.convs["conv-hot"], dist.convs["conv-hot"]
+    np.testing.assert_array_equal(a.boundaries_us, b.boundaries_us)
+    np.testing.assert_array_equal(a.head_ctx_min_us, b.head_ctx_min_us)
+    np.testing.assert_array_equal(a.tail_ctx_max_us, b.tail_ctx_max_us)
+    assert set(a.session_offsets) == set(b.session_offsets)
+    for name in a.session_offsets:
+        np.testing.assert_array_equal(a.session_offsets[name], b.session_offsets[name])
+
+
+def test_split_identical_to_unsplit_forced_distributed(ray_session, monkeypatch):
+    """Flagship-equivalence under the forced-distributed detail pass."""
+    monkeypatch.setenv("GRAFT_HOT_DETAIL_ROW_CAP", "0")
+    t = _hot_table()
+    base = _features(ray_session, t)
+    split = _features(
+        ray_session, t, split_hot=True, hot_threshold=1000, target_chunk_rows=500
+    )
+    assert len(base) == len(split) == t.num_rows
+    for c in ALL_COLS:
+        np.testing.assert_allclose(
+            base[c].to_numpy(), split[c].to_numpy(), rtol=0, atol=0, err_msg=c
+        )
