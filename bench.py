@@ -106,26 +106,27 @@ def warm_cluster() -> None:
 
 
 _PLAN = None  # split plan built once per process (input-keyed state)
-_PLAN_SEC = None  # wall seconds of the one cold build (reported separately)
+_PLAN_SEC = None  # marginal plan seconds (reported separately)
 
 
 def bench_split_plan():
-    """Build the hot-conversation split plan ONCE for the bench table —
-    the plan is a function of the input (build-once/query-many state,
-    exactly like the ANN artifact), reused by the flagship and the
-    serving run instead of re-scanning the slim columns per call.  The
-    cold build is timed and reported as its own metric
-    (`split_plan_build_sec`) so nothing is hidden."""
+    """Split plan for the bench table, built ONCE per process via the
+    FUSED pass (`hotkeys.fused_prefeature_and_plan`): the prefeature scan
+    side-accumulates the heavy-hitter sketch into a shared actor, so the
+    plan's marginal cost — reported as `split_plan_build_sec` — is just
+    the in-memory detail pass over the materialized pre view (no extra
+    input scans; VERDICT r4 item 4).  Normally the first flagship
+    iteration builds it INSIDE its timed window (the fused scan is
+    flagship work, not hidden setup); this fallback covers serving-only
+    invocations."""
     global _PLAN, _PLAN_SEC
     if _PLAN is None:
         from multimedia_indexing_ray.sources.transcripts import read_transcripts
         from multimedia_indexing_ray.specs import DEFAULT_SPECS
-        from multimedia_indexing_ray.stages.hotkeys import build_split_plan
+        from multimedia_indexing_ray.stages.hotkeys import fused_prefeature_and_plan
 
         ds = read_transcripts(ensure_transcripts(), override_num_blocks=NUM_PARTITIONS)
-        t0 = time.perf_counter()
-        _PLAN = build_split_plan(ds, DEFAULT_SPECS)
-        _PLAN_SEC = round(time.perf_counter() - t0, 3)
+        _, _PLAN, _PLAN_SEC = fused_prefeature_and_plan(ds, DEFAULT_SPECS)
     return _PLAN
 
 
@@ -150,6 +151,7 @@ def run_flagship() -> dict:
     import shutil
 
     shutil.rmtree(out_dir, ignore_errors=True)
+    global _PLAN, _PLAN_SEC
     t0 = time.perf_counter()
     # block count == partition count keeps the shuffle exchange at
     # O(blocks x partitions) objects (128x128 measured sweet spot here)
@@ -158,16 +160,32 @@ def run_flagship() -> dict:
     # parquet's fixed_size_list encoder is ~10x slower than flat doubles
     # (measured 22s vs 2.1s on the bench table); the packed layout is an
     # in-memory/API option, not the storage layout.
-    feat = compute_features(
-        ds,
-        DEFAULT_SPECS,
-        num_partitions=NUM_PARTITIONS,
-        split_hot=True,
-        # input-keyed state built once per process and timed separately
-        # (split_plan_build_sec) — the same build-once/query-many
-        # treatment as the ANN artifact
-        split_plan=bench_split_plan(),
-    )
+    if _PLAN is None:
+        # first iteration builds the plan FUSED, inside the timed
+        # window: the prefeature scan side-accumulates the hot-key
+        # sketch and the materialized pre view feeds both the detail
+        # pass and the shuffle — the plan costs no extra input scans
+        # (split_plan_build_sec = the in-memory marginal)
+        from multimedia_indexing_ray.stages.hotkeys import fused_prefeature_and_plan
+
+        pre, _PLAN, _PLAN_SEC = fused_prefeature_and_plan(ds, DEFAULT_SPECS)
+        feat = compute_features(
+            pre,
+            DEFAULT_SPECS,
+            num_partitions=NUM_PARTITIONS,
+            split_plan=_PLAN,
+            prefeaturized=True,
+        )
+    else:
+        # later iterations reuse the input-keyed plan (build-once/
+        # query-many state, like the ANN artifact) and stream end-to-end
+        feat = compute_features(
+            ds,
+            DEFAULT_SPECS,
+            num_partitions=NUM_PARTITIONS,
+            split_hot=True,
+            split_plan=_PLAN,
+        )
     feat.write_parquet(out_dir)
     sec = time.perf_counter() - t0
     return {"rows": n_rows, "sec": sec, "turns_per_sec": n_rows / sec}
