@@ -22,19 +22,24 @@ semantics in a Ray-idiomatic shape:
   decoders' memory-bomb caps — at web scale one 10 GB response must not
   OOM a worker heap.
 
-This sandboxed container has no network, so the default transport
-resolves ``file://`` URLs (and bare paths) from the local filesystem —
-an honest stand-in that keeps every OTHER part real: the actor-pool
-shape, the rate limiter, the timeout accounting, the error channel and
-the size cap.  A real HTTP transport is one constructor argument away
-(``transport=`` any ``url -> bytes`` callable); tests inject flaky and
-slow transports the same way.
+A real HTTP(S) transport (`http_transport`: urllib, the reference's 5 s
+timeouts, streamed size cap) ships alongside the ``file://`` one; the
+default `auto_transport` dispatches by scheme and enables HTTP only
+when ``GRAFT_ENABLE_HTTP=1`` — this sandboxed container has no network,
+so CI exercises the HTTP path with an injected ``_urlopen`` and the
+``file://`` path end-to-end, keeping every OTHER part real: the
+actor-pool shape, the rate limiter, the timeout accounting, the error
+channel and the size cap.  Tests inject flaky and slow transports via
+the ``transport=`` constructor arg the same way.
 """
 
 from __future__ import annotations
 
 import os
+import socket
 import time
+import urllib.error
+import urllib.request
 from typing import Callable, Optional
 
 import numpy as np
@@ -72,6 +77,88 @@ def file_transport(url: str, max_bytes: int = DEFAULT_MAX_BYTES) -> bytes:
         raise FetchError("read_failed")
 
 
+_HTTP_CHUNK = 1 << 20  # stream responses in 1 MiB reads
+
+
+def http_transport(
+    url: str,
+    timeout_s: float = 5.0,
+    max_bytes: int = DEFAULT_MAX_BYTES,
+    _urlopen: Optional[Callable] = None,
+) -> bytes:
+    """Real HTTP(S) GET with the reference's semantics
+    (`download/ImageDownload.java:163-175`): 5 s connect/read timeout,
+    no retries, and a hard size cap so one huge response can't OOM a
+    worker.  The body is STREAMED in 1 MiB chunks and abandoned the
+    moment it exceeds ``max_bytes`` — never buffered past the cap.
+
+    Raises `FetchError` with the same reason vocabulary as
+    `file_transport` (not_found, too_large, timeout, read_failed) plus
+    ``http_<status>`` for non-404 status codes and ``connect_failed``
+    for DNS/refused-connection errors.
+
+    Untestable end-to-end in this no-network container (CI exercises it
+    with an injected ``_urlopen``); selected at runtime via
+    ``GRAFT_ENABLE_HTTP=1`` (see `auto_transport`) so a networked deploy
+    needs zero code change.
+    """
+    if _urlopen is None:  # resolved at call time so tests can monkeypatch
+        _urlopen = urllib.request.urlopen
+    req = urllib.request.Request(url, headers={"User-Agent": "mir-fetch/1.0"})
+    try:
+        resp = _urlopen(req, timeout=timeout_s)
+    except urllib.error.HTTPError as e:
+        raise FetchError("not_found" if e.code == 404 else f"http_{e.code}")
+    except (socket.timeout, TimeoutError):
+        raise FetchError("timeout")
+    except urllib.error.URLError as e:
+        if isinstance(e.reason, (socket.timeout, TimeoutError)):
+            raise FetchError("timeout")
+        raise FetchError("connect_failed")
+    except OSError:
+        raise FetchError("connect_failed")
+    with resp:
+        clen = resp.headers.get("Content-Length") if resp.headers else None
+        if clen is not None:
+            try:
+                if int(clen) > max_bytes:
+                    raise FetchError("too_large")  # reject before reading
+            except ValueError:
+                pass  # lying/garbage header: fall through to streamed cap
+        chunks, total = [], 0
+        while True:
+            try:
+                chunk = resp.read(_HTTP_CHUNK)
+            except (socket.timeout, TimeoutError):
+                raise FetchError("timeout")
+            except OSError:
+                raise FetchError("read_failed")
+            if not chunk:
+                break
+            total += len(chunk)
+            if total > max_bytes:
+                raise FetchError("too_large")
+            chunks.append(chunk)
+    return b"".join(chunks)
+
+
+def auto_transport(
+    url: str,
+    timeout_s: float = 5.0,
+    max_bytes: int = DEFAULT_MAX_BYTES,
+) -> bytes:
+    """Scheme dispatcher — the `UrlFetcher` default.  ``http(s)://`` goes
+    to `http_transport` when ``GRAFT_ENABLE_HTTP=1`` is set (a networked
+    deploy flips one env var); in this no-network sandbox it fails soft
+    as ``no_network_in_container``.  Everything else (``file://`` and
+    bare paths) resolves locally."""
+    if url.startswith(("http://", "https://")):
+        if os.environ.get("GRAFT_ENABLE_HTTP") == "1":
+            return http_transport(url, timeout_s=timeout_s, max_bytes=max_bytes)
+        raise FetchError("no_network_in_container")
+    return file_transport(url, max_bytes=max_bytes)
+
+
 class UrlFetcher:
     """Actor-pool fetch stage: ``(url_id, url)`` rows -> same rows +
     ``payload`` (binary, null on failure) + ``fetch_bytes`` (int64, -1 on
@@ -101,7 +188,9 @@ class UrlFetcher:
         sleep: Callable[[float], None] = time.sleep,
     ):
         self._transport = transport or (
-            lambda u: file_transport(u, max_bytes=max_bytes)
+            lambda u: auto_transport(
+                u, timeout_s=timeout_s, max_bytes=max_bytes
+            )
         )
         self._interval = float(min_call_interval_s)
         self._timeout = float(timeout_s)

@@ -177,3 +177,111 @@ def test_fetch_then_decode_composition(ray_session, tmp_path):
     errs = out.set_index("media_id")["decode_error"]
     assert errs.loc["img-0007"].startswith("decode_failed")
     assert errs.drop("img-0007").isna().all()
+
+
+class _FakeResp:
+    """Minimal urlopen response: context manager + headers + chunked read."""
+
+    def __init__(self, body: bytes, content_length=None):
+        self._body = body
+        self._pos = 0
+        import email.message
+
+        self.headers = email.message.Message()
+        if content_length is not None:
+            self.headers["Content-Length"] = str(content_length)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        return False
+
+    def read(self, n=-1):
+        if n is None or n < 0:
+            n = len(self._body) - self._pos
+        chunk = self._body[self._pos : self._pos + n]
+        self._pos += len(chunk)
+        return chunk
+
+
+def test_http_transport_success_and_error_mapping():
+    """Real HTTP transport (urllib) exercised with an injected urlopen —
+    the container has no network, so this is the CI path; the semantics
+    (5 s timeout, size cap, no retries) mirror ImageDownload.java:163-175."""
+    import socket
+    import urllib.error
+
+    from multimedia_indexing_ray.stages.fetch import http_transport
+
+    body = b"jpeg-bytes" * 100
+    assert (
+        http_transport("http://h/x.jpg", _urlopen=lambda req, timeout: _FakeResp(body))
+        == body
+    )
+
+    def raise_404(req, timeout):
+        raise urllib.error.HTTPError("http://h/x", 404, "nf", None, None)
+
+    with pytest.raises(FetchError, match="not_found"):
+        http_transport("http://h/x", _urlopen=raise_404)
+
+    def raise_503(req, timeout):
+        raise urllib.error.HTTPError("http://h/x", 503, "busy", None, None)
+
+    with pytest.raises(FetchError, match="http_503"):
+        http_transport("http://h/x", _urlopen=raise_503)
+
+    def raise_timeout(req, timeout):
+        raise socket.timeout()
+
+    with pytest.raises(FetchError, match="timeout"):
+        http_transport("http://h/x", _urlopen=raise_timeout)
+
+    def raise_dns(req, timeout):
+        raise urllib.error.URLError(OSError("no such host"))
+
+    with pytest.raises(FetchError, match="connect_failed"):
+        http_transport("http://h/x", _urlopen=raise_dns)
+
+
+def test_http_transport_size_cap_header_and_streamed():
+    """too_large fires BEFORE the read when Content-Length admits it, and
+    mid-stream otherwise (never buffers past the cap)."""
+    from multimedia_indexing_ray.stages.fetch import http_transport
+
+    with pytest.raises(FetchError, match="too_large"):
+        http_transport(
+            "http://h/big",
+            max_bytes=64,
+            _urlopen=lambda req, timeout: _FakeResp(b"", content_length=1 << 30),
+        )
+    with pytest.raises(FetchError, match="too_large"):  # no/lying header
+        http_transport(
+            "http://h/big",
+            max_bytes=64,
+            _urlopen=lambda req, timeout: _FakeResp(b"z" * 200, content_length=1),
+        )
+
+
+def test_auto_transport_dispatch(tmp_path, monkeypatch):
+    """Scheme routing: file:// resolves locally; http is gated on
+    GRAFT_ENABLE_HTTP so the sandbox fails soft and a deploy flips one env."""
+    from multimedia_indexing_ray.stages import fetch as fetch_mod
+    from multimedia_indexing_ray.stages.fetch import auto_transport
+
+    p = tmp_path / "a.bin"
+    p.write_bytes(b"local")
+    assert auto_transport(f"file://{p}") == b"local"
+
+    monkeypatch.delenv("GRAFT_ENABLE_HTTP", raising=False)
+    with pytest.raises(FetchError, match="no_network_in_container"):
+        auto_transport("http://example.com/x.jpg")
+
+    monkeypatch.setenv("GRAFT_ENABLE_HTTP", "1")
+    monkeypatch.setattr(
+        fetch_mod.urllib.request,
+        "urlopen",
+        lambda req, timeout: _FakeResp(b"served"),
+    )
+    assert auto_transport("http://example.com/x.jpg") == b"served"
