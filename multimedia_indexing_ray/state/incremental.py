@@ -279,6 +279,172 @@ class ConversationWindowState:
         self._evict()
         return outs
 
+    def _cond_mask(self, condition, fmat: np.ndarray) -> np.ndarray:
+        """Vectorized `_cond_value` over a (n, len(_BASE)) matrix."""
+        if condition is None:
+            return np.ones(len(fmat), dtype=bool)
+        kind, value = condition
+        if kind == "role":
+            name = f"is_{value}" if value != "tool" else "is_tool_role"
+            return fmat[:, _BASE.index(name)] > 0
+        if kind == "tool_notnull":
+            return fmat[:, _BASE.index("has_tool")] > 0
+        raise ValueError(condition)
+
+    def append_run(
+        self, ts_arr: np.ndarray, rows: np.ndarray, visibility: str = "causal"
+    ) -> "Dict[str, np.ndarray]":
+        """Vectorized multi-row append: one WHOLE per-conversation segment
+        (nondecreasing ts) in one call, returning columnar float64 arrays.
+        Bit-identical to the per-row paths — every summed quantity is
+        integer-valued in float64, so the prefix-sum reassociation here is
+        exact vs `append`'s per-row mask sums:
+
+        - ``visibility="causal"``: row r sees combined indices <= r
+          (== calling `append` once per row);
+        - ``visibility="batch"``: row r sees through the end of its
+          equal-ts run (== calling `append_group` once per run; a run
+          split across calls raises, same as `append_group`).
+
+        This is the ingest hot path for `IncrementalFeaturizer
+        .append_batch` — the per-row/per-run methods re-stack the ring
+        buffer per call, which capped live-store ingest at ~25k rows/s."""
+        g = len(ts_arr)
+        if g == 0:
+            return {}
+        ts_arr = np.asarray(ts_arr, dtype=np.int64)
+        rows = np.asarray(rows, dtype=np.float64)
+        if np.any(ts_arr[1:] < ts_arr[:-1]):
+            raise ValueError("incremental appends must be in nondecreasing ts order")
+        if self.last_ts is not None and ts_arr[0] < self.last_ts:
+            raise ValueError("incremental appends must be in nondecreasing ts order")
+        if visibility == "batch" and self.last_ts is not None and ts_arr[0] == self.last_ts:
+            raise ValueError(
+                "equal-ts run split across appends: batch-visibility mode "
+                "needs the whole run in one call (buffer until the ts advances)"
+            )
+
+        gaps = np.zeros(g)
+        gaps[0] = 0.0 if self.last_ts is None else (ts_arr[0] - self.last_ts) / _US
+        gaps[1:] = (ts_arr[1:] - ts_arr[:-1]) / _US
+
+        n_buf = len(self.ts)
+        ts_all = np.concatenate([np.asarray(self.ts, dtype=np.int64), ts_arr])
+        fmat_all = (
+            np.concatenate([np.stack(self.feat), rows]) if n_buf else np.asarray(rows)
+        )
+        tl_all = fmat_all[:, _BASE.index("text_len")]
+        tk_all = fmat_all[:, _BASE.index("n_tokens")]
+        gap_all = np.concatenate([np.asarray(self.gap_s, dtype=np.float64), gaps])
+
+        # per-row visible END (exclusive) in combined indices
+        if visibility == "batch":
+            hi = np.searchsorted(ts_all, ts_arr, side="right")
+        else:
+            hi = n_buf + np.arange(g) + 1
+
+        out: "Dict[str, np.ndarray]" = {}
+        if self.specs.include_base:
+            out["text_len"] = rows[:, 0].astype(np.float64)
+            out["n_tokens"] = rows[:, 1].astype(np.float64)
+            out["gap_s"] = gaps
+            for i, name in enumerate(_BASE[2:], start=2):
+                out[name] = rows[:, i].astype(np.float64)
+
+        for spec in self.specs.sliding:
+            w = int(spec.width_s * _US)
+            side = "right" if spec.closed == "right" else "left"
+            lo = np.searchsorted(ts_all, ts_arr - w, side=side)
+            m = self._cond_mask(spec.condition, fmat_all)
+            mf = m.astype(np.float64)
+            pre = np.zeros((len(ts_all) + 1, 3))
+            np.cumsum(
+                np.stack([mf, mf * tl_all, mf * tk_all], axis=1), axis=0,
+                out=pre[1:],
+            )
+            agg = pre[hi] - pre[lo]
+            cnt, stl, stk = agg[:, 0], agg[:, 1], agg[:, 2]
+            mean = np.divide(stl, cnt, out=np.zeros(g), where=cnt > 0)
+            out[f"{spec.name}_count"] = cnt
+            out[f"{spec.name}_sum_text_len"] = stl
+            out[f"{spec.name}_mean_text_len"] = mean
+            out[f"{spec.name}_sum_n_tokens"] = stk
+
+        hi_local = hi - n_buf  # end (exclusive) within the NEW rows
+        for spec in self.specs.tumbling:
+            st = self.tumb[spec.name]
+            wins = (ts_arr - TUMBLING_ORIGIN_US) // int(spec.width_s * _US)
+            m = self._cond_mask(spec.condition, rows)
+            contrib = np.stack(
+                [m.astype(np.float64), np.where(m, rows[:, 0], 0.0),
+                 np.where(m, rows[:, 1], 0.0)], axis=1
+            )
+            cum = np.concatenate([np.zeros((1, 3)), np.cumsum(contrib, axis=0)])
+            starts = np.empty(g, dtype=bool)
+            starts[0] = st["win"] is None or wins[0] != st["win"]
+            starts[1:] = wins[1:] != wins[:-1]
+            seg = np.cumsum(starts)  # 0 == continuing the carried window
+            start_pos = np.flatnonzero(starts)
+            carry = np.zeros(3)
+            if seg[0] == 0:
+                carry = np.asarray(st["acc"], dtype=np.float64)
+            seg_base = np.zeros((g, 3))
+            if len(start_pos):
+                per_seg_base = cum[start_pos]  # cumsum BEFORE each segment start
+                seg_base[seg > 0] = per_seg_base[seg[seg > 0] - 1]
+            acc = cum[hi_local] - seg_base + np.where((seg == 0)[:, None], carry, 0.0)
+            cnt, stl, stk = acc[:, 0], acc[:, 1], acc[:, 2]
+            mean = np.divide(stl, cnt, out=np.zeros(g), where=cnt > 0)
+            out[f"{spec.name}_count"] = cnt
+            out[f"{spec.name}_sum_text_len"] = stl
+            out[f"{spec.name}_mean_text_len"] = mean
+            out[f"{spec.name}_sum_n_tokens"] = stk
+            st["win"] = int(wins[-1])
+            final = cum[g] - (per_seg_base[-1] if len(start_pos) else 0.0)
+            st["acc"] = final + (carry if len(start_pos) == 0 else 0.0)
+
+        for spec in self.specs.session:
+            st = self.sess[spec.name]
+            new_flags = gaps > spec.gap_s
+            new_flags[0] = st["idx"] < 0 or gaps[0] > spec.gap_s
+            seg = np.cumsum(new_flags)  # 0 == continuing the carried session
+            start_pos = np.flatnonzero(new_flags)
+            start_ts = np.full(g, st["start_ts"], dtype=np.int64)
+            if len(start_pos):
+                per_seg_start = ts_arr[start_pos]
+                start_ts[seg > 0] = per_seg_start[seg[seg > 0] - 1]
+            # count at visible end: rows since session start (carry if cont.)
+            start_row = np.zeros(g, dtype=np.int64)
+            if len(start_pos):
+                start_row[seg > 0] = start_pos[seg[seg > 0] - 1]
+            count = (hi_local - start_row).astype(np.float64)
+            count[seg == 0] += st["count"]
+            out[f"{spec.name}_turns_so_far"] = count
+            out[f"{spec.name}_duration_so_far_s"] = (ts_arr - start_ts) / _US
+            out[f"{spec.name}_session_idx"] = (st["idx"] + seg).astype(np.float64)
+            st["idx"] = int(st["idx"] + seg[-1])
+            st["start_ts"] = int(start_ts[-1])
+            st["count"] = float(g - start_row[-1] + (st["count"] if seg[-1] == 0 else 0.0))
+
+        feats_all = {"text_len": tl_all, "n_tokens": tk_all, "gap_s": gap_all}
+        for spec in self.specs.lags:
+            src = n_buf + np.arange(g) - spec.k
+            valid = (self.n_seen + np.arange(g) - spec.k) >= 0
+            if np.any(valid & (src < 0)):
+                raise RuntimeError("lag context evicted; raise k_keep")
+            arr = feats_all[spec.feature]
+            out[spec.columns[0]] = np.where(
+                valid, arr[np.clip(src, 0, None)], 0.0
+            ).astype(np.float64)
+
+        self.ts.extend(int(t) for t in ts_arr)
+        self.feat.extend(rows)
+        self.gap_s.extend(float(x) for x in gaps)
+        self.last_ts = int(ts_arr[-1])
+        self.n_seen += g
+        self._evict()
+        return out
+
 
 class IncrementalFeaturizer:
     """Holds ConversationWindowState per conv; usable directly or as the
@@ -302,7 +468,11 @@ class IncrementalFeaturizer:
 
     def append_batch(self, batch: pa.Table) -> pa.Table:
         """Rows must be globally nondecreasing in ts per conversation
-        across calls.  Returns one feature row per input row."""
+        across calls.  Returns one feature row per input row.
+
+        Hot path: ONE `append_run` call per conversation segment (the
+        vectorized prefix-sum kernel), one state-dict lookup per conv —
+        not per row/per run, which capped ingest at ~25k rows/s."""
         import pyarrow.compute as pc
 
         idx = pc.sort_indices(
@@ -311,39 +481,38 @@ class IncrementalFeaturizer:
         t = batch.take(idx)
         base = base_turn_features(t)
         fmat = np.stack([base[n] for n in _BASE], axis=1)
-        conv = t["conv_id"].to_pylist()
+        conv = np.asarray(t["conv_id"].to_numpy(zero_copy_only=False), dtype=object)
         ts = t["ts"].cast(pa.int64()).to_numpy()
-        rows = []
         ti = t["turn_idx"].to_numpy(zero_copy_only=False)
-        i = 0
         n = len(conv)
-        while i < n:
-            cid = conv[i]
-            st = self.states.get(cid)
-            if st is None:
-                st = self.states[cid] = ConversationWindowState(self.specs)
-            if self.equal_ts == "batch":
-                # whole equal-(conv, ts) run at once, mutually visible
-                j = i + 1
-                while j < n and conv[j] == cid and ts[j] == ts[i]:
-                    j += 1
-                outs = st.append_group(int(ts[i]), fmat[i:j])
-                rows.extend(outs)
-                for r in range(i, j):
-                    self.last[cid] = {"ts": int(ts[r]), "turn_idx": int(ti[r]), **outs[r - i]}
-                i = j
-                continue
-            row = st.append(int(ts[i]), fmat[i])
-            rows.append(row)
-            self.last[cid] = {"ts": int(ts[i]), "turn_idx": int(ti[i]), **row}
-            i += 1
+        seg_outs: "List[Dict[str, np.ndarray]]" = []
+        if n:
+            bounds = np.flatnonzero(np.r_[True, conv[1:] != conv[:-1]])
+            ends = np.r_[bounds[1:], n]
+            for s, e in zip(bounds, ends):
+                cid = conv[s]
+                st = self.states.get(cid)
+                if st is None:
+                    st = self.states[cid] = ConversationWindowState(self.specs)
+                out = st.append_run(ts[s:e], fmat[s:e], visibility=self.equal_ts)
+                seg_outs.append(out)
+                self.last[cid] = {
+                    "ts": int(ts[e - 1]),
+                    "turn_idx": int(ti[e - 1]),
+                    **{name: float(arr[-1]) for name, arr in out.items()},
+                }
         cols: dict = {
             "conv_id": t["conv_id"],
             "turn_idx": t["turn_idx"],
             "ts": t["ts"],
         }
         for name in self.specs.feature_columns():
-            cols[name] = pa.array([r[name] for r in rows], pa.float64())
+            cols[name] = pa.array(
+                np.concatenate([o[name] for o in seg_outs])
+                if seg_outs
+                else np.empty(0),
+                pa.float64(),
+            )
         return pa.table(cols)
 
 

@@ -173,3 +173,62 @@ def test_equal_ts_batch_mode_rejects_split_runs():
     st.append_group(t0, np.stack([base, base]))
     with pytest.raises(ValueError, match="equal-ts run split"):
         st.append_group(t0, np.stack([base]))
+
+
+@pytest.mark.parametrize("visibility", ["causal", "batch"])
+def test_append_run_matches_row_and_group_paths(visibility, smoke_table):
+    """The vectorized `append_run` kernel is bit-identical to the per-row
+    `append` (causal) / per-run `append_group` (batch) reference paths,
+    under adversarial random chunkings of the same stream (carry state
+    crosses every chunk boundary)."""
+    from multimedia_indexing_ray.functions.turns import base_turn_features
+    from multimedia_indexing_ray.state.incremental import (
+        _BASE,
+        ConversationWindowState,
+    )
+
+    t = smoke_table.sort_by([("conv_id", "ascending"), ("ts", "ascending"), ("turn_idx", "ascending")])
+    df = t.to_pandas()
+    convs = list(df["conv_id"].unique())[:6]
+    rng = np.random.default_rng(7)
+    for cid in convs:
+        sub = pa.Table.from_pandas(df[df["conv_id"] == cid], preserve_index=False)
+        base = base_turn_features(sub)
+        fmat = np.stack([base[n] for n in _BASE], axis=1)
+        ts = sub["ts"].cast(pa.int64()).to_numpy()
+        n = len(ts)
+
+        ref_state = ConversationWindowState(DEFAULT_SPECS)
+        ref_rows = []
+        i = 0
+        while i < n:
+            if visibility == "batch":
+                j = i + 1
+                while j < n and ts[j] == ts[i]:
+                    j += 1
+                ref_rows.extend(ref_state.append_group(int(ts[i]), fmat[i:j]))
+                i = j
+            else:
+                ref_rows.append(ref_state.append(int(ts[i]), fmat[i]))
+                i += 1
+
+        vec_state = ConversationWindowState(DEFAULT_SPECS)
+        # random chunking; in batch mode never split an equal-ts run
+        cuts = (
+            sorted(set(rng.integers(1, n, size=max(1, n // 5)).tolist()))
+            if n > 1
+            else []
+        )
+        if visibility == "batch":
+            cuts = [c for c in cuts if ts[c] != ts[c - 1]]
+        cuts = [0] + cuts + [n]
+        vec_cols: dict = {}
+        for s, e in zip(cuts[:-1], cuts[1:]):
+            out = vec_state.append_run(ts[s:e], fmat[s:e], visibility=visibility)
+            for k, v in out.items():
+                vec_cols.setdefault(k, []).append(v)
+
+        for name in DEFAULT_SPECS.feature_columns():
+            got = np.concatenate(vec_cols[name])
+            want = np.array([r[name] for r in ref_rows])
+            assert np.array_equal(got, want), (cid, name, got[:5], want[:5])
