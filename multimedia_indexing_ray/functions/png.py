@@ -6,14 +6,16 @@ perceptual dedup: the SAME raster saved as PPM and PNG has different
 bytes but bit-identical decoded pixels, so planted-pair oracles extend
 across formats.
 
-- ``encode_png``: 8-bit grayscale / RGB / RGBA, filter 0 scanlines,
-  one zlib IDAT — deterministic bytes for fixtures.
+- ``encode_png``: 8/16-bit grayscale / RGB / RGBA, filter 0 scanlines,
+  optional Adam7 interlacing, one zlib IDAT — deterministic bytes for
+  fixtures.
 - ``decode_png_gray``: chunk parse with CRC verification, IHDR color
-  types 0/2/3/4/6 at bit depth 8, all five scanline filters (sub / up /
-  avg / Paeth vectorized per row), BT.601 luma.  TOLERANT like the JPEG
-  decoder: bad chunk CRCs, truncated IDAT (partial rows + gray padding),
-  missing IEND, and trailing garbage degrade to warnings; structurally
-  hopeless inputs (bad signature, 16-bit, interlaced) raise ``PngError``.
+  types 0/2/3/4/6 at bit depths 8 AND 16, Adam7 interlaced or not, all
+  five scanline filters (sub / up / avg / Paeth vectorized per row),
+  BT.601 luma.  TOLERANT like the JPEG decoder: bad chunk CRCs,
+  truncated IDAT (partial rows + gray padding), missing IEND, and
+  trailing garbage degrade to warnings; structurally hopeless inputs
+  (bad signature, sub-byte depths 1/2/4) raise ``PngError``.
 """
 
 from __future__ import annotations
@@ -41,24 +43,58 @@ def _chunk(tag: bytes, body: bytes) -> bytes:
     )
 
 
-def encode_png(img: np.ndarray, comment: "bytes | None" = None) -> bytes:
-    """uint8 (H, W) gray / (H, W, 3) RGB / (H, W, 4) RGBA -> PNG bytes.
-    ``comment`` lands in a tEXt chunk — header-only variation (the
-    re-encoded-copy planting knob; decoded pixels are unchanged)."""
-    if img.dtype != np.uint8 or img.ndim not in (2, 3):
-        raise ValueError("encode_png expects uint8 (H,W[,3|4])")
+# Adam7 pass geometry: (x0, y0, dx, dy) per pass
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _adam7_passes(w: int, h: int) -> "List[Tuple[int, int, int, int, int, int]]":
+    """Non-empty Adam7 passes as (x0, y0, dx, dy, wp, hp)."""
+    out = []
+    for x0, y0, dx, dy in _ADAM7:
+        wp = (w - x0 + dx - 1) // dx if w > x0 else 0
+        hp = (h - y0 + dy - 1) // dy if h > y0 else 0
+        if wp > 0 and hp > 0:
+            out.append((x0, y0, dx, dy, wp, hp))
+    return out
+
+
+def encode_png(
+    img: np.ndarray, comment: "bytes | None" = None, interlace: bool = False
+) -> bytes:
+    """uint8/uint16 (H, W) gray / (H, W, 3) RGB / (H, W, 4) RGBA -> PNG
+    bytes (uint16 -> bit depth 16, big-endian samples; ``interlace=True``
+    -> Adam7).  ``comment`` lands in a tEXt chunk — header-only variation
+    (the re-encoded-copy planting knob; decoded pixels are unchanged)."""
+    if img.dtype not in (np.uint8, np.uint16) or img.ndim not in (2, 3):
+        raise ValueError("encode_png expects uint8/uint16 (H,W[,3|4])")
     h, w = img.shape[:2]
     channels = 1 if img.ndim == 2 else img.shape[2]
     color_type = {1: 0, 3: 2, 4: 6}[channels]
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
-    flat = img.reshape(h, w * channels)
-    raw = np.zeros((h, 1 + w * channels), dtype=np.uint8)
-    raw[:, 1:] = flat  # filter type 0 per scanline
+    depth = 8 if img.dtype == np.uint8 else 16
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, int(interlace))
+    px3 = img.reshape(h, w, channels)
+    if depth == 16:  # big-endian sample bytes
+        px3 = np.ascontiguousarray(px3).astype(">u2").view(np.uint8).reshape(h, w, channels * 2)
+    if interlace:
+        raw = bytearray()
+        for x0, y0, dx, dy, wp, hp in _adam7_passes(w, h):
+            sub = px3[y0::dy, x0::dx, :]
+            rows = np.zeros((hp, 1 + sub.shape[1] * sub.shape[2]), dtype=np.uint8)
+            rows[:, 1:] = sub.reshape(hp, -1)  # filter type 0
+            raw += rows.tobytes()
+        raw = bytes(raw)
+    else:
+        rows = np.zeros((h, 1 + px3.shape[1] * px3.shape[2]), dtype=np.uint8)
+        rows[:, 1:] = px3.reshape(h, -1)  # filter type 0 per scanline
+        raw = rows.tobytes()
     out = bytearray(_SIG)
     out += _chunk(b"IHDR", ihdr)
     if comment is not None:
         out += _chunk(b"tEXt", b"Comment\x00" + comment)
-    out += _chunk(b"IDAT", zlib.compress(raw.tobytes(), 6))
+    out += _chunk(b"IDAT", zlib.compress(raw, 6))
     out += _chunk(b"IEND", b"")
     return bytes(out)
 
@@ -73,17 +109,21 @@ def encode_png(img: np.ndarray, comment: "bytes | None" = None) -> bytes:
 _SLOW_FILTER_BUDGET = 1 << 23
 
 
-def _unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
-    """raw: (h, 1 + stride) filter-byte-prefixed scanlines -> (h, stride).
-    Row filters have a previous-row dependency, so the outer loop is per
-    row.  Within a row: sub is an exact uint8 cumulative sum (mod-256
-    wrap is native), up is one vectorized add, and avg/Paeth run a
-    per-pixel-column loop vectorized across the bpp channel offsets —
-    bounded by ``_SLOW_FILTER_BUDGET`` total bytes."""
+def _unfilter(
+    raw: np.ndarray, h: int, stride: int, bpp: int, slow_start: int = 0
+) -> "Tuple[np.ndarray, int]":
+    """raw: (h, 1 + stride) filter-byte-prefixed scanlines ->
+    ((h, stride), slow_bytes).  Row filters have a previous-row
+    dependency, so the outer loop is per row.  Within a row: sub is an
+    exact uint8 cumulative sum (mod-256 wrap is native), up is one
+    vectorized add, and avg/Paeth run a per-pixel-column loop vectorized
+    across the bpp channel offsets — bounded by ``_SLOW_FILTER_BUDGET``
+    total bytes.  ``slow_start`` carries the budget across Adam7 passes
+    so an interlaced payload cannot buy 7x the CPU."""
     out = np.zeros((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
     w_px = stride // bpp
-    slow_bytes = 0
+    slow_bytes = slow_start
     for y in range(h):
         ft = int(raw[y, 0])
         row = raw[y, 1:]
@@ -129,7 +169,7 @@ def _unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
             raise PngError(f"bad_filter_type_{ft}")
         out[y] = row
         prev = row
-    return out
+    return out, slow_bytes
 
 
 def decode_png_gray(
@@ -197,20 +237,28 @@ def decode_png_gray(
     # >1GB across the pad/unfilter copies.
     if w == 0 or h == 0 or w * h > (1 << 24):
         raise PngError("bad_dimensions")
-    if depth != 8:
+    if depth not in (8, 16):
         raise PngError("unsupported_bit_depth")
-    if interlace != 0:
+    if interlace not in (0, 1):
         raise PngError("unsupported_interlace")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
     if channels is None:
         raise PngError("bad_color_type")
-    if h * (1 + w * channels) > (1 << 26):
+    if color_type == 3 and depth != 8:
+        raise PngError("bad_color_type")  # palette indices are <= 8 bits
+    nbytes = depth // 8
+    bpp = channels * nbytes
+    stride = w * bpp
+    if h * (1 + stride) > (1 << 26):
         raise PngError("bad_dimensions")
     if color_type == 3 and palette is None:
         raise PngError("missing_palette")
 
-    stride = w * channels
-    want = h * (1 + stride)
+    if interlace:
+        passes = _adam7_passes(w, h)
+        want = sum(hp * (1 + wp * bpp) for _, _, _, _, wp, hp in passes)
+    else:
+        want = h * (1 + stride)
     d = zlib.decompressobj()
     try:
         data = d.decompress(bytes(idat), want)
@@ -227,14 +275,39 @@ def decode_png_gray(
     if len(data) < want:
         _tolerate("truncated_idat")
         data = data + b"\x00" * (want - len(data))
-    raw = np.frombuffer(data[:want], dtype=np.uint8).reshape(h, 1 + stride)
-    # a fabricated (padded) row may carry a junk filter byte: clamp to 0
-    bad_ft = raw[:, 0] > 4
-    if bad_ft.any():
-        _tolerate("bad_filter_bytes_reset")
-        raw = raw.copy()
-        raw[bad_ft, 0] = 0
-    px = _unfilter(raw, h, stride, channels)
+
+    def _clamped(buf: bytes, rows: int, rstride: int) -> np.ndarray:
+        raw = np.frombuffer(buf, dtype=np.uint8).reshape(rows, 1 + rstride)
+        # a fabricated (padded) row may carry a junk filter byte: clamp to 0
+        bad_ft = raw[:, 0] > 4
+        if bad_ft.any():
+            _tolerate("bad_filter_bytes_reset")
+            raw = raw.copy()
+            raw[bad_ft, 0] = 0
+        return raw
+
+    if interlace:
+        target = np.zeros((h, w, bpp), dtype=np.uint8)
+        off = 0
+        slow = 0
+        for x0, y0, dx, dy, wp, hp in passes:
+            nb = hp * (1 + wp * bpp)
+            raw = _clamped(data[off : off + nb], hp, wp * bpp)
+            pxp, slow = _unfilter(raw, hp, wp * bpp, bpp, slow)
+            target[y0::dy, x0::dx, :] = pxp.reshape(hp, wp, bpp)
+            off += nb
+        px = target.reshape(h, stride)
+    else:
+        raw = _clamped(data[:want], h, stride)
+        px, _ = _unfilter(raw, h, stride, bpp)
+    if depth == 16:
+        # big-endian 16-bit samples; same luma path, 1/65535 scale
+        u16 = px.view(">u2").reshape(h, w, channels).astype(np.float64)
+        if channels in (1, 2):  # gray / gray+alpha: luma is channel 0
+            gray = u16[..., 0]
+        else:  # RGB / RGBA
+            gray = u16[..., :3] @ _LUMA
+        return (gray / 65535.0).astype(np.float32), warnings
     if color_type == 3:
         rgb = palette[np.minimum(px, len(palette) - 1)].astype(np.float64)
         gray = rgb.reshape(h, w, 3) @ _LUMA

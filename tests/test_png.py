@@ -186,3 +186,60 @@ def test_dimension_caps_pixels_and_bytes():
     )
     with pytest.raises(PngError, match="bad_dimensions"):
         decode_png_gray(rgba + _chunk(b"IEND", b""))
+
+
+def test_adam7_interlaced_roundtrip_matches_progressive():
+    """Adam7-interlaced encode -> decode reproduces the same gray plane
+    as the non-interlaced encoding of the same raster, for sizes that
+    exercise empty/partial passes (1x1 .. 17x9) and all channel counts."""
+    rng = np.random.default_rng(11)
+    for h, w in [(1, 1), (2, 3), (7, 5), (8, 8), (9, 17), (16, 16)]:
+        for ch in (1, 3, 4):
+            img = rng.integers(0, 256, size=(h, w) if ch == 1 else (h, w, ch), dtype=np.uint8)
+            plain, w0 = decode_png_gray(encode_png(img))
+            inter, w1 = decode_png_gray(encode_png(img, interlace=True))
+            assert w0 == w1 == []
+            np.testing.assert_array_equal(plain, inter)
+
+
+def test_16bit_decode_gray_and_rgb():
+    """Bit depth 16: big-endian samples, 1/65535 scale, BT.601 luma."""
+    g16 = np.array([[0, 65535], [32768, 12345]], dtype=np.uint16)
+    out, warns = decode_png_gray(encode_png(g16))
+    assert warns == []
+    np.testing.assert_allclose(
+        out, (g16.astype(np.float64) / 65535.0).astype(np.float32), rtol=0, atol=0
+    )
+    rng = np.random.default_rng(5)
+    rgb16 = rng.integers(0, 65536, size=(6, 4, 3), dtype=np.uint16)
+    out, warns = decode_png_gray(encode_png(rgb16))
+    assert warns == []
+    want = (rgb16.astype(np.float64) @ np.array([0.299, 0.587, 0.114]) / 65535.0).astype(np.float32)
+    np.testing.assert_array_equal(out, want)
+    # 16-bit + Adam7 combo
+    out_i, _ = decode_png_gray(encode_png(rgb16, interlace=True))
+    np.testing.assert_array_equal(out_i, want)
+
+
+def test_16bit_interlaced_truncation_is_tolerated():
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 65536, size=(12, 10), dtype=np.uint16)
+    body = encode_png(img, interlace=True)
+    out, warns = decode_png_gray(body[: len(body) // 2], tolerant=True)
+    assert out.shape == (12, 10)
+    assert any("truncated" in w or "missing_iend" in w for w in warns)
+
+
+def test_subbyte_depth_still_rejected():
+    img = np.zeros((4, 4), dtype=np.uint8)
+    body = bytearray(encode_png(img))
+    # IHDR body starts at offset 8 (sig) + 8 (len+tag); depth byte is +8
+    assert body[8 + 8 + 8] == 8
+    body[8 + 8 + 8] = 4
+    import struct as _s
+    import zlib as _z
+
+    crc = _z.crc32(b"IHDR" + bytes(body[16:29])) & 0xFFFFFFFF
+    body[29:33] = _s.pack(">I", crc)
+    with pytest.raises(PngError, match="unsupported_bit_depth"):
+        decode_png_gray(bytes(body))
