@@ -10,17 +10,24 @@ from the public ITU-T T.81 spec:
   Annex-K quantization + Huffman tables (quality-scaled the libjpeg way),
   grayscale or YCbCr 4:2:0, optional COM segment and restart intervals —
   used to synthesize REAL decodable payloads for tests and benches.
+  ``progressive=True`` emits SOF2 with libjpeg's standard simple
+  progression script (spectral selection + successive approximation).
 - ``decode_jpeg_gray``: marker parse (tables always read from the FILE's
   DQT/DHT, never assumed), 16-bit-LUT Huffman decode, batch vectorized
   dequant + IDCT, luma-only reconstruction (chroma blocks are entropy-
   decoded to advance the bitstream but never IDCTed — grayscale is the
-  pipeline's contract, exactly the reference reader's).
+  pipeline's contract, exactly the reference reader's).  Baseline
+  (SOF0/1) AND progressive (SOF2: DC/AC first + refinement scans,
+  EOB-run coding, per T.81 G.2) are decoded; chroma-only progressive
+  scans are skipped entirely (their entropy data is self-delimited).
 
 Decode is TOLERANT, mirroring the reference's patch-and-continue policy:
 truncated entropy data, a missing EOI, trailing garbage, or unknown APPn
 segments degrade to a warning side-channel (partial rasters are padded
-with mid-gray blocks), while structurally hopeless inputs (no SOI/SOF,
-progressive scans, missing tables) raise ``JpegError``.
+with mid-gray blocks; a malformed progressive scan keeps the
+approximation accumulated so far), while structurally hopeless inputs
+(no SOI/SOF, hierarchical/lossless/arithmetic SOFs, missing tables)
+raise ``JpegError``.
 """
 
 from __future__ import annotations
@@ -254,6 +261,172 @@ def _encode_block(bw: _BitWriter, zz: np.ndarray, pred: int, dc_codes, ac_codes)
     return dc
 
 
+# Flat 9-bit AC Huffman table for progressive scans: symbols 0x00..0xFE
+# at length 9 (canonical, incomplete — the all-ones code stays unused, as
+# T.81 requires; 0xFF would need magnitude 15, which no coefficient
+# reaches).  Progressive AC coding needs EOBn symbols (0x10..0xE0) that
+# the Annex-K baseline tables do not define; a flat table keeps the
+# fixture encoder simple and spec-valid at a small size cost.
+_AC_PROG = ([0] * 8 + [255] + [0] * 7, list(range(255)))
+
+
+def _emit_rst(bw: "_BitWriter", rst: int) -> None:
+    bw.flush()
+    bw.buf += bytes([0xFF, 0xD0 + rst % 8])
+
+
+def _enc_dc_scan(
+    bw, comp_zz, comp_grid, samplings, mcus_x, mcus_y, dc_codes_list, Ah, Al, ri
+) -> None:
+    """Progressive DC scan: first (Ah=0) codes the point-transformed
+    (arithmetic shift) DC diffs; refinement (Ah>0) emits one raw bit per
+    block (T.81 G.1.2.1)."""
+    n_comp = len(comp_zz)
+    preds = [0] * n_comp
+    rst = 0
+    for mcu in range(mcus_y * mcus_x):
+        if ri and mcu and mcu % ri == 0:
+            _emit_rst(bw, rst)
+            rst += 1
+            preds = [0] * n_comp
+        my, mx = divmod(mcu, mcus_x)
+        for ci in range(n_comp):
+            hs, vs = samplings[ci]
+            nby, nbx = comp_grid[ci]
+            for by in range(vs):
+                for bx in range(hs):
+                    gy = min(my * vs + by, nby - 1)
+                    gx = min(mx * hs + bx, nbx - 1)
+                    dc = int(comp_zz[ci][gy * nbx + gx][0])
+                    if Ah == 0:
+                        v = dc >> Al  # arithmetic shift (T.81 G.1.2.1)
+                        s, bits = _magnitude(v - preds[ci])
+                        code, ln = dc_codes_list[ci][s]
+                        bw.write(code, ln)
+                        bw.write(bits, s)
+                        preds[ci] = v
+                    else:
+                        bw.write((dc >> Al) & 1, 1)
+    bw.flush()
+
+
+def _enc_ac_first(bw, zz_grid, nbx, sw, sh, ac_codes, Ss, Se, Al, ri) -> None:
+    """Progressive AC first scan: EOB-run coded band coefficients,
+    point transform = magnitude shift toward zero (T.81 G.1.2.2)."""
+    eobrun = 0
+    rst = 0
+
+    def flush_eob():
+        nonlocal eobrun
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            code, ln = ac_codes[r << 4]
+            bw.write(code, ln)
+            if r:
+                bw.write(eobrun - (1 << r), r)
+            eobrun = 0
+
+    for u in range(sw * sh):
+        if ri and u and u % ri == 0:
+            flush_eob()
+            _emit_rst(bw, rst)
+            rst += 1
+        by, bx = divmod(u, sw)
+        zz = zz_grid[by * nbx + bx]
+        r = 0
+        for k in range(Ss, Se + 1):
+            v = int(zz[k])
+            t = abs(v) >> Al
+            if t == 0:
+                r += 1
+                continue
+            flush_eob()
+            while r > 15:
+                code, ln = ac_codes[0xF0]
+                bw.write(code, ln)
+                r -= 16
+            s, bits = _magnitude(t if v > 0 else -t)
+            code, ln = ac_codes[(r << 4) | s]
+            bw.write(code, ln)
+            bw.write(bits, s)
+            r = 0
+        if r > 0:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush_eob()
+    flush_eob()
+    bw.flush()
+
+
+def _enc_ac_refine(bw, zz_grid, nbx, sw, sh, ac_codes, Ss, Se, Al, ri) -> None:
+    """Progressive AC refinement scan: newly-significant coefficients as
+    (run, 1) symbols + sign bit, correction bits for already-significant
+    ones, EOB runs carrying buffered correction bits (libjpeg
+    encode_mcu_AC_refine / T.81 G.1.2.3)."""
+    eobrun = 0
+    be: "list[int]" = []  # correction bits buffered across EOB-run blocks
+    rst = 0
+
+    def flush_eob():
+        nonlocal eobrun, be
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            code, ln = ac_codes[r << 4]
+            bw.write(code, ln)
+            if r:
+                bw.write(eobrun - (1 << r), r)
+            eobrun = 0
+            for b in be:
+                bw.write(b, 1)
+            be = []
+
+    for u in range(sw * sh):
+        if ri and u and u % ri == 0:
+            flush_eob()
+            _emit_rst(bw, rst)
+            rst += 1
+        by, bx = divmod(u, sw)
+        zz = zz_grid[by * nbx + bx]
+        band = [int(zz[k]) for k in range(Ss, Se + 1)]
+        absv = [abs(v) >> Al for v in band]
+        eob = -1  # index of the last NEWLY-significant coefficient
+        for i, t in enumerate(absv):
+            if t == 1:
+                eob = i
+        r = 0
+        br_bits: "list[int]" = []
+        for i, t in enumerate(absv):
+            if t == 0:
+                r += 1
+                continue
+            while r > 15 and i <= eob:
+                flush_eob()
+                code, ln = ac_codes[0xF0]
+                bw.write(code, ln)
+                r -= 16
+                for b in br_bits:
+                    bw.write(b, 1)
+                br_bits = []
+            if t > 1:  # already significant: one correction bit
+                br_bits.append(t & 1)
+                continue
+            flush_eob()
+            code, ln = ac_codes[(r << 4) | 1]
+            bw.write(code, ln)
+            bw.write(0 if band[i] < 0 else 1, 1)
+            for b in br_bits:
+                bw.write(b, 1)
+            br_bits = []
+            r = 0
+        if r > 0 or br_bits:
+            eobrun += 1
+            be.extend(br_bits)
+            if eobrun == 0x7FFF:
+                flush_eob()
+    flush_eob()
+    bw.flush()
+
+
 def _seg(marker: int, payload: bytes) -> bytes:
     return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
 
@@ -276,9 +449,14 @@ def _encode_jpeg(
     restart_interval: int,
     omit_eoi: bool,
     extra_segments: "list[bytes]" | None = None,
+    progressive: bool = False,
 ) -> bytes:
-    """Shared baseline encoder: planes[0] is luma (full size), any further
-    planes are chroma at their own (already subsampled) resolution."""
+    """Shared encoder: planes[0] is luma (full size), any further planes
+    are chroma at their own (already subsampled) resolution.
+    ``progressive=True`` emits SOF2 with libjpeg's standard simple
+    progression script (DC Al=1; AC 1-5 and 6-63 at Al=2; AC refine
+    2->1; DC refine; AC refine 1->0) — identical quantized coefficients,
+    so the decoded pixels match the baseline encoding exactly."""
     n_comp = len(planes)
     h, w = planes[0].shape
     q_luma = _scale_quant(_Q_LUMA, quality)
@@ -308,6 +486,13 @@ def _encode_jpeg(
     vmax = max(s[1] for s in samplings)
     mcus_x = -(-w // (8 * hmax))
     mcus_y = -(-h // (8 * vmax))
+
+    if progressive:
+        return _assemble_progressive(
+            planes, samplings, comp_zz, comp_grid, q_luma, q_chroma,
+            [dc_l] + [dc_c] * (n_comp - 1), comment, restart_interval,
+            omit_eoi, extra_segments, mcus_x, mcus_y,
+        )
 
     bw = _BitWriter()
     preds = [0] * n_comp
@@ -364,6 +549,78 @@ def _encode_jpeg(
     return bytes(out)
 
 
+def _assemble_progressive(
+    planes, samplings, comp_zz, comp_grid, q_luma, q_chroma, dc_codes_list,
+    comment, restart_interval, omit_eoi, extra_segments, mcus_x, mcus_y,
+) -> bytes:
+    """Progressive (SOF2) container + libjpeg's standard scan script."""
+    n_comp = len(planes)
+    h, w = planes[0].shape
+    ac_prog = {
+        _AC_PROG[1][k]: cl for k, cl in _canonical_codes(_AC_PROG[0]).items()
+    }
+
+    def _sos(specs, ss, se, ah, al) -> bytes:
+        b = bytes([len(specs)])
+        for cid, d, a in specs:
+            b += bytes([cid, d << 4 | a])
+        return _seg(0xDA, b + bytes([ss, se, ah << 4 | al]))
+
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    if comment is not None:
+        out += _seg(0xFE, comment)
+    for s in extra_segments or []:
+        out += s
+    out += _dqt_seg(0, q_luma)
+    if n_comp > 1:
+        out += _dqt_seg(1, q_chroma)
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([n_comp])
+    for ci in range(n_comp):
+        hs, vs = samplings[ci]
+        sof += bytes([ci + 1, hs << 4 | vs, 0 if ci == 0 else 1])
+    out += _seg(0xC2, sof)
+    out += _dht_seg(0, 0, _DC_LUMA)
+    if n_comp > 1:
+        out += _dht_seg(0, 1, _DC_CHROMA)
+    out += _dht_seg(1, 0, _AC_PROG)
+    if restart_interval:
+        out += _seg(0xDD, restart_interval.to_bytes(2, "big"))
+
+    all_dc = [(ci + 1, 0 if ci == 0 else 1, 0) for ci in range(n_comp)]
+    ri = restart_interval
+
+    def dc_scan(ah, al) -> None:
+        out.extend(_sos(all_dc, 0, 0, ah, al))
+        bw = _BitWriter()
+        _enc_dc_scan(
+            bw, comp_zz, comp_grid, samplings, mcus_x, mcus_y,
+            dc_codes_list, ah, al, ri,
+        )
+        out.extend(bw.buf)
+
+    def ac_scan(ci, ss, se, ah, al) -> None:
+        out.extend(_sos([(ci + 1, 0, 0)], ss, se, ah, al))
+        bw = _BitWriter()
+        nby, nbx = comp_grid[ci]
+        enc = _enc_ac_first if ah == 0 else _enc_ac_refine
+        enc(bw, comp_zz[ci], nbx, nbx, nby, ac_prog, ss, se, al, ri)
+        out.extend(bw.buf)
+
+    dc_scan(0, 1)
+    for ci in range(n_comp):
+        ac_scan(ci, 1, 5, 0, 2)
+        ac_scan(ci, 6, 63, 0, 2)
+    for ci in range(n_comp):
+        ac_scan(ci, 1, 63, 2, 1)
+    dc_scan(1, 0)
+    for ci in range(n_comp):
+        ac_scan(ci, 1, 63, 1, 0)
+    if not omit_eoi:
+        out += b"\xff\xd9"
+    return bytes(out)
+
+
 def encode_jpeg_gray(
     img: np.ndarray,
     quality: int = 85,
@@ -371,12 +628,15 @@ def encode_jpeg_gray(
     restart_interval: int = 0,
     omit_eoi: bool = False,
     extra_segments: "list[bytes]" | None = None,
+    progressive: bool = False,
 ) -> bytes:
-    """uint8 (H, W) grayscale -> baseline JFIF bytes."""
+    """uint8 (H, W) grayscale -> JFIF bytes (baseline SOF0, or SOF2 with
+    ``progressive=True``)."""
     if img.ndim != 2 or img.dtype != np.uint8:
         raise ValueError("encode_jpeg_gray expects uint8 (H, W)")
     return _encode_jpeg(
-        [img], [(1, 1)], quality, comment, restart_interval, omit_eoi, extra_segments
+        [img], [(1, 1)], quality, comment, restart_interval, omit_eoi,
+        extra_segments, progressive,
     )
 
 
@@ -385,8 +645,10 @@ def encode_jpeg_color(
     quality: int = 85,
     comment: bytes | None = None,
     restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
-    """uint8 (H, W, 3) RGB -> baseline YCbCr 4:2:0 JFIF bytes."""
+    """uint8 (H, W, 3) RGB -> YCbCr 4:2:0 JFIF bytes (baseline SOF0, or
+    SOF2 with ``progressive=True``)."""
     if rgb.ndim != 3 or rgb.shape[2] != 3 or rgb.dtype != np.uint8:
         raise ValueError("encode_jpeg_color expects uint8 (H, W, 3)")
     f = rgb.astype(np.float64)
@@ -407,7 +669,8 @@ def encode_jpeg_color(
         np.clip(np.round(_sub(cr)), 0, 255).astype(np.uint8),
     ]
     return _encode_jpeg(
-        planes, [(2, 2), (1, 1), (1, 1)], quality, comment, restart_interval, False
+        planes, [(2, 2), (1, 1), (1, 1)], quality, comment, restart_interval,
+        False, None, progressive,
     )
 
 
@@ -498,6 +761,194 @@ class _Component:
         self.pred = 0
 
 
+def _entropy_segments(data: bytes, start: int) -> Tuple["list[bytes]", int]:
+    """Entropy-coded bytes from ``start`` to the next non-RST marker,
+    unstuffed and split at restart markers -> (segments, next_pos) where
+    next_pos points AT the 0xFF of the terminating marker (or len(data))."""
+    n = len(data)
+    raw = np.frombuffer(data, dtype=np.uint8)
+    bounds: "list[tuple[int, int]]" = []
+    seg_start = start
+    i = start
+    end_pos = n
+    for f in np.flatnonzero(raw[start:] == 0xFF) + start:
+        if f < i:
+            continue
+        nxt = data[f + 1] if f + 1 < n else None
+        if nxt == 0x00:
+            i = f + 2
+            continue
+        if nxt is not None and 0xD0 <= nxt <= 0xD7:
+            bounds.append((seg_start, f))
+            seg_start = f + 2
+            i = f + 2
+            continue
+        bounds.append((seg_start, f))
+        seg_start = -1
+        end_pos = f
+        break
+    if seg_start >= 0:
+        bounds.append((seg_start, n))
+    return [data[s:e].replace(b"\xff\x00", b"\xff") for s, e in bounds], end_pos
+
+
+def _scan_grid(c: "_Component", width: int, height: int, hmax: int, vmax: int):
+    """Non-interleaved scan block grid (sw, sh): the TRUE component grid,
+    ceil(samples/8) per axis — NOT the MCU-padded one (T.81 A.2.2)."""
+    cw = -(-(width * c.h) // hmax)
+    ch = -(-(height * c.v) // vmax)
+    return -(-cw // 8), -(-ch // 8)
+
+
+def _decode_progressive_scan(
+    scan: dict, width: int, height: int, hmax: int, vmax: int,
+    mcus_x: int, mcus_y: int,
+) -> None:
+    """Decode ONE progressive scan into the components' coefficient
+    arrays (T.81 G.2 / the libjpeg jdphuff algorithms): DC first/refine,
+    AC first (EOB-run coded) and AC refine (correction bits).  Raises
+    JpegError on malformed entropy data — the caller tolerates per scan,
+    keeping the coefficients accumulated so far."""
+    scomps = scan["comps"]
+    luts = scan["luts"]
+    Ss, Se, Ah, Al = scan["ss"], scan["se"], scan["ah"], scan["al"]
+    segs = scan["segments"]
+    ri = scan["restart_interval"]
+    state = {"br": _BitReader(segs[0] if segs else b""), "seg": 0, "eobrun": 0}
+    preds = [0] * len(scomps)
+
+    def huff(lut) -> int:
+        b = state["br"]
+        p = b.peek16()
+        L = lut[1][p]
+        if L == 0:
+            raise JpegError("bad_huffman_code")
+        b.skip(int(L))
+        return int(lut[0][p])
+
+    def restart(u: int) -> None:
+        if ri and u and u % ri == 0:
+            state["seg"] += 1
+            if state["seg"] >= len(segs):
+                raise JpegError("truncated_entropy_data")
+            state["br"] = _BitReader(segs[state["seg"]])
+            state["eobrun"] = 0
+            for i in range(len(preds)):
+                preds[i] = 0
+
+    def dc_unit(c: "_Component", dc_lut, blk: int, ci: int) -> None:
+        row = c.coefs[blk]
+        if Ah == 0:
+            s = huff(dc_lut)
+            preds[ci] += _extend(state["br"].read(s), s)
+            row[0] = preds[ci] << Al
+        elif state["br"].read(1):
+            row[0] = int(row[0]) | (1 << Al)
+
+    def ac_first(row) -> None:
+        if state["eobrun"] > 0:
+            state["eobrun"] -= 1
+            return
+        br = state["br"]
+        k = Ss
+        while k <= Se:
+            rs = huff(ac_lut)
+            r, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if r == 15:
+                    k += 16
+                    continue
+                state["eobrun"] = (1 << r) - 1
+                if r:
+                    state["eobrun"] += br.read(r)
+                break
+            k += r
+            if k > Se:
+                raise JpegError("coefficient_overrun")
+            row[int(ZIGZAG[k])] = _extend(br.read(s), s) << Al
+            k += 1
+
+    def ac_refine(row) -> None:
+        br = state["br"]
+        p1 = 1 << Al
+        m1 = -1 << Al
+        k = Ss
+        if state["eobrun"] == 0:
+            while k <= Se:
+                rs = huff(ac_lut)
+                r, s = rs >> 4, rs & 0xF
+                if s == 0:
+                    if r != 15:
+                        state["eobrun"] = 1 << r
+                        if r:
+                            state["eobrun"] += br.read(r)
+                        break
+                    val = 0  # ZRL: skip 16 zero-history coefficients
+                else:
+                    if s != 1:
+                        raise JpegError("bad_refinement_symbol")
+                    val = p1 if br.read(1) else m1
+                while k <= Se:  # advance r zero-history slots, correcting
+                    idx = int(ZIGZAG[k])
+                    cur = int(row[idx])
+                    if cur != 0:
+                        if br.read(1) and (cur & p1) == 0:
+                            row[idx] = cur + (p1 if cur >= 0 else m1)
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if val and k <= Se:
+                    row[int(ZIGZAG[k])] = val
+                k += 1
+        if state["eobrun"] > 0:  # correction bits through the band's end
+            while k <= Se:
+                idx = int(ZIGZAG[k])
+                cur = int(row[idx])
+                if cur != 0:
+                    if br.read(1) and (cur & p1) == 0:
+                        row[idx] = cur + (p1 if cur >= 0 else m1)
+                k += 1
+            state["eobrun"] -= 1
+
+    if Ss == 0:  # DC scan
+        if len(scomps) > 1:  # interleaved: MCU walk, all components
+            for mcu in range(mcus_x * mcus_y):
+                restart(mcu)
+                my, mx = divmod(mcu, mcus_x)
+                for ci, c in enumerate(scomps):
+                    for by in range(c.v):
+                        for bx in range(c.h):
+                            dc_unit(c, luts[ci][0], (my * c.v + by) * c.nbx + (mx * c.h + bx), ci)
+                if state["br"].truncated:
+                    raise JpegError("truncated_entropy_data")
+        else:
+            c = scomps[0]
+            sw, sh = _scan_grid(c, width, height, hmax, vmax)
+            for u in range(sw * sh):
+                restart(u)
+                by, bx = divmod(u, sw)
+                dc_unit(c, luts[0][0], by * c.nbx + bx, 0)
+                if state["br"].truncated:
+                    raise JpegError("truncated_entropy_data")
+        return
+    # AC scan: exactly one component (validated at SOS parse)
+    c = scomps[0]
+    ac_lut = luts[0][1]
+    sw, sh = _scan_grid(c, width, height, hmax, vmax)
+    for u in range(sw * sh):
+        restart(u)
+        by, bx = divmod(u, sw)
+        row = c.coefs[by * c.nbx + bx]
+        if Ah == 0:
+            ac_first(row)
+        else:
+            ac_refine(row)
+        if state["br"].truncated:
+            raise JpegError("truncated_entropy_data")
+
+
 def decode_jpeg_gray(
     payload: bytes, tolerant: bool = True
 ) -> Tuple[np.ndarray, List[str]]:
@@ -525,6 +976,9 @@ def decode_jpeg_gray(
     restart_interval = 0
     scan_comps: "list[_Component]" = []
     entropy_start = -1
+    progressive = False
+    scans: "list[dict]" = []  # progressive scan records
+    saw_eoi_prog = False
 
     n = len(data)
     while pos < n:
@@ -543,7 +997,12 @@ def decode_jpeg_gray(
         if marker == 0xD8 or marker == 0x01 or 0xD0 <= marker <= 0xD7:
             continue  # no payload
         if marker == 0xD9:
-            _tolerate("eoi_before_scan")
+            if progressive and scans:
+                saw_eoi_prog = True
+                if pos < n:
+                    _tolerate("trailing_garbage_after_eoi")
+            else:
+                _tolerate("eoi_before_scan")
             break
         if pos + 2 > n:
             raise JpegError("truncated_segment_header")
@@ -574,7 +1033,8 @@ def decode_jpeg_gray(
                     raise JpegError("truncated_dht")
                 htables[(tc, th)] = _build_lut(counts, vals)
                 off += 17 + nv
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
+            progressive = marker == 0xC2
             height = int.from_bytes(body[1:3], "big")
             width = int.from_bytes(body[3:5], "big")
             if len(body) < 6:
@@ -597,7 +1057,7 @@ def decode_jpeg_gray(
                     # divide-by-zero at chroma upsampling (fuzz-found)
                     raise JpegError("bad_sampling_factors")
                 comps.append(_Component(b[0], h, v, b[2]))
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise JpegError("unsupported_progressive_or_extended")
         elif marker == 0xDD:  # DRI
             restart_interval = int.from_bytes(body[0:2], "big")
@@ -611,6 +1071,7 @@ def decode_jpeg_gray(
                 raise JpegError("truncated_sos")
             scan_comps = []
             by_id = {c.cid: c for c in comps}
+            scan_luts = []
             for si in range(ns):
                 cid, tt = body[1 + si * 2], body[2 + si * 2]
                 c = by_id.get(cid)
@@ -622,13 +1083,71 @@ def decode_jpeg_gray(
                     c = comps[si] if si < len(comps) else comps[0]
                 dc = htables.get((0, tt >> 4))
                 ac = htables.get((1, tt & 0xF))
-                if dc is None or ac is None:
-                    raise JpegError("missing_huffman_table")
-                c.dc_lut, c.ac_lut = dc, ac
+                scan_luts.append((dc, ac))
                 scan_comps.append(c)
-            entropy_start = pos
-            break
+            if not progressive:
+                for c, (dc, ac) in zip(scan_comps, scan_luts):
+                    if dc is None or ac is None:
+                        raise JpegError("missing_huffman_table")
+                    c.dc_lut, c.ac_lut = dc, ac
+                entropy_start = pos
+                break
+            # progressive: spectral selection + successive approximation
+            if len(body) < 4 + 2 * ns:
+                raise JpegError("truncated_sos")
+            ss_, se_ = body[1 + 2 * ns], body[2 + 2 * ns]
+            ah_al = body[3 + 2 * ns]
+            ah_, al_ = ah_al >> 4, ah_al & 0xF
+            if ss_ > 63 or se_ > 63 or se_ < ss_ or (ss_ == 0 and se_ != 0):
+                raise JpegError("bad_spectral_selection")
+            if ss_ > 0 and ns != 1:
+                raise JpegError("bad_spectral_selection")  # AC scans: 1 comp
+            for (dc, ac) in scan_luts:
+                if ss_ == 0 and ah_ == 0 and dc is None:
+                    raise JpegError("missing_huffman_table")
+                if ss_ > 0 and ac is None:
+                    raise JpegError("missing_huffman_table")
+            segs, pos = _entropy_segments(data, pos)
+            scans.append(
+                {
+                    "comps": scan_comps,
+                    "luts": scan_luts,
+                    "ss": ss_, "se": se_, "ah": ah_, "al": al_,
+                    "segments": segs,
+                    "restart_interval": restart_interval,
+                }
+            )
+            continue
         # APPn / COM / unknown: skipped
+    if progressive:
+        if not scans:
+            raise JpegError("no_scan")
+        if not saw_eoi_prog:
+            _tolerate("missing_eoi")
+        luma = comps[0]
+        if luma.tq not in qtables:
+            raise JpegError("missing_quant_table")
+        hmax = max(c.h for c in comps) or 1
+        vmax = max(c.v for c in comps) or 1
+        mcus_x = -(-width // (8 * hmax))
+        mcus_y = -(-height // (8 * vmax))
+        for c in comps:
+            c.nby, c.nbx = mcus_y * c.v, mcus_x * c.h
+            c.coefs = np.zeros((c.nby * c.nbx, 64), dtype=np.int32)
+        for scan in scans:
+            # grayscale engine: chroma-only scans never touch the output
+            if len(scan["comps"]) == 1 and scan["comps"][0] is not luma:
+                continue
+            try:
+                _decode_progressive_scan(
+                    scan, width, height, hmax, vmax, mcus_x, mcus_y
+                )
+            except JpegError as e:
+                # a malformed/truncated scan degrades the approximation,
+                # it does not void the coefficients accumulated so far
+                _tolerate(str(e))
+        return _luma_to_image(luma, qtables[luma.tq], width, height, hmax, vmax), warnings
+
     if entropy_start < 0:
         raise JpegError("no_scan")
     for c in scan_comps:
@@ -748,8 +1267,13 @@ def decode_jpeg_gray(
     if truncated and mcu == 0 and not tolerant:
         raise JpegError("no_decodable_mcus")
 
-    # --- vectorized dequant + IDCT of the LUMA plane only ---
-    q = qtables[luma.tq]
+    return _luma_to_image(luma, qtables[luma.tq], width, height, hmax, vmax), warnings
+
+
+def _luma_to_image(
+    luma: "_Component", q: np.ndarray, width: int, height: int, hmax: int, vmax: int
+) -> np.ndarray:
+    """Vectorized dequant + IDCT of the LUMA plane only -> float32 gray."""
     f = (luma.coefs.astype(np.float64) * q).reshape(-1, 8, 8)
     blocks = np.einsum("ux,nuv,vy->nxy", _DCT, f, _DCT) + 128.0
     plane = (
@@ -767,7 +1291,7 @@ def decode_jpeg_gray(
         # subsampled luma (exotic): nearest-upsample to full size
         img = np.repeat(np.repeat(img, vmax // luma.v, axis=0), hmax // luma.h, axis=1)
         img = img[:height, :width]
-    return img, warnings
+    return img
 
 
 def is_jpeg(payload: bytes) -> bool:

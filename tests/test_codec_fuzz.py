@@ -28,6 +28,18 @@ def _payloads():
         jpeg.JpegError,
     )
     yield (
+        "jpeg_progressive",  # SOF2 multi-scan path: EOB runs, refinements
+        jpeg.encode_jpeg_gray(img, 85, progressive=True),
+        lambda p: jpeg.decode_jpeg_gray(p, tolerant=True),
+        jpeg.JpegError,
+    )
+    yield (
+        "png_interlaced_16bit",  # Adam7 pass walk + 16-bit sample path
+        png.encode_png((img.astype(np.uint16) * 257), interlace=True),
+        lambda p: png.decode_png_gray(p, tolerant=True),
+        png.PngError,
+    )
+    yield (
         "png",
         png.encode_png(img),
         lambda p: png.decode_png_gray(p, tolerant=True),

@@ -210,3 +210,80 @@ def test_garbage_run_single_warning_no_amplification():
     assert garbage == ["garbage_between_segments:1048576b"]
     ref, _ = decode_jpeg_gray(clean)
     np.testing.assert_array_equal(dec, ref)
+
+
+@pytest.mark.parametrize("shape", [(8, 8), (16, 24), (17, 9), (40, 56), (64, 48)])
+def test_progressive_gray_roundtrip_matches_baseline(shape):
+    """SOF2 (DC/AC first + refinement scans, EOB runs) decodes to the
+    SAME pixels as the baseline encoding — identical quantized
+    coefficients, two independent T.81 coding paths."""
+    rng = np.random.default_rng(sum(shape))
+    img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    base, wb = decode_jpeg_gray(encode_jpeg_gray(img))
+    prog, wp = decode_jpeg_gray(encode_jpeg_gray(img, progressive=True))
+    assert wb == wp == []
+    np.testing.assert_array_equal(base, prog)
+
+
+def test_progressive_color_and_restarts():
+    from multimedia_indexing_ray.functions.jpeg import encode_jpeg_color
+
+    rng = np.random.default_rng(77)
+    rgb = rng.integers(0, 256, size=(22, 30, 3), dtype=np.uint8)
+    base, _ = decode_jpeg_gray(encode_jpeg_color(rgb))
+    prog, wp = decode_jpeg_gray(encode_jpeg_color(rgb, progressive=True))
+    assert wp == []
+    np.testing.assert_array_equal(base, prog)
+    img = rng.integers(0, 256, size=(32, 40), dtype=np.uint8)
+    b, _ = decode_jpeg_gray(encode_jpeg_gray(img, restart_interval=3))
+    p, wp = decode_jpeg_gray(encode_jpeg_gray(img, restart_interval=3, progressive=True))
+    assert wp == []
+    np.testing.assert_array_equal(b, p)
+
+
+def test_progressive_truncation_keeps_partial_approximation():
+    """Chopping later scans off must degrade gracefully: same shape, a
+    coarser approximation (DC scan survives), warnings not crashes."""
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, size=(24, 24), dtype=np.uint8)
+    body = encode_jpeg_gray(img, progressive=True)
+    full, _ = decode_jpeg_gray(body)
+    cut, warns = decode_jpeg_gray(body[: int(len(body) * 0.5)], tolerant=True)
+    assert cut.shape == (24, 24)
+    assert warns  # truncated scan and/or missing EOI reported
+    # the partial decode is still a real approximation of the image
+    assert np.abs(cut.astype(np.float64) - full.astype(np.float64)).mean() < 0.25
+    with pytest.raises(JpegError):
+        decode_jpeg_gray(body[: int(len(body) * 0.5)], tolerant=False)
+
+
+def test_progressive_handcrafted_bitstream_anchor():
+    """Byte-level T.81 anchor built BY HAND (not via the encoder): an 8x8
+    single-component SOF2 stream with four scans — DC first (Al=1), AC
+    first (Al=1), DC refine, AC refine with a buffered correction bit —
+    must reconstruct coefficients DC=3, AC[zigzag#1]=3 exactly."""
+    from multimedia_indexing_ray.functions.jpeg import _DCT
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
+
+    body = bytearray(b"\xff\xd8")
+    body += seg(0xDB, bytes([0]) + b"\x01" * 64)  # all-ones quant
+    body += seg(0xC2, bytes([8, 0, 8, 0, 8, 1, 1, 0x11, 0]))  # 8x8, 1 comp
+    # DC table 0: '0'->sym1, '10'->sym0, '110'->sym2
+    body += seg(0xC4, bytes([0x00] + [1, 1, 1] + [0] * 13 + [1, 0, 2]))
+    # AC table 0: '0'->sym 0x01 (run0,size1), '10'->sym 0x00 (EOB)
+    body += seg(0xC4, bytes([0x10] + [1, 1] + [0] * 14 + [0x01, 0x00]))
+    body += seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x01])) + b"\x7f"  # DC Al=1: diff 1
+    body += seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x01])) + b"\x6f"  # AC first
+    body += seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x10])) + b"\xff\x00"  # DC refine bit 1
+    body += seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x10])) + b"\xbf"  # AC refine EOB+BE
+    body += b"\xff\xd9"
+    out, warns = decode_jpeg_gray(bytes(body))
+    assert warns == []
+    coefs = np.zeros((8, 8))
+    coefs[0, 0] = 3.0
+    coefs[0, 1] = 3.0  # natural position of zigzag index 1
+    want_pix = _DCT.T @ coefs @ _DCT + 128.0
+    want = np.clip(want_pix, 0, 255).astype(np.float32) / np.float32(255.0)
+    np.testing.assert_array_equal(out, want)
