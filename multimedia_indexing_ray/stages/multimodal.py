@@ -418,12 +418,16 @@ def make_jpeg(
     quality: int = 85,
     comment: "Optional[bytes]" = None,
     color: bool = False,
+    progressive: bool = False,
 ) -> bytes:
-    """Deterministic REAL baseline-JFIF bytes for tests/benches — a smooth
-    seeded raster (random pixels quantize terribly; smooth fields are the
+    """Deterministic REAL JFIF bytes for tests/benches — a smooth seeded
+    raster (random pixels quantize terribly; smooth fields are the
     realistic JPEG case).  ``comment`` varies the header without touching
     the entropy data: the decoded pixels are bit-identical across comment
-    variants (the re-encoded-copy case perceptual dedup exists for)."""
+    variants (the re-encoded-copy case perceptual dedup exists for).
+    ``progressive=True`` re-encodes the SAME quantized coefficients as
+    SOF2 multi-scan — different bytes, bit-identical decoded pixels (the
+    cross-coding planted-dup case)."""
     rng = np.random.default_rng(seed)
     y, x = np.mgrid[0:height, 0:width]
     a, b, c = rng.uniform(4, 14, 3)
@@ -433,8 +437,12 @@ def make_jpeg(
         rgb = np.stack(
             [img, np.roll(img, 2, axis=0), np.roll(img, 3, axis=1)], axis=-1
         )
-        return jpeg.encode_jpeg_color(rgb, quality=quality, comment=comment)
-    return jpeg.encode_jpeg_gray(img, quality=quality, comment=comment)
+        return jpeg.encode_jpeg_color(
+            rgb, quality=quality, comment=comment, progressive=progressive
+        )
+    return jpeg.encode_jpeg_gray(
+        img, quality=quality, comment=comment, progressive=progressive
+    )
 
 
 def synthetic_jpeg_table(n: int = 32, seed: int = 42) -> pa.Table:
@@ -719,13 +727,15 @@ def synthetic_dup_ppm_table(n_base: int = 120, seed: int = 7) -> pa.Table:
     """Deterministic MIXED-FORMAT corpus with planted pixel-exact
     duplicate PAIRS: row i in [0, n_base) is a base image; row n_base+i
     re-encodes the SAME raster with different file bytes, same decoded
-    pixels.  Three planted variants: i % 4 == 0 — grayscale PNM base
-    whose dup is a PNG of the SAME raster (CROSS-FORMAT: lossless, so
-    the float32 decode is bit-identical by the shared division path);
-    other even i — PNM comment variant; odd i — baseline JPEG COM
-    variant (entropy data byte-identical).  Ground truth is derivable
-    from the ids alone — the oracle for `media_phash_dups` is
-    `(q-i, q-(n_base+i))` for every i."""
+    pixels.  Planted variants: i % 4 == 0 — grayscale PNM base whose dup
+    is a PNG of the SAME raster (CROSS-FORMAT: lossless, so the float32
+    decode is bit-identical by the shared division path; i % 8 == 0 —
+    the PNG is ADAM7-INTERLACED, exercising the pass-scatter decode);
+    other even i — PNM comment variant; odd i — JPEG COM variant
+    (entropy data byte-identical; i % 8 == 1 — the dup is re-coded as
+    PROGRESSIVE SOF2: same quantized coefficients, multi-scan bytes).
+    Ground truth is derivable from the ids alone — the oracle for
+    `media_phash_dups` is `(q-i, q-(n_base+i))` for every i."""
     from multimedia_indexing_ray.functions.png import encode_png
 
     rows = []
@@ -735,13 +745,15 @@ def synthetic_dup_ppm_table(n_base: int = 120, seed: int = 7) -> pa.Table:
             comment = b"copy variant=2 encoder=b" if dup else b"synthetic"
             if i % 2 == 1:
                 payload = make_jpeg(
-                    w, h, seed=seed + i, comment=comment, color=(i % 4 == 3)
+                    w, h, seed=seed + i, comment=comment, color=(i % 4 == 3),
+                    progressive=(dup and i % 8 == 1),
                 )
             elif i % 4 == 0 and dup:
                 # same raster as the PGM base, saved as PNG
                 payload = encode_png(
                     _pnm_raster(w, h, seed + i, gray=True).reshape(h, w),
                     comment=comment,
+                    interlace=(i % 8 == 0),
                 )
             else:
                 payload = make_ppm(
