@@ -10,12 +10,13 @@ across formats.
   optional Adam7 interlacing, one zlib IDAT — deterministic bytes for
   fixtures.
 - ``decode_png_gray``: chunk parse with CRC verification, IHDR color
-  types 0/2/3/4/6 at bit depths 8 AND 16, Adam7 interlaced or not, all
-  five scanline filters (sub / up / avg / Paeth vectorized per row),
-  BT.601 luma.  TOLERANT like the JPEG decoder: bad chunk CRCs,
-  truncated IDAT (partial rows + gray padding), missing IEND, and
-  trailing garbage degrade to warnings; structurally hopeless inputs
-  (bad signature, sub-byte depths 1/2/4) raise ``PngError``.
+  types 0/2/3/4/6 at EVERY legal bit depth (1/2/4 gray+palette, 8, 16),
+  Adam7 interlaced or not, all five scanline filters (sub / up / avg /
+  Paeth vectorized per row), BT.601 luma.  TOLERANT like the JPEG
+  decoder: bad chunk CRCs, truncated IDAT (partial rows + gray
+  padding), missing IEND, and trailing garbage degrade to warnings;
+  structurally hopeless inputs (bad signature, illegal
+  depth/color-type combos) raise ``PngError``.
 """
 
 from __future__ import annotations
@@ -237,18 +238,33 @@ def decode_png_gray(
     # >1GB across the pad/unfilter copies.
     if w == 0 or h == 0 or w * h > (1 << 24):
         raise PngError("bad_dimensions")
-    if depth not in (8, 16):
+    if depth in (1, 2, 4):
+        # sub-byte depths exist only for gray and palette (T.81's PNG
+        # counterpart, ISO 15948 table 11.1)
+        if color_type not in (0, 3):
+            raise PngError("bad_color_type")
+    elif depth not in (8, 16):
         raise PngError("unsupported_bit_depth")
     if interlace not in (0, 1):
         raise PngError("unsupported_interlace")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
     if channels is None:
         raise PngError("bad_color_type")
-    if color_type == 3 and depth != 8:
+    if color_type == 3 and depth == 16:
         raise PngError("bad_color_type")  # palette indices are <= 8 bits
-    nbytes = depth // 8
-    bpp = channels * nbytes
-    stride = w * bpp
+    if depth < 8:
+        bpp = 1  # filters operate bytewise; sub filter looks 1 byte back
+
+        def _rstride(wpx: int) -> int:
+            return (wpx * depth + 7) // 8
+
+    else:
+        bpp = channels * (depth // 8)
+
+        def _rstride(wpx: int) -> int:
+            return wpx * bpp
+
+    stride = _rstride(w)
     if h * (1 + stride) > (1 << 26):
         raise PngError("bad_dimensions")
     if color_type == 3 and palette is None:
@@ -256,7 +272,7 @@ def decode_png_gray(
 
     if interlace:
         passes = _adam7_passes(w, h)
-        want = sum(hp * (1 + wp * bpp) for _, _, _, _, wp, hp in passes)
+        want = sum(hp * (1 + _rstride(wp)) for _, _, _, _, wp, hp in passes)
     else:
         want = h * (1 + stride)
     d = zlib.decompressobj()
@@ -286,20 +302,46 @@ def decode_png_gray(
             raw[bad_ft, 0] = 0
         return raw
 
+    def _unpack(pxb: np.ndarray, rows: int, wpx: int) -> np.ndarray:
+        """Sub-byte rows -> (rows, wpx) uint8 samples (MSB-first packing)."""
+        bits = np.unpackbits(pxb, axis=1)
+        if depth == 1:
+            return bits[:, :wpx]
+        vals = bits.reshape(rows, -1, depth)
+        weights = 1 << np.arange(depth - 1, -1, -1, dtype=np.uint8)
+        return (vals * weights).sum(axis=2).astype(np.uint8)[:, :wpx]
+
     if interlace:
-        target = np.zeros((h, w, bpp), dtype=np.uint8)
+        if depth < 8:
+            samples = np.zeros((h, w), dtype=np.uint8)
+        else:
+            target = np.zeros((h, w, bpp), dtype=np.uint8)
         off = 0
         slow = 0
         for x0, y0, dx, dy, wp, hp in passes:
-            nb = hp * (1 + wp * bpp)
-            raw = _clamped(data[off : off + nb], hp, wp * bpp)
-            pxp, slow = _unfilter(raw, hp, wp * bpp, bpp, slow)
-            target[y0::dy, x0::dx, :] = pxp.reshape(hp, wp, bpp)
+            rs = _rstride(wp)
+            nb = hp * (1 + rs)
+            raw = _clamped(data[off : off + nb], hp, rs)
+            pxp, slow = _unfilter(raw, hp, rs, bpp, slow)
+            if depth < 8:
+                samples[y0::dy, x0::dx] = _unpack(pxp, hp, wp)
+            else:
+                target[y0::dy, x0::dx, :] = pxp.reshape(hp, wp, bpp)
             off += nb
-        px = target.reshape(h, stride)
+        if depth >= 8:
+            px = target.reshape(h, stride)
     else:
         raw = _clamped(data[:want], h, stride)
         px, _ = _unfilter(raw, h, stride, bpp)
+        if depth < 8:
+            samples = _unpack(px, h, w)
+    if depth < 8:
+        if color_type == 3:
+            rgb = palette[np.minimum(samples, len(palette) - 1)].astype(np.float64)
+            gray = rgb.reshape(h, w, 3) @ _LUMA
+            return (gray / 255.0).astype(np.float32), warnings
+        scale = np.float32((1 << depth) - 1)
+        return samples.astype(np.float32) / scale, warnings
     if depth == 16:
         # big-endian 16-bit samples; same luma path, 1/65535 scale
         u16 = px.view(">u2").reshape(h, w, channels).astype(np.float64)

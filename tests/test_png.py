@@ -230,8 +230,12 @@ def test_16bit_interlaced_truncation_is_tolerated():
     assert any("truncated" in w or "missing_iend" in w for w in warns)
 
 
-def test_subbyte_depth_still_rejected():
-    img = np.zeros((4, 4), dtype=np.uint8)
+def test_depth_flip_decodes_as_subbyte_not_crash():
+    """Flipping the IHDR depth byte of an 8-bit gray image to 4 reclasses
+    the payload as a (short) sub-byte stream: it must decode tolerantly
+    (truncated/padded), never escape an untyped error — all legal depths
+    are real decode paths now."""
+    img = np.full((4, 4), 0x88, dtype=np.uint8)
     body = bytearray(encode_png(img))
     # IHDR body starts at offset 8 (sig) + 8 (len+tag); depth byte is +8
     assert body[8 + 8 + 8] == 8
@@ -241,5 +245,108 @@ def test_subbyte_depth_still_rejected():
 
     crc = _z.crc32(b"IHDR" + bytes(body[16:29])) & 0xFFFFFFFF
     body[29:33] = _s.pack(">I", crc)
-    with pytest.raises(PngError, match="unsupported_bit_depth"):
-        decode_png_gray(bytes(body))
+    out, _ = decode_png_gray(bytes(body), tolerant=True)
+    assert out.shape == (4, 4)
+
+
+def _hand_png(w, h, depth, color_type, rows_samples, palette=None, interlace=0):
+    """Hand-built PNG (independent of encode_png): pack sub-byte samples
+    MSB-first per scanline, filter 0, one IDAT."""
+    import struct as _s
+    import zlib as _z
+
+    def chunk(tag, body):
+        return (
+            _s.pack(">I", len(body)) + tag + body
+            + _s.pack(">I", _z.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    raw = bytearray()
+    for row in rows_samples:
+        bits = []
+        for v in row:
+            bits.extend(int(b) for b in format(int(v), f"0{depth}b"))
+        while len(bits) % 8:
+            bits.append(0)
+        raw.append(0)  # filter type 0
+        raw += np.packbits(np.array(bits, dtype=np.uint8)).tobytes()
+    out = bytearray(b"\x89PNG\r\n\x1a\n")
+    out += chunk(b"IHDR", _s.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, interlace))
+    if palette is not None:
+        out += chunk(b"PLTE", bytes(palette))
+    out += chunk(b"IDAT", _z.compress(bytes(raw)))
+    out += chunk(b"IEND", b"")
+    return bytes(out)
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4])
+def test_subbyte_gray_decode(depth):
+    """Sub-byte gray depths: MSB-first unpack, v/(2^d - 1) scale."""
+    rng = np.random.default_rng(depth)
+    h, w = 5, 11  # w chosen so rows need bit padding
+    samples = rng.integers(0, 1 << depth, size=(h, w))
+    body = _hand_png(w, h, depth, 0, samples)
+    out, warns = decode_png_gray(body)
+    assert warns == []
+    want = (samples.astype(np.float32) / np.float32((1 << depth) - 1))
+    np.testing.assert_array_equal(out, want)
+
+
+def test_subbyte_palette_decode():
+    """4-bit palette image: unpacked indices -> PLTE -> BT.601 luma."""
+    pal = []
+    for i in range(16):
+        pal += [i * 16, 255 - i * 16, (i * 37) % 256]
+    samples = np.arange(16).reshape(4, 4)
+    body = _hand_png(4, 4, 4, 3, samples, palette=pal)
+    out, warns = decode_png_gray(body)
+    assert warns == []
+    rgb = np.array(pal, dtype=np.float64).reshape(16, 3)[samples.reshape(-1)]
+    want = (rgb @ np.array([0.299, 0.587, 0.114]) / 255.0).astype(np.float32).reshape(4, 4)
+    np.testing.assert_array_equal(out, want)
+
+
+def test_subbyte_interlaced_matches_plain():
+    """Adam7 at depth 2: per-pass sub-byte rows unpack and scatter to the
+    same raster as the non-interlaced encoding."""
+    rng = np.random.default_rng(42)
+    h, w = 9, 13
+    samples = rng.integers(0, 4, size=(h, w))
+    plain, _ = decode_png_gray(_hand_png(w, h, 2, 0, samples))
+    # build the interlaced stream: passes in Adam7 order, filter 0 rows
+    from multimedia_indexing_ray.functions.png import _adam7_passes
+
+    import struct as _s
+    import zlib as _z
+
+    def chunk(tag, body):
+        return (
+            _s.pack(">I", len(body)) + tag + body
+            + _s.pack(">I", _z.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    raw = bytearray()
+    for x0, y0, dx, dy, wp, hp in _adam7_passes(w, h):
+        sub = samples[y0::dy, x0::dx]
+        for row in sub:
+            bits = []
+            for v in row:
+                bits.extend(int(b) for b in format(int(v), "02b"))
+            while len(bits) % 8:
+                bits.append(0)
+            raw.append(0)
+            raw += np.packbits(np.array(bits, dtype=np.uint8)).tobytes()
+    out = bytearray(b"\x89PNG\r\n\x1a\n")
+    out += chunk(b"IHDR", _s.pack(">IIBBBBB", w, h, 2, 0, 0, 0, 1))
+    out += chunk(b"IDAT", _z.compress(bytes(raw)))
+    out += chunk(b"IEND", b"")
+    inter, warns = decode_png_gray(bytes(out))
+    assert warns == []
+    np.testing.assert_array_equal(plain, inter)
+
+
+def test_illegal_depth_combos_rejected():
+    with pytest.raises(PngError, match="bad_color_type"):  # RGB at depth 4
+        decode_png_gray(_hand_png(4, 4, 4, 2, np.zeros((4, 12))))
+    with pytest.raises(PngError, match="unsupported_bit_depth"):  # depth 3
+        decode_png_gray(_hand_png(4, 4, 3, 0, np.zeros((4, 4))))
