@@ -13,7 +13,8 @@ tolerant decode, rescale, feature-extract
   with state built once per actor (ST1 singleton analog);
 - codecs: ``codec="real"`` auto-detects and REALLY decodes JFIF/JPEG
   (pure-numpy tolerant baseline decoder, `functions/jpeg.py` — the
-  `ImageIOGreyScale.java` analog), PNG (`functions/png.py`), binary
+  `ImageIOGreyScale.java` analog), PNG (`functions/png.py`), BMP
+  (`functions/bmp.py`), GIF (`functions/gif.py`), binary
   PPM/PGM (P6/P5), RIFF/PCM WAV audio (`functions/wav.py` — the
   waveform renders as a deterministic log-STFT spectrogram raster so
   the image machinery applies unchanged), and RIFF-AVI Motion-JPEG
@@ -37,7 +38,7 @@ import pyarrow as pa
 
 import ray.data
 
-from multimedia_indexing_ray.functions import avi, jpeg, png, wav
+from multimedia_indexing_ray.functions import avi, bmp, gif, jpeg, png, wav
 
 logger = logging.getLogger(__name__)
 
@@ -187,7 +188,8 @@ class MediaDecoder:
     JFIF/JPEG via the pure-numpy tolerant baseline decoder
     (`functions/jpeg.py`, the engine's `ImageIOGreyScale.java` analog —
     tolerated malformations surface as ``decode_error="tolerated:…"``
-    with real pixels), PNM (P5/P6) via the PPM codec, PNG, RIFF/PCM WAV
+    with real pixels), PNM (P5/P6) via the PPM codec, PNG, BMP (palette /
+    RLE / bitfields), GIF (LZW, interlaced or not), RIFF/PCM WAV
     (spectrogram raster), and RIFF-AVI MJPEG video (frame-sampled
     temporal-mean poster raster).  Inter-frame-compressed audio/video
     remain a documented container-limit stub (no libav).
@@ -195,7 +197,7 @@ class MediaDecoder:
     plumbing can be exercised without real payloads."""
 
     def __init__(self, codec: str = "real", target_pixels: int = 64 * 64):
-        if codec not in ("fake", "ppm", "jpeg", "png", "real"):
+        if codec not in ("fake", "ppm", "jpeg", "png", "bmp", "gif", "real"):
             raise ValueError(codec)
         self.codec = codec
         self.target_pixels = target_pixels
@@ -238,15 +240,24 @@ class MediaDecoder:
                 codec = "jpeg"
             elif png.is_png(payload):
                 codec = "png"
+            elif bmp.is_bmp(payload):
+                codec = "bmp"
+            elif gif.is_gif(payload):
+                codec = "gif"
             elif payload[:2] in (b"P5", b"P6"):
                 codec = "ppm"
             else:
                 return None, "decode_failed:unknown_format"
-        if codec in ("jpeg", "png"):
-            dec = jpeg.decode_jpeg_gray if codec == "jpeg" else png.decode_png_gray
+        if codec in ("jpeg", "png", "bmp", "gif"):
+            dec = {
+                "jpeg": jpeg.decode_jpeg_gray,
+                "png": png.decode_png_gray,
+                "bmp": bmp.decode_bmp_gray,
+                "gif": gif.decode_gif_gray,
+            }[codec]
             try:
                 img, warns = dec(payload, tolerant=True)
-            except (jpeg.JpegError, png.PngError) as e:
+            except (jpeg.JpegError, png.PngError, bmp.BmpError, gif.GifError) as e:
                 return None, f"decode_failed:{e.args[0]}"
             err = _tolerated_error(warns)
             return resize_bilinear(img, side, side), err
@@ -727,15 +738,24 @@ def synthetic_dup_ppm_table(n_base: int = 120, seed: int = 7) -> pa.Table:
     """Deterministic MIXED-FORMAT corpus with planted pixel-exact
     duplicate PAIRS: row i in [0, n_base) is a base image; row n_base+i
     re-encodes the SAME raster with different file bytes, same decoded
-    pixels.  Planted variants: i % 4 == 0 — grayscale PNM base whose dup
-    is a PNG of the SAME raster (CROSS-FORMAT: lossless, so the float32
-    decode is bit-identical by the shared division path; i % 8 == 0 —
-    the PNG is ADAM7-INTERLACED, exercising the pass-scatter decode);
-    other even i — PNM comment variant; odd i — JPEG COM variant
-    (entropy data byte-identical; i % 8 == 1 — the dup is re-coded as
-    PROGRESSIVE SOF2: same quantized coefficients, multi-scan bytes).
+    pixels.  Planted variants (all CROSS-FORMAT dups are lossless, so
+    the float32 decode is bit-identical by the shared division / luma
+    paths):
+
+    - i % 4 == 0 — grayscale PNM base; the dup re-encodes the SAME
+      raster as PNG (i % 16 == 0 ADAM7-interlaced, i % 16 == 8 plain)
+      or GIF (i % 16 == 4 plain LZW, i % 16 == 12 interlaced);
+    - i % 4 == 2 — color PNM (P6) base; i % 8 == 2 the dup is a 24-bit
+      BMP of the same RGB bytes (identical float32 BT.601 matmul),
+      i % 8 == 6 a PNM comment variant;
+    - odd i — JPEG COM variant (entropy data byte-identical;
+      i % 8 == 1 — the dup is re-coded as PROGRESSIVE SOF2: same
+      quantized coefficients, multi-scan bytes).
+
     Ground truth is derivable from the ids alone — the oracle for
     `media_phash_dups` is `(q-i, q-(n_base+i))` for every i."""
+    from multimedia_indexing_ray.functions.bmp import encode_bmp
+    from multimedia_indexing_ray.functions.gif import encode_gif
     from multimedia_indexing_ray.functions.png import encode_png
 
     rows = []
@@ -749,12 +769,20 @@ def synthetic_dup_ppm_table(n_base: int = 120, seed: int = 7) -> pa.Table:
                     progressive=(dup and i % 8 == 1),
                 )
             elif i % 4 == 0 and dup:
-                # same raster as the PGM base, saved as PNG
-                payload = encode_png(
-                    _pnm_raster(w, h, seed + i, gray=True).reshape(h, w),
-                    comment=comment,
-                    interlace=(i % 8 == 0),
-                )
+                # same raster as the PGM base, saved as PNG or GIF
+                raster = _pnm_raster(w, h, seed + i, gray=True).reshape(h, w)
+                if i % 8 == 0:
+                    payload = encode_png(
+                        raster, comment=comment, interlace=(i % 16 == 0)
+                    )
+                else:
+                    payload = encode_gif(
+                        raster, comment=comment, interlace=(i % 16 == 12)
+                    )
+            elif i % 8 == 2 and dup:
+                # same RGB bytes as the P6 base, saved as 24-bit BMP
+                raster = _pnm_raster(w, h, seed + i, gray=False).reshape(h, w, 3)
+                payload = encode_bmp(raster, gap=comment)
             else:
                 payload = make_ppm(
                     w, h, seed=seed + i, gray=(i % 4 == 0), comment=comment
@@ -790,6 +818,10 @@ class MediaPHasher:
                     img, _ = jpeg.decode_jpeg_gray(payload, tolerant=True)
                 elif png.is_png(payload):
                     img, _ = png.decode_png_gray(payload, tolerant=True)
+                elif bmp.is_bmp(payload):
+                    img, _ = bmp.decode_bmp_gray(payload, tolerant=True)
+                elif gif.is_gif(payload):
+                    img, _ = gif.decode_gif_gray(payload, tolerant=True)
                 elif wav.is_wav(payload):
                     x, _rate, _w = wav.decode_wav(payload, tolerant=True)
                     img = wav.spectrogram_gray(x)  # audio fingerprint raster
@@ -797,8 +829,8 @@ class MediaPHasher:
                     img, _w = decode_avi_poster(payload)  # video poster raster
                 else:
                     img = decode_ppm_gray(payload)
-            except (_PpmError, jpeg.JpegError, png.PngError, wav.WavError,
-                    avi.AviError):
+            except (_PpmError, jpeg.JpegError, png.PngError, bmp.BmpError,
+                    gif.GifError, wav.WavError, avi.AviError):
                 continue
             out_ids.append(mid)
             hashes.append(dhash64(img))

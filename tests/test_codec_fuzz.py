@@ -9,7 +9,7 @@ a 100-TB corpus must not kill a batch with an unhandled exception
 import numpy as np
 import pytest
 
-from multimedia_indexing_ray.functions import avi, jpeg, png, wav
+from multimedia_indexing_ray.functions import avi, bmp, gif, jpeg, png, wav
 from multimedia_indexing_ray.stages import multimodal as mm
 
 
@@ -44,6 +44,24 @@ def _payloads():
         png.encode_png(img),
         lambda p: png.decode_png_gray(p, tolerant=True),
         png.PngError,
+    )
+    yield (
+        "bmp_rle8",  # RLE escape decoding (EOL / EOB / delta / absolute)
+        bmp.encode_bmp(img, rle=True),
+        lambda p: bmp.decode_bmp_gray(p, tolerant=True),
+        bmp.BmpError,
+    )
+    yield (
+        "bmp24",  # 24-bit bottom-up BGR path + header parse
+        bmp.encode_bmp(np.stack([img, np.roll(img, 3, axis=1), np.roll(img, 2, axis=0)], axis=-1)),
+        lambda p: bmp.decode_bmp_gray(p, tolerant=True),
+        bmp.BmpError,
+    )
+    yield (
+        "gif_interlaced",  # LZW variable-width decode + 4-pass reorder
+        gif.encode_gif(img, interlace=True),
+        lambda p: gif.decode_gif_gray(p, tolerant=True),
+        gif.GifError,
     )
     pcm = (np.sin(np.arange(2000) / 7.0) * 20000).astype(np.int16)
     yield (
