@@ -1,15 +1,17 @@
-"""Pure-struct RIFF-AVI MJPEG container codec + frame sampling — the
-REAL video path behind `stages/multimodal.py` (closing the last media
-stub: image, audio, and now video all decode for real in-container;
-only inter-frame-compressed codecs remain out of scope, no libav).
+"""Pure-struct RIFF-AVI container codec + frame sampling — the REAL
+video path behind `stages/multimodal.py` (closing the last media stub:
+image, audio, and video all decode for real in-container; only
+inter-frame-compressed codecs remain out of scope, no libav).
 
-Motion-JPEG is the one video format a pure-Python engine can honestly
-support end-to-end: each frame is an independent baseline JFIF picture,
-so the container work is RIFF chunk walking (shared heritage with
-`functions/wav.py` — AVI and WAV are both RIFF forms) and the per-frame
-decode is the existing tolerant JPEG codec (`functions/jpeg.py`).  This
-mirrors how the reference treats video as a bag of keyframes to run the
-image pipeline over (frame extraction feeding
+Two intra-frame codecs are supported end-to-end: Motion-JPEG (each
+frame an independent baseline JFIF picture, decoded by the tolerant
+JPEG codec in `functions/jpeg.py`) and uncompressed DIB (raw bottom-up
+palette/BGR rasters, decoded by wrapping the stream's strf
+BITMAPINFOHEADER around each frame body and reusing `functions/bmp.py`).
+The container work is RIFF chunk walking (shared heritage with
+`functions/wav.py` — AVI and WAV are both RIFF forms).  This mirrors
+how the reference treats video as a bag of keyframes to run the image
+pipeline over (frame extraction feeding
 `visual/extraction/SURFExtractor.java`-style featurization).
 
 Design points, matching the sibling codecs:
@@ -30,6 +32,10 @@ from __future__ import annotations
 
 import struct
 from typing import List, Optional, Tuple
+
+import numpy as np
+
+from multimedia_indexing_ray.functions import bmp
 
 
 class AviError(ValueError):
@@ -102,12 +108,17 @@ def encode_mjpeg_avi(
 
 
 def parse_mjpeg_avi(
-    payload: bytes, tolerant: bool = True
-) -> Tuple[List[bytes], float, List[str]]:
-    """RIFF/AVI bytes -> (frame payloads, fps, warnings).
+    payload: bytes, tolerant: bool = True, with_format: bool = False
+):
+    """RIFF/AVI bytes -> (frame payloads, fps, warnings), or with
+    ``with_format=True`` -> (frames, fps, fmt, warnings) where ``fmt``
+    is ``{"handler": fourcc bytes, "strf": BITMAPINFOHEADER(+palette)
+    bytes}`` for the video stream (both may be empty on malformed
+    headers).
 
     Frames are the raw ``00dc``/``00db`` chunk bodies (JPEG bytes for
-    MJPG), decoded downstream by `functions/jpeg.py`.  A truncated movi
+    MJPG, raw bottom-up rasters for DIB), decoded downstream by
+    `functions/jpeg.py` / `functions/bmp.py`.  A truncated movi
     list yields the frame prefix (the final partial frame body is kept —
     the JPEG decoder's own tolerance handles a cut entropy stream)."""
     warnings: List[str] = []
@@ -128,6 +139,7 @@ def parse_mjpeg_avi(
     saw_movi = False
     n_streams = 0
     video_stream: Optional[int] = None  # strl index of the vids stream
+    fmt = {"handler": b"", "strf": b""}
 
     def _walk(lo: int, hi: int, depth: int) -> None:
         nonlocal fps, saw_movi, n_streams, video_stream
@@ -163,9 +175,16 @@ def parse_mjpeg_avi(
                 if fcc == b"vids":
                     if video_stream is None:
                         video_stream = n_streams  # first video stream wins
+                        fmt["handler"] = payload[body_lo + 4 : body_lo + 8]
                     if scale > 0 and rate > 0 and n_streams == video_stream:
                         fps = rate / scale  # stream header wins over avih
                 n_streams += 1
+            elif tag == b"strf" and video_stream is not None and (
+                n_streams - 1 == video_stream
+            ):
+                # the video stream's format block: a BITMAPINFOHEADER
+                # (+ palette) — needed to decode uncompressed DIB frames
+                fmt["strf"] = payload[body_lo:body_hi]
             elif tag[2:4] in (b"dc", b"db") and tag[:2].isdigit():
                 # only the VIDEO stream's chunks are frames — a second
                 # stream's '01dc'/'01wb' data must not pollute the frame
@@ -189,7 +208,76 @@ def parse_mjpeg_avi(
     if fps == 0.0:
         _tolerate("no_frame_rate_header")
         fps = 25.0
+    if with_format:
+        return frames, fps, fmt, warnings
     return frames, fps, warnings
+
+
+def decode_dib_frame(body: bytes, strf: bytes, tolerant: bool = True):
+    """Uncompressed DIB frame body + the stream's strf block -> float32
+    grayscale, by wrapping them as a complete BMP file and reusing the
+    tolerant BMP decoder (`functions/bmp.py` — same caps, same palette /
+    bit-depth / luma paths; strf IS a BITMAPINFOHEADER + palette, which
+    is exactly what follows a BITMAPFILEHEADER)."""
+    header = struct.pack(
+        "<2sIHHI", b"BM", 14 + len(strf) + len(body), 0, 0, 14 + len(strf)
+    )
+    return bmp.decode_bmp_gray(header + strf + body, tolerant=tolerant)
+
+
+def encode_dib_avi(
+    rasters: List, fps: int = 10, extra_chunk: Optional[bytes] = None
+) -> bytes:
+    """uint8 (H, W) grayscale rasters -> RIFF/AVI with UNCOMPRESSED
+    8-bit-palette DIB frames (handler 'DIB ', biCompression=0) — the
+    second real in-container video codec next to MJPG, and the lossless
+    one: identical rasters give bit-identical decoded frames, so
+    re-wrapped copies (``extra_chunk`` INFO variation) are exact planted
+    dups."""
+    if not rasters:
+        raise ValueError("encode_dib_avi needs at least one frame")
+    if fps <= 0:
+        raise ValueError("encode_dib_avi needs fps >= 1")
+    h, w = rasters[0].shape
+    stride = (w + 3) & ~3
+    frames = []
+    for r in rasters:
+        if r.dtype != np.uint8 or r.shape != (h, w):
+            raise ValueError("encode_dib_avi expects uniform uint8 (H, W) frames")
+        rows = np.zeros((h, stride), dtype=np.uint8)
+        rows[:, :w] = r[::-1]  # bottom-up
+        frames.append(rows.tobytes())
+    n = len(frames)
+    max_bytes = len(frames[0])
+    avih = struct.pack(
+        "<10I4I",
+        1_000_000 // fps, max_bytes * fps, 0, 0x10, n, 0, 1, max_bytes,
+        w, h, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"DIB "
+        + struct.pack("<IIIIIIIIii4H", 0, 0, 0, 1, fps, 0, n, max_bytes, -1, 0,
+                      0, 0, w, h)
+    )
+    palette = b"".join(bytes((v, v, v, 0)) for v in range(256))
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 8, 0, max_bytes, 0, 0, 256, 0
+    ) + palette
+    hdrl = _list(
+        b"hdrl",
+        _chunk(b"avih", avih)
+        + _list(b"strl", _chunk(b"strh", strh) + _chunk(b"strf", strf)),
+    )
+    body = hdrl
+    if extra_chunk is not None:
+        body += _list(b"INFO", _chunk(b"ICMT", extra_chunk))
+    body += _list(b"movi", b"".join(_chunk(b"00db", f) for f in frames))
+    idx, off = b"", 4
+    for f in frames:
+        idx += b"00db" + struct.pack("<III", 0x10, off, len(f))
+        off += 8 + len(f) + (len(f) % 2)
+    body += _chunk(b"idx1", idx)
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"AVI " + body
 
 
 def sample_frame_indices(n_frames: int, k: int) -> List[int]:

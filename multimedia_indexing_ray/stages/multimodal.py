@@ -14,13 +14,15 @@ tolerant decode, rescale, feature-extract
 - codecs: ``codec="real"`` auto-detects and REALLY decodes JFIF/JPEG
   (pure-numpy tolerant baseline decoder, `functions/jpeg.py` — the
   `ImageIOGreyScale.java` analog), PNG (`functions/png.py`), BMP
-  (`functions/bmp.py`), GIF (`functions/gif.py`), binary
+  (`functions/bmp.py`), GIF (`functions/gif.py`), WBMP
+  (`functions/wbmp.py` — the full ImageIO format set), binary
   PPM/PGM (P6/P5), RIFF/PCM WAV audio (`functions/wav.py` — the
   waveform renders as a deterministic log-STFT spectrogram raster so
-  the image machinery applies unchanged), and RIFF-AVI Motion-JPEG
-  video (`functions/avi.py` — uniform frame-sample, per-frame JPEG
-  decode, temporal-mean poster raster); only inter-frame-compressed
-  codecs remain a documented container-limit stub (no libav).
+  the image machinery applies unchanged), and RIFF-AVI video
+  (`functions/avi.py` — Motion-JPEG or uncompressed DIB frames,
+  uniform frame-sample, temporal-mean poster raster); only
+  inter-frame-compressed codecs remain a documented container-limit
+  stub (no libav).
   ``codec="fake"`` is a deterministic stand-in (seeded by content hash);
 - failures never crash the batch: bad payloads are routed to an error
   side-channel column (``decode_error``), mirroring the reference's
@@ -38,7 +40,7 @@ import pyarrow as pa
 
 import ray.data
 
-from multimedia_indexing_ray.functions import avi, bmp, gif, jpeg, png, wav
+from multimedia_indexing_ray.functions import avi, bmp, gif, jpeg, png, wav, wbmp
 
 logger = logging.getLogger(__name__)
 
@@ -131,23 +133,33 @@ def resize_bilinear(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
 def decode_avi_poster(
     payload: bytes, n_sample_frames: int = 4, side: int = 0
 ) -> "tuple[np.ndarray, list[str]]":
-    """REAL video decode: RIFF-AVI MJPEG bytes -> temporal-mean "poster"
+    """REAL video decode: RIFF-AVI bytes -> temporal-mean "poster"
     raster over a uniform frame sample (`functions/avi.py` container
-    parse + per-frame tolerant JPEG decode).  The poster is the video's
+    parse + per-frame tolerant decode: JPEG frames via
+    `functions/jpeg.py`, uncompressed DIB frames via the stream's strf
+    header + `functions/bmp.py`).  The poster is the video's
     canonical image, consumed by the same resize / tile-stats / dHash
     machinery as stills — identical frames give a bit-identical poster
     (the mean is over float32 decodes in fixed frame order).  ``side``
     > 0 resizes each frame BEFORE averaging so mixed frame sizes pool;
     0 keeps the native size (requires uniform frames).  Raises AviError
-    when the container is undecodable; frames that fail JPEG decode are
+    when the container is undecodable; frames that fail decode are
     skipped with a warning (all-fail raises)."""
-    frames, _fps, warns = avi.parse_mjpeg_avi(payload, tolerant=True)
+    frames, _fps, fmt, warns = avi.parse_mjpeg_avi(
+        payload, tolerant=True, with_format=True
+    )
     acc = None
     used = 0
     for fi in avi.sample_frame_indices(len(frames), n_sample_frames):
         try:
-            img, fwarns = jpeg.decode_jpeg_gray(frames[fi], tolerant=True)
-        except jpeg.JpegError as e:
+            if jpeg.is_jpeg(frames[fi]):
+                img, fwarns = jpeg.decode_jpeg_gray(frames[fi], tolerant=True)
+            elif fmt["strf"]:
+                img, fwarns = avi.decode_dib_frame(frames[fi], fmt["strf"])
+            else:
+                warns.append(f"frame{fi}_unknown_codec")
+                continue
+        except (jpeg.JpegError, bmp.BmpError) as e:
             warns.append(f"frame{fi}_{e.args[0]}")
             continue
         warns.extend(f"frame{fi}_{w}" for w in fwarns)
@@ -189,15 +201,16 @@ class MediaDecoder:
     (`functions/jpeg.py`, the engine's `ImageIOGreyScale.java` analog —
     tolerated malformations surface as ``decode_error="tolerated:…"``
     with real pixels), PNM (P5/P6) via the PPM codec, PNG, BMP (palette /
-    RLE / bitfields), GIF (LZW, interlaced or not), RIFF/PCM WAV
-    (spectrogram raster), and RIFF-AVI MJPEG video (frame-sampled
-    temporal-mean poster raster).  Inter-frame-compressed audio/video
-    remain a documented container-limit stub (no libav).
+    RLE / bitfields), GIF (LZW, interlaced or not), WBMP (bilevel),
+    RIFF/PCM WAV (spectrogram raster), and RIFF-AVI video (MJPEG or
+    uncompressed-DIB frames, frame-sampled temporal-mean poster
+    raster).  Inter-frame-compressed audio/video remain a documented
+    container-limit stub (no libav).
     codec="fake" emits a deterministic (seeded) small raster so the
     plumbing can be exercised without real payloads."""
 
     def __init__(self, codec: str = "real", target_pixels: int = 64 * 64):
-        if codec not in ("fake", "ppm", "jpeg", "png", "bmp", "gif", "real"):
+        if codec not in ("fake", "ppm", "jpeg", "png", "bmp", "gif", "wbmp", "real"):
             raise ValueError(codec)
         self.codec = codec
         self.target_pixels = target_pixels
@@ -246,18 +259,23 @@ class MediaDecoder:
                 codec = "gif"
             elif payload[:2] in (b"P5", b"P6"):
                 codec = "ppm"
+            elif wbmp.is_wbmp(payload):
+                # last: WBMP has no magic, only a strict structural sniff
+                codec = "wbmp"
             else:
                 return None, "decode_failed:unknown_format"
-        if codec in ("jpeg", "png", "bmp", "gif"):
+        if codec in ("jpeg", "png", "bmp", "gif", "wbmp"):
             dec = {
                 "jpeg": jpeg.decode_jpeg_gray,
                 "png": png.decode_png_gray,
                 "bmp": bmp.decode_bmp_gray,
                 "gif": gif.decode_gif_gray,
+                "wbmp": wbmp.decode_wbmp_gray,
             }[codec]
             try:
                 img, warns = dec(payload, tolerant=True)
-            except (jpeg.JpegError, png.PngError, bmp.BmpError, gif.GifError) as e:
+            except (jpeg.JpegError, png.PngError, bmp.BmpError, gif.GifError,
+                    wbmp.WbmpError) as e:
                 return None, f"decode_failed:{e.args[0]}"
             err = _tolerated_error(warns)
             return resize_bilinear(img, side, side), err
@@ -603,6 +621,33 @@ def make_mjpeg_avi(
     )
 
 
+def make_dib_avi(
+    n_frames: int,
+    width: int,
+    height: int,
+    seed: int = 0,
+    fps: int = 10,
+    comment: "Optional[bytes]" = None,
+) -> bytes:
+    """Deterministic REAL RIFF-AVI with UNCOMPRESSED 8-bit DIB frames —
+    the same seeded smooth raster + vertical-roll motion as
+    `make_mjpeg_avi`, stored raw (handler 'DIB ').  Lossless, so a
+    ``comment`` re-wrap is an EXACT planted dup (bit-identical poster),
+    and the second in-container video codec gets fixture coverage."""
+    rng = np.random.default_rng(seed)
+    y, x = np.mgrid[0:height, 0:width]
+    a, b, c = rng.uniform(4, 14, 3)
+    p, q = rng.uniform(0, 2 * np.pi, 2)
+    base = (
+        128
+        + 70 * np.sin(x / a + p) * np.cos(y / b)
+        + 40 * np.sin((x + y) / c + q)
+    )
+    base = np.clip(base, 0, 255).astype(np.uint8)
+    rasters = [np.roll(base, 2 * f, axis=0) for f in range(n_frames)]
+    return avi.encode_dib_avi(rasters, fps=fps, extra_chunk=comment)
+
+
 def synthetic_avi_table(
     n: int = 32, seed: int = 42, plant_malformed: bool = True
 ) -> pa.Table:
@@ -637,15 +682,19 @@ def synthetic_avi_table(
 
 def synthetic_dup_avi_table(n_base: int = 60, seed: int = 23) -> pa.Table:
     """Planted video duplicate PAIRS: row n_base+i re-wraps the SAME
-    JPEG frames with an extra LIST/INFO metadata chunk — different file
+    frames with an extra LIST/INFO metadata chunk — different file
     bytes, bit-identical decoded frames, hence identical poster dHash.
-    Oracle derivable from ids: (v-i, v-(n_base+i))."""
+    i % 5 == 2 containers carry UNCOMPRESSED DIB frames (handler
+    'DIB '); the rest are Motion-JPEG — both in-container codecs feed
+    the same poster path.  Oracle derivable from ids:
+    (v-i, v-(n_base+i))."""
     rows = []
     for dup in (False, True):
         for i in range(n_base):
             w, h = 24 + (i % 5) * 8, 18 + (i % 3) * 10
             nf = 6 + (i % 5) * 2
-            payload = make_mjpeg_avi(
+            mk = make_dib_avi if i % 5 == 2 else make_mjpeg_avi
+            payload = mk(
                 nf, w, h, seed=seed + i,
                 comment=b"encoder=b copy" if dup else None,
             )
@@ -827,10 +876,14 @@ class MediaPHasher:
                     img = wav.spectrogram_gray(x)  # audio fingerprint raster
                 elif avi.is_avi(payload):
                     img, _w = decode_avi_poster(payload)  # video poster raster
-                else:
+                elif payload[:2] in (b"P5", b"P6"):
                     img = decode_ppm_gray(payload)
+                elif wbmp.is_wbmp(payload):
+                    img, _ = wbmp.decode_wbmp_gray(payload, tolerant=True)
+                else:
+                    img = decode_ppm_gray(payload)  # raises typed _PpmError
             except (_PpmError, jpeg.JpegError, png.PngError, bmp.BmpError,
-                    gif.GifError, wav.WavError, avi.AviError):
+                    gif.GifError, wav.WavError, avi.AviError, wbmp.WbmpError):
                 continue
             out_ids.append(mid)
             hashes.append(dhash64(img))

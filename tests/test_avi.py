@@ -13,7 +13,9 @@ from multimedia_indexing_ray.functions.avi import (
     parse_mjpeg_avi,
     sample_frame_indices,
 )
+from multimedia_indexing_ray.functions import avi
 from multimedia_indexing_ray.functions.jpeg import encode_jpeg_gray
+from multimedia_indexing_ray.stages import multimodal as mm
 
 
 def _frames(n=5, w=24, h=16, seed=7):
@@ -219,3 +221,58 @@ def test_encode_input_guards():
         encode_mjpeg_avi([b"\xff\xd8x"], fps=0, width=1, height=1)
     with pytest.raises(ValueError, match="u32"):
         encode_mjpeg_avi([b"\xff\xd8xy"], fps=2**31, width=1, height=1)
+
+
+def test_dib_avi_roundtrip_and_poster():
+    """Uncompressed-DIB AVI (handler 'DIB '): lossless frames, so the
+    poster over identical frames IS the frame, and a metadata re-wrap is
+    a bit-identical planted dup."""
+    img = mm._pnm_raster(24, 18, 7, gray=True).reshape(18, 24)
+    pay = avi.encode_dib_avi([img] * 4, fps=10)
+    frames, fps, fmt, warns = avi.parse_mjpeg_avi(pay, tolerant=True, with_format=True)
+    assert len(frames) == 4 and fps == 10.0 and warns == []
+    assert fmt["handler"] == b"DIB " and len(fmt["strf"]) == 40 + 256 * 4
+    poster, pwarns = mm.decode_avi_poster(pay)
+    assert pwarns == []
+    np.testing.assert_array_equal(poster * 255, img.astype(np.float32))
+    rewrap = avi.encode_dib_avi([img] * 4, fps=10, extra_chunk=b"encoder=b")
+    assert rewrap != pay
+    p2, _ = mm.decode_avi_poster(rewrap)
+    np.testing.assert_array_equal(p2.view(np.uint32), poster.view(np.uint32))
+
+
+def test_dib_frame_decode_matches_bmp_path():
+    """decode_dib_frame wraps (strf, body) as a BMP file — the decoded
+    floats must be bit-identical to the standalone BMP decode of the
+    same 8-bit gray raster (shared palette fast path)."""
+    from multimedia_indexing_ray.functions.bmp import decode_bmp_gray, encode_bmp
+
+    img = mm._pnm_raster(20, 12, 3, gray=True).reshape(12, 20)
+    pay = avi.encode_dib_avi([img], fps=5)
+    frames, _, fmt, _ = avi.parse_mjpeg_avi(pay, with_format=True)
+    dec, warns = avi.decode_dib_frame(frames[0], fmt["strf"])
+    assert warns == []
+    ref, _ = decode_bmp_gray(encode_bmp(img))
+    np.testing.assert_array_equal(dec.view(np.uint32), ref.view(np.uint32))
+
+
+def test_dib_avi_truncation_tolerated():
+    img = mm._pnm_raster(24, 18, 9, gray=True).reshape(18, 24)
+    pay = avi.encode_dib_avi([np.roll(img, f, axis=0) for f in range(6)], fps=10)
+    poster, warns = mm.decode_avi_poster(pay[: len(pay) * 2 // 3])
+    assert poster.shape == (18, 24) and warns  # partial frames + warning
+
+
+def test_dup_avi_fixture_mixes_codecs():
+    tbl = mm.synthetic_dup_avi_table(10, seed=23)
+    payloads = tbl["payload"].to_pylist()
+    handlers = set()
+    for p in payloads:
+        _, _, fmt, _ = avi.parse_mjpeg_avi(p, with_format=True)
+        handlers.add(fmt["handler"])
+    assert handlers == {b"MJPG", b"DIB "}
+    # every planted pair still decodes to an identical poster
+    for i in (2, 7):  # i % 5 == 2 -> DIB containers
+        a, _ = mm.decode_avi_poster(payloads[i])
+        b, _ = mm.decode_avi_poster(payloads[10 + i])
+        np.testing.assert_array_equal(a.view(np.uint32), b.view(np.uint32))

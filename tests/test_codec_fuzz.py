@@ -9,7 +9,7 @@ a 100-TB corpus must not kill a batch with an unhandled exception
 import numpy as np
 import pytest
 
-from multimedia_indexing_ray.functions import avi, bmp, gif, jpeg, png, wav
+from multimedia_indexing_ray.functions import avi, bmp, gif, jpeg, png, wav, wbmp
 from multimedia_indexing_ray.stages import multimodal as mm
 
 
@@ -75,6 +75,18 @@ def _payloads():
         mm.make_mjpeg_avi(5, 24, 18, seed=3),
         lambda p: mm.decode_avi_poster(p),
         avi.AviError,
+    )
+    yield (
+        "avi_dib",  # uncompressed-DIB frame path (strf wrap -> BMP decode)
+        mm.make_dib_avi(5, 24, 18, seed=3),
+        lambda p: mm.decode_avi_poster(p),
+        avi.AviError,
+    )
+    yield (
+        "wbmp",  # no-magic strict sniff + bilevel raster
+        wbmp.encode_wbmp((mm._pnm_raster(24, 18, 5, gray=True) > 128).reshape(18, 24)),
+        lambda p: wbmp.decode_wbmp_gray(p, tolerant=True),
+        wbmp.WbmpError,
     )
     yield (
         "ppm",

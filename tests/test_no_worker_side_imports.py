@@ -31,8 +31,19 @@ def _violations(path):
                     else [a.name for a in child.names]
                 )
                 if any(n and n.split(".")[0] == PKG for n in names):
-                    # worker-executed scopes: nested funcs, class methods
-                    if func_depth >= 2 or (in_class and func_depth >= 1):
+                    # worker-executed scopes: nested funcs, class methods.
+                    # functions/ modules are codec/kernel code — every
+                    # top-level function there is worker-reachable (a
+                    # stage method may call it), so ANY function-level
+                    # package import is banned (bit us a third time:
+                    # avi.decode_dib_frame's lazy bmp import crashed
+                    # MediaPHasher workers off-repo-cwd)
+                    in_functions_pkg = f"{os.sep}functions{os.sep}" in path
+                    if (
+                        func_depth >= 2
+                        or (in_class and func_depth >= 1)
+                        or (in_functions_pkg and func_depth >= 1)
+                    ):
                         bad.append((path, child.lineno))
             walk(child, fd, ic)
 
