@@ -39,6 +39,9 @@ from typing import List, Tuple
 import numpy as np
 
 _LUMA32 = np.array([0.299, 0.587, 0.114], dtype=np.float32)
+# float64 variant must stay equal to png.py's _LUMA — the cross-format
+# luma contract (same RGB bytes -> same float32 plane) depends on it
+_LUMA64 = np.array([0.299, 0.587, 0.114], dtype=np.float64)
 
 # same memory-bomb caps as the PNG decoder: a corrupted dimension field
 # must raise a typed error, not allocate gigabytes
@@ -295,9 +298,7 @@ def decode_bmp_gray(
                 sh, rng = _mask_shift(m)
                 c = ((u16.astype(np.uint32) & m) >> sh).astype(np.float64)
                 chans.append(c * (255.0 / max(rng - 1, 1)))
-            gray = np.stack(chans, axis=-1) @ np.array(
-                [0.299, 0.587, 0.114], dtype=np.float64
-            )
+            gray = np.stack(chans, axis=-1) @ _LUMA64
             return (gray / 255.0).astype(np.float32), warnings
         elif bitcount == 24:
             bgr = rows[:, : w * 3].reshape(h, w, 3)
@@ -318,7 +319,7 @@ def decode_bmp_gray(
                 rgb = np.stack(chans, axis=-1)
             else:
                 rgb = bgrx[:, :, 2::-1].astype(np.float64)  # BGRX -> RGB
-            gray = rgb @ np.array([0.299, 0.587, 0.114], dtype=np.float64)
+            gray = rgb @ _LUMA64
             return (gray / 255.0).astype(np.float32), warnings
 
     # palette formats land here with (h, w) indices
@@ -330,5 +331,5 @@ def decode_bmp_gray(
         # to the PGM / 8-bit-gray-PNG decode of the same raster
         return palette[idx, 0].astype(np.float32) / np.float32(255.0), warnings
     rgb = palette[idx].astype(np.float64)
-    gray = rgb @ np.array([0.299, 0.587, 0.114], dtype=np.float64)
+    gray = rgb @ _LUMA64
     return (gray / 255.0).astype(np.float32), warnings

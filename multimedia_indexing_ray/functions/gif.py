@@ -38,6 +38,8 @@ from typing import List, Tuple
 import numpy as np
 
 _MAX_PIXELS = 1 << 24  # same memory-bomb cap as the PNG/BMP decoders
+# float64 BT.601 luma — must stay equal to png.py's _LUMA (cross-format contract)
+_LUMA64 = np.array([0.299, 0.587, 0.114], dtype=np.float64)
 
 
 class GifError(ValueError):
@@ -135,7 +137,9 @@ def encode_gif(
 
 def _lzw_decode(data: bytes, min_code_size: int, max_pixels: int, tolerate):
     """GIF LZW bytes -> uint8 indices (clamped at ``max_pixels``)."""
-    if not (1 <= min_code_size <= 11):
+    # spec range is 2..8; anything larger would write root symbols
+    # > 255 into the uint8 suffix table (silent wraparound / overflow)
+    if not (2 <= min_code_size <= 8):
         raise GifError("bad_lzw_code_size")
     clear = 1 << min_code_size
     eoi = clear + 1
@@ -153,7 +157,9 @@ def _lzw_decode(data: bytes, min_code_size: int, max_pixels: int, tolerate):
     n_out = 0
     acc = acc_bits = 0
     prev = -1
-    buf = bytearray(max_pixels.bit_length() * 0 + 4096)  # scratch for one chain
+    # scratch for one decoded chain: a 4096-entry table bounds any
+    # chain at < 4096 symbols (each entry extends its prefix by one)
+    buf = bytearray(4096)
 
     for byte in data:
         acc |= byte << acc_bits
@@ -169,9 +175,8 @@ def _lzw_decode(data: bytes, min_code_size: int, max_pixels: int, tolerate):
                 continue
             if code == eoi:
                 return out[:n_out]
-            if code >= next_code + (1 if prev >= 0 else 0) or (
-                code >= next_code and prev < 0
-            ):
+            if code > next_code or (code == next_code and prev < 0):
+                # code == next_code is valid only as the KwKwK case
                 tolerate("lzw_bad_code")
                 return out[:n_out]
             if code == next_code:
@@ -325,7 +330,10 @@ def decode_gif_gray(
     if left == 0 and top == 0 and w == sw and h == sh:
         full_idx = idx
     else:
-        _tolerate("partial_first_frame")
+        # a first frame smaller than the logical screen is SPEC-VALID
+        # (common in animations) — no warning; the uncovered screen is
+        # rendered as palette index 0 (background-color/GCE handling is
+        # out of scope per the module docstring)
         full = np.zeros((sh, sw), dtype=np.uint8)
         full[top : min(top + h, sh), left : min(left + w, sw)] = idx[
             : max(min(top + h, sh) - top, 0), : max(min(left + w, sw) - left, 0)
@@ -337,5 +345,5 @@ def decode_gif_gray(
         # same raster (the cross-format planted-dup contract)
         return pal[full_idx, 0].astype(np.float32) / np.float32(255.0), warnings
     rgb = pal[full_idx].astype(np.float64)
-    gray = rgb @ np.array([0.299, 0.587, 0.114], dtype=np.float64)
+    gray = rgb @ _LUMA64
     return (gray / 255.0).astype(np.float32), warnings

@@ -48,9 +48,10 @@ def _parse_header(payload: bytes) -> Tuple[int, int, int]:
     type_field, pos = _read_uintvar(payload, 0)
     if type_field != 0:
         raise WbmpError("unsupported_wbmp_type")
-    if pos >= len(payload) or payload[pos] & 0x9F:
-        # fixheader: bit7 (extensions follow) and the reserved low bits
-        # must be 0 for type 0
+    if pos >= len(payload) or payload[pos] != 0:
+        # type-0 fixheader must be the zero octet (no extensions, no
+        # reserved bits) — full-octet strictness matters because this
+        # doubles as the no-magic routing sniff
         raise WbmpError("bad_fixheader")
     pos += 1
     w, pos = _read_uintvar(payload, pos)

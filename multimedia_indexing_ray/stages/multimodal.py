@@ -792,8 +792,10 @@ def synthetic_dup_ppm_table(n_base: int = 120, seed: int = 7) -> pa.Table:
     paths):
 
     - i % 4 == 0 — grayscale PNM base; the dup re-encodes the SAME
-      raster as PNG (i % 16 == 0 ADAM7-interlaced, i % 16 == 8 plain)
-      or GIF (i % 16 == 4 plain LZW, i % 16 == 12 interlaced);
+      raster as PNG (i % 16 == 0 ADAM7-interlaced) or GIF (i % 16 == 4
+      plain LZW, i % 16 == 12 interlaced); i % 16 == 8 — the base is a
+      BILEVEL ({0,255}) PGM and the dup a WBMP of the same raster
+      (both decode to the same {0.0, 1.0} float32 plane);
     - i % 4 == 2 — color PNM (P6) base; i % 8 == 2 the dup is a 24-bit
       BMP of the same RGB bytes (identical float32 BT.601 matmul),
       i % 8 == 6 a PNM comment variant;
@@ -806,6 +808,7 @@ def synthetic_dup_ppm_table(n_base: int = 120, seed: int = 7) -> pa.Table:
     from multimedia_indexing_ray.functions.bmp import encode_bmp
     from multimedia_indexing_ray.functions.gif import encode_gif
     from multimedia_indexing_ray.functions.png import encode_png
+    from multimedia_indexing_ray.functions.wbmp import encode_wbmp
 
     rows = []
     for dup in (False, True):
@@ -817,6 +820,18 @@ def synthetic_dup_ppm_table(n_base: int = 120, seed: int = 7) -> pa.Table:
                     w, h, seed=seed + i, comment=comment, color=(i % 4 == 3),
                     progressive=(dup and i % 8 == 1),
                 )
+            elif i % 16 == 8:
+                # bilevel pair: a {0,255} PGM base, WBMP dup — the only
+                # cross-format planting a 1-bit container can join
+                bits = _pnm_raster(w, h, seed + i, gray=True).reshape(h, w) > 127
+                if dup:
+                    payload = encode_wbmp(bits)
+                else:
+                    raster = bits.astype(np.uint8) * 255
+                    payload = (
+                        b"P5\n# " + comment + b"\n%d %d\n255\n" % (w, h)
+                        + raster.tobytes()
+                    )
             elif i % 4 == 0 and dup:
                 # same raster as the PGM base, saved as PNG or GIF
                 raster = _pnm_raster(w, h, seed + i, gray=True).reshape(h, w)

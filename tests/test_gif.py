@@ -70,7 +70,8 @@ def test_first_frame_only_and_partial_frame_placement():
     struct.pack_into("<HH", body, 6, 20, 16)  # logical screen 20x16
     struct.pack_into("<HH", body, 13 + 768 + 1, 5, 3)  # left=5, top=3
     dec2, warns = decode_gif_gray(bytes(body))
-    assert "partial_first_frame" in warns and dec2.shape == (16, 20)
+    # a sub-screen first frame is SPEC-VALID: no warning
+    assert warns == [] and dec2.shape == (16, 20)
     np.testing.assert_array_equal(
         (dec2[3:13, 5:17] * 255).round().astype(np.uint8), img
     )
@@ -127,4 +128,12 @@ def test_typed_errors():
     # no image data at all (header + trailer)
     with pytest.raises(GifError, match="no_image_data"):
         decode_gif_gray(bytes(enc[: 13 + 768]) + b"\x3b")
+    # LZW min code size outside the 2..8 spec range: a value of 9 would
+    # write root symbols > 255 into the uint8 suffix table (review-found
+    # OverflowError escape under numpy >= 2.0) — must be a typed error
+    bad_mcs = bytearray(enc)
+    bad_mcs[13 + 768 + 10] = 9  # header + GCT + image descriptor
+    for tol in (False, True):  # structurally hopeless: typed in BOTH modes
+        with pytest.raises(GifError, match="bad_lzw_code_size"):
+            decode_gif_gray(bytes(bad_mcs), tolerant=tol)
     assert is_gif(bytes(enc)) and not is_gif(b"BM\x00\x00")

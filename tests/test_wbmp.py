@@ -43,6 +43,10 @@ def test_strict_sniff_rejects_non_wbmp():
     # declared raster longer than the payload -> sniff rejects
     enc = encode_wbmp(_bilevel((10, 10), seed=3))
     assert is_wbmp(enc) and not is_wbmp(enc[:-5])
+    # reserved fixheader bits set (0x20/0x40/0x60): spec-invalid for
+    # type 0 and a routing hazard for the no-magic sniff (review-found)
+    for b in (0x20, 0x40, 0x60):
+        assert not is_wbmp(bytes([enc[0], b]) + bytes(enc[2:]))
 
 
 def test_tolerance_and_typed_errors():
