@@ -357,15 +357,18 @@ def run_queries() -> dict:
 
 def run_media() -> dict:
     """Real-codec multimodal decode throughput: mixed JPEG + PCM-WAV +
-    MJPEG-AVI payloads through the `decode_and_featurize` actor pool
-    (pure-numpy codecs, error side-channel live).  Fixture synthesized
-    once on the driver; min of 2 runs (window-noise estimator)."""
+    MJPEG-AVI payloads plus the full still-image format mix
+    (PNM/PNG/GIF/BMP/WBMP dup corpus) through the `decode_and_featurize`
+    actor pool (pure-numpy codecs, error side-channel live).  Fixture
+    synthesized once on the driver; min of 2 runs (window-noise
+    estimator)."""
     import pyarrow as pa
     import ray.data as rd
 
     from multimedia_indexing_ray.stages.multimodal import (
         decode_and_featurize,
         synthetic_avi_table,
+        synthetic_dup_ppm_table,
         synthetic_jpeg_table,
         synthetic_wav_table,
     )
@@ -375,6 +378,9 @@ def run_media() -> dict:
             synthetic_jpeg_table(2000, seed=1),
             synthetic_wav_table(2000, seed=2),
             synthetic_avi_table(600, seed=3, plant_malformed=False),
+            # r5: every ImageIO container in one pass (PNM + PNG +
+            # GIF + BMP + WBMP + progressive JPEG re-encodes)
+            synthetic_dup_ppm_table(400, seed=4),
         ]
     )
     # one in-memory table is ONE block — split it or a single actor does

@@ -3749,6 +3749,87 @@ def q_url_fetch_manifest(sf_dir: str):
     return fetched.map_batches(_manifest, batch_format="pyarrow")
 
 
+def _image_url_fixture_cached():
+    """96 REAL image files behind file:// URLs, once per process
+    (pid-keyed dir, atexit cleanup): file i is a grayscale PGM, file
+    48+i the SAME raster re-encoded as PNG / GIF / BMP (cycling by
+    i % 3) — lossless containers, so the cross-format planted-dup
+    contract holds through a real network fetch."""
+    if "img_urls" not in _URL_FIXTURE_CACHE:
+        import atexit
+        import os
+        import shutil
+        import tempfile
+
+        from multimedia_indexing_ray.functions.bmp import encode_bmp
+        from multimedia_indexing_ray.functions.gif import encode_gif
+        from multimedia_indexing_ray.functions.png import encode_png
+        from multimedia_indexing_ray.stages.multimodal import _pnm_raster
+
+        root = os.path.join(
+            tempfile.gettempdir(), f"mir_imgurl_fixture_{os.getpid()}"
+        )
+        shutil.rmtree(root, ignore_errors=True)
+        os.makedirs(root, exist_ok=True)
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        n = 48
+        ids, urls = [], []
+        for dup in (0, 1):
+            for i in range(n):
+                w, h = 24 + (i % 5) * 8, 18 + (i % 3) * 10
+                raster = _pnm_raster(w, h, 7 + i, gray=True).reshape(h, w)
+                if dup:
+                    body = [encode_png, encode_gif, encode_bmp][i % 3](raster)
+                else:
+                    body = b"P5\n%d %d\n255\n" % (w, h) + raster.tobytes()
+                idx = i + dup * n
+                path = os.path.join(root, f"{idx:04d}.bin")
+                with open(path, "wb") as f:
+                    f.write(body)
+                ids.append(f"m-{idx:04d}")
+                urls.append("file://" + path)
+        _URL_FIXTURE_CACHE["img_urls"] = pa.table(
+            {"media_id": pa.array(ids, pa.string()),
+             "url": pa.array(urls, pa.string())}
+        )
+    return _URL_FIXTURE_CACHE["img_urls"]
+
+
+@register(
+    "url_fetch_phash_dups",
+    """
+    SELECT 'm-' || lpad(CAST(i AS VARCHAR), 4, '0') AS media_id_a,
+           'm-' || lpad(CAST(i + 48 AS VARCHAR), 4, '0') AS media_id_b
+    FROM range(0, 48) t(i)
+    """,
+)
+def q_url_fetch_phash_dups(sf_dir: str):
+    """The reference's full image-ingest story in ONE pipeline: URL
+    manifest -> rate-limited fetch actor pool (`stages/fetch.py`, the
+    `UrlIndexingMT.java:84-149` analog) -> tolerant multi-format decode
+    + perceptual hash -> keyed-shuffle dup pairs
+    (`stages/multimodal.py:media_phash_pairs`).  The fixture plants
+    cross-format dup pairs (PGM base, PNG/GIF/BMP re-encode of the SAME
+    raster) behind file:// URLs, so the oracle is pure id arithmetic:
+    hash-green iff the fetch pool delivered every payload intact AND
+    all four containers decoded to bit-identical float32 rasters."""
+    import ray.data as rd
+
+    from multimedia_indexing_ray.stages.fetch import fetch_urls
+    from multimedia_indexing_ray.stages.multimodal import media_phash_pairs
+
+    urls = _image_url_fixture_cached()
+    fetched = fetch_urls(rd.from_arrow(urls), concurrency=4,
+                         min_call_interval_s=0.0)
+
+    def _ok(t: pa.Table) -> pa.Table:
+        good = pc.is_null(t["fetch_error"])
+        return t.filter(good).select(["media_id", "payload"])
+
+    media = fetched.map_batches(_ok, batch_format="pyarrow")
+    return media_phash_pairs(media, concurrency=4, num_partitions=4)
+
+
 @register("pq_knn_l2")  # ADC scan of STORED PQ codes (PQ.java analog) — rows-only
 def q_pq_knn(sf_dir: str):
     from multimedia_indexing_ray.stages.ann_index import ann_search

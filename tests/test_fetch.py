@@ -285,3 +285,16 @@ def test_auto_transport_dispatch(tmp_path, monkeypatch):
         lambda req, timeout: _FakeResp(b"served"),
     )
     assert auto_transport("http://example.com/x.jpg") == b"served"
+
+
+def test_url_fetch_phash_dups_query(ray_session):
+    """The chained fetch -> decode -> phash registry query matches its
+    pure-id oracle: every cross-format planted pair (PGM base vs
+    PNG/GIF/BMP re-encode fetched over file://) and nothing else."""
+    from multimedia_indexing_ray.pipelines.queries import REGISTRY
+
+    out = REGISTRY["url_fetch_phash_dups"].fn("unused").to_pandas()
+    out = out.sort_values(["media_id_a", "media_id_b"]).reset_index(drop=True)
+    assert len(out) == 48
+    assert list(out.media_id_a) == [f"m-{i:04d}" for i in range(48)]
+    assert list(out.media_id_b) == [f"m-{i + 48:04d}" for i in range(48)]
