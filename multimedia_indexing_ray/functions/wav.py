@@ -1,6 +1,13 @@
-"""Pure-struct/numpy WAV (RIFF PCM) codec + spectrogram featurization —
+"""Pure-struct/numpy WAV (RIFF) codec + spectrogram featurization —
 the REAL audio path behind `stages/multimodal.py` (closing the last
 documented media stub; only video remains out of scope, no libav).
+
+Four real in-container audio codecs: PCM (8/16-bit, fmt tag 1), G.711
+mu-law (tag 7) and A-law (tag 6) — telephony audio, decoded through a
+256-entry lookup table — and IMA/DVI ADPCM (tag 0x11), whose per-block
+predictor recurrence is serial along the sample axis but INDEPENDENT
+across blocks, so decode vectorizes across blocks (one ~505-step numpy
+loop regardless of file length).
 
 The audio analog of the image design: decode to a canonical mono
 float32 waveform, then render a deterministic log-magnitude STFT
@@ -13,8 +20,8 @@ trick as the PNM-comment / JPEG-COM / PNG-tEXt variants.
 
 Decode is TOLERANT like the image codecs: a truncated data chunk
 yields the decoded prefix plus a warning, unknown chunks are skipped,
-trailing garbage warns; a bad RIFF/WAVE signature, non-PCM format, or
-unsupported sample width raises ``WavError``.
+trailing garbage warns; a bad RIFF/WAVE signature, unsupported format
+tag, or unsupported sample width raises ``WavError``.
 """
 
 from __future__ import annotations
@@ -29,6 +36,127 @@ class WavError(ValueError):
     pass
 
 
+# --------------------------------------------------------------------------
+# G.711 mu-law / A-law (telephony 8-bit companding) — public algorithm
+# --------------------------------------------------------------------------
+
+
+def _mulaw_decode_table() -> np.ndarray:
+    u = np.arange(256, dtype=np.int32) ^ 0xFF  # stored complemented
+    sign = u & 0x80
+    exp = (u >> 4) & 0x07
+    mant = u & 0x0F
+    mag = ((2 * mant + 33) << exp) - 33
+    pcm = np.where(sign, -mag, mag) * 4  # 14-bit magnitude -> 16-bit range
+    return np.clip(pcm, -32768, 32767).astype(np.int16)
+
+
+def _alaw_decode_table() -> np.ndarray:
+    a = np.arange(256, dtype=np.int32) ^ 0x55  # even-bit inversion
+    sign = a & 0x80
+    exp = (a >> 4) & 0x07
+    mant = a & 0x0F
+    mag = np.where(exp == 0, (mant << 4) + 8, ((mant << 4) + 0x108) << (exp - 1))
+    pcm = np.where(sign, -mag, mag) * 8  # 13-bit magnitude -> 16-bit range
+    return np.clip(pcm, -32768, 32767).astype(np.int16)
+
+
+_MULAW_LUT = _mulaw_decode_table()
+_ALAW_LUT = _alaw_decode_table()
+
+
+def _g711_encode(samples: np.ndarray, lut: np.ndarray) -> np.ndarray:
+    """int16 -> 8-bit codes by nearest-value search against the decode
+    LUT (exact inverse for codec-generated values, deterministic for
+    everything else — fixtures only need decode(encode(x)) stability)."""
+    order = np.argsort(lut, kind="stable")
+    sorted_vals = lut[order].astype(np.int32)
+    pos = np.searchsorted(sorted_vals, samples.astype(np.int32))
+    pos = np.clip(pos, 0, len(sorted_vals) - 1)
+    prev = np.clip(pos - 1, 0, len(sorted_vals) - 1)
+    pick = np.where(
+        np.abs(sorted_vals[prev] - samples) <= np.abs(sorted_vals[pos] - samples),
+        prev,
+        pos,
+    )
+    return order[pick].astype(np.uint8)
+
+
+# --------------------------------------------------------------------------
+# IMA/DVI ADPCM (fmt tag 0x11) — public algorithm (IMA ADPCM spec)
+# --------------------------------------------------------------------------
+
+_IMA_STEPS = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+], dtype=np.int32)
+_IMA_INDEX = np.array([-1, -1, -1, -1, 2, 4, 6, 8] * 2, dtype=np.int32)
+
+
+def _ima_decode_blocks(nibbles: np.ndarray, pred0: np.ndarray, idx0: np.ndarray) -> np.ndarray:
+    """(n_blocks, n_steps) nibbles + per-block initial predictor/index ->
+    (n_blocks, n_steps) int16.  The recurrence is serial along steps but
+    vectorized ACROSS blocks (the whole file decodes in one ~505-step
+    numpy loop)."""
+    n_blocks, n_steps = nibbles.shape
+    pred = pred0.astype(np.int32).copy()
+    index = np.clip(idx0.astype(np.int32), 0, 88)
+    out = np.empty((n_blocks, n_steps), dtype=np.int16)
+    for s in range(n_steps):
+        n = nibbles[:, s].astype(np.int32)
+        step = _IMA_STEPS[index]
+        diff = step >> 3
+        diff += np.where(n & 1, step >> 2, 0)
+        diff += np.where(n & 2, step >> 1, 0)
+        diff += np.where(n & 4, step, 0)
+        pred = np.clip(pred + np.where(n & 8, -diff, diff), -32768, 32767)
+        index = np.clip(index + _IMA_INDEX[n], 0, 88)
+        out[:, s] = pred
+    return out
+
+
+def _ima_encode_blocks(samples: np.ndarray) -> "Tuple[np.ndarray, np.ndarray, np.ndarray]":
+    """(n_blocks, 1 + n_steps) int16 -> (nibbles, pred0, idx0): sample 0
+    of each block seeds the header predictor; the rest quantize through
+    the standard IMA encoder, vectorized across blocks.  The initial
+    step index is seeded per block from the block's max sample delta
+    (headers carry it, so blocks stay independent — no cross-block
+    adaptation transient)."""
+    pred = samples[:, 0].astype(np.int32).copy()
+    deltas = np.abs(np.diff(samples.astype(np.int32), axis=1))
+    maxd = deltas.max(axis=1) if deltas.shape[1] else np.zeros(len(samples), np.int32)
+    index = np.clip(np.searchsorted(_IMA_STEPS, maxd), 0, 88).astype(np.int32)
+    idx0 = index.copy()
+    n_steps = samples.shape[1] - 1
+    nibbles = np.empty((len(samples), n_steps), dtype=np.uint8)
+    pred0 = samples[:, 0].astype(np.int16)
+    for s in range(n_steps):
+        step = _IMA_STEPS[index]
+        delta = samples[:, s + 1].astype(np.int32) - pred
+        sign = (delta < 0).astype(np.int32) * 8
+        delta = np.abs(delta)
+        b4 = (delta >= step).astype(np.int32)
+        delta -= b4 * step
+        b2 = (delta >= (step >> 1)).astype(np.int32)
+        delta -= b2 * (step >> 1)
+        b1 = (delta >= (step >> 2)).astype(np.int32)
+        n = sign | (b4 << 2) | (b2 << 1) | b1
+        # reconstruct exactly like the decoder
+        diff = step >> 3
+        diff += np.where(n & 1, step >> 2, 0)
+        diff += np.where(n & 2, step >> 1, 0)
+        diff += np.where(n & 4, step, 0)
+        pred = np.clip(pred + np.where(n & 8, -diff, diff), -32768, 32767)
+        index = np.clip(index + _IMA_INDEX[n], 0, 88)
+        nibbles[:, s] = n
+    return nibbles, pred0, idx0.astype(np.uint8)
+
+
 def is_wav(payload: bytes) -> bool:
     return len(payload) >= 12 and payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
 
@@ -37,16 +165,50 @@ def encode_wav(
     samples: np.ndarray,
     rate: int = 16000,
     extra_chunk: "bytes | None" = None,
+    codec: str = "pcm16",
 ) -> bytes:
-    """int16 (n,) mono or (n, ch) -> RIFF/WAVE PCM bytes.  ``extra_chunk``
-    lands in a LIST/INFO comment chunk — header-only variation (the
-    re-encoded-copy planting knob; samples unchanged)."""
+    """int16 (n,) mono or (n, ch) -> RIFF/WAVE bytes.  ``codec``:
+    ``pcm16`` (fmt tag 1), ``mulaw`` (7) / ``alaw`` (6) — 8-bit G.711,
+    or ``adpcm`` (0x11, IMA/DVI, mono only, 256-byte blocks).
+    ``extra_chunk`` lands in a LIST/INFO comment chunk — header-only
+    variation (the re-encoded-copy planting knob; samples unchanged)."""
     if samples.dtype != np.int16 or samples.ndim not in (1, 2):
         raise ValueError("encode_wav expects int16 (n,) or (n, ch)")
     ch = 1 if samples.ndim == 1 else samples.shape[1]
-    data = samples.astype("<i2").tobytes()
-    fmt = struct.pack("<HHIIHH", 1, ch, rate, rate * ch * 2, ch * 2, 16)
-    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    fact = b""
+    if codec == "pcm16":
+        data = samples.astype("<i2").tobytes()
+        fmt = struct.pack("<HHIIHH", 1, ch, rate, rate * ch * 2, ch * 2, 16)
+    elif codec in ("mulaw", "alaw"):
+        lut = _MULAW_LUT if codec == "mulaw" else _ALAW_LUT
+        data = _g711_encode(samples.reshape(-1), lut).tobytes()
+        tag = 7 if codec == "mulaw" else 6
+        fmt = struct.pack("<HHIIHHH", tag, ch, rate, rate * ch, ch, 8, 0)
+    elif codec == "adpcm":
+        if ch != 1:
+            raise ValueError("adpcm encoder is mono only")
+        block_align = 256
+        spb = (block_align - 4) * 2 + 1  # samples per block (505)
+        x = samples.reshape(-1)
+        n = len(x)
+        n_blocks = max(1, (n + spb - 1) // spb)
+        padded = np.zeros(n_blocks * spb, dtype=np.int16)
+        padded[:n] = x
+        nibbles, pred0, idx0 = _ima_encode_blocks(padded.reshape(n_blocks, spb))
+        packed = (nibbles[:, 0::2] | (nibbles[:, 1::2] << 4)).astype(np.uint8)
+        blocks = bytearray()
+        for b in range(n_blocks):
+            blocks += struct.pack("<hBB", int(pred0[b]), int(idx0[b]), 0)
+            blocks += packed[b].tobytes()
+        data = bytes(blocks)
+        fmt = struct.pack(
+            "<HHIIHHHH", 0x11, 1, rate, rate * block_align // spb,
+            block_align, 4, 2, spb,
+        )
+        fact = b"fact" + struct.pack("<II", 4, n)
+    else:
+        raise ValueError(f"unknown codec {codec!r}")
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt + fact
     if extra_chunk is not None:
         body = b"INFOICMT" + struct.pack("<I", len(extra_chunk)) + extra_chunk
         if len(extra_chunk) % 2:
@@ -98,25 +260,63 @@ def decode_wav(
         pos += 8 + size + (size % 2)  # word alignment
     if fmt is None:
         raise WavError("no_fmt_chunk")
-    audio_fmt, ch, rate, _bps, _align, bits = fmt
-    if audio_fmt != 1:
-        raise WavError("unsupported_non_pcm")
-    if bits not in (8, 16):
-        raise WavError("unsupported_bit_depth")
+    audio_fmt, ch, rate, _bps, align, bits = fmt
+    if audio_fmt not in (1, 6, 7, 0x11):
+        raise WavError("unsupported_format_tag")
     if ch == 0 or rate == 0:
         raise WavError("bad_fmt_fields")
     if data is None:
         raise WavError("no_data_chunk")
-    if bits == 16:
+    if audio_fmt in (6, 7):  # G.711 A-law / mu-law: 8-bit LUT decode
+        if bits not in (0, 8):
+            raise WavError("unsupported_bit_depth")
+        lut = _ALAW_LUT if audio_fmt == 6 else _MULAW_LUT
+        usable = len(data) - len(data) % ch
+        x = lut[np.frombuffer(data[:usable], dtype=np.uint8)].astype(
+            np.float32
+        ) / np.float32(32768.0)
+    elif audio_fmt == 0x11:  # IMA/DVI ADPCM, vectorized across blocks
+        if ch != 1:
+            raise WavError("unsupported_adpcm_channels")
+        if bits not in (0, 4):
+            raise WavError("unsupported_bit_depth")
+        if align < 8:
+            raise WavError("bad_fmt_fields")
+        n_blocks = len(data) // align
+        tail = len(data) % align
+        if tail:
+            _tolerate("partial_adpcm_block")
+            # pad the trailing partial block with zero nibbles
+            data = data + b"\x00" * (align - tail)
+            n_blocks += 1
+        if n_blocks == 0:
+            raise WavError("no_data_chunk")
+        raw = np.frombuffer(data[: n_blocks * align], dtype=np.uint8).reshape(
+            n_blocks, align
+        )
+        pred0 = raw[:, :2].copy().view("<i2").reshape(-1)
+        idx0 = raw[:, 2]
+        packed = raw[:, 4:]
+        nibbles = np.empty((n_blocks, (align - 4) * 2), dtype=np.uint8)
+        nibbles[:, 0::2] = packed & 0x0F
+        nibbles[:, 1::2] = packed >> 4
+        decoded = _ima_decode_blocks(nibbles, pred0, idx0)
+        # sample 0 of each block is the header predictor itself
+        x = np.concatenate(
+            [pred0.astype(np.int16).reshape(-1, 1), decoded], axis=1
+        ).reshape(-1).astype(np.float32) / np.float32(32768.0)
+    elif bits == 16:
         usable = len(data) - len(data) % (2 * ch)
         x = np.frombuffer(data[:usable], dtype="<i2").astype(np.float32) / np.float32(32768.0)
-    else:  # 8-bit PCM is unsigned
+    elif bits == 8:  # 8-bit PCM is unsigned
         usable = len(data) - len(data) % ch
         x = (
             np.frombuffer(data[:usable], dtype=np.uint8).astype(np.float32)
             - np.float32(128.0)
         ) / np.float32(128.0)
-    if ch > 1:
+    else:
+        raise WavError("unsupported_bit_depth")
+    if ch > 1 and audio_fmt != 0x11:
         x = x.reshape(-1, ch).mean(axis=1)
     return x.astype(np.float32), int(rate), warnings
 

@@ -511,10 +511,13 @@ def make_wav(
     rate: int = 16000,
     stereo: bool = False,
     comment: "Optional[bytes]" = None,
+    codec: str = "pcm16",
 ) -> bytes:
-    """Deterministic REAL PCM WAV bytes: a seeded mixture of tones +
-    noise (distinct seeds give distinct spectrograms).  ``comment``
-    varies a LIST/INFO metadata chunk without touching one sample."""
+    """Deterministic REAL WAV bytes: a seeded mixture of tones + noise
+    (distinct seeds give distinct spectrograms).  ``codec`` selects the
+    in-container encoding (pcm16 / mulaw / alaw / adpcm — `functions/
+    wav.py`); ``comment`` varies a LIST/INFO metadata chunk without
+    touching one sample."""
     rng = np.random.default_rng(seed)
     t = np.arange(n_samples) / rate
     x = np.zeros(n_samples)
@@ -529,7 +532,7 @@ def make_wav(
         pcm = np.stack([pcm, np.roll(pcm, 7)], axis=1)
     from multimedia_indexing_ray.functions.wav import encode_wav
 
-    return encode_wav(pcm, rate=rate, extra_chunk=comment)
+    return encode_wav(pcm, rate=rate, extra_chunk=comment, codec=codec)
 
 
 def synthetic_wav_table(n: int = 32, seed: int = 42) -> pa.Table:
@@ -562,16 +565,21 @@ def synthetic_dup_wav_table(n_base: int = 60, seed: int = 19) -> pa.Table:
     """Planted audio duplicate PAIRS: row n_base+i re-encodes the SAME
     samples with a different LIST/INFO metadata chunk — different file
     bytes, bit-identical decoded waveform, hence identical spectrogram
-    dHash.  Oracle derivable from ids: (w-i, w-(n_base+i))."""
+    dHash.  The container codec cycles by i % 4 (stereo PCM / G.711
+    mu-law / IMA ADPCM / A-law) so all four in-container audio codecs
+    feed the same dedup path.  Oracle derivable from ids:
+    (w-i, w-(n_base+i))."""
     rows = []
     for dup in (False, True):
         for i in range(n_base):
             ns = 3000 + (i % 5) * 800
+            codec = ["pcm16", "mulaw", "adpcm", "alaw"][i % 4]
             payload = make_wav(
                 ns,
                 seed=seed + i,
                 stereo=(i % 4 == 0),
                 comment=b"encoder=b copy" if dup else None,
+                codec=codec,
             )
             rows.append(
                 {

@@ -71,6 +71,18 @@ def _payloads():
         wav.WavError,
     )
     yield (
+        "wav_mulaw",  # G.711 LUT decode path (fmt tag 7)
+        wav.encode_wav(pcm, rate=8000, codec="mulaw"),
+        lambda p: wav.decode_wav(p, tolerant=True),
+        wav.WavError,
+    )
+    yield (
+        "wav_adpcm",  # IMA block headers + nibble recurrence (tag 0x11)
+        wav.encode_wav(pcm, rate=8000, codec="adpcm"),
+        lambda p: wav.decode_wav(p, tolerant=True),
+        wav.WavError,
+    )
+    yield (
         "avi",
         mm.make_mjpeg_avi(5, 24, 18, seed=3),
         lambda p: mm.decode_avi_poster(p),

@@ -122,3 +122,101 @@ def test_audio_phash_pairs(ray_session):
         ).take_all()
     }
     assert got == {(f"w-{i:04d}", f"w-{i + n:04d}") for i in range(n)}
+
+
+# ---------------------------------------------------------------------------
+# G.711 mu-law / A-law + IMA ADPCM (fmt tags 7 / 6 / 0x11)
+# ---------------------------------------------------------------------------
+
+
+def _tone(n=4000, seed=0, amp=12000):
+    rng = np.random.default_rng(seed)
+    t = np.arange(n) / 16000
+    x = np.sin(2 * np.pi * 440 * t) * amp + rng.normal(0, amp / 30, n)
+    return np.clip(x, -32768, 32767).astype(np.int16)
+
+
+@pytest.mark.parametrize("codec,tag", [("mulaw", 7), ("alaw", 6)])
+def test_g711_roundtrip_and_tag(codec, tag):
+    import struct
+
+    from multimedia_indexing_ray.functions.wav import encode_wav
+
+    x = _tone(seed=3)
+    pay = encode_wav(x, codec=codec)
+    assert struct.unpack_from("<H", pay, 20)[0] == tag
+    y, rate, warns = decode_wav(pay)
+    assert warns == [] and rate == 16000 and len(y) == len(x)
+    # companding error bounded (~2% of full scale at these amplitudes)
+    assert np.abs(y * 32768 - x).max() <= 256
+    # codec-stable: decode -> re-encode -> decode is a fixed point
+    y16 = (y * 32768).astype(np.int16)
+    y2, _, _ = decode_wav(encode_wav(y16, codec=codec))
+    np.testing.assert_array_equal(y, y2)
+
+
+def test_adpcm_roundtrip_quality_and_blocks():
+    import struct
+
+    from multimedia_indexing_ray.functions.wav import encode_wav
+
+    x = _tone(seed=4)
+    pay = encode_wav(x, codec="adpcm")
+    assert struct.unpack_from("<H", pay, 20)[0] == 0x11
+    y, rate, warns = decode_wav(pay)
+    assert warns == [] and rate == 16000
+    assert len(y) >= len(x)  # padded to whole 505-sample blocks
+    err = y[: len(x)] * 32768 - x
+    assert np.sqrt((err**2).mean()) < 400  # ~-38 dB: real IMA quality
+    # truncation mid-block: decoded prefix + typed warning
+    yt, _, wt = decode_wav(pay[:-50])
+    assert "partial_adpcm_block" in wt or "truncated_data_chunk" in wt
+
+
+@pytest.mark.parametrize("codec", ["mulaw", "alaw", "adpcm"])
+def test_codec_metadata_variant_bit_identical(codec):
+    from multimedia_indexing_ray.functions.wav import encode_wav
+
+    x = _tone(seed=5)
+    a = encode_wav(x, codec=codec)
+    b = encode_wav(x, codec=codec, extra_chunk=b"encoder=b copy")
+    assert a != b
+    ya, _, _ = decode_wav(a)
+    yb, _, _ = decode_wav(b)
+    np.testing.assert_array_equal(ya.view(np.uint32), yb.view(np.uint32))
+
+
+def test_codec_typed_errors():
+    import struct
+
+    from multimedia_indexing_ray.functions.wav import encode_wav
+
+    x = _tone(seed=6)
+    with pytest.raises(ValueError, match="mono only"):
+        encode_wav(np.stack([x, x], axis=1), codec="adpcm")
+    pay = bytearray(encode_wav(x, codec="adpcm"))
+    struct.pack_into("<H", pay, 22, 2)  # claim stereo ADPCM
+    with pytest.raises(WavError, match="unsupported_adpcm_channels"):
+        decode_wav(bytes(pay))
+    bad = bytearray(encode_wav(x))
+    struct.pack_into("<H", bad, 20, 0x55)  # unknown format tag
+    with pytest.raises(WavError, match="unsupported_format_tag"):
+        decode_wav(bytes(bad))
+
+
+def test_dup_wav_fixture_mixes_codecs():
+    import struct
+
+    from multimedia_indexing_ray.stages.multimodal import synthetic_dup_wav_table
+
+    tbl = synthetic_dup_wav_table(8, seed=19)
+    tags = set()
+    for p in tbl["payload"].to_pylist():
+        tags.add(struct.unpack_from("<H", p, 20)[0])
+    assert tags == {1, 6, 7, 0x11}
+    # every planted pair still decodes bit-identically
+    payloads = tbl["payload"].to_pylist()
+    for i in (1, 2, 3):  # mulaw, adpcm, alaw rows
+        a, _, _ = decode_wav(payloads[i])
+        b, _, _ = decode_wav(payloads[8 + i])
+        np.testing.assert_array_equal(a.view(np.uint32), b.view(np.uint32))
