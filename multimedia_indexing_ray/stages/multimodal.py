@@ -40,7 +40,17 @@ import pyarrow as pa
 
 import ray.data
 
-from multimedia_indexing_ray.functions import avi, bmp, gif, jpeg, png, wav, wbmp
+from multimedia_indexing_ray.functions import (
+    aiff,
+    au,
+    avi,
+    bmp,
+    gif,
+    jpeg,
+    png,
+    wav,
+    wbmp,
+)
 
 logger = logging.getLogger(__name__)
 
@@ -221,13 +231,20 @@ class MediaDecoder:
         side = int(np.sqrt(self.target_pixels))
         codec = self.codec
         if codec == "real":
-            if wav.is_wav(payload):
-                # REAL audio: decode PCM, render the deterministic
+            audio_dec = (
+                wav.decode_wav if wav.is_wav(payload)
+                else au.decode_au if au.is_au(payload)
+                else aiff.decode_aiff if aiff.is_aiff(payload)
+                else None
+            )
+            if audio_dec is not None:
+                # REAL audio (WAV / AU / AIFF — the javax.sound container
+                # set): decode the waveform, render the deterministic
                 # log-STFT spectrogram raster — the downstream image
                 # machinery (resize / tile stats / dHash) applies as-is
                 try:
-                    x, _rate, warns = wav.decode_wav(payload, tolerant=True)
-                except wav.WavError as e:
+                    x, _rate, warns = audio_dec(payload, tolerant=True)
+                except (wav.WavError, au.AuError, aiff.AiffError) as e:
                     return None, f"decode_failed:{e.args[0]}"
                 img = wav.spectrogram_gray(x)
                 err = _tolerated_error(warns)
@@ -518,6 +535,16 @@ def make_wav(
     in-container encoding (pcm16 / mulaw / alaw / adpcm — `functions/
     wav.py`); ``comment`` varies a LIST/INFO metadata chunk without
     touching one sample."""
+    from multimedia_indexing_ray.functions.wav import encode_wav
+
+    pcm = _synth_pcm(n_samples, seed, rate, stereo)
+    return encode_wav(pcm, rate=rate, extra_chunk=comment, codec=codec)
+
+
+def _synth_pcm(
+    n_samples: int, seed: int, rate: int = 16000, stereo: bool = False
+) -> np.ndarray:
+    """Deterministic int16 test waveform: seeded tone mixture + noise."""
     rng = np.random.default_rng(seed)
     t = np.arange(n_samples) / rate
     x = np.zeros(n_samples)
@@ -530,9 +557,7 @@ def make_wav(
     )
     if stereo:
         pcm = np.stack([pcm, np.roll(pcm, 7)], axis=1)
-    from multimedia_indexing_ray.functions.wav import encode_wav
-
-    return encode_wav(pcm, rate=rate, extra_chunk=comment, codec=codec)
+    return pcm
 
 
 def synthetic_wav_table(n: int = 32, seed: int = 42) -> pa.Table:
@@ -567,20 +592,38 @@ def synthetic_dup_wav_table(n_base: int = 60, seed: int = 19) -> pa.Table:
     bytes, bit-identical decoded waveform, hence identical spectrogram
     dHash.  The container codec cycles by i % 4 (stereo PCM / G.711
     mu-law / IMA ADPCM / A-law) so all four in-container audio codecs
-    feed the same dedup path.  Oracle derivable from ids:
+    feed the same dedup path — and for the non-ADPCM rows the DUP lives
+    in a DIFFERENT javax.sound container (stereo PCM -> AIFF, mu-law /
+    A-law -> AU): lossless cross-container pairs, like the image PGM ->
+    PNG/GIF/BMP plantings.  Oracle derivable from ids:
     (w-i, w-(n_base+i))."""
+    from multimedia_indexing_ray.functions.aiff import encode_aiff
+    from multimedia_indexing_ray.functions.au import encode_au
+
     rows = []
     for dup in (False, True):
         for i in range(n_base):
             ns = 3000 + (i % 5) * 800
             codec = ["pcm16", "mulaw", "adpcm", "alaw"][i % 4]
-            payload = make_wav(
-                ns,
-                seed=seed + i,
-                stereo=(i % 4 == 0),
-                comment=b"encoder=b copy" if dup else None,
-                codec=codec,
-            )
+            if dup and codec != "adpcm":
+                # cross-container dup: same samples, same codec family,
+                # different container (decode is bit-identical by the
+                # shared LUT / division paths)
+                pcm = _synth_pcm(ns, seed + i, stereo=(i % 4 == 0))
+                if codec == "pcm16":
+                    payload = encode_aiff(pcm, annotation=b"encoder=b copy")
+                else:
+                    payload = encode_au(
+                        pcm, codec=codec, annotation=b"encoder=b copy"
+                    )
+            else:
+                payload = make_wav(
+                    ns,
+                    seed=seed + i,
+                    stereo=(i % 4 == 0),
+                    comment=b"encoder=b copy" if dup else None,
+                    codec=codec,
+                )
             rows.append(
                 {
                     "media_id": f"w-{(n_base + i) if dup else i:04d}",
@@ -897,6 +940,12 @@ class MediaPHasher:
                 elif wav.is_wav(payload):
                     x, _rate, _w = wav.decode_wav(payload, tolerant=True)
                     img = wav.spectrogram_gray(x)  # audio fingerprint raster
+                elif au.is_au(payload):
+                    x, _rate, _w = au.decode_au(payload, tolerant=True)
+                    img = wav.spectrogram_gray(x)
+                elif aiff.is_aiff(payload):
+                    x, _rate, _w = aiff.decode_aiff(payload, tolerant=True)
+                    img = wav.spectrogram_gray(x)
                 elif avi.is_avi(payload):
                     img, _w = decode_avi_poster(payload)  # video poster raster
                 elif payload[:2] in (b"P5", b"P6"):
@@ -906,7 +955,8 @@ class MediaPHasher:
                 else:
                     img = decode_ppm_gray(payload)  # raises typed _PpmError
             except (_PpmError, jpeg.JpegError, png.PngError, bmp.BmpError,
-                    gif.GifError, wav.WavError, avi.AviError, wbmp.WbmpError):
+                    gif.GifError, wav.WavError, au.AuError, aiff.AiffError,
+                    avi.AviError, wbmp.WbmpError):
                 continue
             out_ids.append(mid)
             hashes.append(dhash64(img))

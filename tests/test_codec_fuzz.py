@@ -9,7 +9,17 @@ a 100-TB corpus must not kill a batch with an unhandled exception
 import numpy as np
 import pytest
 
-from multimedia_indexing_ray.functions import avi, bmp, gif, jpeg, png, wav, wbmp
+from multimedia_indexing_ray.functions import (
+    aiff,
+    au,
+    avi,
+    bmp,
+    gif,
+    jpeg,
+    png,
+    wav,
+    wbmp,
+)
 from multimedia_indexing_ray.stages import multimodal as mm
 
 
@@ -81,6 +91,18 @@ def _payloads():
         wav.encode_wav(pcm, rate=8000, codec="adpcm"),
         lambda p: wav.decode_wav(p, tolerant=True),
         wav.WavError,
+    )
+    yield (
+        "au",  # Sun AU big-endian header + annotation gap
+        au.encode_au(pcm, rate=8000, codec="mulaw", annotation=b"note"),
+        lambda p: au.decode_au(p, tolerant=True),
+        au.AuError,
+    )
+    yield (
+        "aiff",  # IFF chunk walk + 80-bit extended rate parse
+        aiff.encode_aiff(pcm, rate=8000),
+        lambda p: aiff.decode_aiff(p, tolerant=True),
+        aiff.AiffError,
     )
     yield (
         "avi",

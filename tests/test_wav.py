@@ -210,13 +210,13 @@ def test_dup_wav_fixture_mixes_codecs():
     from multimedia_indexing_ray.stages.multimodal import synthetic_dup_wav_table
 
     tbl = synthetic_dup_wav_table(8, seed=19)
-    tags = set()
-    for p in tbl["payload"].to_pylist():
-        tags.add(struct.unpack_from("<H", p, 20)[0])
-    assert tags == {1, 6, 7, 0x11}
-    # every planted pair still decodes bit-identically
     payloads = tbl["payload"].to_pylist()
-    for i in (1, 2, 3):  # mulaw, adpcm, alaw rows
-        a, _, _ = decode_wav(payloads[i])
-        b, _, _ = decode_wav(payloads[8 + i])
-        np.testing.assert_array_equal(a.view(np.uint32), b.view(np.uint32))
+    # BASE rows are WAV and cycle all four fmt tags (dup rows live in
+    # AIFF/AU containers for the non-ADPCM codecs — test_au_aiff.py
+    # covers those pairs)
+    tags = {struct.unpack_from("<H", p, 20)[0] for p in payloads[:8]}
+    assert tags == {1, 6, 7, 0x11}
+    # the WAV-to-WAV pair (ADPCM) still decodes bit-identically
+    a, _, _ = decode_wav(payloads[2])
+    b, _, _ = decode_wav(payloads[8 + 2])
+    np.testing.assert_array_equal(a.view(np.uint32), b.view(np.uint32))
