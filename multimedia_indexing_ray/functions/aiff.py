@@ -20,6 +20,7 @@ skipped; bad magic / missing COMM / unsupported widths raise
 
 from __future__ import annotations
 
+import math
 import struct
 from typing import List, Tuple
 
@@ -43,8 +44,6 @@ def _extended80(rate: float) -> bytes:
     with explicit integer bit)."""
     if rate <= 0:
         raise ValueError("rate must be positive")
-    import math
-
     mant, exp = math.frexp(rate)  # rate = mant * 2**exp, mant in [0.5, 1)
     e = exp + 16382
     m = int(mant * (1 << 64))

@@ -151,7 +151,9 @@ def parse_mjpeg_avi(
             truncated = body_hi > hi
             if truncated:
                 body_hi = hi
-            if tag == b"LIST" and body_hi - body_lo >= 4:
+            if tag == b"LIST" and body_hi - body_lo < 4:
+                _tolerate("truncated_chunk")  # LIST cut before its type
+            elif tag == b"LIST":
                 ltype = payload[body_lo : body_lo + 4]
                 if truncated:
                     _tolerate(f"truncated_list_{ltype.decode('ascii', 'replace').strip()}")
@@ -167,20 +169,26 @@ def parse_mjpeg_avi(
                 usec = struct.unpack("<I", payload[body_lo : body_lo + 4])[0]
                 if usec > 0 and fps == 0.0:
                     fps = 1_000_000.0 / usec
-            elif tag == b"strh" and body_hi - body_lo >= 32:
-                fcc = payload[body_lo : body_lo + 4]
-                scale, rate = struct.unpack(
-                    "<II", payload[body_lo + 20 : body_lo + 28]
-                )
-                if fcc == b"vids":
-                    if video_stream is None:
-                        video_stream = n_streams  # first video stream wins
-                        fmt["handler"] = payload[body_lo + 4 : body_lo + 8]
-                    if scale > 0 and rate > 0 and n_streams == video_stream:
-                        fps = rate / scale  # stream header wins over avih
+            elif tag == b"strh":
+                # count EVERY strh toward the stream index — a malformed
+                # short strh must not shift the NEXT stream's strf onto
+                # the video stream (review-found misattribution)
+                if body_hi - body_lo >= 32:
+                    fcc = payload[body_lo : body_lo + 4]
+                    scale, rate = struct.unpack(
+                        "<II", payload[body_lo + 20 : body_lo + 28]
+                    )
+                    if fcc == b"vids":
+                        if video_stream is None:
+                            video_stream = n_streams  # first video wins
+                            fmt["handler"] = payload[body_lo + 4 : body_lo + 8]
+                        if scale > 0 and rate > 0 and n_streams == video_stream:
+                            fps = rate / scale  # stream header wins over avih
+                else:
+                    _tolerate("short_strh")
                 n_streams += 1
             elif tag == b"strf" and video_stream is not None and (
-                n_streams - 1 == video_stream
+                n_streams - 1 == video_stream and not fmt["strf"]
             ):
                 # the video stream's format block: a BITMAPINFOHEADER
                 # (+ palette) — needed to decode uncompressed DIB frames
@@ -194,6 +202,8 @@ def parse_mjpeg_avi(
                     if truncated:
                         _tolerate("truncated_frame_chunk")
                     frames.append(payload[body_lo:body_hi])
+                elif truncated:
+                    _tolerate("truncated_chunk")  # foreign stream's data
             if truncated:
                 if tag not in (b"LIST",) and tag[2:4] not in (b"dc", b"db"):
                     _tolerate("truncated_chunk")

@@ -52,13 +52,16 @@ def _mulaw_decode_table() -> np.ndarray:
 
 
 def _alaw_decode_table() -> np.ndarray:
+    """Standard G.711 A-law (Sun g711.c alaw2linear): NOTE the sign bit
+    set means POSITIVE (opposite of mu-law) and segment magnitudes are
+    already 16-bit scale (max 32256) — no extra gain."""
     a = np.arange(256, dtype=np.int32) ^ 0x55  # even-bit inversion
-    sign = a & 0x80
-    exp = (a >> 4) & 0x07
+    seg = (a >> 4) & 0x07
     mant = a & 0x0F
-    mag = np.where(exp == 0, (mant << 4) + 8, ((mant << 4) + 0x108) << (exp - 1))
-    pcm = np.where(sign, -mag, mag) * 8  # 13-bit magnitude -> 16-bit range
-    return np.clip(pcm, -32768, 32767).astype(np.int16)
+    base = np.where(seg == 0, (mant << 4) + 8, (mant << 4) + 0x108)
+    mag = base << np.maximum(seg - 1, 0)
+    pcm = np.where(a & 0x80, mag, -mag)
+    return pcm.astype(np.int16)
 
 
 _MULAW_LUT = _mulaw_decode_table()
@@ -238,6 +241,7 @@ def decode_wav(
     pos, n = 12, min(len(payload), 8 + declared)
     fmt = None
     data = None
+    fact_samples = None
     while pos + 8 <= n:
         tag = payload[pos : pos + 4]
         size = struct.unpack("<I", payload[pos + 4 : pos + 8])[0]
@@ -256,7 +260,11 @@ def decode_wav(
             fmt = struct.unpack("<HHIIHH", body[:16])
         elif tag == b"data":
             data = body
-        # LIST / fact / unknown chunks are skipped
+        elif tag == b"fact" and len(body) >= 4:
+            # total sample-frame count — the block-padded codecs (ADPCM)
+            # need it to trim the final block's padding
+            fact_samples = struct.unpack("<I", body[:4])[0]
+        # LIST / unknown chunks are skipped
         pos += 8 + size + (size % 2)  # word alignment
     if fmt is None:
         raise WavError("no_fmt_chunk")
@@ -305,6 +313,8 @@ def decode_wav(
         x = np.concatenate(
             [pred0.astype(np.int16).reshape(-1, 1), decoded], axis=1
         ).reshape(-1).astype(np.float32) / np.float32(32768.0)
+        if fact_samples is not None and 0 < fact_samples <= len(x):
+            x = x[:fact_samples]  # trim the final block's padding
     elif bits == 16:
         usable = len(data) - len(data) % (2 * ch)
         x = np.frombuffer(data[:usable], dtype="<i2").astype(np.float32) / np.float32(32768.0)
@@ -333,10 +343,12 @@ def spectrogram_gray(
     x = np.asarray(samples, dtype=np.float32)
     if len(x) < n_fft:
         x = np.pad(x, (0, n_fft - len(x)))
-    n_frames = 1 + (len(x) - n_fft) // hop
-    idx = np.arange(n_fft)[None, :] + hop * np.arange(n_frames)[:, None]
     win = np.hanning(n_fft).astype(np.float32)
-    spec = np.abs(np.fft.rfft(x[idx] * win, axis=1)).astype(np.float32)
+    # strided window view instead of a fancy-index matrix: no int64
+    # (n_frames x n_fft) index allocation; same float32 values, so the
+    # raster stays bit-identical to the previous implementation
+    frames = np.lib.stride_tricks.sliding_window_view(x, n_fft)[::hop]
+    spec = np.abs(np.fft.rfft(frames * win, axis=1)).astype(np.float32)
     img = np.log1p(spec)
     peak = img.max()
     if peak > 0:

@@ -276,3 +276,55 @@ def test_dup_avi_fixture_mixes_codecs():
         a, _ = mm.decode_avi_poster(payloads[i])
         b, _ = mm.decode_avi_poster(payloads[10 + i])
         np.testing.assert_array_equal(a.view(np.uint32), b.view(np.uint32))
+
+
+def test_short_strh_does_not_shift_strf_attribution():
+    """A malformed short strh between the video strl and a second
+    stream's strf must not hand the AUDIO strf to the video stream
+    (review-found misattribution: n_streams skipped short strh)."""
+    import struct
+
+    img = mm._pnm_raster(24, 18, 7, gray=True).reshape(18, 24)
+    pay = avi.encode_dib_avi([img] * 2, fps=10)
+    # append a second strl with a 20-byte strh and a 16-byte audio strf
+    short_strh = b"strh" + struct.pack("<I", 20) + b"auds" + b"\x00" * 16
+    audio_strf = b"strf" + struct.pack("<I", 16) + b"\x01\x00" + b"\x00" * 14
+    strl2 = b"LIST" + struct.pack("<I", 4 + len(short_strh) + len(audio_strf)) + b"strl" + short_strh + audio_strf
+    # inject before the movi list
+    movi_at = pay.find(b"LIST", 12, len(pay))
+    # find the movi LIST specifically
+    p = 12
+    while True:
+        tag = pay[p:p+4]; size = struct.unpack("<I", pay[p+4:p+8])[0]
+        if tag == b"LIST" and pay[p+8:p+12] == b"movi":
+            break
+        p += 8 + size + (size % 2)
+    mut = pay[:p] + strl2 + pay[p:]
+    mut = mut[:4] + struct.pack("<I", struct.unpack("<I", pay[4:8])[0] + len(strl2)) + mut[8:]
+    frames, fps, fmt, warns = avi.parse_mjpeg_avi(mut, with_format=True)
+    assert fmt["handler"] == b"DIB " and len(fmt["strf"]) == 40 + 1024
+    assert "short_strh" in warns
+    poster, _ = mm.decode_avi_poster(mut)  # still decodable
+    np.testing.assert_array_equal(poster * 255, img.astype(np.float32))
+
+
+def test_truncated_list_header_warns():
+    img = mm._pnm_raster(24, 18, 7, gray=True).reshape(18, 24)
+    pay = avi.encode_dib_avi([img] * 2, fps=10)
+    # cut so the tail is 'LIST' + size + <4 bytes of body
+    import struct
+    p = 12
+    while True:
+        tag = pay[p:p+4]; size = struct.unpack("<I", pay[p+4:p+8])[0]
+        if tag == b"LIST" and pay[p+8:p+12] == b"movi":
+            break
+        p += 8 + size + (size % 2)
+    cut = pay[: p + 10]  # LIST tag + size + 2 bytes
+    with np.testing.assert_raises(avi.AviError):
+        avi.parse_mjpeg_avi(cut)  # no movi -> typed error, but...
+    # a payload whose LAST chunk is the cut LIST after a complete movi
+    # must WARN (tolerant contract), not silently stop
+    tail = pay + b"LIST" + struct.pack("<I", 64) + b"mo"
+    tail = tail[:4] + struct.pack("<I", struct.unpack("<I", pay[4:8])[0] + 10) + tail[8:]
+    _, _, _, warns = avi.parse_mjpeg_avi(tail, with_format=True)
+    assert "truncated_chunk" in warns

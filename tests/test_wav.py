@@ -220,3 +220,42 @@ def test_dup_wav_fixture_mixes_codecs():
     a, _, _ = decode_wav(payloads[2])
     b, _, _ = decode_wav(payloads[8 + 2])
     np.testing.assert_array_equal(a.view(np.uint32), b.view(np.uint32))
+
+
+def test_g711_luts_match_sun_reference():
+    """Both decode tables must equal the canonical Sun g711.c algorithm
+    (review-found: the first A-law cut was sign-inverted and 8x
+    over-scaled — self-consistent encode/decode could not catch it)."""
+    from multimedia_indexing_ray.functions.wav import _ALAW_LUT, _MULAW_LUT
+
+    def alaw2linear(a):
+        a ^= 0x55
+        t = (a & 0x0F) << 4
+        seg = (a & 0x70) >> 4
+        if seg == 0:
+            t += 8
+        elif seg == 1:
+            t += 0x108
+        else:
+            t = (t + 0x108) << (seg - 1)
+        return t if (a & 0x80) else -t
+
+    def ulaw2linear(u):
+        u = ~u & 0xFF
+        t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
+        return (0x84 - t) if (u & 0x80) else (t - 0x84)
+
+    np.testing.assert_array_equal(
+        _ALAW_LUT, np.array([alaw2linear(i) for i in range(256)], np.int16)
+    )
+    np.testing.assert_array_equal(
+        _MULAW_LUT, np.array([ulaw2linear(i) for i in range(256)], np.int16)
+    )
+
+
+def test_adpcm_fact_chunk_trims_block_padding():
+    from multimedia_indexing_ray.functions.wav import encode_wav
+
+    x = _tone(3000, seed=8)  # not a multiple of the 505-sample block
+    y, _, warns = decode_wav(encode_wav(x, codec="adpcm"))
+    assert warns == [] and len(y) == 3000  # fact chunk trims the padding
