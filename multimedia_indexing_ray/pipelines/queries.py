@@ -3515,6 +3515,61 @@ def q_media_features_wav(sf_dir: str):
     return out.map_batches(_flat, batch_format="pyarrow")
 
 
+@register(
+    "media_error_channel",
+    """
+    WITH ids(prefix, n) AS (VALUES ('j-', 60), ('w-', 60), ('v-', 60))
+    SELECT prefix || lpad(CAST(i AS VARCHAR), 4, '0') AS media_id,
+           CASE WHEN i % 11 = 5 THEN 'decode_failed'
+                WHEN i % 7 = 3 THEN 'tolerated'
+                ELSE 'ok' END AS status
+    FROM ids, range(0, 60) t(i)
+    """,
+)
+def q_media_error_channel(sf_dir: str):
+    """The S4 count-and-skip tolerance contract, driver-gated with a
+    HASH oracle: a mixed JPEG + WAV + AVI fixture with planted malformed
+    rows on pure-id schedules (i%11==5 -> junk magic, hard failure;
+    i%7==3 -> mid-payload truncation, tolerated partial decode) runs
+    through the real actor-pool decode stage, and every row's
+    side-channel bucket (ok / tolerated / decode_failed) must match the
+    id arithmetic exactly — one misrouted hostile payload flips the
+    hash (`UrlIndexingMT.java:154-191` count-and-skip analog)."""
+    import pyarrow.compute as _pc
+    import ray.data as rd
+
+    from multimedia_indexing_ray.stages.multimodal import (
+        decode_and_featurize,
+        synthetic_avi_table,
+        synthetic_jpeg_table,
+        synthetic_wav_table,
+    )
+
+    media = pa.concat_tables(
+        [
+            synthetic_jpeg_table(60, seed=42),
+            synthetic_wav_table(60, seed=42),
+            synthetic_avi_table(60, seed=42),
+        ]
+    )
+    out = decode_and_featurize(rd.from_arrow(media), codec="real", concurrency=2)
+
+    def _status(batch: pa.Table) -> pa.Table:
+        err = batch["decode_error"]
+        status = _pc.case_when(
+            _pc.make_struct(
+                _pc.is_null(err),
+                _pc.starts_with(_pc.coalesce(err, pa.scalar("")), "tolerated"),
+            ),
+            pa.scalar("ok", pa.string()),
+            pa.scalar("tolerated", pa.string()),
+            pa.scalar("decode_failed", pa.string()),
+        )
+        return pa.table({"media_id": batch["media_id"], "status": status})
+
+    return out.map_batches(_status, batch_format="pyarrow")
+
+
 @register("media_features_video")  # real MJPEG-AVI video decode pipeline —
 # rows-only (binary decode is not SQL-expressible; container/codec
 # correctness lives in tests/test_avi.py and the SQL-oracled
