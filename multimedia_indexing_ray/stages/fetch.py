@@ -35,6 +35,7 @@ the ``transport=`` constructor arg the same way.
 
 from __future__ import annotations
 
+import http.client
 import os
 import socket
 import time
@@ -117,6 +118,11 @@ def http_transport(
         raise FetchError("connect_failed")
     except OSError:
         raise FetchError("connect_failed")
+    except http.client.HTTPException:
+        # BadStatusLine / LineTooLong etc. are not OSError subclasses
+        raise FetchError("connect_failed")
+    except ValueError:
+        raise FetchError("connect_failed")  # malformed URL ('htp://…')
     with resp:
         clen = resp.headers.get("Content-Length") if resp.headers else None
         if clen is not None:
@@ -131,7 +137,9 @@ def http_transport(
                 chunk = resp.read(_HTTP_CHUNK)
             except (socket.timeout, TimeoutError):
                 raise FetchError("timeout")
-            except OSError:
+            except (OSError, http.client.HTTPException):
+                # IncompleteRead (mid-body disconnect) is an
+                # HTTPException, not an OSError — same taxonomy slot
                 raise FetchError("read_failed")
             if not chunk:
                 break

@@ -92,14 +92,20 @@ def find_hot_candidates(
     m = max(2, int(sketch_counters))
 
     def _hh_partial(batch: pa.Table) -> pa.Table:
-        keys = batch[key].to_numpy(zero_copy_only=False)
+        # drop_null: a single null conv_id would crash np.unique's object
+        # compare (review-found); null keys cannot be hot conversations
+        keys = batch[key].drop_null().to_numpy(zero_copy_only=False)
         n_b = len(keys)
         uniq, cnt = np.unique(keys, return_counts=True)
         keep = cnt > n_b / m
         return pa.table(
             {
+                # explicit string type: an all-cold batch would otherwise
+                # emit a null-typed key column next to string-typed ones
+                # (schema-divergent blocks, review-found)
                 key: pa.array(
-                    np.concatenate([uniq[keep], np.array([None], dtype=object)])
+                    np.concatenate([uniq[keep], np.array([None], dtype=object)]),
+                    type=pa.string(),
                 ),
                 "n": pa.array(
                     np.concatenate([cnt[keep], [n_b]]).astype(np.int64), pa.int64()
@@ -136,10 +142,11 @@ def _candidates_from_sums(
         from ray.data.aggregate import Sum
 
         def _partial_all(batch: pa.Table) -> pa.Table:
-            keys = batch[key].to_numpy(zero_copy_only=False)
+            keys = batch[key].drop_null().to_numpy(zero_copy_only=False)
             uniq, cnt = np.unique(keys, return_counts=True)
             return pa.table(
-                {key: pa.array(uniq), "n": pa.array(cnt.astype(np.int64), pa.int64())}
+                {key: pa.array(uniq, type=pa.string()),
+                 "n": pa.array(cnt.astype(np.int64), pa.int64())}
             )
 
         totals = (
@@ -167,10 +174,11 @@ def _candidates_from_sums(
 
     def _cand_counts(batch: pa.Table) -> pa.Table:
         sel = batch.filter(pc.is_in(batch[key], value_set=cand_arr))
-        keys = sel[key].to_numpy(zero_copy_only=False)
+        keys = sel[key].drop_null().to_numpy(zero_copy_only=False)
         uniq, cnt = np.unique(keys, return_counts=True)
         return pa.table(
-            {key: pa.array(uniq), "n": pa.array(cnt.astype(np.int64), pa.int64())}
+            {key: pa.array(uniq, type=pa.string()),
+             "n": pa.array(cnt.astype(np.int64), pa.int64())}
         )
 
     totals = (
@@ -299,8 +307,18 @@ def fused_prefeature_and_plan(
 
     if persist_cap is None:
         persist_cap = int(os.environ.get("GRAFT_FUSED_PRE_CAP", "100000000"))
-    # metadata-only count for parquet/arrow-backed inputs
-    if ds.count() > persist_cap:
+    # metadata-only count for parquet/arrow-backed inputs; a TRANSFORMED
+    # input has no free count and ds.count() would execute the upstream
+    # pipeline once just to decide the gate (review-found double-scan) —
+    # treat unknown as under-cap (the fused path is the intended default;
+    # the cap protects the known-huge metadata-backed case)
+    meta_rows = None
+    try:
+        meta_rows = ds._meta_count()
+    except Exception:
+        pass
+    n_rows = meta_rows if meta_rows is not None else 0
+    if n_rows > persist_cap:
         t0 = _time.perf_counter()
         plan = build_split_plan(
             ds, specs, hot_threshold=hot_threshold,
@@ -316,7 +334,7 @@ def fused_prefeature_and_plan(
 
     def _pre_sketch(batch: pa.Table) -> pa.Table:
         out = prefeaturize(batch, include_text)
-        keys = out[key].to_numpy(zero_copy_only=False)
+        keys = out[key].drop_null().to_numpy(zero_copy_only=False)
         n_b = len(keys)
         uniq, cnt = np.unique(keys, return_counts=True)
         keep = cnt > n_b / m
@@ -384,9 +402,10 @@ def _plan_from_slim(
     k_lead = max([l.k for l in specs.leads], default=0)
 
     hot_set = set(hot)
+    hot_arr = pa.array(sorted(hot_set))  # built once, not per batch
 
     def _filter_hot(batch: pa.Table) -> pa.Table:
-        m = pc.is_in(batch[key], value_set=pa.array(sorted(hot_set)))
+        m = pc.is_in(batch[key], value_set=hot_arr)
         return batch.filter(m).select([key, on, "turn_idx"])
 
     # projection-pruned pass 2: detail rows for the (few) candidates only,
@@ -474,6 +493,21 @@ def assign_chunks(ds: "ray.data.Dataset", plan: SplitPlan, key: str = "conv_id",
     a boundary are REPLICATED into the neighbouring chunk with emit=False.
     Cold conversations pass through with chunk 0."""
     spec_names = plan_spec_names(plan)
+    plan_keys = set(plan.convs)
+    # a conversation's context windows can only overlap each other when a
+    # chunk is SHORTER than the context span — rare (session-snapped tiny
+    # chunks).  The vectorized searchsorted assignment below handles one
+    # head + one tail window per row; flag the rare multi-overlap plans
+    # once here and route them through the exact per-boundary loop.
+    multi_overlap = {
+        cid
+        for cid, p in plan.convs.items()
+        if len(p.boundaries_us) > 1
+        and (
+            (np.asarray(p.head_ctx_min_us[1:]) < np.asarray(p.boundaries_us[:-1])).any()
+            or (np.asarray(p.tail_ctx_max_us[:-1]) >= np.asarray(p.boundaries_us[1:])).any()
+        )
+    }
 
     def _assign(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -484,29 +518,50 @@ def assign_chunks(ds: "ray.data.Dataset", plan: SplitPlan, key: str = "conv_id",
         extra_idx: "list[np.ndarray]" = []
         extra_chunk: "list[np.ndarray]" = []
         extra_offs: Dict[str, "list[np.ndarray]"] = {s: [] for s in spec_names}
-        for cid, p in plan.convs.items():
-            m = conv == cid
-            if not m.any():
-                continue
-            rows = np.flatnonzero(m)
+
+        def _emit_extra(sel, targets, p):
+            extra_idx.append(sel)
+            extra_chunk.append(targets.astype(np.int32))
+            for s in spec_names:
+                extra_offs[s].append(p.session_offsets[s][targets])
+
+        # one hash pass over the batch keys; absent plan convs cost zero
+        present = set(conv.tolist()) & plan_keys if plan.convs else set()
+        for cid in present:
+            p = plan.convs[cid]
+            rows = np.flatnonzero(conv == cid)
             t = ts[rows]
-            c = np.searchsorted(p.boundaries_us, t, side="right").astype(np.int32)
+            b_arr = np.asarray(p.boundaries_us, dtype=np.int64)
+            c = np.searchsorted(b_arr, t, side="right").astype(np.int32)
             chunk[rows] = c
             for s in spec_names:
                 offs[s][rows] = p.session_offsets[s][c]
-            # head context: rows in [head_ctx_min[i], boundaries[i]) -> chunk i+1
-            for i, b in enumerate(p.boundaries_us):
-                hm = (t >= p.head_ctx_min_us[i]) & (t < b)
-                tm = (t >= b) & (t <= p.tail_ctx_max_us[i])
-                for mask, target in ((hm, i + 1), (tm, i)):
-                    if mask.any():
-                        sel = rows[mask]
-                        extra_idx.append(sel)
-                        extra_chunk.append(np.full(len(sel), target, dtype=np.int32))
-                        for s in spec_names:
-                            extra_offs[s].append(
-                                np.full(len(sel), p.session_offsets[s][target], dtype=np.int64)
+            if cid in multi_overlap:
+                # exact per-boundary loop for the rare overlapping plans
+                for i, b in enumerate(p.boundaries_us):
+                    hm = (t >= p.head_ctx_min_us[i]) & (t < b)
+                    tm = (t >= b) & (t <= p.tail_ctx_max_us[i])
+                    for mask, target in ((hm, i + 1), (tm, i)):
+                        if mask.any():
+                            sel = rows[mask]
+                            _emit_extra(
+                                sel, np.full(len(sel), target, np.int32), p
                             )
+                continue
+            # vectorized: the row's own boundary interval decides its one
+            # possible head window (i == c, when t < boundaries[c]) and
+            # one possible tail window (i == c-1)
+            head_min = np.asarray(p.head_ctx_min_us, dtype=np.int64)
+            tail_max = np.asarray(p.tail_ctx_max_us, dtype=np.int64)
+            nb = len(b_arr)
+            has_next = c < nb
+            hm = has_next & (t >= head_min[np.minimum(c, nb - 1)])
+            if hm.any():
+                _emit_extra(rows[hm], c[hm] + 1, p)
+            has_prev = c >= 1
+            tm = has_prev & (t <= tail_max[np.maximum(c, 1) - 1])
+            if tm.any():
+                _emit_extra(rows[tm], c[tm] - 1, p)
         emit = np.ones(n, dtype=bool)
         out = batch.append_column(CHUNK_COL, pa.array(chunk))
         for s in spec_names:

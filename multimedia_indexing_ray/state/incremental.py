@@ -96,7 +96,7 @@ class ConversationWindowState:
                 out[name] = float(base_row[i])
 
         self.ts.append(ts_us)
-        self.feat.append(base_row)
+        self.feat.append(np.array(base_row, dtype=np.float64, copy=True))
         self.gap_s.append(gap)
         self.last_ts = ts_us
         self.n_seen += 1
@@ -194,7 +194,7 @@ class ConversationWindowState:
                 for i, name in enumerate(_BASE[2:], start=2):
                     o[name] = float(rows[r][i])
             self.ts.append(ts_us)
-            self.feat.append(rows[r])
+            self.feat.append(np.array(rows[r], dtype=np.float64, copy=True))
             self.gap_s.append(float(gaps[r]))
         self.last_ts = ts_us
         self.n_seen += g
@@ -438,7 +438,12 @@ class ConversationWindowState:
             ).astype(np.float64)
 
         self.ts.extend(int(t) for t in ts_arr)
-        self.feat.extend(rows)
+        # COPY before retaining: ``rows`` is typically a slice view of
+        # the caller's whole sorted batch matrix — keeping views would
+        # pin the full multi-conversation batch in every conversation's
+        # ring buffer (review-found memory leak in long-lived serving
+        # actors), defeating the bounded-per-conversation guarantee
+        self.feat.extend(np.array(rows, dtype=np.float64, copy=True))
         self.gap_s.extend(float(x) for x in gaps)
         self.last_ts = int(ts_arr[-1])
         self.n_seen += g

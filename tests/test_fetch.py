@@ -298,3 +298,36 @@ def test_url_fetch_phash_dups_query(ray_session):
     assert len(out) == 48
     assert list(out.media_id_a) == [f"m-{i:04d}" for i in range(48)]
     assert list(out.media_id_b) == [f"m-{i + 48:04d}" for i in range(48)]
+
+
+def test_http_transport_nonstandard_exceptions_mapped():
+    """IncompleteRead (HTTPException, not OSError) and malformed-URL
+    ValueError must land in the documented reason vocabulary
+    (review-found taxonomy escapes)."""
+    import http.client
+
+    from multimedia_indexing_ray.stages.fetch import FetchError, http_transport
+
+    class _IncompleteBody:
+        headers = None
+        def __enter__(self):
+            return self
+        def __exit__(self, *a):
+            return False
+        def read(self, n):
+            raise http.client.IncompleteRead(b"partial")
+
+    with pytest.raises(FetchError, match="read_failed"):
+        http_transport("http://x/", _urlopen=lambda req, timeout: _IncompleteBody())
+
+    def _bad_url(req, timeout):
+        raise ValueError("unknown url type: 'htp'")
+
+    with pytest.raises(FetchError, match="connect_failed"):
+        http_transport("htp://x/", _urlopen=_bad_url)
+
+    def _bad_status(req, timeout):
+        raise http.client.BadStatusLine("garbage")
+
+    with pytest.raises(FetchError, match="connect_failed"):
+        http_transport("http://x/", _urlopen=_bad_status)

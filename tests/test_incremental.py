@@ -232,3 +232,29 @@ def test_append_run_matches_row_and_group_paths(visibility, smoke_table):
             got = np.concatenate(vec_cols[name])
             want = np.array([r[name] for r in ref_rows])
             assert np.array_equal(got, want), (cid, name, got[:5], want[:5])
+
+
+def test_retained_rows_do_not_pin_batch_matrix():
+    """Review-found memory leak: ring-buffer rows must OWN their data.
+    A retained view of the caller's batch matrix pins the whole
+    multi-conversation batch in every conversation's state."""
+    import numpy as np
+
+    from multimedia_indexing_ray.state.incremental import (
+        ConversationWindowState,
+    )
+    from multimedia_indexing_ray.specs import DEFAULT_SPECS
+
+    st = ConversationWindowState(DEFAULT_SPECS)
+    big = np.zeros((100_000, 7), dtype=np.float64)  # the "batch matrix"
+    seg = big[50_000:50_004]  # a conversation's segment VIEW
+    ts = np.array([10**6, 2 * 10**6, 3 * 10**6, 4 * 10**6], dtype=np.int64)
+    st.append_run(ts, seg, [(0, 1), (1, 2), (2, 3), (3, 4)])
+    for row in st.feat:
+        base = row.base if row.base is not None else row
+        assert base.nbytes < big.nbytes / 100, "row pins the batch matrix"
+    # the slow per-row paths copy too
+    st2 = ConversationWindowState(DEFAULT_SPECS)
+    st2.append(10**6, big[7])
+    base = st2.feat[0].base if st2.feat[0].base is not None else st2.feat[0]
+    assert base.nbytes < big.nbytes / 100
