@@ -7247,3 +7247,424 @@ def q_kcore_neardup(sf_dir: str):
         coalesce=docs.count() <= _COALESCE_DOCS,
     )
     return kcore(pairs, k=2, rounds=5)
+
+
+# ---------------------------------------------------------------------------
+# §2.11 additions (round 5c): n-gram LM quality filtering and exact
+# duplicate-span detection — the two classic training-data curation passes
+# (CCNet-style perplexity filtering; Lee et al. 2022 ExactSubstr dedup)
+# that were still missing from the registry.
+# ---------------------------------------------------------------------------
+
+_LM_SQL = r"""
+WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS l FROM documents),
+seq AS (SELECT doc_id, unnest(l) AS w, unnest(range(1, len(l)+1)) AS i FROM toks),
+big AS (SELECT doc_id, w AS w1,
+               lead(w) OVER (PARTITION BY doc_id ORDER BY i) AS w2
+        FROM seq QUALIFY w2 IS NOT NULL),
+bc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2 FROM big GROUP BY 1, 2),
+uc AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM bc GROUP BY 1)
+SELECT b.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(uc.c1 * 1000000 // bc.c2) AS BIGINT) AS surprise,
+       CAST(SUM(uc.c1 * 1000000 // bc.c2) // COUNT(*) AS BIGINT) AS surprise_per_bigram
+FROM big b JOIN bc USING (w1, w2) JOIN uc USING (w1)
+GROUP BY 1
+"""
+
+
+def _bigram_keys(batch: pa.Table):
+    """(doc_row_index, w1, joined 'w1 w2' key) for every bigram occurrence
+    in the batch — consecutive whitespace tokens within one document.  The
+    join separator is a space, which cannot appear inside a \\S+ token, so
+    the composite key is collision-free.  All kernels are Arrow/numpy; the
+    only per-token work is the C-level string concat."""
+    flat, counts = tx.flat_tokens(batch["text"])
+    n = len(flat)
+    if n < 2:
+        return None
+    doc_of = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+    ok = doc_of[:-1] == doc_of[1:]
+    if not ok.any():
+        return None
+    w1 = flat[:-1][ok]
+    w2 = flat[1:][ok]
+    keys = pc.binary_join_element_wise(
+        pa.array(w1, pa.string()), pa.array(w2, pa.string()), " "
+    )
+    return doc_of[:-1][ok], w1, keys
+
+
+_BC_EMPTY = pa.table(
+    {"bg": pa.array([], pa.string()), "c2": pa.array([], pa.int64())}
+)
+_UC_EMPTY = pa.table(
+    {"w1": pa.array([], pa.string()), "c1": pa.array([], pa.int64())}
+)
+_LM_EMPTY = pa.table(
+    {
+        "doc_id": pa.array([], pa.int64()),
+        "n_bigrams": pa.array([], pa.int64()),
+        "surprise": pa.array([], pa.int64()),
+        "surprise_per_bigram": pa.array([], pa.int64()),
+    }
+)
+
+
+@register("lm_perplexity_docs", _LM_SQL)
+def q_lm_perplexity_docs(sf_dir: str):
+    """CCNet-style n-gram language-model quality scoring: train a word-
+    bigram LM on the corpus itself (maximum-likelihood counts), then score
+    every document by total and mean per-bigram surprise.  The per-
+    occurrence surprise surrogate is ``count(w1·) * 1e6 // count(w1 w2)``
+    — the integer reciprocal of the MLE conditional p(w2|w1), which has
+    the same ORDERING as -log p summed per document but is bit-exact
+    across engines (no float log).  High-surprise documents are the
+    low-quality / out-of-domain tail that perplexity filtering drops.
+
+    Distribution mirrors the tf-idf family (`q_tfidf_top_terms`):
+    per-batch Arrow bigram-count partials -> ONE keyed reduce to the
+    bigram table, a second tiny reduce for the prefix-marginal table,
+    then a shuffle-free scoring pass (bigrams never cross document
+    boundaries, so each batch scores its own docs).  Both model tables
+    are gated on `_vocab_broadcast_cap` (open-domain bigram vocabularies
+    are unbounded): under the cap they broadcast once via ray.put and the
+    lookup is two searchsorteds; above it the scoring pass co-partitions
+    per-doc bigram counts with the model tables via two bucketed hash
+    joins and a doc-keyed reduce — no driver materialization on either
+    side.  Statistical analog of the reference's learned-model scoring
+    chain (model learned from the corpus, broadcast, applied per batch —
+    `examples/IndexTransformation.java:61-125`)."""
+    from multimedia_indexing_ray.stages.partition import map_partitions_by_key
+
+    docs = _rp(sf_dir, "documents", ["doc_id", "text"])
+
+    def _bc_partial(batch: pa.Table) -> pa.Table:
+        bk = _bigram_keys(batch)
+        if bk is None:
+            return _BC_EMPTY
+        _, _, keys = bk
+        return _pa_group_sum(
+            pa.table({"bg": keys, "c2": pa.array(np.ones(len(keys), np.int64))}),
+            ["bg"],
+            ["c2"],
+        )
+
+    def _bc_reduce(t: pa.Table) -> pa.Table:
+        return _pa_group_sum(t, ["bg"], ["c2"]) if t.num_rows else _BC_EMPTY
+
+    bc_ds = map_partitions_by_key(
+        docs.map_batches(_bc_partial, batch_format="pyarrow"),
+        "bg",
+        _bc_reduce,
+        num_partitions=8,
+    ).materialize()
+
+    def _uc_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _UC_EMPTY
+        w1 = pc.list_element(pc.split_pattern(t["bg"], " ", max_splits=1), 0)
+        return _pa_group_sum(pa.table({"w1": w1, "c1": t["c2"]}), ["w1"], ["c1"])
+
+    def _uc_reduce(t: pa.Table) -> pa.Table:
+        return _pa_group_sum(t, ["w1"], ["c1"]) if t.num_rows else _UC_EMPTY
+
+    uc_ds = map_partitions_by_key(
+        bc_ds.map_batches(_uc_partial, batch_format="pyarrow"),
+        "w1",
+        _uc_reduce,
+        num_partitions=8,
+    ).materialize()
+
+    import ray as _ray
+
+    if bc_ds.count() <= _vocab_broadcast_cap():
+        bc_rows = bc_ds.take_all()
+        uc_rows = uc_ds.take_all()
+        bg_sorted = np.array(sorted(r["bg"] for r in bc_rows), dtype=object)
+        bgmap = {r["bg"]: r["c2"] for r in bc_rows}
+        c2v = np.array([bgmap[k] for k in bg_sorted], dtype=np.int64)
+        w1_sorted = np.array(sorted(r["w1"] for r in uc_rows), dtype=object)
+        w1map = {r["w1"]: r["c1"] for r in uc_rows}
+        c1v = np.array([w1map[k] for k in w1_sorted], dtype=np.int64)
+        # model tables ship through the object store once, not in every
+        # task's pickled closure
+        mref = _ray.put((bg_sorted, c2v, w1_sorted, c1v))
+
+        def _score(batch: pa.Table) -> pa.Table:
+            bg_sorted, c2v, w1_sorted, c1v = _ray.get(mref)
+            bk = _bigram_keys(batch)
+            if bk is None:
+                return _LM_EMPTY
+            d, w1, keys = bk
+            kn = keys.to_numpy(zero_copy_only=False)
+            c2 = c2v[np.searchsorted(bg_sorted, kn)]
+            c1 = c1v[np.searchsorted(w1_sorted, w1)]
+            score = c1 * np.int64(1_000_000) // c2
+            starts = sg.segment_starts(d)
+            sums = np.add.reduceat(score, starts)
+            nb = np.diff(np.append(starts, len(d))).astype(np.int64)
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)[d[starts]]
+            return pa.table(
+                {
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "n_bigrams": pa.array(nb, pa.int64()),
+                    "surprise": pa.array(sums, pa.int64()),
+                    "surprise_per_bigram": pa.array(sums // nb, pa.int64()),
+                }
+            )
+
+        return docs.map_batches(_score, batch_format="pyarrow")
+
+    # at-scale path: per-doc bigram-count pairs hash-joined with both
+    # model tables on their keys (the model never leaves the workers),
+    # then one doc-keyed reduce
+    _PAIRS_EMPTY = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "bg": pa.array([], pa.string()),
+            "w1": pa.array([], pa.string()),
+            "k": pa.array([], pa.int64()),
+        }
+    )
+
+    def _doc_pairs(batch: pa.Table) -> pa.Table:
+        bk = _bigram_keys(batch)
+        if bk is None:
+            return _PAIRS_EMPTY
+        d, w1, keys = bk
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                "doc_id": pa.array(ids[d], pa.int64()),
+                "bg": keys,
+                "w1": pa.array(w1, pa.string()),
+                "k": pa.array(np.ones(len(d), np.int64)),
+            }
+        )
+        g = pa.TableGroupBy(t, ["doc_id", "bg", "w1"]).aggregate([("k", "sum")])
+        return pa.table(
+            {
+                "doc_id": g["doc_id"],
+                "bg": g["bg"],
+                "w1": g["w1"],
+                "k": g["k_sum"],
+            }
+        )
+
+    joined = hash_join(
+        hash_join(
+            docs.map_batches(_doc_pairs, batch_format="pyarrow"),
+            bc_ds,
+            left_on="bg",
+            num_partitions=16,
+        ),
+        uc_ds,
+        left_on="w1",
+        num_partitions=16,
+    )
+
+    def _doc_reduce(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _LM_EMPTY
+        d = t["doc_id"].to_numpy(zero_copy_only=False)
+        k = t["k"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c2 = t["c2"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c1 = t["c1"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(d, kind="stable")
+        d, k = d[order], k[order]
+        score = (c1[order] * np.int64(1_000_000) // c2[order]) * k
+        starts = sg.segment_starts(d)
+        sums = np.add.reduceat(score, starts)
+        nb = np.add.reduceat(k, starts)
+        return pa.table(
+            {
+                "doc_id": pa.array(d[starts], pa.int64()),
+                "n_bigrams": pa.array(nb, pa.int64()),
+                "surprise": pa.array(sums, pa.int64()),
+                "surprise_per_bigram": pa.array(sums // nb, pa.int64()),
+            }
+        )
+
+    return map_partitions_by_key(joined, "doc_id", _doc_reduce, num_partitions=16)
+
+
+_GRAM_CHARS = 16
+
+_DUP_SPAN_SQL = f"""
+WITH g AS (SELECT doc_id,
+                  unnest(range(1, greatest(length(text)-{_GRAM_CHARS - 2}, 1))) AS i,
+                  text FROM documents),
+g2 AS (SELECT doc_id, i, substr(text, CAST(i AS INTEGER), {_GRAM_CHARS}) AS gram FROM g),
+dup AS (SELECT gram FROM g2 GROUP BY gram HAVING COUNT(*) > 1),
+hits AS (SELECT g2.doc_id, g2.i FROM g2 JOIN dup USING (gram)),
+pos AS (SELECT DISTINCT doc_id, unnest(range(i, i+{_GRAM_CHARS})) AS p FROM hits)
+SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars,
+       CAST(COALESCE(c.cnt, 0) AS BIGINT) AS dup_chars
+FROM documents d
+LEFT JOIN (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS cnt FROM pos GROUP BY 1) c
+  USING (doc_id)
+"""
+
+
+@register("dup_span_docs", _DUP_SPAN_SQL)
+def q_dup_span_docs(sf_dir: str):
+    """ExactSubstr-style duplicate-span detection (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): for every
+    document, the number of character positions covered by at least one
+    16-char gram that occurs MORE THAN ONCE in the whole corpus (including
+    twice within the same document) — the per-doc duplicated-text mass a
+    span-removal pass would cut.
+
+    Grams are windows over the UTF-32 codepoint array (exactly SQL
+    ``substr`` semantics), packed zero-copy into fixed-size-binary(64)
+    Arrow values — no per-gram Python objects.  ONE slim keyed exchange of
+    (gram, doc_id, pos) rows groups equal grams (exact bytes, not hashes,
+    so collisions are impossible); occurrences of corpus-repeated grams
+    come back as (doc_id, pos) hits, union with the per-doc length rows,
+    and a second doc-keyed pass computes the interval-union length with a
+    segmented min(gap, 16) prefix kernel — equal-length intervals make
+    coverage a closed form, no position expansion anywhere (the oracle's
+    ``unnest(range(i, i+16))`` blow-up stays SQL-only).
+
+    Scale note: the gram exchange ships 64B × n_chars — bounded, single
+    pass, but 16× the corpus bytes; at 100 TB compose with
+    `q_winnow_fingerprint_docs` as a candidate-document prefilter so only
+    documents sharing a winnowed fingerprint enter the exact pass (same
+    blocking-then-verify shape as `dd.anchor_jaccard_pairs`).  Gram
+    extraction loops per DOCUMENT (C-level utf-32 encode + one
+    sliding_window_view per doc), never per gram/char."""
+    from multimedia_indexing_ray.stages.partition import map_partitions_by_key
+
+    docs = _rp(sf_dir, "documents", ["doc_id", "text"])
+    K = _GRAM_CHARS
+    GB = pa.binary(4 * K)
+
+    _GRAMS_EMPTY = pa.table(
+        {
+            "gram": pa.array([], GB),
+            "doc_id": pa.array([], pa.int64()),
+            "i": pa.array([], pa.int64()),
+        }
+    )
+
+    def _grams(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        texts = batch["text"].to_pylist()
+        chunks, out_ids, out_pos = [], [], []
+        for did, s in zip(ids, texts):
+            if s is None or len(s) < K:
+                continue
+            u32 = np.frombuffer(s.encode("utf-32-le"), np.uint32)
+            win = np.ascontiguousarray(
+                np.lib.stride_tricks.sliding_window_view(u32, K)
+            )
+            m = len(win)
+            chunks.append(win)
+            out_ids.append(np.full(m, did, np.int64))
+            out_pos.append(np.arange(1, m + 1, dtype=np.int64))
+        if not chunks:
+            return _GRAMS_EMPTY
+        data = np.concatenate(chunks)
+        n = len(data)
+        grams = pa.FixedSizeBinaryArray.from_buffers(
+            GB, n, [None, pa.py_buffer(data.tobytes())]
+        )
+        return pa.table(
+            {
+                "gram": grams,
+                "doc_id": pa.array(np.concatenate(out_ids), pa.int64()),
+                "i": pa.array(np.concatenate(out_pos), pa.int64()),
+            }
+        )
+
+    _KV_EMPTY = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "kind": pa.array([], pa.int64()),
+            "val": pa.array([], pa.int64()),
+        }
+    )
+
+    def _dup_hits(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _KV_EMPTY
+        col = t["gram"].combine_chunks()
+        raw = np.frombuffer(col.buffers()[1], dtype=f"V{4 * K}")[
+            col.offset : col.offset + len(col)
+        ]
+        _, inv, cnt = np.unique(raw, return_inverse=True, return_counts=True)
+        keep = cnt[inv] > 1
+        if not keep.any():
+            return _KV_EMPTY
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].filter(pa.array(keep)),
+                "kind": pa.array(
+                    np.ones(int(keep.sum()), np.int64), pa.int64()
+                ),
+                "val": t["i"].filter(pa.array(keep)),
+            }
+        )
+
+    hits = map_partitions_by_key(
+        docs.map_batches(_grams, batch_format="pyarrow"),
+        "gram",
+        _dup_hits,
+        num_partitions=16,
+    )
+
+    def _len_rows(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].cast(pa.int64()),
+                "kind": pa.array(np.zeros(batch.num_rows, np.int64)),
+                "val": pc.utf8_length(batch["text"]).cast(pa.int64()),
+            }
+        )
+
+    lens = docs.map_batches(_len_rows, batch_format="pyarrow")
+
+    _OUT_EMPTY = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "n_chars": pa.array([], pa.int64()),
+            "dup_chars": pa.array([], pa.int64()),
+        }
+    )
+
+    def _coverage(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _OUT_EMPTY
+        d = t["doc_id"].to_numpy(zero_copy_only=False)
+        k = t["kind"].to_numpy(zero_copy_only=False)
+        v = t["val"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, k, d))
+        d, k, v = d[order], k[order], v[order]
+        lm = k == 0
+        out_ids, out_len = d[lm], v[lm]
+        dh, vh = d[~lm], v[~lm]
+        cover = np.zeros(len(out_ids), np.int64)
+        if len(dh):
+            last = np.empty(len(dh), bool)
+            last[:-1] = dh[:-1] != dh[1:]
+            last[-1] = True
+            contrib = np.full(len(dh), K, np.int64)
+            gaps = vh[1:] - vh[:-1]
+            nl = ~last[:-1]
+            contrib[:-1][nl] = np.minimum(K, gaps[nl])
+            starts = sg.segment_starts(dh)
+            per_doc = np.add.reduceat(contrib, starts)
+            # every hit doc has a length row in the same partition group
+            cover[np.searchsorted(out_ids, dh[starts])] = per_doc
+        return pa.table(
+            {
+                "doc_id": pa.array(out_ids, pa.int64()),
+                "n_chars": pa.array(out_len, pa.int64()),
+                "dup_chars": pa.array(cover, pa.int64()),
+            }
+        )
+
+    return map_partitions_by_key(
+        lens.union(hits), "doc_id", _coverage, num_partitions=16
+    )

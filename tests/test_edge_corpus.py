@@ -53,6 +53,8 @@ QUERIES = [
     "tfidf_top_terms",
     "term_cooccurrence",
     "bpe_pair_counts",
+    "lm_perplexity_docs",
+    "dup_span_docs",
 ]
 
 
@@ -118,7 +120,9 @@ def test_edge_corpus_query_parity(ray_session, edge_dir, edge_con, name):
             assert a.tolist() == b.tolist(), f"{name}.{c}"
 
 
-@pytest.mark.parametrize("name", ["tfidf_top_terms", "top_term_docs"])
+@pytest.mark.parametrize(
+    "name", ["tfidf_top_terms", "top_term_docs", "lm_perplexity_docs"]
+)
 def test_vocab_cap_forces_distributed_path(
     ray_session, edge_dir, edge_con, name, monkeypatch
 ):
