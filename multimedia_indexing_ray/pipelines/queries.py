@@ -7668,3 +7668,164 @@ def q_dup_span_docs(sf_dir: str):
     return map_partitions_by_key(
         lens.union(hits), "doc_id", _coverage, num_partitions=16
     )
+
+
+_DSIR_BUCKETS = 256
+_DSIR_TOP_K = 100
+
+
+def _dsir_sql() -> str:
+    from multimedia_indexing_ray.functions.text import FNV_BASIS
+
+    B, K = _DSIR_BUCKETS, _DSIR_TOP_K
+    return rf"""
+    WITH t2 AS (SELECT d.doc_id, d.lang, unnest(regexp_extract_all(d.text, '\S+')) AS tok
+                FROM documents d),
+    b AS (SELECT doc_id, lang,
+                 CAST({_fnv_sql('tok', FNV_BASIS)} % {B} AS BIGINT) AS bucket
+          FROM t2),
+    q AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS qc FROM b GROUP BY 1),
+    p AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS pc FROM b WHERE lang = 'en' GROUP BY 1),
+    s AS (SELECT q.bucket, (COALESCE(p.pc, 0) + 1) * 1000000 // (q.qc + 1) AS sb
+          FROM q LEFT JOIN p USING (bucket)),
+    doc AS (SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                   CAST(SUM(s.sb) AS BIGINT) AS importance
+            FROM b JOIN s USING (bucket) GROUP BY 1),
+    r AS (SELECT doc_id, n_tokens, importance,
+                 importance // n_tokens AS importance_per_token,
+                 row_number() OVER (ORDER BY importance // n_tokens DESC, doc_id) AS rk
+          FROM doc)
+    SELECT doc_id, n_tokens, importance, importance_per_token,
+           CAST(CASE WHEN rk <= {K} THEN 1 ELSE 0 END AS BIGINT) AS selected
+    FROM r
+    """
+
+
+@register("dsir_importance_docs", _dsir_sql())
+def q_dsir_importance_docs(sf_dir: str):
+    """DSIR — Data Selection via Importance Resampling (Xie et al. 2023):
+    fit hashed-unigram bag-of-words models of the TARGET distribution
+    (here the lang='en' slice) and the RAW corpus, weight every document
+    by how target-like its hashed token histogram is, and select the
+    top-k.  The per-bucket weight is the integer likelihood-ratio
+    surrogate ``(target_count+1) * 1e6 // (corpus_count+1)`` (add-one
+    smoothed); since the target is a subset of the corpus the ratio is
+    <= 1e6, so per-doc sums stay far from int64 overflow.  Log-free,
+    bit-exact on both engines; constant factors (corpus/target totals)
+    multiply every bucket equally so the selection ranking matches the
+    normalized-DSIR ranking.
+
+    Scale shape: the model is a FIXED 256-int vector pair, so there is no
+    keyed exchange anywhere — per-batch (256,) count partials coalesce
+    through the `_tiny_group_sum` tree (bucket is the textbook
+    low-cardinality key), the scored pass is embarrassingly parallel, and
+    the top-k selection is per-block partial top-k -> one tiny merge
+    (K7's pattern) with the winner id-set broadcast for the flag column.
+    Scored rows materialize once (slim int64 columns, no text) because
+    the flag pass re-reads them."""
+    from multimedia_indexing_ray.stages.partition import map_partitions_by_key  # noqa: F401
+
+    docs = _rp(sf_dir, "documents", ["doc_id", "text", "lang"])
+    B, K = _DSIR_BUCKETS, _DSIR_TOP_K
+
+    _CNT_EMPTY = pa.table(
+        {
+            "bucket": pa.array([], pa.int64()),
+            "qc": pa.array([], pa.int64()),
+            "pc": pa.array([], pa.int64()),
+        }
+    )
+
+    def _bucket_counts(batch: pa.Table) -> pa.Table:
+        flat, counts = tx.flat_tokens(batch["text"])
+        if len(flat) == 0:
+            return _CNT_EMPTY
+        doc_of = np.repeat(np.arange(batch.num_rows, dtype=np.int64), counts)
+        bucket = (tx.fnv1a32_str(flat) % np.uint64(B)).astype(np.int64)
+        is_en = (
+            pc.equal(batch["lang"], "en").to_numpy(zero_copy_only=False)[doc_of]
+        )
+        qv = np.bincount(bucket, minlength=B).astype(np.int64)
+        pv = np.bincount(bucket[is_en], minlength=B).astype(np.int64)
+        nz = (qv > 0) | (pv > 0)
+        return pa.table(
+            {
+                "bucket": pa.array(np.nonzero(nz)[0].astype(np.int64), pa.int64()),
+                "qc": pa.array(qv[nz], pa.int64()),
+                "pc": pa.array(pv[nz], pa.int64()),
+            }
+        )
+
+    model_rows = _tiny_group_sum(
+        docs.map_batches(_bucket_counts, batch_format="pyarrow"),
+        ["bucket"],
+        ["qc", "pc"],
+    ).take_all()
+    sb = np.zeros(B, np.int64)  # buckets absent from the corpus never occur
+    for r in model_rows:
+        sb[r["bucket"]] = (r["pc"] + 1) * 1_000_000 // (r["qc"] + 1)
+
+    import ray as _ray
+
+    sref = _ray.put(sb)
+
+    _SCORE_EMPTY = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "n_tokens": pa.array([], pa.int64()),
+            "importance": pa.array([], pa.int64()),
+            "importance_per_token": pa.array([], pa.int64()),
+        }
+    )
+
+    def _score(batch: pa.Table) -> pa.Table:
+        sb = _ray.get(sref)
+        flat, counts = tx.flat_tokens(batch["text"])
+        if len(flat) == 0:
+            return _SCORE_EMPTY
+        nz = counts > 0
+        doc_of = np.repeat(np.arange(batch.num_rows, dtype=np.int64), counts)
+        bucket = (tx.fnv1a32_str(flat) % np.uint64(B)).astype(np.int64)
+        # exact int64 segmented sum (bincount weights would go float64)
+        starts = sg.segment_starts(doc_of)
+        sums = np.add.reduceat(sb[bucket], starts)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)[nz]
+        nt = counts[nz]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_tokens": pa.array(nt, pa.int64()),
+                "importance": pa.array(sums, pa.int64()),
+                "importance_per_token": pa.array(sums // nt, pa.int64()),
+            }
+        )
+
+    scored = docs.map_batches(_score, batch_format="pyarrow").materialize()
+
+    def _partial_top(t: pa.Table) -> pa.Table:
+        if t.num_rows <= K:
+            return t
+        ipt = t["importance_per_token"].to_numpy(zero_copy_only=False)
+        d = t["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, -ipt))[:K]
+        return t.take(np.sort(order))
+
+    top = (
+        scored.map_batches(_partial_top, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(_partial_top, batch_format="pyarrow", batch_size=None)
+        .take_all()
+    )
+    top_ids = _ray.put(np.sort(np.array([r["doc_id"] for r in top], np.int64)))
+
+    def _flag(t: pa.Table) -> pa.Table:
+        ids = _ray.get(top_ids)
+        d = t["doc_id"].to_numpy(zero_copy_only=False)
+        sel = np.zeros(len(d), np.int64)
+        if len(ids):
+            pos = np.searchsorted(ids, d)
+            pos[pos >= len(ids)] = len(ids) - 1
+            sel[ids[pos] == d] = 1
+        return t.append_column("selected", pa.array(sel, pa.int64()))
+
+    return scored.map_batches(_flag, batch_format="pyarrow")

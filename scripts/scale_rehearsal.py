@@ -64,6 +64,9 @@ GATED = {
     "users_without_high_value": {"GRAFT_BROADCAST_ROW_CAP": "0"},
     "tfidf_top_terms": {"GRAFT_MAX_VOCAB_BROADCAST": "0"},
     "top_term_docs": {"GRAFT_MAX_VOCAB_BROADCAST": "0"},
+    # r5c: bigram-LM model tables flip from broadcast to two bucketed
+    # hash joins + doc-keyed reduce
+    "lm_perplexity_docs": {"GRAFT_MAX_VOCAB_BROADCAST": "0"},
 }
 
 

@@ -55,6 +55,7 @@ QUERIES = [
     "bpe_pair_counts",
     "lm_perplexity_docs",
     "dup_span_docs",
+    "dsir_importance_docs",
 ]
 
 
