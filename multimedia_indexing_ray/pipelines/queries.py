@@ -7829,3 +7829,196 @@ def q_dsir_importance_docs(sf_dir: str):
         return t.append_column("selected", pa.array(sel, pa.int64()))
 
     return scored.map_batches(_flag, batch_format="pyarrow")
+
+
+_BM25_QTERMS = 5
+_BM25_TOP_K = 20
+
+
+def _bm25_sql() -> str:
+    Q, K = _BM25_QTERMS, _BM25_TOP_K
+    return rf"""
+    WITH t2 AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS tok
+                FROM documents),
+    stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS total_len FROM t2),
+    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+    dfr AS (SELECT tok, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM t2 GROUP BY 1),
+    qterms AS (SELECT tok, df FROM dfr ORDER BY df DESC, tok LIMIT {Q}),
+    dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM t2 GROUP BY 1),
+    tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM t2 JOIN (SELECT tok FROM qterms) q USING (tok) GROUP BY 1, 2),
+    sc AS (SELECT tf.doc_id,
+             CAST(SUM( ((nd.n - q.df)*1000 // (q.df+1))
+                 * (tf.tf*2200000*1000000
+                    // (tf.tf*1000000 + 300000 + 900000*dl.dl*nd.n // stats.total_len))
+                 // 1000000 ) AS BIGINT) AS bm25_milli
+           FROM tf JOIN qterms q USING (tok) JOIN dl USING (doc_id), nd, stats
+           GROUP BY 1)
+    SELECT doc_id, bm25_milli,
+           CAST(row_number() OVER (ORDER BY bm25_milli DESC, doc_id) AS BIGINT) AS rk
+    FROM sc QUALIFY rk <= {K}
+    """
+
+
+@register("bm25_top_docs", _bm25_sql())
+def q_bm25_top_docs(sf_dir: str):
+    """BM25 ranked retrieval (Robertson-Spärck Jones; k1=1.2, b=0.75):
+    score every document against a deterministic 5-term query (the
+    corpus's 5 highest-df terms, ties by term) and return the top-20.
+    The float BM25 formula is folded into exact integer steps both
+    engines replay bit-for-bit — with k1=6/5, b=3/4 the tf saturation
+    term is the rational ``tf*2.2e6*1e6 // (tf*1e6 + 3e5 +
+    9e5*dl*N//total_len)`` (ppm), the idf surrogate is
+    ``(N-df)*1000 // (df+1)`` (milli), and the per-term contribution is
+    their product floor-divided back to milli-units.  int64-safe while
+    idf_milli * 2.2e12 < 2^63, i.e. for query terms with df >~ N/4e6 —
+    guaranteed here because the query picks the HIGHEST-df terms.
+
+    Scale shape: document frequencies reduce through ONE keyed exchange
+    of per-batch distinct-term partials (same plan as
+    `q_tfidf_top_terms`); the query-term selection is a per-partition
+    partial top-5 -> tiny driver merge (never the whole vocabulary); N
+    and total token count are metadata/scalar aggregates; the scoring
+    pass is shuffle-free (5 sorted terms searchsorted per batch); the
+    final top-20 is per-block partial top-k -> one-block merge (K7).
+    Retrieval analog of the exhaustive-search ranking chain
+    (`visual/datastructures/Linear.java` top-k ordering invariants)."""
+    from multimedia_indexing_ray.stages.partition import map_partitions_by_key
+
+    docs = _rp(sf_dir, "documents", ["doc_id", "text"])
+    Q, K = _BM25_QTERMS, _BM25_TOP_K
+
+    _DF_EMPTY = pa.table(
+        {"tok": pa.array([], pa.string()), "df": pa.array([], pa.int64())}
+    )
+    _LEN_EMPTY = pa.table({"tl": pa.array([], pa.int64())})
+
+    def _df_partial(batch: pa.Table) -> pa.Table:
+        flat, counts = tx.flat_tokens(batch["text"])
+        if len(flat) == 0:
+            return _DF_EMPTY
+        doc_of = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+        uniq, tok_id = np.unique(flat, return_inverse=True)
+        nv = np.int64(len(uniq))
+        dfc = np.bincount(
+            np.unique(doc_of * nv + tok_id) % nv, minlength=len(uniq)
+        ).astype(np.int64)
+        return pa.table(
+            {"tok": pa.array(uniq, pa.string()), "df": pa.array(dfc, pa.int64())}
+        )
+
+    def _df_reduce(t: pa.Table) -> pa.Table:
+        return _pa_group_sum(t, ["tok"], ["df"]) if t.num_rows else _DF_EMPTY
+
+    df_ds = map_partitions_by_key(
+        docs.map_batches(_df_partial, batch_format="pyarrow"),
+        "tok",
+        _df_reduce,
+        num_partitions=8,
+    )
+
+    def _top_terms(t: pa.Table) -> pa.Table:
+        if t.num_rows <= Q:
+            return t
+        toks = np.asarray(t["tok"]).astype(object)
+        dfv = t["df"].to_numpy(zero_copy_only=False)
+        sel = np.lexsort((toks, -dfv))[:Q]
+        return t.take(np.sort(sel))
+
+    qrows = (
+        df_ds.map_batches(_top_terms, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(_top_terms, batch_format="pyarrow", batch_size=None)
+        .take_all()
+    )
+    qrows.sort(key=lambda r: r["tok"])
+    qtoks = np.array([r["tok"] for r in qrows], dtype=object)
+    qdf = np.array([r["df"] for r in qrows], dtype=np.int64)
+
+    n_docs = np.int64(docs.count())
+
+    def _tl_partial(batch: pa.Table) -> pa.Table:
+        _, counts = tx.flat_tokens(batch["text"])
+        return pa.table({"tl": pa.array([int(counts.sum())], pa.int64())})
+
+    total_len = np.int64(
+        sum(
+            r["tl"]
+            for r in docs.map_batches(_tl_partial, batch_format="pyarrow").take_all()
+        )
+    )
+
+    import ray as _ray
+
+    qref = _ray.put((qtoks, qdf))
+    idf_milli = (n_docs - qdf) * np.int64(1000) // (qdf + np.int64(1))
+
+    _SC_EMPTY = pa.table(
+        {"doc_id": pa.array([], pa.int64()), "bm25_milli": pa.array([], pa.int64())}
+    )
+
+    def _score(batch: pa.Table) -> pa.Table:
+        qtoks, qdf = _ray.get(qref)
+        idf = (n_docs - qdf) * np.int64(1000) // (qdf + np.int64(1))
+        flat, counts = tx.flat_tokens(batch["text"])
+        if len(flat) == 0:
+            return _SC_EMPTY
+        doc_of = np.repeat(np.arange(batch.num_rows, dtype=np.int64), counts)
+        pos = np.searchsorted(qtoks, flat)
+        pos[pos >= len(qtoks)] = len(qtoks) - 1
+        hit = qtoks[pos] == flat
+        if not hit.any():
+            return _SC_EMPTY
+        d, q = doc_of[hit], pos[hit]
+        nq = np.int64(len(qtoks))
+        pair, tf = np.unique(d * nq + q, return_counts=True)
+        tf = tf.astype(np.int64)
+        pd_, pq = pair // nq, pair % nq
+        dl = counts[pd_].astype(np.int64)
+        den = (
+            tf * np.int64(1_000_000)
+            + np.int64(300_000)
+            + np.int64(900_000) * dl * n_docs // total_len
+        )
+        contrib = (
+            idf[pq]
+            * (tf * np.int64(2_200_000) * np.int64(1_000_000) // den)
+            // np.int64(1_000_000)
+        )
+        starts = sg.segment_starts(pd_)
+        sums = np.add.reduceat(contrib, starts)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)[pd_[starts]]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "bm25_milli": pa.array(sums, pa.int64()),
+            }
+        )
+
+    scored = docs.map_batches(_score, batch_format="pyarrow")
+
+    def _partial_top(t: pa.Table) -> pa.Table:
+        if t.num_rows <= K:
+            return t
+        s = t["bm25_milli"].to_numpy(zero_copy_only=False)
+        d = t["doc_id"].to_numpy(zero_copy_only=False)
+        sel = np.lexsort((d, -s))[:K]
+        return t.take(np.sort(sel))
+
+    def _final(t: pa.Table) -> pa.Table:
+        s = t["bm25_milli"].to_numpy(zero_copy_only=False)
+        d = t["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, -s))[:K]
+        return pa.table(
+            {
+                "doc_id": pa.array(d[order], pa.int64()),
+                "bm25_milli": pa.array(s[order], pa.int64()),
+                "rk": pa.array(np.arange(1, len(order) + 1, dtype=np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        scored.map_batches(_partial_top, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(_final, batch_format="pyarrow", batch_size=None)
+    )

@@ -56,6 +56,7 @@ QUERIES = [
     "lm_perplexity_docs",
     "dup_span_docs",
     "dsir_importance_docs",
+    "bm25_top_docs",
 ]
 
 
