@@ -65,6 +65,10 @@ BENCH_QUERIES = [
     # decode -> dHash -> pair paths (VERDICT r4 item 8)
     "media_phash_dups",
     "media_mixed_dups",
+    # r5c curation additions: the exact-substring gram exchange and the
+    # BM25 retrieval chain (df reduce -> shuffle-free scoring -> top-k)
+    "dup_span_docs",
+    "bm25_top_docs",
 ]
 
 # Per-query shuffle strategy, interleaved-A/B measured (2026-08-17, 32
