@@ -239,3 +239,60 @@ def range_minmax(
         out_min[idx] = np.minimum(mins[j][a], mins[j][b])
         out_max[idx] = np.maximum(maxs[j][a], maxs[j][b])
     return out_min, out_max
+
+
+def range_median(
+    x: np.ndarray, lo: np.ndarray, hi: np.ndarray, mass_cap: int = 1 << 23
+) -> np.ndarray:
+    """Exact median of ``x[lo[i]:hi[i]]`` per output row, vectorized.
+
+    Median is HOLISTIC — prefix sums don't apply (not decomposable) and
+    sparse tables don't either (medians of overlapping power-of-two
+    halves don't merge), so each window's members are materialized once
+    into a CSR expansion, all windows are sorted together with ONE
+    ``np.lexsort`` (value within row), and the two middle elements are
+    fancy-indexed out.  ``(m_lo + m_hi) / 2`` is ``np.median``'s
+    even-count rule and matches DuckDB's ``quantile_cont(0.5)``
+    bit-exactly on doubles (odd counts have ``m_lo == m_hi``).
+
+    Peak memory is bounded by WINDOW MASS, not row count: rows are
+    processed in chunks whose summed window lengths stay <= ``mass_cap``
+    (~8M members = ~190 MB transient with the lexsort workspace), so a
+    hot key whose trailing windows hold millions of rows degrades to
+    more chunks, never to a larger allocation — the same bounded-expand
+    discipline as the n-gram dedup CSR verify (`stages/dedup.py`).
+    Empty ranges (hi <= lo) return NaN.
+    """
+    nq = len(lo)
+    out = np.full(nq, np.nan)
+    if nq == 0 or len(x) == 0:
+        return out
+    xf = np.asarray(x, dtype=np.float64)
+    length = (hi - lo).astype(np.int64)
+    np.maximum(length, 0, out=length)
+    cum = np.cumsum(length)
+    start = 0
+    while start < nq:
+        base = int(cum[start - 1]) if start else 0
+        end = int(np.searchsorted(cum, base + mass_cap, side="right"))
+        end = max(end, start + 1)  # always progress, even on one huge window
+        ln = length[start:end]
+        m = int(ln.sum())
+        if m == 0:
+            start = end
+            continue
+        offs = np.concatenate([[0], np.cumsum(ln)])
+        rows = np.repeat(np.arange(end - start, dtype=np.int64), ln)
+        member = (
+            np.arange(m, dtype=np.int64)
+            - np.repeat(offs[:-1], ln)
+            + np.repeat(lo[start:end], ln)
+        )
+        sv = xf[member]
+        sv = sv[np.lexsort((sv, rows))]
+        valid = np.flatnonzero(ln > 0)
+        m_lo = offs[valid] + (ln[valid] - 1) // 2
+        m_hi = offs[valid] + ln[valid] // 2
+        out[start + valid] = (sv[m_lo] + sv[m_hi]) / 2.0
+        start = end
+    return out

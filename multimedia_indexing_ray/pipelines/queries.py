@@ -364,6 +364,45 @@ def q_asof(sf_dir: str):
     return joined.select_columns(["event_id", "user_id", "asof_value", "asof_event_id"])
 
 
+@register(
+    "asof_purchase_before_error_1h",
+    """
+    SELECT e.event_id, e.user_id, p.value AS asof_value, p.event_id AS asof_event_id
+    FROM events e LEFT JOIN LATERAL (
+      SELECT value, event_id FROM events p
+      WHERE p.user_id = e.user_id AND p.event_type = 'purchase'
+        AND p.ts <= e.ts AND p.ts >= e.ts - INTERVAL 1 HOUR
+      ORDER BY p.ts DESC, p.event_id DESC LIMIT 1) p ON true
+    WHERE e.event_type = 'error'
+    """,
+)
+def q_asof_tolerance(sf_dir: str):
+    """Tolerance-bounded as-of join (pandas ``merge_asof(tolerance=...)``
+    semantics): the nearest preceding purchase counts only if it is
+    within 1 hour of the error, else the row stays unmatched (typed
+    nulls).  The bound is a vectorized post-filter on the already-
+    selected candidate inside the same single-exchange merge kernel
+    (`stages/asof_join.py`), so it costs no extra shuffle — the staleness
+    cutoff every PIT feature-serving pipeline needs (don't serve a
+    feature vector computed from data older than the freshness SLA)."""
+    ev = _rp(sf_dir, "events", ["event_id", "user_id", "ts", "value", "event_type"])
+    purchases = ev.filter(expr="event_type == 'purchase'").drop_columns(["event_type"])
+    errors = ev.filter(expr="event_type == 'error'").drop_columns(
+        ["event_type", "value"]
+    )
+    joined = asof_join(
+        purchases,
+        errors,
+        left_key="user_id",
+        left_on="ts",
+        tiebreak="event_id",
+        matched_prefix="asof_",
+        num_partitions=32,
+        tolerance_s=3600.0,
+    )
+    return joined.select_columns(["event_id", "user_id", "asof_value", "asof_event_id"])
+
+
 # --------------------------------------------------------------------------
 # relational operators over the TPC-H-ish tables (groupby / join / top-k)
 # --------------------------------------------------------------------------
@@ -4166,6 +4205,54 @@ def q_rolling_minmax(sf_dir: str):
                 "user_id": batch["user_id"],
                 "min_value_1h": batch["min_value"],
                 "max_value_1h": batch["max_value"],
+            }
+        )
+
+    return out.map_batches(_finish, batch_format="pyarrow")
+
+
+@register(
+    "rolling_median_1h",
+    """
+    SELECT event_id, user_id,
+      median(value) OVER w AS median_value_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_rolling_median(sf_dir: str):
+    """Sliding-window exact MEDIAN per key — the holistic ordered
+    aggregate that completes the window family: `sliding_1h` covers
+    decomposable aggregates (prefix sums), `rolling_minmax_1h` covers
+    idempotent ones (sparse-table RMQ), and median fits neither, so the
+    kernel CSR-expands each trailing window once and sorts all windows
+    in a single lexsort (`functions/segments.py:range_median`) — memory
+    bounded by window MASS per chunk, not by key size, the same bounded
+    discipline as the reference's fixed-K nearest-neighbor result heap
+    (`visual/datastructures/Linear.java:138-163` keeps a bounded
+    structure over an unbounded scan).  ONE shuffle on user_id; the
+    even-count rule ``(lo+hi)/2`` is bit-identical to DuckDB
+    ``quantile_cont(0.5)`` on doubles (verified empirically and gated by
+    the parity suite), so parity is exact with no quantization tricks."""
+    ev = _rp(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    out = kd.keyed_sliding_median(
+        ev,
+        "user_id",
+        "ts",
+        "value",
+        width_s=3600.0,
+        closed="both",
+        tiebreak="event_id",
+        id_cols=["event_id"],
+    )
+
+    def _finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "user_id": batch["user_id"],
+                "median_value_1h": batch["median_value"],
             }
         )
 

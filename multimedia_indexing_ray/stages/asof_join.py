@@ -194,12 +194,21 @@ def asof_join(
     matched_prefix: str = "matched_",
     num_partitions: int = DEFAULT_NUM_PARTITIONS,
     keep_unmatched: bool = True,
+    tolerance_s: Optional[float] = None,
 ) -> "ray.data.Dataset":
     """As-of join: attach, to every right row, the columns of the LAST
     left row with ``left_on <= right_on`` (direction="backward") or the
     FIRST left row with ``left_on >= right_on`` (direction="forward"),
     same key; exact matches excluded when ``allow_exact_matches=False``.
     Ties on equal time: highest tiebreaker backward, lowest forward.
+
+    ``tolerance_s`` bounds the match distance (pandas ``merge_asof``
+    tolerance semantics): a candidate farther than ``tolerance_s``
+    seconds (temporal ``on``) / units (numeric ``on``) from the right
+    row's time is treated as unmatched — nulls with
+    ``keep_unmatched=True``, dropped otherwise.  The bound is applied to
+    the already-selected nearest candidate, so it never changes WHICH
+    row would match, only whether it does.
 
     Output: right columns (original names) + left columns prefixed with
     ``matched_prefix``.  Unmatched right rows keep typed nulls (or are
@@ -220,6 +229,11 @@ def asof_join(
     else:
         side_of = "left" if allow_exact_matches else "right"
     tiebreak_packed = tiebreak in float_names if tiebreak else False
+    tol_units = (
+        None
+        if tolerance_s is None
+        else (tolerance_s * 1_000_000.0 if temporal else float(tolerance_s))
+    )
 
     def _merge(table: pa.Table) -> pa.Table:
         table = table.drop_columns([PART_COL])
@@ -266,6 +280,8 @@ def asof_join(
         clamped = np.clip(idx, 0, max(len(adj_l) - 1, 0))
         if len(adj_l):
             valid &= c_l[clamped] == c_r
+            if tol_units is not None:
+                valid &= np.abs(t_l[clamped] - t_r) <= tol_units
 
         out_cols: dict = {right_key: rt["__k"], right_on: rt["__t"]}
         for n in right_payload:

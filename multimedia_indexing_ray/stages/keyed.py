@@ -229,6 +229,45 @@ def keyed_sliding_minmax(
     return map_partitions_by_key(ds, key, kernel, num_partitions)
 
 
+def keyed_sliding_median(
+    ds: "ray.data.Dataset",
+    key: str,
+    on: str,
+    value_col: str,
+    width_s: float,
+    closed: str = "both",
+    tiebreak: Optional[str] = None,
+    id_cols: Sequence[str] = (),
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+) -> "ray.data.Dataset":
+    """Per-row exact median of ``value_col`` over the trailing time window
+    — the HOLISTIC sibling of :func:`keyed_sliding` (sum/count) and
+    :func:`keyed_sliding_minmax` (extrema): medians decompose under
+    neither prefix sums nor sparse tables, so the kernel is the
+    mass-capped CSR-expand + single-lexsort ``segments.range_median``.
+    Window semantics are identical: closed="both" == SQL ``RANGE BETWEEN
+    width PRECEDING AND CURRENT ROW`` (equal-ts peers all included), and
+    the even-count rule matches DuckDB ``quantile_cont(0.5)`` bit-exactly
+    on doubles."""
+    width_us = int(width_s * _US)
+
+    def kernel(table: pa.Table) -> pa.Table:
+        t = _sort_table(table, key, on, tiebreak)
+        codes = _codes(t, key)
+        starts = sg.segment_starts(codes)
+        ts = _ts_us(t, on)
+        adj = sg.adjusted_ts(ts, starts, width_us + 1)
+        hi = sg.visible_hi(adj)
+        lo = sg.sliding_lo(adj, width_us, closed)
+        x = t[value_col].cast(pa.float64()).to_numpy(zero_copy_only=False)
+        med = sg.range_median(x, lo, hi)
+        cols = {c: t[c] for c in [*id_cols, key] if c in t.column_names}
+        cols[f"median_{value_col}"] = pa.array(med)
+        return pa.table(cols)
+
+    return map_partitions_by_key(ds, key, kernel, num_partitions)
+
+
 def keyed_tumbling_agg(
     ds: "ray.data.Dataset",
     key: str,

@@ -253,3 +253,61 @@ def test_range_join_fractional_numeric_offsets_raise(ray_session):
             rd.from_arrow(t), rd.from_arrow(t),
             left_key="k", left_on="t", lower_s=-0.5, upper_s=0.5,
         )
+
+
+def test_asof_tolerance_bounds_match(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from multimedia_indexing_ray.stages.asof_join import asof_join
+
+    # left rows at 00:00 and 02:00; right rows probe at 00:30 (in
+    # tolerance of 00:00), 01:30 (nearest is 00:00 but 90min > 1h ->
+    # unmatched), 02:30 (in tolerance of 02:00)
+    left = pa.table(
+        {
+            "k": pa.array([1, 1], pa.int64()),
+            "ts": pa.array(pd.to_datetime(["2024-01-01 00:00:00", "2024-01-01 02:00:00"])),
+            "v": pa.array([10.0, 20.0]),
+        }
+    )
+    right = pa.table(
+        {
+            "k": pa.array([1, 1, 1], pa.int64()),
+            "ts": pa.array(
+                pd.to_datetime(
+                    ["2024-01-01 00:30:00", "2024-01-01 01:30:00", "2024-01-01 02:30:00"]
+                )
+            ),
+        }
+    )
+    out = (
+        asof_join(
+            rd.from_arrow(left), rd.from_arrow(right),
+            left_key="k", left_on="ts", tiebreak=None, num_partitions=2,
+            tolerance_s=3600.0,
+        )
+        .to_pandas()
+        .sort_values("ts")
+        .reset_index(drop=True)
+    )
+    assert out["matched_v"].fillna(-1).tolist() == [10.0, -1.0, 20.0]
+    # inner semantics drop the out-of-tolerance row entirely
+    inner = asof_join(
+        rd.from_arrow(left), rd.from_arrow(right),
+        left_key="k", left_on="ts", tiebreak=None, num_partitions=2,
+        tolerance_s=3600.0, keep_unmatched=False,
+    ).to_pandas()
+    assert sorted(inner["matched_v"].tolist()) == [10.0, 20.0]
+    # forward direction: 01:30 -> 02:00 is 30min, inside tolerance
+    fwd = (
+        asof_join(
+            rd.from_arrow(left), rd.from_arrow(right),
+            left_key="k", left_on="ts", tiebreak=None, num_partitions=2,
+            direction="forward", tolerance_s=1800.0,
+        )
+        .to_pandas()
+        .sort_values("ts")
+        .reset_index(drop=True)
+    )
+    assert fwd["matched_v"].fillna(-1).tolist() == [-1.0, 20.0, -1.0]

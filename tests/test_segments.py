@@ -114,3 +114,37 @@ def test_range_minmax_full_and_single():
     mn, mx = sg.range_minmax(x, np.array([0, 2]), np.array([5, 3]))
     np.testing.assert_array_equal(mn, [-1.0, 2.0])
     np.testing.assert_array_equal(mx, [7.0, 2.0])
+
+
+def test_range_median_brute_force():
+    rng = np.random.default_rng(11)
+    for n in (0, 1, 2, 5, 63, 64, 65, 500):
+        x = rng.normal(size=n)
+        if n:
+            lo = rng.integers(0, n, size=40)
+            hi = lo + rng.integers(0, n, size=40)
+            np.clip(hi, 0, n, out=hi)
+        else:
+            lo = np.array([0], dtype=np.int64)
+            hi = np.array([0], dtype=np.int64)
+        med = sg.range_median(x, lo, hi)
+        for i in range(len(lo)):
+            seg = x[lo[i] : hi[i]]
+            if len(seg):
+                assert med[i] == np.median(seg)
+            else:
+                assert np.isnan(med[i])
+
+
+def test_range_median_mass_cap_chunking():
+    # Tiny cap forces many chunks, including a single window larger than
+    # the cap (must still make progress and stay exact).
+    rng = np.random.default_rng(12)
+    x = rng.normal(size=300)
+    lo = rng.integers(0, 300, size=120)
+    hi = np.clip(lo + rng.integers(0, 300, size=120), 0, 300)
+    big = sg.range_median(x, lo, hi)
+    small = sg.range_median(x, lo, hi, mass_cap=17)
+    np.testing.assert_array_equal(np.isnan(big), np.isnan(small))
+    m = ~np.isnan(big)
+    np.testing.assert_array_equal(big[m], small[m])
