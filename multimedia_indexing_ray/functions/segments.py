@@ -267,10 +267,25 @@ def range_median(
     out = np.full(nq, np.nan)
     if nq == 0 or len(x) == 0:
         return out
+    for start, ln, offs, sv in _csr_sorted_windows(x, lo, hi, mass_cap):
+        valid = np.flatnonzero(ln > 0)
+        m_lo = offs[valid] + (ln[valid] - 1) // 2
+        m_hi = offs[valid] + ln[valid] // 2
+        out[start + valid] = (sv[m_lo] + sv[m_hi]) / 2.0
+    return out
+
+
+def _csr_sorted_windows(x: np.ndarray, lo: np.ndarray, hi: np.ndarray, mass_cap: int):
+    """Yield ``(start, lengths, offsets, sorted_values)`` for row chunks
+    whose summed window mass stays <= ``mass_cap``: each chunk CSR-expands
+    its windows' members once and sorts ALL of them with ONE lexsort
+    (value within row).  Shared engine for the holistic order-statistic
+    window kernels (:func:`range_median`, :func:`range_quantile_disc`)."""
     xf = np.asarray(x, dtype=np.float64)
     length = (hi - lo).astype(np.int64)
     np.maximum(length, 0, out=length)
     cum = np.cumsum(length)
+    nq = len(lo)
     start = 0
     while start < nq:
         base = int(cum[start - 1]) if start else 0
@@ -290,9 +305,31 @@ def range_median(
         )
         sv = xf[member]
         sv = sv[np.lexsort((sv, rows))]
-        valid = np.flatnonzero(ln > 0)
-        m_lo = offs[valid] + (ln[valid] - 1) // 2
-        m_hi = offs[valid] + ln[valid] // 2
-        out[start + valid] = (sv[m_lo] + sv[m_hi]) / 2.0
+        yield start, ln, offs, sv
         start = end
+
+
+def range_quantile_disc(
+    x: np.ndarray, lo: np.ndarray, hi: np.ndarray, q_pct: int, mass_cap: int = 1 << 23
+) -> np.ndarray:
+    """Exact DISCRETE quantile of ``x[lo[i]:hi[i]]`` per output row: the
+    window element at 0-based sorted index ``ceil(q*m) - 1``, stated in
+    pure integer arithmetic ``(q_pct*m + 99)//100 - 1`` (the repo's
+    standing discrete-quantile rule, `pipelines/queries.py`
+    value_quantiles_by_type) — bit-identical to DuckDB's
+    ``quantile_disc(x, q)`` (verified exhaustively for m <= 3000 at
+    q = 0.5/0.9/0.99: the selected value IS an input double, so there is
+    no interpolation ULP hazard).  Same CSR + single-lexsort engine and
+    window-MASS-bounded chunking as :func:`range_median`.  Empty ranges
+    return NaN."""
+    if not 0 < q_pct <= 100:
+        raise ValueError(q_pct)
+    nq = len(lo)
+    out = np.full(nq, np.nan)
+    if nq == 0 or len(x) == 0:
+        return out
+    for start, ln, offs, sv in _csr_sorted_windows(x, lo, hi, mass_cap):
+        valid = np.flatnonzero(ln > 0)
+        k = offs[valid] + (q_pct * ln[valid] + 99) // 100 - 1
+        out[start + valid] = sv[k]
     return out

@@ -4260,6 +4260,52 @@ def q_rolling_median(sf_dir: str):
 
 
 @register(
+    "rolling_p90_1h",
+    """
+    SELECT event_id, user_id,
+      quantile_disc(value, 0.9) OVER w AS p90_value_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_rolling_p90(sf_dir: str):
+    """Sliding-window exact DISCRETE p90 per key (tail-latency /
+    outlier-level feature).  quantile_cont would interpolate and drift
+    at the ULP level vs any independent implementation, so this follows
+    the repo's standing discrete-quantile discipline
+    (`value_quantiles_by_type`): select the INPUT element at sorted
+    index ceil(0.9*m) via pure integer arithmetic — the window kernel
+    (`functions/segments.py:range_quantile_disc`, same mass-capped
+    CSR + single-lexsort engine as the rolling median) is bit-identical
+    to DuckDB's windowed ``quantile_disc`` because both merely SELECT a
+    double.  ONE shuffle on user_id."""
+    ev = _rp(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    out = kd.keyed_sliding_quantile(
+        ev,
+        "user_id",
+        "ts",
+        "value",
+        width_s=3600.0,
+        q_pct=90,
+        closed="both",
+        tiebreak="event_id",
+        id_cols=["event_id"],
+    )
+
+    def _finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "user_id": batch["user_id"],
+                "p90_value_1h": batch["p90_value"],
+            }
+        )
+
+    return out.map_batches(_finish, batch_format="pyarrow")
+
+
+@register(
     "target_encode_user",
     """
     WITH w AS (

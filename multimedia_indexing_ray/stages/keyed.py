@@ -268,6 +268,43 @@ def keyed_sliding_median(
     return map_partitions_by_key(ds, key, kernel, num_partitions)
 
 
+def keyed_sliding_quantile(
+    ds: "ray.data.Dataset",
+    key: str,
+    on: str,
+    value_col: str,
+    width_s: float,
+    q_pct: int,
+    closed: str = "both",
+    tiebreak: Optional[str] = None,
+    id_cols: Sequence[str] = (),
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+) -> "ray.data.Dataset":
+    """Per-row exact DISCRETE quantile (``q_pct`` percent) of
+    ``value_col`` over the trailing time window — like
+    :func:`keyed_sliding_median` but selecting the input element at
+    sorted index ``ceil(q*m)`` (``segments.range_quantile_disc``), so
+    the result is bit-identical to SQL ``quantile_disc`` with no
+    interpolation hazard."""
+    width_us = int(width_s * _US)
+
+    def kernel(table: pa.Table) -> pa.Table:
+        t = _sort_table(table, key, on, tiebreak)
+        codes = _codes(t, key)
+        starts = sg.segment_starts(codes)
+        ts = _ts_us(t, on)
+        adj = sg.adjusted_ts(ts, starts, width_us + 1)
+        hi = sg.visible_hi(adj)
+        lo = sg.sliding_lo(adj, width_us, closed)
+        x = t[value_col].cast(pa.float64()).to_numpy(zero_copy_only=False)
+        qv = sg.range_quantile_disc(x, lo, hi, q_pct)
+        cols = {c: t[c] for c in [*id_cols, key] if c in t.column_names}
+        cols[f"p{q_pct}_{value_col}"] = pa.array(qv)
+        return pa.table(cols)
+
+    return map_partitions_by_key(ds, key, kernel, num_partitions)
+
+
 def keyed_tumbling_agg(
     ds: "ray.data.Dataset",
     key: str,

@@ -148,3 +148,24 @@ def test_range_median_mass_cap_chunking():
     np.testing.assert_array_equal(np.isnan(big), np.isnan(small))
     m = ~np.isnan(big)
     np.testing.assert_array_equal(big[m], small[m])
+
+
+def test_range_quantile_disc_brute_force():
+    rng = np.random.default_rng(13)
+    for q_pct in (50, 90, 99):
+        for n in (0, 1, 2, 5, 64, 500):
+            x = rng.normal(size=n)
+            if n:
+                lo = rng.integers(0, n, size=40)
+                hi = np.clip(lo + rng.integers(0, n, size=40), 0, n)
+            else:
+                lo = np.array([0], dtype=np.int64)
+                hi = np.array([0], dtype=np.int64)
+            got = sg.range_quantile_disc(x, lo, hi, q_pct, mass_cap=97)
+            for i in range(len(lo)):
+                seg = np.sort(x[lo[i] : hi[i]])
+                m = len(seg)
+                if m:
+                    assert got[i] == seg[(q_pct * m + 99) // 100 - 1]
+                else:
+                    assert np.isnan(got[i])
