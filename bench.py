@@ -69,6 +69,8 @@ BENCH_QUERIES = [
     # BM25 retrieval chain (df reduce -> shuffle-free scoring -> top-k)
     "dup_span_docs",
     "bm25_top_docs",
+    # r5d: holistic order-statistic window (mass-capped CSR + one lexsort)
+    "rolling_median_1h",
 ]
 
 # Per-query shuffle strategy, interleaved-A/B measured (2026-08-17, 32

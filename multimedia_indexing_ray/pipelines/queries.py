@@ -403,6 +403,48 @@ def q_asof_tolerance(sf_dir: str):
     return joined.select_columns(["event_id", "user_id", "asof_value", "asof_event_id"])
 
 
+@register(
+    "asof_nearest_purchase",
+    """
+    SELECT e.event_id, e.user_id, p.value AS asof_value, p.event_id AS asof_event_id
+    FROM events e LEFT JOIN LATERAL (
+      SELECT value, event_id FROM events p
+      WHERE p.user_id = e.user_id AND p.event_type = 'purchase'
+      ORDER BY abs(epoch_us(p.ts) - epoch_us(e.ts)),
+               (p.ts > e.ts),
+               CASE WHEN p.ts > e.ts THEN p.event_id ELSE -p.event_id END
+      LIMIT 1) p ON true
+    WHERE e.event_type = 'error'
+    """,
+)
+def q_asof_nearest(sf_dir: str):
+    """Nearest-direction as-of join (pandas ``merge_asof
+    (direction='nearest')`` parity), completing the direction triple:
+    each error attaches the CLOSEST purchase in either direction,
+    backward winning distance ties, each side keeping its own equal-ts
+    tie rule (backward highest event_id, forward lowest — the oracle's
+    ORDER BY states the identical total order).  Same single-exchange
+    merge kernel: both direction cursors are two searchsorted calls on
+    the already-sorted partition, so nearest costs the same one shuffle
+    as backward (`stages/asof_join.py`)."""
+    ev = _rp(sf_dir, "events", ["event_id", "user_id", "ts", "value", "event_type"])
+    purchases = ev.filter(expr="event_type == 'purchase'").drop_columns(["event_type"])
+    errors = ev.filter(expr="event_type == 'error'").drop_columns(
+        ["event_type", "value"]
+    )
+    joined = asof_join(
+        purchases,
+        errors,
+        left_key="user_id",
+        left_on="ts",
+        tiebreak="event_id",
+        matched_prefix="asof_",
+        num_partitions=32,
+        direction="nearest",
+    )
+    return joined.select_columns(["event_id", "user_id", "asof_value", "asof_event_id"])
+
+
 # --------------------------------------------------------------------------
 # relational operators over the TPC-H-ish tables (groupby / join / top-k)
 # --------------------------------------------------------------------------

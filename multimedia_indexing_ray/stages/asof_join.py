@@ -197,10 +197,13 @@ def asof_join(
     tolerance_s: Optional[float] = None,
 ) -> "ray.data.Dataset":
     """As-of join: attach, to every right row, the columns of the LAST
-    left row with ``left_on <= right_on`` (direction="backward") or the
+    left row with ``left_on <= right_on`` (direction="backward"), the
     FIRST left row with ``left_on >= right_on`` (direction="forward"),
-    same key; exact matches excluded when ``allow_exact_matches=False``.
-    Ties on equal time: highest tiebreaker backward, lowest forward.
+    or the CLOSEST left row in either direction (direction="nearest" —
+    backward wins distance ties), same key; exact matches excluded when
+    ``allow_exact_matches=False``.  Ties on equal time: highest
+    tiebreaker backward, lowest forward (nearest inherits the winning
+    side's rule).
 
     ``tolerance_s`` bounds the match distance (pandas ``merge_asof``
     tolerance semantics): a candidate farther than ``tolerance_s``
@@ -217,7 +220,7 @@ def asof_join(
     the merge (SQL null-never-joins), so the output can have fewer rows
     than ``right`` even with ``keep_unmatched=True``.
     """
-    if direction not in ("backward", "forward"):
+    if direction not in ("backward", "forward", "nearest"):
         raise ValueError(direction)
     right_key = right_key or left_key
     right_on = right_on or left_on
@@ -226,8 +229,10 @@ def asof_join(
     )
     if direction == "backward":
         side_of = "right" if allow_exact_matches else "left"
-    else:
+    else:  # forward; nearest derives both sides itself
         side_of = "left" if allow_exact_matches else "right"
+    side_b = "right" if allow_exact_matches else "left"
+    side_f = "left" if allow_exact_matches else "right"
     tiebreak_packed = tiebreak in float_names if tiebreak else False
     tol_units = (
         None
@@ -271,17 +276,38 @@ def asof_join(
         t_r = _t_int64(rt["__t"], temporal)
         adj_l, adj_r, c_l, c_r = _adjusted_pair(k_l, k_r, t_l, t_r, 0, "asof_join")
 
+        def _side(idx, valid):
+            """Clamp + same-key + tolerance checks for one direction."""
+            cl = np.clip(idx, 0, max(len(adj_l) - 1, 0))
+            if len(adj_l):
+                valid = valid & (c_l[cl] == c_r)
+                if tol_units is not None:
+                    valid = valid & (np.abs(t_l[cl] - t_r) <= tol_units)
+            return cl, valid
+
         if direction == "backward":
             idx = np.searchsorted(adj_l, adj_r, side=side_of) - 1
-            valid = (idx >= 0) & (len(adj_l) > 0)
-        else:
+            clamped, valid = _side(idx, (idx >= 0) & (len(adj_l) > 0))
+        elif direction == "forward":
             idx = np.searchsorted(adj_l, adj_r, side=side_of)
-            valid = idx < len(adj_l)
-        clamped = np.clip(idx, 0, max(len(adj_l) - 1, 0))
-        if len(adj_l):
-            valid &= c_l[clamped] == c_r
-            if tol_units is not None:
-                valid &= np.abs(t_l[clamped] - t_r) <= tol_units
+            clamped, valid = _side(idx, idx < len(adj_l))
+        else:  # nearest: evaluate both sides, pick the closer; backward
+            # wins distance ties (and exact matches, which are backward
+            # distance 0).  Per-side tiebreak is inherited from the sort:
+            # backward takes the LAST equal-ts left row (highest
+            # tiebreaker), forward the FIRST (lowest).
+            idx_b = np.searchsorted(adj_l, adj_r, side=side_b) - 1
+            cl_b, ok_b = _side(idx_b, (idx_b >= 0) & (len(adj_l) > 0))
+            idx_f = np.searchsorted(adj_l, adj_r, side=side_f)
+            cl_f, ok_f = _side(idx_f, idx_f < len(adj_l))
+            if len(adj_l):
+                dist_b = np.abs(t_r - t_l[cl_b])
+                dist_f = np.abs(t_l[cl_f] - t_r)
+                take_f = ok_f & (~ok_b | (dist_f < dist_b))
+            else:
+                take_f = np.zeros(len(adj_r), dtype=bool)
+            clamped = np.where(take_f, cl_f, cl_b)
+            valid = ok_b | ok_f
 
         out_cols: dict = {right_key: rt["__k"], right_on: rt["__t"]}
         for n in right_payload:

@@ -311,3 +311,71 @@ def test_asof_tolerance_bounds_match(ray_session):
         .reset_index(drop=True)
     )
     assert fwd["matched_v"].fillna(-1).tolist() == [-1.0, 20.0, -1.0]
+
+
+def test_asof_nearest_direction(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from multimedia_indexing_ray.stages.asof_join import asof_join
+
+    left = pa.table(
+        {
+            "k": pa.array([1, 1, 1], pa.int64()),
+            "ts": pa.array(
+                pd.to_datetime(
+                    ["2024-01-01 00:00:00", "2024-01-01 01:00:00", "2024-01-01 04:00:00"]
+                )
+            ),
+            "v": pa.array([10.0, 20.0, 30.0]),
+        }
+    )
+    # probes: 00:20 (nearest 00:00), 00:30 (equidistant -> backward wins,
+    # 10), 02:00 (nearest 01:00), 03:45 (nearest 04:00, forward side)
+    right = pa.table(
+        {
+            "k": pa.array([1] * 4, pa.int64()),
+            "ts": pa.array(
+                pd.to_datetime(
+                    [
+                        "2024-01-01 00:20:00",
+                        "2024-01-01 00:30:00",
+                        "2024-01-01 02:00:00",
+                        "2024-01-01 03:45:00",
+                    ]
+                )
+            ),
+        }
+    )
+
+    def run(**kw):
+        return (
+            asof_join(
+                rd.from_arrow(left), rd.from_arrow(right),
+                left_key="k", left_on="ts", tiebreak=None, num_partitions=2,
+                direction="nearest", **kw,
+            )
+            .to_pandas()
+            .sort_values("ts")
+            .reset_index(drop=True)
+        )
+
+    assert run()["matched_v"].tolist() == [10.0, 10.0, 20.0, 30.0]
+    # tolerance bounds each side: 02:00 is 1h from 01:00 (kept), 00:20 is
+    # 20min (kept); with 15min tolerance only exact-ish neighbours remain
+    tol = run(tolerance_s=900.0)
+    assert tol["matched_v"].fillna(-1).tolist() == [-1.0, -1.0, -1.0, 30.0]
+    # exact matches excluded: a probe AT 01:00 must skip v=20 and take
+    # the nearer remaining side (00:00, backward, 1h) over 04:00 (3h)
+    probe = pa.table(
+        {
+            "k": pa.array([1], pa.int64()),
+            "ts": pa.array(pd.to_datetime(["2024-01-01 01:00:00"])),
+        }
+    )
+    out = asof_join(
+        rd.from_arrow(left), rd.from_arrow(probe),
+        left_key="k", left_on="ts", tiebreak=None, num_partitions=2,
+        direction="nearest", allow_exact_matches=False,
+    ).to_pandas()
+    assert out["matched_v"].tolist() == [10.0]
