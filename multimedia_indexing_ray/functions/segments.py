@@ -175,6 +175,23 @@ def prefix_sums(values: np.ndarray) -> np.ndarray:
     return out
 
 
+def prefix_sums_int(values: np.ndarray) -> np.ndarray:
+    """(n, m) int64 -> (n+1, m) EXCLUSIVE prefix sums in int64 — exact
+    (no float rounding), for second-moment window statistics whose
+    bitwise SQL parity depends on exact integer sums (the SQL side sums
+    BIGINTs exactly too, so both engines cast the SAME integer to
+    double).  Caller owns the overflow budget: max |value| x
+    rows-per-partition must stay below 2**63 (cents-squared products at
+    <=2.4e9 each leave room for ~3.8e9 rows per partition group)."""
+    v = np.asarray(values, dtype=np.int64)
+    if v.ndim == 1:
+        v = v[:, None]
+    out = np.empty((v.shape[0] + 1, v.shape[1]), dtype=np.int64)
+    out[0] = 0
+    np.cumsum(v, axis=0, out=out[1:])
+    return out
+
+
 def range_sums(prefix: np.ndarray, lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
     """Sum of rows [lo, hi) per output row, from exclusive prefix sums."""
     return prefix[hi] - prefix[lo]

@@ -4348,6 +4348,157 @@ def q_rolling_p90(sf_dir: str):
 
 
 @register(
+    "rolling_corr_3d",
+    f"""
+    WITH c AS (
+      SELECT event_id, user_id, ts, {_CENTS_SQL.format(col='value')} AS x,
+             lag({_CENTS_SQL.format(col='value')})
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS y
+      FROM events),
+    s AS (
+      SELECT event_id, user_id,
+        CAST(count(y) OVER w AS BIGINT) AS n,
+        sum(CASE WHEN y IS NULL THEN NULL ELSE x END) OVER w AS sx,
+        sum(CASE WHEN y IS NULL THEN NULL ELSE x*x END) OVER w AS sxx,
+        sum(y) OVER w AS sy, sum(y*y) OVER w AS syy, sum(x*y) OVER w AS sxy
+      FROM c
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                   RANGE BETWEEN INTERVAL 3 DAY PRECEDING AND CURRENT ROW))
+    SELECT event_id, user_id, n AS n_pairs_3d,
+      CASE WHEN n >= 2
+            AND CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE) > 0
+            AND CAST(n AS DOUBLE)*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE) > 0
+       THEN (CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+            / (sqrt(CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+               * sqrt(CAST(n AS DOUBLE)*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)))
+       ELSE 0.0 END AS corr_value_lag1_3d
+    FROM s
+    """,
+)
+def q_rolling_corr(sf_dir: str):
+    """Sliding-window Pearson AUTOCORRELATION (value vs its lag-1) per
+    key — the BIVARIATE second-moment window family (trend-persistence
+    feature) that sum/extrema/order-statistic windows cannot express.
+    The six window sums are exact int64 prefix-sum differences over
+    integer cents (`stages/keyed.py:keyed_sliding_corr_lag1`), and the
+    final correlation is ONE fixed IEEE-754 expression tree over those
+    exact integers, written with identical casts and parenthesization in
+    the oracle — so the DOUBLE output is bit-exact with no quantization
+    or tolerance tricks, same discipline as `ewma_value_per_user`.  ONE
+    shuffle on user_id; zero-variance / n<2 windows emit 0.0 on both
+    sides."""
+    ev = _rp(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    out = kd.keyed_sliding_corr_lag1(
+        ev.map_batches(_add_value_cents, batch_format="pyarrow"),
+        "user_id",
+        "ts",
+        "value_cents",
+        width_s=3 * 86400.0,
+        closed="both",
+        tiebreak="event_id",
+        id_cols=["event_id"],
+    )
+
+    def _finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "user_id": batch["user_id"],
+                "n_pairs_3d": batch["n_pairs"],
+                "corr_value_lag1_3d": batch["corr_lag1_value_cents"],
+            }
+        )
+
+    return out.map_batches(_finish, batch_format="pyarrow")
+
+
+@register(
+    "resample_1h_ffill",
+    f"""
+    WITH e AS (SELECT user_id, ts, arg_max({_CENTS_SQL.format(col='value')}, event_id) AS cents
+               FROM events GROUP BY user_id, ts),
+    b AS (SELECT user_id,
+            make_timestamp(((epoch_us(min(ts)) + 3599999999) // 3600000000) * 3600000000) AS g0,
+            max(ts) AS t1
+          FROM events GROUP BY user_id),
+    g AS (SELECT user_id, unnest(generate_series(g0, t1, INTERVAL 1 HOUR)) AS tick
+          FROM b WHERE g0 <= t1)
+    SELECT g.user_id, g.tick, e.cents AS last_value_cents
+    FROM g ASOF JOIN e ON g.user_id = e.user_id AND g.tick >= e.ts
+    """,
+)
+def q_resample_1h_ffill(sf_dir: str):
+    """Regular-grid time RESAMPLE with forward fill — the batch
+    materialization of the as-of/backfill family: per user, one row per
+    epoch-aligned hourly tick between the user's first and last event,
+    carrying the last-observed value (equal-ts ties resolve
+    last-write-wins by event_id, mirrored by the oracle's ``arg_max``).
+    This is how a serving table / training design matrix is laid onto a
+    uniform clock.  Fully vectorized (`stages/keyed.py:
+    keyed_resample_ffill`): integer ceil-align arithmetic generates all
+    ticks of a partition in one arange, and ONE searchsorted on the
+    shared adjusted-ts axis resolves every tick's as-of source row; ONE
+    shuffle on user_id; output size is span/step per key, bounded by
+    wall-clock span, not row count.  Oracle: DuckDB ``generate_series``
+    + native ``ASOF JOIN``."""
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "value_cents", pa.array(_cents(v).astype(np.int64), pa.int64())
+        )
+
+    ev = _rp(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    return kd.keyed_resample_ffill(
+        ev.map_batches(_prep, batch_format="pyarrow"),
+        "user_id",
+        "ts",
+        "value_cents",
+        step_s=3600.0,
+        tiebreak="event_id",
+    )
+
+
+@register(
+    "editdist_neardup",
+    r"""
+    WITH tk AS (SELECT doc_id, text, regexp_extract_all(text, '\S+') AS toks FROM documents),
+    s AS (SELECT doc_id, text, list_distinct(
+            CASE WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[])
+                 WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                 ELSE list_transform(range(1, len(toks) - 1),
+                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS sh
+          FROM tk),
+    s2 AS (SELECT doc_id, text, list_min(sh) AS anchor FROM s WHERE len(sh) > 0)
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_distance
+    FROM s2 a JOIN s2 b ON a.anchor = b.anchor AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.text, b.text) <= 16
+    """,
+)
+def q_editdist_neardup(sf_dir: str):
+    """Edit-distance (Levenshtein <= 16) near-dup pairs within the same
+    min-shingle anchor blocks as `ngram_jaccard_pairs` — the string-
+    METRIC member of the near-dup family (exact character edit budget,
+    where minhash/jaccard/simhash measure set overlap; catches small
+    in-place edits that shift many shingles).  Verification is the
+    VECTORIZED banded Ukkonen DP over all pairs of a block at once
+    (`functions/editdist.py`), with the |len diff| > K prefilter; raw
+    text crosses the ONE anchor shuffle because no sketch preserves edit
+    distance (documented partitioning assumption).  Oracle: DuckDB
+    ``levenshtein`` under the identical blocking CTE."""
+    docs = _rp(sf_dir, "documents", ["doc_id", "text"])
+    return dd.anchor_editdist_pairs(
+        docs,
+        "text",
+        "doc_id",
+        max_dist=16,
+        num_partitions=16,
+        coalesce=docs.count() <= _COALESCE_DOCS,
+    )
+
+
+@register(
     "target_encode_user",
     """
     WITH w AS (

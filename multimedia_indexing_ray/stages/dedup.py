@@ -886,6 +886,150 @@ def anchor_jaccard_pairs(
     return map_partitions_by_key(sk, "anchor", kernel, num_partitions)
 
 
+class TextAnchor:
+    """Actor-pool stage: (id, anchor, text) — ShingleAnchor's min-shingle
+    blocking key WITHOUT the shingle-set payload, for verifiers (edit
+    distance) that need the raw strings co-located in the block rather
+    than a set sketch.  Tokenization, short-doc rule, and the empty-doc
+    drop are byte-identical to ShingleAnchor so the SQL oracle's
+    ``list_min(sh)`` blocking reproduces the same blocks."""
+
+    def __init__(self, text_col: str, id_col: str, k: int = 3):
+        self.text_col = text_col
+        self.id_col = id_col
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                self.id_col: pa.array([], pa.int64()),
+                "anchor": pa.array([], pa.string()),
+                self.text_col: pa.array([], pa.string()),
+            }
+        )
+        ids = batch[self.id_col].to_numpy()
+        sh, docs, _ = _shingle_arrays(batch[self.text_col], self.k)
+        if len(sh) == 0:
+            return empty
+        df = pd.DataFrame({"d": docs, "s": sh}).sort_values(
+            ["d", "s"], kind="mergesort"
+        )
+        d2 = df["d"].to_numpy()
+        s2 = df["s"].to_numpy()
+        seg = np.flatnonzero(np.concatenate([[True], d2[1:] != d2[:-1]]))
+        keep = d2[seg]
+        return pa.table(
+            {
+                self.id_col: pa.array(ids[keep], pa.int64()),
+                "anchor": pa.array(s2[seg].tolist(), pa.string()),
+                self.text_col: batch[self.text_col].take(pa.array(keep, pa.int64())),
+            }
+        )
+
+
+def anchor_editdist_pairs(
+    ds: "ray.data.Dataset",
+    text_col: str,
+    id_col: str,
+    shingle_k: int = 3,
+    max_dist: int = 16,
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+    concurrency: int = 4,
+    coalesce: bool = False,
+) -> "ray.data.Dataset":
+    """Edit-distance (Levenshtein) near-dup pairs within anchor blocks —
+    the string-METRIC member of the near-dup family (exact char-level
+    edit budget, where minhash/jaccard/simhash measure set overlap).
+
+    Raw TEXT crosses the ONE anchor shuffle: unlike Jaccard there is no
+    sketch that preserves edit distance, so the verifier needs the
+    strings co-located (documented partitioning assumption; blocks are
+    min-shingle anchors, so block size tracks near-dup cluster size, not
+    corpus size).  In-block verify is all pairs i<j with the length
+    prefilter |len(a)-len(b)| <= max_dist, then the VECTORIZED banded
+    Ukkonen DP over the whole pair batch at once
+    (`functions/editdist.py` — no per-pair Python DP).  Output rows are
+    (a_id, b_id, edit_distance) with distance <= max_dist, a_id < b_id.
+
+    ``coalesce=True`` runs the identical kernel once in-process for
+    candidate-sized corpora (same gate discipline as
+    ``anchor_jaccard_pairs``)."""
+    from multimedia_indexing_ray.functions.editdist import (
+        banded_levenshtein_pairs,
+        utf8_codes,
+    )
+
+    ank = ds.map_batches(
+        TextAnchor(text_col, id_col, shingle_k),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+    def kernel(table: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "a_id": pa.array([], pa.int64()),
+                "b_id": pa.array([], pa.int64()),
+                "edit_distance": pa.array([], pa.int64()),
+            }
+        )
+        if table.num_rows == 0:
+            return empty
+        t = table.take(
+            pc.sort_indices(
+                table, sort_keys=[("anchor", "ascending"), (id_col, "ascending")]
+            )
+        )
+        ids = t[id_col].to_numpy()
+        anchors = t["anchor"].to_numpy(zero_copy_only=False)
+        texts = t[text_col].to_pylist()
+        cps = [utf8_codes(s) for s in texts]
+        starts = np.flatnonzero(np.concatenate([[True], anchors[1:] != anchors[:-1]]))
+        ends = np.concatenate([starts[1:], [len(ids)]])
+        ai_parts, bi_parts = [], []
+        for s, e in zip(starts, ends):
+            b = e - s
+            if b < 2:
+                continue
+            ii, jj = np.triu_indices(b, 1)
+            ai_parts.append(s + ii)
+            bi_parts.append(s + jj)
+        if not ai_parts:
+            return empty
+        ai = np.concatenate(ai_parts)
+        bi = np.concatenate(bi_parts)
+        dist = banded_levenshtein_pairs(
+            [cps[i] for i in ai], [cps[j] for j in bi], max_dist
+        )
+        m = dist <= max_dist
+        return pa.table(
+            {
+                "a_id": pa.array(ids[ai[m]], pa.int64()),
+                "b_id": pa.array(ids[bi[m]], pa.int64()),
+                "edit_distance": pa.array(dist[m], pa.int64()),
+            }
+        )
+
+    if coalesce:
+        import ray as _ray
+
+        import ray.data as _rd
+
+        tables = [t for t in _ray.get(ank.to_arrow_refs()) if t.num_rows]
+        if not tables:
+            return _rd.from_arrow(
+                pa.table(
+                    {
+                        "a_id": pa.array([], pa.int64()),
+                        "b_id": pa.array([], pa.int64()),
+                        "edit_distance": pa.array([], pa.int64()),
+                    }
+                )
+            )
+        return _rd.from_arrow(kernel(pa.concat_tables(tables)))
+    return map_partitions_by_key(ank, "anchor", kernel, num_partitions)
+
+
 def embedding_neardup_pairs(
     ds: "ray.data.Dataset",
     vec_col: str,

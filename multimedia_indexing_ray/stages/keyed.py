@@ -305,6 +305,154 @@ def keyed_sliding_quantile(
     return map_partitions_by_key(ds, key, kernel, num_partitions)
 
 
+def keyed_sliding_corr_lag1(
+    ds: "ray.data.Dataset",
+    key: str,
+    on: str,
+    value_col: str,
+    width_s: float,
+    closed: str = "both",
+    tiebreak: Optional[str] = None,
+    id_cols: Sequence[str] = (),
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+) -> "ray.data.Dataset":
+    """Per-row Pearson correlation between ``value_col`` and its OWN
+    lag-1 (previous value of the same key under (on, tiebreak) order)
+    over the trailing time window — the bivariate second-moment window
+    family (trend persistence / autocorrelation feature) that univariate
+    sums, extrema, and order statistics cannot express.
+
+    ``value_col`` must hold EXACT integers (e.g. cents); the six window
+    sums (n, Σx, Σx², Σy, Σy², Σxy) are int64 prefix-sum differences —
+    exact in any association — and the final correlation is one fixed
+    IEEE-754 expression tree over those exact integers::
+
+        (n·Sxy − Sx·Sy) / (√(n·Sxx − Sx²) · √(n·Syy − Sy²))
+
+    evaluated identically by the SQL oracle (same casts, same
+    parenthesization), so DOUBLE results are bit-exact with no
+    quantization tricks.  Rows with no lag (first of key) contribute to
+    no window; zero-variance / n<2 windows emit 0.0 on both sides.  ONE
+    shuffle on the key; window bounds ride the shared adjusted-ts axis
+    (`functions/segments.py:adjusted_ts`)."""
+    width_us = int(width_s * _US)
+
+    def kernel(table: pa.Table) -> pa.Table:
+        t = _sort_table(table, key, on, tiebreak)
+        n = t.num_rows
+        id_keep = [c for c in [*id_cols, key] if c in t.column_names]
+        if n == 0:
+            cols = {c: t[c] for c in id_keep}
+            cols["n_pairs"] = pa.array([], pa.int64())
+            cols[f"corr_lag1_{value_col}"] = pa.array([], pa.float64())
+            return pa.table(cols)
+        codes = _codes(t, key)
+        starts = sg.segment_starts(codes)
+        ts = _ts_us(t, on)
+        adj = sg.adjusted_ts(ts, starts, width_us + 1)
+        hi = sg.visible_hi(adj)
+        lo = sg.sliding_lo(adj, width_us, closed)
+        x = t[value_col].cast(pa.float64()).to_numpy(zero_copy_only=False)
+        x64 = np.rint(x).astype(np.int64)
+        y64 = np.zeros_like(x64)
+        y64[1:] = x64[:-1]
+        y64[starts] = 0
+        v = np.ones(n, dtype=np.int64)
+        v[starts] = 0  # first row of each key has no lag pair
+        xv = x64 * v
+        blocks = np.stack([v, xv, xv * x64, y64, y64 * y64, xv * y64], axis=1)
+        s = sg.range_sums(sg.prefix_sums_int(blocks), lo, hi)
+        nn = s[:, 0].astype(np.float64)
+        sx = s[:, 1].astype(np.float64)
+        sxx = s[:, 2].astype(np.float64)
+        sy = s[:, 3].astype(np.float64)
+        syy = s[:, 4].astype(np.float64)
+        sxy = s[:, 5].astype(np.float64)
+        vx = nn * sxx - sx * sx
+        vy = nn * syy - sy * sy
+        cov = nn * sxy - sx * sy
+        with np.errstate(invalid="ignore", divide="ignore"):
+            corr = cov / (np.sqrt(vx) * np.sqrt(vy))
+        corr = np.where((vx > 0) & (vy > 0), corr, 0.0)
+        cols = {c: t[c] for c in id_keep}
+        cols["n_pairs"] = pa.array(s[:, 0], pa.int64())
+        cols[f"corr_lag1_{value_col}"] = pa.array(corr, pa.float64())
+        return pa.table(cols)
+
+    return map_partitions_by_key(ds, key, kernel, num_partitions)
+
+
+def keyed_resample_ffill(
+    ds: "ray.data.Dataset",
+    key: str,
+    on: str,
+    value_col: str,
+    step_s: float,
+    tiebreak: Optional[str] = None,
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+) -> "ray.data.Dataset":
+    """Regular-grid time resample with forward fill — the batch
+    materialization of the as-of/backfill family: for each key, emit one
+    row per epoch-aligned grid tick in [ceil_align(first ts), last ts]
+    carrying the value of the LAST event at or before the tick (ties at
+    equal ts resolve to the largest ``tiebreak`` — last-write-wins,
+    mirrored by the oracle's ``arg_max``).  This is how a serving table
+    / training design matrix is laid onto a uniform clock.
+
+    Vectorized per partition: tick counts come from integer ceil-align
+    arithmetic, all ticks of all keys are generated in one arange, and
+    ONE searchsorted on the shared adjusted-ts axis maps every tick to
+    its as-of source row (ticks never precede the key's first event, so
+    a match always exists).  Output size is span/step per key — bounded
+    by wall-clock span, not row count; the single shuffle is on the key.
+    """
+    step_us = int(step_s * _US)
+
+    def kernel(table: pa.Table) -> pa.Table:
+        t = _sort_table(table, key, on, tiebreak)
+        n = t.num_rows
+
+        def _empty() -> pa.Table:
+            return pa.table(
+                {
+                    key: t[key].slice(0, 0),
+                    "tick": pa.array([], pa.timestamp("us")),
+                    f"last_{value_col}": t[value_col].slice(0, 0),
+                }
+            )
+
+        if n == 0:
+            return _empty()
+        codes = _codes(t, key)
+        starts = sg.segment_starts(codes)
+        counts = sg.segment_counts(starts, n)
+        ts = _ts_us(t, on)
+        t0 = ts[starts]
+        t1 = ts[starts + counts - 1]
+        g0 = -(-t0 // step_us) * step_us  # ceil-align to the epoch grid
+        nt = np.maximum((t1 - g0) // step_us + 1, 0)
+        total = int(nt.sum())
+        if total == 0:
+            return _empty()
+        seg = np.repeat(np.arange(len(starts), dtype=np.int64), nt)
+        cum = np.concatenate([[0], np.cumsum(nt)[:-1]])
+        tick = g0[seg] + (np.arange(total, dtype=np.int64) - np.repeat(cum, nt)) * step_us
+        adj = sg.adjusted_ts(ts, starts, 1)
+        off = adj[starts] - t0
+        # side="right" - 1: last row with ts <= tick; equal-ts peers are
+        # sorted by tiebreak so the LAST (max tiebreak) wins.
+        idx = np.searchsorted(adj, tick + off[seg], side="right") - 1
+        return pa.table(
+            {
+                key: t[key].take(pa.array(starts[seg], pa.int64())),
+                "tick": pa.array(tick, pa.timestamp("us")),
+                f"last_{value_col}": t[value_col].take(pa.array(idx, pa.int64())),
+            }
+        )
+
+    return map_partitions_by_key(ds, key, kernel, num_partitions)
+
+
 def keyed_tumbling_agg(
     ds: "ray.data.Dataset",
     key: str,

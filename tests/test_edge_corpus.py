@@ -57,6 +57,7 @@ QUERIES = [
     "dup_span_docs",
     "dsir_importance_docs",
     "bm25_top_docs",
+    "editdist_neardup",
 ]
 
 

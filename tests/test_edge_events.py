@@ -79,6 +79,8 @@ QUERIES = [
     "zscore_value_per_user",
     "ewma_value_per_user",
     "rolling_minmax_1h",
+    "rolling_corr_3d",
+    "resample_1h_ffill",
     "median_value_per_user",
     "cum_distinct_types_per_user",
     "dataset_checksum",

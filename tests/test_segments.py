@@ -169,3 +169,15 @@ def test_range_quantile_disc_brute_force():
                     assert got[i] == seg[(q_pct * m + 99) // 100 - 1]
                 else:
                     assert np.isnan(got[i])
+
+
+def test_prefix_sums_int_exact_beyond_float53():
+    """int64 prefix sums stay exact where float64 would round — the
+    property second-moment window stats (rolling corr) depend on."""
+    big = (1 << 53) + 1  # not representable in float64
+    v = np.array([[big], [1], [1]], dtype=np.int64)
+    p = sg.prefix_sums_int(v)
+    assert p[3, 0] == big + 2  # float64 path would lose the +1
+    np.testing.assert_array_equal(p[:, 0], [0, big, big + 1, big + 2])
+    s = sg.range_sums(p, np.array([1]), np.array([3]))
+    assert s[0, 0] == 2
