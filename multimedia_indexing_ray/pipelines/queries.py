@@ -4460,6 +4460,62 @@ def q_resample_1h_ffill(sf_dir: str):
 
 
 @register(
+    "zscore_value_pit",
+    f"""
+    WITH c AS (
+      SELECT event_id, user_id, {_CENTS_SQL.format(col='value')} AS c,
+        CAST(count(*) OVER w AS BIGINT) AS n,
+        sum({_CENTS_SQL.format(col='value')}) OVER w AS sx,
+        sum({_CENTS_SQL.format(col='value')} * {_CENTS_SQL.format(col='value')}) OVER w AS sxx
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+    SELECT event_id, user_id, n AS n_prior,
+      CASE WHEN n >= 2
+            AND CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE) > 0
+       THEN (CAST(n AS DOUBLE)*CAST(c AS DOUBLE) - CAST(sx AS DOUBLE))
+            / sqrt(CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+       ELSE 0.0 END AS z_pit_value_cents
+    FROM c
+    """,
+)
+def q_zscore_value_pit(sf_dir: str):
+    """Point-in-time EXPANDING z-score — each event standardized against
+    the user's STRICTLY-PRIOR history only (the leakage-free sibling of
+    `zscore_value_per_user`, whose full-history moments would leak
+    future values into a training feature; same PIT discipline as
+    `target_encode_user` / `minmax_scale_pit`).  Prior (n, Σc, Σc²) are
+    exact int64 prefix-sum differences and
+
+        z = (n·c − Σc) / √(n·Σc² − (Σc)²)
+
+    is one fixed IEEE-754 expression tree over those exact integers,
+    written identically in the oracle — bit-exact DOUBLEs, no tolerance.
+    ONE shuffle on user_id (`stages/keyed.py:keyed_expanding_zscore`)."""
+    ev = _rp(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    out = kd.keyed_expanding_zscore(
+        ev.map_batches(_add_value_cents, batch_format="pyarrow"),
+        "user_id",
+        "ts",
+        "value_cents",
+        tiebreak="event_id",
+        id_cols=["event_id"],
+    )
+
+    def _finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "user_id": batch["user_id"],
+                "n_prior": batch["n_prior"],
+                "z_pit_value_cents": batch["z_pit_value_cents"],
+            }
+        )
+
+    return out.map_batches(_finish, batch_format="pyarrow")
+
+
+@register(
     "editdist_neardup",
     r"""
     WITH tk AS (SELECT doc_id, text, regexp_extract_all(text, '\S+') AS toks FROM documents),

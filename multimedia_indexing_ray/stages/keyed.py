@@ -382,6 +382,65 @@ def keyed_sliding_corr_lag1(
     return map_partitions_by_key(ds, key, kernel, num_partitions)
 
 
+def keyed_expanding_zscore(
+    ds: "ray.data.Dataset",
+    key: str,
+    on: str,
+    value_col: str,
+    tiebreak: Optional[str] = None,
+    id_cols: Sequence[str] = (),
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+) -> "ray.data.Dataset":
+    """Point-in-time EXPANDING standardization: each row's z-score
+    against the key's STRICTLY-PRIOR history (rows before it under
+    (on, tiebreak) order) — the leakage-free form of `zscore` (which
+    uses the key's full history and would leak future moments into a
+    training feature).
+
+    ``value_col`` must hold exact integers (cents).  Prior (n, Σc, Σc²)
+    are int64 prefix-sum differences — exact — and the z-score uses the
+    population-variance identity
+
+        z = (n·c − Σc) / √(n·Σc² − (Σc)²)
+
+    one fixed IEEE-754 expression tree over exact integers, written
+    identically in the SQL oracle, so DOUBLE output is bit-exact.
+    Rows with n<2 prior observations or zero prior variance emit 0.0.
+    ONE shuffle on the key."""
+
+    def kernel(table: pa.Table) -> pa.Table:
+        t = _sort_table(table, key, on, tiebreak)
+        n = t.num_rows
+        id_keep = [c for c in [*id_cols, key] if c in t.column_names]
+        if n == 0:
+            cols = {c: t[c] for c in id_keep}
+            cols["n_prior"] = pa.array([], pa.int64())
+            cols[f"z_pit_{value_col}"] = pa.array([], pa.float64())
+            return pa.table(cols)
+        codes = _codes(t, key)
+        starts = sg.segment_starts(codes)
+        x = t[value_col].cast(pa.float64()).to_numpy(zero_copy_only=False)
+        c64 = np.rint(x).astype(np.int64)
+        P = sg.prefix_sums_int(np.stack([c64, c64 * c64], axis=1))
+        counts = sg.segment_counts(starts, n)
+        seg0 = np.repeat(starts, counts)  # first row index of each row's key
+        rel = sg.rel_index(starts, n).astype(np.int64)  # = n_prior
+        sx = (P[np.arange(n), 0] - P[seg0, 0]).astype(np.float64)
+        sxx = (P[np.arange(n), 1] - P[seg0, 1]).astype(np.float64)
+        nn = rel.astype(np.float64)
+        cf = c64.astype(np.float64)
+        var = nn * sxx - sx * sx
+        with np.errstate(invalid="ignore", divide="ignore"):
+            z = (nn * cf - sx) / np.sqrt(var)
+        z = np.where((rel >= 2) & (var > 0), z, 0.0)
+        cols = {c: t[c] for c in id_keep}
+        cols["n_prior"] = pa.array(rel, pa.int64())
+        cols[f"z_pit_{value_col}"] = pa.array(z, pa.float64())
+        return pa.table(cols)
+
+    return map_partitions_by_key(ds, key, kernel, num_partitions)
+
+
 def keyed_resample_ffill(
     ds: "ray.data.Dataset",
     key: str,

@@ -67,6 +67,9 @@ GATED = {
     # r5c: bigram-LM model tables flip from broadcast to two bucketed
     # hash joins + doc-keyed reduce
     "lm_perplexity_docs": {"GRAFT_MAX_VOCAB_BROADCAST": "0"},
+    # r5e: edit-distance verify flips from in-process coalesce to the
+    # anchor-keyed exchange (texts co-located per block)
+    "editdist_neardup": {"GRAFT_COALESCE_DOCS": "0"},
 }
 
 

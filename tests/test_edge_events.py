@@ -81,6 +81,7 @@ QUERIES = [
     "rolling_minmax_1h",
     "rolling_corr_3d",
     "resample_1h_ffill",
+    "zscore_value_pit",
     "median_value_per_user",
     "cum_distinct_types_per_user",
     "dataset_checksum",
@@ -154,3 +155,29 @@ def test_incremental_feature_store_batch_size_invariance(ray_session, edge_dir):
         per_row.append_batch(t.slice(i, 1))
     a, b = one.current().to_pandas(), per_row.current().to_pandas()
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_zscore_pit_no_future_leakage(ray_session, edge_dir, tmp_path_factory):
+    """The PIT hard invariant, directly: perturbing each user's LAST
+    event (the future, from every other row's viewpoint) must leave
+    every earlier row's expanding z-score bit-identical."""
+    import __ray_entry__ as e
+
+    t = papq.read_table(f"{edge_dir}/events.parquet")
+    df = t.to_pandas()
+    # per user, the row with max (ts, event_id) = everyone else's future
+    last_ids = set(
+        df.sort_values(["ts", "event_id"]).groupby("user_id")["event_id"].last()
+    )
+    mut = df.copy()
+    mask = mut["event_id"].isin(last_ids)
+    mut.loc[mask, "value"] = mut.loc[mask, "value"] + 12345.67
+    d2 = tmp_path_factory.mktemp("edge_events_mut")
+    papq.write_table(pa.Table.from_pandas(mut, preserve_index=False), str(d2 / "events.parquet"))
+
+    a = e.queries()["zscore_value_pit"](edge_dir).to_pandas()
+    b = e.queries()["zscore_value_pit"](str(d2)).to_pandas()
+    a = a[~a["event_id"].isin(last_ids)].sort_values("event_id").reset_index(drop=True)
+    b = b[~b["event_id"].isin(last_ids)].sort_values("event_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) == len(df) - len(last_ids)
