@@ -71,6 +71,13 @@ BENCH_QUERIES = [
     "bm25_top_docs",
     # r5d: holistic order-statistic window (mass-capped CSR + one lexsort)
     "rolling_median_1h",
+    # r5e: bivariate second-moment window (exact int64 sums), grid
+    # resample+ffill (arange + one searchsorted), PIT expanding z-score,
+    # and the banded-Levenshtein near-dup verify
+    "rolling_corr_3d",
+    "resample_1h_ffill",
+    "zscore_value_pit",
+    "editdist_neardup",
 ]
 
 # Per-query shuffle strategy, interleaved-A/B measured (2026-08-17, 32

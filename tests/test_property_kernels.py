@@ -5,7 +5,7 @@ an obviously-correct O(n^2) reference on every generated case.
 """
 
 import numpy as np
-from hypothesis import given, settings
+from hypothesis import assume, given, settings
 from hypothesis import strategies as st
 
 from multimedia_indexing_ray.functions import segments as sg
@@ -193,3 +193,70 @@ def test_scrub_replace_matches_re_sub(texts):
         assert got == want
         counts = tx.scrub_count(arr, pat).tolist()
         assert counts == [len(re.findall(pat, t)) for t in texts]
+
+
+@settings(max_examples=60, deadline=None)
+@given(segmented_data(), st.integers(1, 10**7))
+def test_sliding_corr_lag1_property(data, width):
+    """Trailing-window autocorr sums: the int64 prefix-sum path must
+    equal a brute-force per-row window scan on every generated case."""
+    codes, ts, vals = data
+    starts = sg.segment_starts(codes)
+    x = vals.astype(np.int64)
+    adj = sg.adjusted_ts(ts, starts, width + 1)
+    hi = sg.visible_hi(adj)
+    lo = sg.sliding_lo(adj, width, "both")
+    y = np.zeros_like(x)
+    y[1:] = x[:-1]
+    y[starts] = 0
+    v = np.ones(len(x), dtype=np.int64)
+    v[starts] = 0
+    blocks = np.stack([v, x * v, x * x * v, y, y * y, x * v * y], axis=1)
+    s = sg.range_sums(sg.prefix_sums_int(blocks), lo, hi)
+    for i in range(len(x)):
+        idx = [
+            j
+            for j in range(len(x))
+            if codes[j] == codes[i] and ts[i] - width <= ts[j] <= ts[i] and v[j]
+        ]
+        # equal-ts peers AFTER i are included (closed="both" RANGE frame)
+        assert s[i, 0] == len(idx)
+        assert s[i, 1] == sum(int(x[j]) for j in idx)
+        assert s[i, 2] == sum(int(x[j]) ** 2 for j in idx)
+        assert s[i, 5] == sum(int(x[j]) * int(x[j - 1]) for j in idx)
+
+
+@settings(max_examples=60, deadline=None)
+@given(segmented_data(), st.integers(1, 10**7))
+def test_resample_ffill_tick_property(data, step):
+    """Grid generation + as-of mapping vs brute force: every
+    epoch-aligned tick in [ceil(t0), t1] appears exactly once per key
+    and carries the last value at-or-before it."""
+    codes, ts, vals = data
+    starts = sg.segment_starts(codes)
+    counts = sg.segment_counts(starts, len(codes))
+    t0 = ts[starts]
+    t1 = ts[starts + counts - 1]
+    g0 = -(-t0 // step) * step
+    nt = np.maximum((t1 - g0) // step + 1, 0)
+    total = int(nt.sum())
+    assume(total <= 2000)  # keep the O(total x rows) brute force sane
+    if total == 0:
+        return
+    seg = np.repeat(np.arange(len(starts), dtype=np.int64), nt)
+    cum = np.concatenate([[0], np.cumsum(nt)[:-1]])
+    tick = g0[seg] + (np.arange(total, dtype=np.int64) - np.repeat(cum, nt)) * step
+    adj = sg.adjusted_ts(ts, starts, 1)
+    off = adj[starts] - t0
+    idx = np.searchsorted(adj, tick + off[seg], side="right") - 1
+    # brute force per key
+    pos = 0
+    for s_i, (st0, st1) in enumerate(zip(t0, t1)):
+        expect = [t for t in range(-(-int(st0) // step) * step, int(st1) + 1, step)]
+        got = tick[seg == s_i]
+        assert list(got) == expect
+        lo_row, hi_row = starts[s_i], starts[s_i] + counts[s_i]
+        for t in expect:
+            cand = [j for j in range(lo_row, hi_row) if ts[j] <= t]
+            assert idx[pos] == cand[-1]
+            pos += 1
