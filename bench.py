@@ -78,6 +78,7 @@ BENCH_QUERIES = [
     "resample_1h_ffill",
     "zscore_value_pit",
     "editdist_neardup",
+    "asof_last3_purchases",  # last-k history join (k=3 backward walk)
 ]
 
 # Per-query shuffle strategy, interleaved-A/B measured (2026-08-17, 32

@@ -4460,6 +4460,80 @@ def q_resample_1h_ffill(sf_dir: str):
 
 
 @register(
+    "asof_last3_purchases",
+    f"""
+    WITH err AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
+    pur AS (SELECT user_id, ts, event_id, {_CENTS_SQL.format(col='value')} AS c
+            FROM events WHERE event_type = 'purchase')
+    SELECT e.event_id, e.user_id, p.last1_cents, p.last2_cents, p.last3_cents, p.n_last
+    FROM err e LEFT JOIN LATERAL (
+      SELECT max(CASE WHEN rn = 1 THEN c END) AS last1_cents,
+             max(CASE WHEN rn = 2 THEN c END) AS last2_cents,
+             max(CASE WHEN rn = 3 THEN c END) AS last3_cents,
+             CAST(count(*) AS BIGINT) AS n_last
+      FROM (SELECT c, row_number() OVER (ORDER BY ts DESC, event_id DESC) AS rn
+            FROM pur WHERE pur.user_id = e.user_id AND pur.ts < e.ts
+            ORDER BY ts DESC, event_id DESC LIMIT 3)
+    ) p ON TRUE
+    """,
+)
+def q_asof_last3_purchases(sf_dir: str):
+    """LAST-K history join (k=3): each error event decorated with the
+    user's 3 most recent purchase amounts STRICTLY before it — the
+    "last 3 transactions" feature-history shape that a single as-of
+    join (k=1) can't express and a window can't either (the history
+    comes from a different, filtered table).  Same single key-hash
+    exchange as `asof_purchase_before_error`; the k-step backward walk
+    is plain index arithmetic off the one searchsorted cursor
+    (`stages/asof_join.py:asof_lastk_join`), clamped to the key
+    segment's first row.  Newest-first ties resolve by event_id DESC on
+    both sides; nulls past the available history.  Oracle: DuckDB
+    LATERAL top-3."""
+    from multimedia_indexing_ray.stages.asof_join import asof_lastk_join
+
+    ev = _rp(sf_dir, "events", ["event_id", "user_id", "ts", "event_type", "value"])
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "value_cents", pa.array(_cents(v).astype(np.int64), pa.int64())
+        )
+
+    pur = ev.filter(expr="event_type == 'purchase'").map_batches(
+        _prep, batch_format="pyarrow"
+    ).select_columns(["user_id", "ts", "event_id", "value_cents"])
+    err = ev.filter(expr="event_type == 'error'").select_columns(
+        ["event_id", "user_id", "ts"]
+    )
+    out = asof_lastk_join(
+        pur,
+        err,
+        k=3,
+        left_key="user_id",
+        left_on="ts",
+        value_col="value_cents",
+        tiebreak="event_id",
+        allow_exact_matches=False,
+        out_prefix="last",
+        num_partitions=32,
+    )
+
+    def _finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "user_id": batch["user_id"],
+                "last1_cents": batch["last1"],
+                "last2_cents": batch["last2"],
+                "last3_cents": batch["last3"],
+                "n_last": batch["n_last"],
+            }
+        )
+
+    return out.map_batches(_finish, batch_format="pyarrow")
+
+
+@register(
     "zscore_value_pit",
     f"""
     WITH c AS (

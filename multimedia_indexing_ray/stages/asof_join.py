@@ -438,3 +438,125 @@ def range_join(
         return pa.table(cols)
 
     return lds.union(rds).groupby(PART_COL).map_groups(_merge, batch_format="pyarrow")
+
+
+def asof_lastk_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    k: int,
+    left_key: str,
+    left_on: str,
+    value_col: str,
+    tiebreak: Optional[str] = None,
+    right_key: Optional[str] = None,
+    right_on: Optional[str] = None,
+    allow_exact_matches: bool = False,
+    out_prefix: str = "last",
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+) -> "ray.data.Dataset":
+    """LAST-K history join: attach to every right row the k most recent
+    left VALUES before its time (strictly before by default), same key —
+    the "last 3 transactions" feature-history shape that a plain as-of
+    join (k=1) cannot express and a window cannot either (the k values
+    come from a DIFFERENT, filtered table).
+
+    Same physical plan as :func:`asof_join` (ONE key hash shuffle, both
+    sides tagged + unioned, global searchsorted on the adjusted axis),
+    but the payload is a single NON-NULL int64 ``value_col``, so the k
+    gathers are plain vectorized index arithmetic: candidate j is simply
+    ``idx - j`` clamped to the left key segment's first row — the k-step
+    backward walk costs k fancy-index ops, no loops over rows.
+
+    Ties on equal left time resolve to the highest ``tiebreak`` first
+    (newest-first order), mirroring a SQL ``ORDER BY t DESC, tiebreak
+    DESC LIMIT k`` lateral.
+
+    Output: right key/on/payload columns + ``{out_prefix}1..k`` (int64,
+    nulls past the available history, newest first) + ``n_{out_prefix}``
+    (matched count <= k).  Rows with NULL key/time are dropped on both
+    sides (SQL null-never-joins)."""
+    right_key = right_key or left_key
+    right_on = right_on or left_on
+    l_schema = left.schema()
+    r_schema = right.schema()
+    l_fields = {n: t for n, t in zip(l_schema.names, l_schema.types)}
+    r_fields = {n: t for n, t in zip(r_schema.names, r_schema.types)}
+    key_type = l_fields[left_key]
+    on_type = l_fields[left_on]
+    tb_type = l_fields[tiebreak] if tiebreak else pa.int64()
+    r_payload = [n for n in r_schema.names if n not in (right_key, right_on)]
+    temporal = pa.types.is_temporal(on_type)
+    side_of = "right" if allow_exact_matches else "left"
+
+    def _prep(batch: pa.Table, side: int, key: str, on: str) -> pa.Table:
+        ok = pc.and_(pc.is_valid(batch[key]), pc.is_valid(batch[on]))
+        if pc.any(pc.invert(ok)).as_py():
+            batch = batch.filter(ok)
+        n = batch.num_rows
+        cols = {
+            "__k": batch[key].cast(key_type),
+            "__t": batch[on].cast(on_type),
+            "__v": batch[value_col].cast(pa.int64()) if side == 0 else pa.nulls(n, pa.int64()),
+            "__tb": (
+                batch[tiebreak].cast(tb_type)
+                if side == 0 and tiebreak
+                else pa.nulls(n, tb_type)
+            ),
+        }
+        for p in r_payload:
+            cols[p] = batch[p] if side == 1 else pa.nulls(n, r_fields[p])
+        cols[SIDE_COL] = pa.array(np.full(n, side, dtype=np.int8))
+        keys = cols["__k"].to_numpy(zero_copy_only=False)
+        cols[PART_COL] = pa.array(partition_ids(keys, num_partitions))
+        return pa.table(cols)
+
+    lds = left.map_batches(
+        lambda b: _prep(b, 0, left_key, left_on), batch_format="pyarrow"
+    )
+    rds = right.map_batches(
+        lambda b: _prep(b, 1, right_key, right_on), batch_format="pyarrow"
+    )
+
+    def _merge(table: pa.Table) -> pa.Table:
+        table = table.drop_columns([PART_COL])
+        lt = table.filter(pc.equal(table[SIDE_COL], 0))
+        rt = table.filter(pc.equal(table[SIDE_COL], 1))
+        sort_keys = [("__k", "ascending"), ("__t", "ascending")]
+        if tiebreak:
+            sort_keys.append(("__tb", "ascending"))
+        lt = lt.take(pc.sort_indices(lt, sort_keys=sort_keys))
+        k_l = lt["__k"].to_numpy(zero_copy_only=False)
+        k_r = rt["__k"].to_numpy(zero_copy_only=False)
+        t_l = _t_int64(lt["__t"], temporal)
+        t_r = _t_int64(rt["__t"], temporal)
+        nl, nr = len(k_l), len(k_r)
+        vals = lt["__v"].combine_chunks().to_numpy(zero_copy_only=False)
+        out_cols: dict = {right_key: rt["__k"], right_on: rt["__t"]}
+        for n in r_payload:
+            out_cols[n] = rt[n]
+        if nl == 0 or nr == 0:
+            for j in range(1, k + 1):
+                out_cols[f"{out_prefix}{j}"] = pa.nulls(nr, pa.int64())
+            out_cols[f"n_{out_prefix}"] = pa.array(
+                np.zeros(nr, dtype=np.int64), pa.int64()
+            )
+            return pa.table(out_cols)
+        adj_l, adj_r, c_l, c_r = _adjusted_pair(k_l, k_r, t_l, t_r, 0, "asof_lastk_join")
+        # first left row index of each left row's key segment
+        br = np.flatnonzero(np.concatenate([[True], c_l[1:] != c_l[:-1]]))
+        seg0 = np.repeat(br, np.diff(np.append(br, nl)))
+        idx = np.searchsorted(adj_l, adj_r, side=side_of) - 1
+        cl = np.clip(idx, 0, nl - 1)
+        matched = (idx >= 0) & (c_l[cl] == c_r)
+        first = seg0[cl]
+        n_hist = np.where(matched, np.minimum(idx - first + 1, k), 0).astype(np.int64)
+        for j in range(1, k + 1):
+            cand = idx - (j - 1)
+            ok_j = matched & (cand >= first)
+            out_cols[f"{out_prefix}{j}"] = pa.array(
+                vals[np.clip(cand, 0, nl - 1)].astype(np.int64), pa.int64(), mask=~ok_j
+            )
+        out_cols[f"n_{out_prefix}"] = pa.array(n_hist, pa.int64())
+        return pa.table(out_cols)
+
+    return lds.union(rds).groupby(PART_COL).map_groups(_merge, batch_format="pyarrow")

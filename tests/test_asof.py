@@ -379,3 +379,61 @@ def test_asof_nearest_direction(ray_session):
         direction="nearest", allow_exact_matches=False,
     ).to_pandas()
     assert out["matched_v"].tolist() == [10.0]
+
+
+def test_asof_lastk_semantics(ray_session):
+    """Hand-built last-k history: equal-ts ties newest-first by tiebreak,
+    k > available history null-pads, strict mode excludes exact matches,
+    allow_exact includes them, unknown keys unmatched."""
+    import ray.data as rd
+
+    from multimedia_indexing_ray.stages.asof_join import asof_lastk_join
+
+    left = pa.table(
+        {
+            "k": pa.array([1, 1, 1, 1, 2], pa.int64()),
+            "t": pa.array([10, 20, 20, 30, 5], pa.int64()),
+            "tb": pa.array([0, 1, 2, 3, 0], pa.int64()),
+            "v": pa.array([100, 200, 201, 300, 900], pa.int64()),
+        }
+    )
+    right = pa.table(
+        {
+            "rid": pa.array([0, 1, 2, 3, 4], pa.int64()),
+            "k": pa.array([1, 1, 1, 2, 3], pa.int64()),
+            "t": pa.array([25, 20, 35, 4, 50], pa.int64()),
+        }
+    )
+
+    def run(allow_exact):
+        out = asof_lastk_join(
+            rd.from_arrow(left),
+            rd.from_arrow(right),
+            k=3,
+            left_key="k",
+            left_on="t",
+            value_col="v",
+            tiebreak="tb",
+            allow_exact_matches=allow_exact,
+            num_partitions=3,
+        ).to_pandas()
+        return out.sort_values("rid").reset_index(drop=True)
+
+    strict = run(False)
+    # rid 0 (t=25): history {10,20a,20b} newest-first = 201 (tb=2), 200, 100
+    assert strict.loc[0, ["last1", "last2", "last3"]].tolist() == [201, 200, 100]
+    assert strict.loc[0, "n_last"] == 3
+    # rid 1 (t=20 strict): only t=10 qualifies
+    assert strict.loc[1, "last1"] == 100 and strict.loc[1, "n_last"] == 1
+    assert pd.isna(strict.loc[1, "last2"]) and pd.isna(strict.loc[1, "last3"])
+    # rid 2 (t=35): all four, truncated to newest 3
+    assert strict.loc[2, ["last1", "last2", "last3"]].tolist() == [300, 201, 200]
+    # rid 3 (k=2, t=4): before the only left row -> unmatched
+    assert strict.loc[3, "n_last"] == 0 and pd.isna(strict.loc[3, "last1"])
+    # rid 4: unknown key
+    assert strict.loc[4, "n_last"] == 0
+
+    loose = run(True)
+    # rid 1 (t=20, exact allowed): 201, 200, 100
+    assert loose.loc[1, ["last1", "last2", "last3"]].tolist() == [201, 200, 100]
+    assert loose.loc[1, "n_last"] == 3

@@ -82,6 +82,7 @@ QUERIES = [
     "rolling_corr_3d",
     "resample_1h_ffill",
     "zscore_value_pit",
+    "asof_last3_purchases",
     "median_value_per_user",
     "cum_distinct_types_per_user",
     "dataset_checksum",
