@@ -76,6 +76,7 @@ BENCH_QUERIES = [
     # and the banded-Levenshtein near-dup verify
     "rolling_corr_3d",
     "resample_1h_ffill",
+    "resample_1h_interp",
     "zscore_value_pit",
     "editdist_neardup",
     "asof_last3_purchases",  # last-k history join (k=3 backward walk)

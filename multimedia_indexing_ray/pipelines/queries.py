@@ -4590,6 +4590,63 @@ def q_zscore_value_pit(sf_dir: str):
 
 
 @register(
+    "resample_1h_interp",
+    f"""
+    WITH eb AS (SELECT user_id, ts, arg_max({_CENTS_SQL.format(col='value')}, event_id) AS c
+                FROM events GROUP BY user_id, ts),
+    ef AS (SELECT user_id, ts, arg_min({_CENTS_SQL.format(col='value')}, event_id) AS c
+           FROM events GROUP BY user_id, ts),
+    b AS (SELECT user_id,
+            make_timestamp(((epoch_us(min(ts)) + 3599999999) // 3600000000) * 3600000000) AS g0,
+            max(ts) AS t1
+          FROM events GROUP BY user_id),
+    g AS (SELECT user_id, unnest(generate_series(g0, t1, INTERVAL 1 HOUR)) AS tick
+          FROM b WHERE g0 <= t1),
+    j AS (
+      SELECT g.user_id, g.tick,
+             e0.ts AS ts0, e0.c AS v0, e1.ts AS ts1, e1.c AS v1
+      FROM g
+      ASOF JOIN eb e0 ON g.user_id = e0.user_id AND g.tick >= e0.ts
+      ASOF LEFT JOIN ef e1 ON g.user_id = e1.user_id AND g.tick < e1.ts)
+    SELECT user_id, tick,
+      CASE WHEN ts1 IS NULL THEN CAST(v0 AS DOUBLE)
+           ELSE CAST(v0 * (epoch_us(ts1) - epoch_us(tick))
+                     + v1 * (epoch_us(tick) - epoch_us(ts0)) AS DOUBLE)
+                / CAST(epoch_us(ts1) - epoch_us(ts0) AS DOUBLE) END AS interp_value_cents
+    FROM j
+    """,
+)
+def q_resample_1h_interp(sf_dir: str):
+    """Regular-grid resample with LINEAR INTERPOLATION — completes the
+    resampling pair with `resample_1h_ffill` (ffill = step function for
+    state-like series; interp = piecewise-linear for level-like ones).
+    v0/v1 are the bracketing events (backward ties -> max event_id,
+    forward ties -> min event_id — the oracle's arg_max/arg_min), the
+    cross-products v0·(t1−t) + v1·(t−t0) are EXACT int64 over integer
+    cents x microsecond deltas, and the single cast + division is one
+    IEEE tree shared with the oracle — bit-exact DOUBLEs.  No
+    extrapolation past the last event (v0 carries).  Same one-shuffle
+    one-searchsorted plan (`stages/keyed.py:keyed_resample_interp`);
+    oracle: dual DuckDB ASOF JOINs (backward + forward)."""
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "value_cents", pa.array(_cents(v).astype(np.int64), pa.int64())
+        )
+
+    ev = _rp(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    return kd.keyed_resample_interp(
+        ev.map_batches(_prep, batch_format="pyarrow"),
+        "user_id",
+        "ts",
+        "value_cents",
+        step_s=3600.0,
+        tiebreak="event_id",
+    )
+
+
+@register(
     "editdist_neardup",
     r"""
     WITH tk AS (SELECT doc_id, text, regexp_extract_all(text, '\S+') AS toks FROM documents),

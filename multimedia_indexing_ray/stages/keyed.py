@@ -441,6 +441,106 @@ def keyed_expanding_zscore(
     return map_partitions_by_key(ds, key, kernel, num_partitions)
 
 
+def _grid_ticks(ts: np.ndarray, starts: np.ndarray, counts: np.ndarray, step_us: int):
+    """Epoch-aligned grid ticks in [ceil_align(first ts), last ts] for
+    every key segment of a sorted partition, in one arange.  Returns
+    (seg_index_per_tick, tick_us) — empty arrays when no key spans a
+    tick."""
+    t0 = ts[starts]
+    t1 = ts[starts + counts - 1]
+    g0 = -(-t0 // step_us) * step_us  # ceil-align to the epoch grid
+    nt = np.maximum((t1 - g0) // step_us + 1, 0)
+    total = int(nt.sum())
+    if total == 0:
+        e = np.empty(0, dtype=np.int64)
+        return e, e
+    seg = np.repeat(np.arange(len(starts), dtype=np.int64), nt)
+    cum = np.concatenate([[0], np.cumsum(nt)[:-1]])
+    tick = g0[seg] + (np.arange(total, dtype=np.int64) - np.repeat(cum, nt)) * step_us
+    return seg, tick
+
+
+def keyed_resample_interp(
+    ds: "ray.data.Dataset",
+    key: str,
+    on: str,
+    value_col: str,
+    step_s: float,
+    tiebreak: Optional[str] = None,
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+) -> "ray.data.Dataset":
+    """Regular-grid resample with LINEAR interpolation — the other
+    canonical resampling mode (ffill = step function for state-like
+    series; interp = piecewise-linear for level-like series).  For each
+    epoch-aligned tick: v0 = value of the last event at-or-before it
+    (equal-ts ties -> max ``tiebreak``), v1 = value of the first event
+    strictly after (ties -> min ``tiebreak``), and
+
+        interp = (v0·(t1−t) + v1·(t−t0)) / (t1−t0)
+
+    with the cross-products computed in EXACT int64 (``value_col`` must
+    be exact integers, e.g. cents; |v|·span_us must stay below 2**63)
+    and the division as one shared IEEE-754 expression, mirrored by the
+    SQL oracle — bit-exact DOUBLEs.  Ticks past the last event segment
+    carry v0 (no extrapolation); a tick ON an event reproduces that
+    event's value exactly (the formula degenerates to v0).  Same
+    single-shuffle, one-arange/one-searchsorted plan as
+    :func:`keyed_resample_ffill`."""
+    step_us = int(step_s * _US)
+
+    def kernel(table: pa.Table) -> pa.Table:
+        t = _sort_table(table, key, on, tiebreak)
+        n = t.num_rows
+
+        def _empty() -> pa.Table:
+            return pa.table(
+                {
+                    key: t[key].slice(0, 0),
+                    "tick": pa.array([], pa.timestamp("us")),
+                    f"interp_{value_col}": pa.array([], pa.float64()),
+                }
+            )
+
+        if n == 0:
+            return _empty()
+        codes = _codes(t, key)
+        starts = sg.segment_starts(codes)
+        counts = sg.segment_counts(starts, n)
+        ts = _ts_us(t, on)
+        seg, tick = _grid_ticks(ts, starts, counts, step_us)
+        if len(tick) == 0:
+            return _empty()
+        adj = sg.adjusted_ts(ts, starts, 1)
+        off = adj[starts] - ts[starts]
+        tick_adj = tick + off[seg]
+        i0 = np.searchsorted(adj, tick_adj, side="right") - 1  # last ts <= tick
+        i1 = np.searchsorted(adj, tick_adj, side="right")  # first ts > tick
+        seg_end = starts[seg] + counts[seg]  # one past the key's last row
+        has_next = i1 < seg_end
+        x = t[value_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        v0 = x[i0]
+        t0 = ts[i0]
+        i1c = np.minimum(i1, n - 1)
+        v1 = x[i1c]
+        t1 = ts[i1c]
+        # exact int64 cross-products; single cast + one division (shared
+        # IEEE tree with the oracle)
+        num = (v0 * (t1 - tick) + v1 * (tick - t0)).astype(np.float64)
+        den = (t1 - t0).astype(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            interp = num / den
+        interp = np.where(has_next, interp, v0.astype(np.float64))
+        return pa.table(
+            {
+                key: t[key].take(pa.array(starts[seg], pa.int64())),
+                "tick": pa.array(tick, pa.timestamp("us")),
+                f"interp_{value_col}": pa.array(interp, pa.float64()),
+            }
+        )
+
+    return map_partitions_by_key(ds, key, kernel, num_partitions)
+
+
 def keyed_resample_ffill(
     ds: "ray.data.Dataset",
     key: str,

@@ -81,6 +81,7 @@ QUERIES = [
     "rolling_minmax_1h",
     "rolling_corr_3d",
     "resample_1h_ffill",
+    "resample_1h_interp",
     "zscore_value_pit",
     "asof_last3_purchases",
     "median_value_per_user",
