@@ -4590,6 +4590,98 @@ def q_zscore_value_pit(sf_dir: str):
 
 
 @register(
+    "purchases_between_errors",
+    f"""
+    WITH s AS (
+      SELECT event_id, user_id, ts, event_type,
+        COALESCE(sum(CASE WHEN event_type = 'purchase' THEN 1 END) OVER w, 0) AS np,
+        COALESCE(sum(CASE WHEN event_type = 'purchase'
+                          THEN {_CENTS_SQL.format(col='value')} END) OVER w, 0) AS sp
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+    e AS (SELECT event_id, user_id, np, sp,
+            lag(np, 1, 0) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pnp,
+            lag(sp, 1, 0) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS psp
+          FROM s WHERE event_type = 'error')
+    SELECT event_id, user_id,
+      CAST(np - pnp AS BIGINT) AS n_purchases_since_prev_error,
+      CAST(sp - psp AS BIGINT) AS sum_cents_since_prev_error
+    FROM e
+    """,
+)
+def q_purchases_between_errors(sf_dir: str):
+    """INTER-MARKER aggregation: for each error event, the count and sum
+    of the user's purchases SINCE THE PREVIOUS error — the
+    "aggregate between consecutive markers" family (inter-arrival
+    behavior features) that neither a fixed window nor a plain as-of
+    join expresses.  One sorted partition pass: exclusive int64 prefix
+    sums of the purchase indicator/cents give each row's prior-purchase
+    totals, the error subsequence is filtered out, and a segment lag
+    subtracts the previous error's totals (fill 0 at the first error) —
+    all integers, hash-exact vs the oracle's frame + lag formulation.
+    ONE shuffle on user_id."""
+    from multimedia_indexing_ray.stages.partition import map_partitions_by_key
+
+    ev = _rp(sf_dir, "events", ["event_id", "user_id", "ts", "event_type", "value"])
+
+    def kernel(table: pa.Table) -> pa.Table:
+        t = table.sort_by(
+            [("user_id", "ascending"), ("ts", "ascending"), ("event_id", "ascending")]
+        )
+        n = t.num_rows
+        empty = pa.table(
+            {
+                "event_id": pa.array([], pa.int64()),
+                "user_id": pa.array([], pa.int64()),
+                "n_purchases_since_prev_error": pa.array([], pa.int64()),
+                "sum_cents_since_prev_error": pa.array([], pa.int64()),
+            }
+        )
+        if n == 0:
+            return empty
+        uid = t["user_id"].to_numpy()
+        starts = sg.segment_starts(uid)
+        counts = sg.segment_counts(starts, n)
+        seg0 = np.repeat(starts, counts)
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        is_pur = (et == "purchase").astype(np.int64)
+        cents = _cents(t["value"].to_numpy()).astype(np.int64)
+        P = sg.prefix_sums_int(np.stack([is_pur, is_pur * cents], axis=1))
+        rows = np.arange(n)
+        np_prior = P[rows, 0] - P[seg0, 0]  # purchases strictly before row
+        sp_prior = P[rows, 1] - P[seg0, 1]
+        err = np.flatnonzero(et == "error")
+        if err.size == 0:
+            return empty
+        e_uid = uid[err]
+        e_starts = sg.segment_starts(e_uid)
+
+        def _lag1_int(v: np.ndarray) -> np.ndarray:
+            # int64 segment lag (seg_lag is float64; keep the sums exact)
+            out = np.zeros_like(v)
+            out[1:] = v[:-1]
+            out[e_starts] = 0
+            return out
+
+        e_np, e_sp = np_prior[err], sp_prior[err]
+        return pa.table(
+            {
+                "event_id": t["event_id"].take(pa.array(err, pa.int64())),
+                "user_id": pa.array(e_uid, pa.int64()),
+                "n_purchases_since_prev_error": pa.array(
+                    e_np - _lag1_int(e_np), pa.int64()
+                ),
+                "sum_cents_since_prev_error": pa.array(
+                    e_sp - _lag1_int(e_sp), pa.int64()
+                ),
+            }
+        )
+
+    return map_partitions_by_key(ev, "user_id", kernel, num_partitions=32)
+
+
+@register(
     "resample_1h_interp",
     f"""
     WITH eb AS (SELECT user_id, ts, arg_max({_CENTS_SQL.format(col='value')}, event_id) AS c

@@ -84,6 +84,7 @@ QUERIES = [
     "resample_1h_interp",
     "zscore_value_pit",
     "asof_last3_purchases",
+    "purchases_between_errors",
     "median_value_per_user",
     "cum_distinct_types_per_user",
     "dataset_checksum",
