@@ -998,9 +998,30 @@ def anchor_editdist_pairs(
             return empty
         ai = np.concatenate(ai_parts)
         bi = np.concatenate(bi_parts)
-        dist = banded_levenshtein_pairs(
-            [cps[i] for i in ai], [cps[j] for j in bi], max_dist
+        # identical-text short-circuit: a mass-duplicate anchor (the
+        # worst case: b identical docs -> b^2/2 pairs) would otherwise
+        # push every pair through the DP at full text length; byte-equal
+        # pairs are distance 0 by definition.  One hash per DOC, then a
+        # confirmed equality check only on hash-equal pairs.
+        h = np.fromiter((hash(s) for s in texts), np.int64, len(texts))
+        cand = np.flatnonzero(h[ai] == h[bi])
+        conf = np.fromiter(
+            (texts[ai[k]] == texts[bi[k]] for k in cand), bool, len(cand)
         )
+        dist = np.full(len(ai), max_dist + 1, dtype=np.int64)
+        dist[cand[conf]] = 0
+        rest = np.flatnonzero(dist != 0)
+        if rest.size:
+            # chunk the DP so transient state (band matrix + padded text
+            # planes, ~4*maxlen bytes/pair) stays bounded regardless of
+            # how many pairs a partition holds
+            maxlen = max(len(c) for c in cps) or 1
+            chunk = max(1024, (1 << 28) // (4 * maxlen))
+            for lo_i in range(0, rest.size, chunk):
+                part = rest[lo_i : lo_i + chunk]
+                dist[part] = banded_levenshtein_pairs(
+                    [cps[i] for i in ai[part]], [cps[j] for j in bi[part]], max_dist
+                )
         m = dist <= max_dist
         return pa.table(
             {

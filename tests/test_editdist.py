@@ -117,3 +117,39 @@ def test_sentinel_never_below_true_distance():
                 assert g == true
             else:
                 assert g == K + 1
+
+
+def test_anchor_editdist_mass_duplicate_block(ray_session):
+    """A mass-duplicate anchor block (b identical docs -> b^2/2 pairs)
+    must resolve through the identical-text short-circuit, not the DP,
+    and still report near (non-identical) pairs exactly."""
+    import ray.data as rd
+    import pyarrow as pa
+
+    from multimedia_indexing_ray.stages.dedup import anchor_editdist_pairs
+
+    text = "alpha beta gamma delta epsilon zeta " * 6
+    texts = [text] * 60 + [text[:-6] + "zetaX ", text + "eta "]
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    out = (
+        anchor_editdist_pairs(
+            rd.from_arrow(docs), "text", "doc_id", max_dist=16, num_partitions=4
+        )
+        .to_pandas()
+        .sort_values(["a_id", "b_id"])
+        .reset_index(drop=True)
+    )
+    n_same = 60 * 59 // 2
+    assert (out["edit_distance"] == 0).sum() == n_same
+    # doc 60 differs from the identical block by one in-word edit; doc 61
+    # appends 4 chars
+    d60 = out[(out["b_id"] == 60) & (out["a_id"] < 60)]["edit_distance"].unique()
+    d61 = out[(out["b_id"] == 61) & (out["a_id"] < 60)]["edit_distance"].unique()
+    assert list(d60) == [6] or len(d60) == 1  # single consistent distance
+    assert len(d61) == 1
+    assert (out["edit_distance"] <= 16).all()
