@@ -98,6 +98,15 @@ def _add_value_cents(batch: pa.Table) -> pa.Table:
     return batch.append_column("value_cents", pa.array(_cents(v), pa.float64()))
 
 
+def _add_value_cents_i64(batch: pa.Table) -> pa.Table:
+    """value -> exact int64 cents column (the integer-parity input for
+    the resample / last-k / between-markers kernels)."""
+    v = batch["value"].to_numpy(zero_copy_only=False)
+    return batch.append_column(
+        "value_cents", pa.array(_cents(v).astype(np.int64), pa.int64())
+    )
+
+
 _CENTS_SQL = "CAST(FLOOR({col}*100+0.5) AS BIGINT)"
 
 
@@ -4442,15 +4451,9 @@ def q_resample_1h_ffill(sf_dir: str):
     wall-clock span, not row count.  Oracle: DuckDB ``generate_series``
     + native ``ASOF JOIN``."""
 
-    def _prep(batch: pa.Table) -> pa.Table:
-        v = batch["value"].to_numpy(zero_copy_only=False)
-        return batch.append_column(
-            "value_cents", pa.array(_cents(v).astype(np.int64), pa.int64())
-        )
-
     ev = _rp(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
     return kd.keyed_resample_ffill(
-        ev.map_batches(_prep, batch_format="pyarrow"),
+        ev.map_batches(_add_value_cents_i64, batch_format="pyarrow"),
         "user_id",
         "ts",
         "value_cents",
@@ -4493,14 +4496,8 @@ def q_asof_last3_purchases(sf_dir: str):
 
     ev = _rp(sf_dir, "events", ["event_id", "user_id", "ts", "event_type", "value"])
 
-    def _prep(batch: pa.Table) -> pa.Table:
-        v = batch["value"].to_numpy(zero_copy_only=False)
-        return batch.append_column(
-            "value_cents", pa.array(_cents(v).astype(np.int64), pa.int64())
-        )
-
     pur = ev.filter(expr="event_type == 'purchase'").map_batches(
-        _prep, batch_format="pyarrow"
+        _add_value_cents_i64, batch_format="pyarrow"
     ).select_columns(["user_id", "ts", "event_id", "value_cents"])
     err = ev.filter(expr="event_type == 'error'").select_columns(
         ["event_id", "user_id", "ts"]
@@ -4721,15 +4718,9 @@ def q_resample_1h_interp(sf_dir: str):
     one-searchsorted plan (`stages/keyed.py:keyed_resample_interp`);
     oracle: dual DuckDB ASOF JOINs (backward + forward)."""
 
-    def _prep(batch: pa.Table) -> pa.Table:
-        v = batch["value"].to_numpy(zero_copy_only=False)
-        return batch.append_column(
-            "value_cents", pa.array(_cents(v).astype(np.int64), pa.int64())
-        )
-
     ev = _rp(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
     return kd.keyed_resample_interp(
-        ev.map_batches(_prep, batch_format="pyarrow"),
+        ev.map_batches(_add_value_cents_i64, batch_format="pyarrow"),
         "user_id",
         "ts",
         "value_cents",
