@@ -350,3 +350,30 @@ def range_quantile_disc(
         k = offs[valid] + (q_pct * ln[valid] + 99) // 100 - 1
         out[start + valid] = sv[k]
     return out
+
+
+def range_quantile_disc_multi(
+    x: np.ndarray,
+    lo: np.ndarray,
+    hi: np.ndarray,
+    q_pcts: "tuple[int, ...]",
+    mass_cap: int = 1 << 23,
+) -> "list[np.ndarray]":
+    """Several discrete quantiles of the SAME windows in one pass —
+    identical selection rule to :func:`range_quantile_disc` but the CSR
+    expand + lexsort (the dominant cost) is shared across all q's
+    (robust-spread features like IQR need p25 and p75 of one window).
+    Returns one array per q_pct, in order."""
+    for q in q_pcts:
+        if not 0 < q <= 100:
+            raise ValueError(q)
+    nq = len(lo)
+    outs = [np.full(nq, np.nan) for _ in q_pcts]
+    if nq == 0 or len(x) == 0:
+        return outs
+    for start, ln, offs, sv in _csr_sorted_windows(x, lo, hi, mass_cap):
+        valid = np.flatnonzero(ln > 0)
+        for qi, q in enumerate(q_pcts):
+            k = offs[valid] + (q * ln[valid] + 99) // 100 - 1
+            outs[qi][start + valid] = sv[k]
+    return outs

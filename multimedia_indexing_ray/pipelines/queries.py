@@ -4587,6 +4587,126 @@ def q_zscore_value_pit(sf_dir: str):
 
 
 @register(
+    "rolling_rowframe_5",
+    f"""
+    SELECT event_id, user_id,
+      CAST(count(*) OVER w AS BIGINT) AS n_last5,
+      CAST(sum({_CENTS_SQL.format(col='value')}) OVER w AS BIGINT) AS sum_cents_last5
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_rolling_rowframe_5(sf_dir: str):
+    """ROW-COUNT window frame (last 5 rows per key) — the OTHER SQL
+    frame type: every prior sliding window here is time-RANGE based;
+    ROWS frames depend on the total row order instead of a time bound
+    (so equal-ts peers beyond the frame are EXCLUDED — the opposite of
+    RANGE's peers-included rule, which the adversarial 50-equal-ts user
+    forces).  One sorted pass: lo = max(segment_start, i-4) and two
+    int64 prefix-sum differences; hash-exact integers.  ONE shuffle on
+    user_id."""
+    from multimedia_indexing_ray.stages.partition import map_partitions_by_key
+
+    ev = _rp(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def kernel(table: pa.Table) -> pa.Table:
+        t = table.sort_by(
+            [("user_id", "ascending"), ("ts", "ascending"), ("event_id", "ascending")]
+        )
+        n = t.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "user_id": pa.array([], pa.int64()),
+                    "n_last5": pa.array([], pa.int64()),
+                    "sum_cents_last5": pa.array([], pa.int64()),
+                }
+            )
+        uid = t["user_id"].to_numpy()
+        starts = sg.segment_starts(uid)
+        counts = sg.segment_counts(starts, n)
+        seg0 = np.repeat(starts, counts)
+        cents = _cents(t["value"].to_numpy()).astype(np.int64)
+        P = sg.prefix_sums_int(cents)
+        rows = np.arange(n)
+        lo = np.maximum(seg0, rows - 4)
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "n_last5": pa.array(rows + 1 - lo, pa.int64()),
+                "sum_cents_last5": pa.array(P[rows + 1, 0] - P[lo, 0], pa.int64()),
+            }
+        )
+
+    return map_partitions_by_key(ev, "user_id", kernel, num_partitions=32)
+
+
+@register(
+    "rolling_iqr_1h",
+    """
+    SELECT event_id, user_id,
+      quantile_disc(value, 0.25) OVER w AS p25_value_1h,
+      quantile_disc(value, 0.75) OVER w AS p75_value_1h,
+      quantile_disc(value, 0.75) OVER w - quantile_disc(value, 0.25) OVER w AS iqr_value_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_rolling_iqr(sf_dir: str):
+    """Sliding-window ROBUST SPREAD (discrete p75 − p25, the IQR) — the
+    outlier-insensitive scale feature completing the order-statistic
+    window set.  Both quantiles come from ONE CSR expand + lexsort pass
+    (`functions/segments.py:range_quantile_disc_multi` — the sort is
+    shared, not paid twice), each SELECTS an input double by the
+    standing integer rule, and the IQR is a single subtraction of two
+    exact doubles — bit-identical on both sides.  ONE shuffle on
+    user_id."""
+    from multimedia_indexing_ray.stages.partition import map_partitions_by_key
+
+    ev = _rp(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    width_us = 3600 * 1_000_000
+
+    def kernel(table: pa.Table) -> pa.Table:
+        t = table.sort_by(
+            [("user_id", "ascending"), ("ts", "ascending"), ("event_id", "ascending")]
+        )
+        n = t.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "user_id": pa.array([], pa.int64()),
+                    "p25_value_1h": pa.array([], pa.float64()),
+                    "p75_value_1h": pa.array([], pa.float64()),
+                    "iqr_value_1h": pa.array([], pa.float64()),
+                }
+            )
+        uid = t["user_id"].to_numpy()
+        starts = sg.segment_starts(uid)
+        ts = t["ts"].cast(pa.int64()).to_numpy()
+        adj = sg.adjusted_ts(ts, starts, width_us + 1)
+        hi = sg.visible_hi(adj)
+        lo = sg.sliding_lo(adj, width_us, "both")
+        x = t["value"].to_numpy(zero_copy_only=False)
+        p25, p75 = sg.range_quantile_disc_multi(x, lo, hi, (25, 75))
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "p25_value_1h": pa.array(p25, pa.float64()),
+                "p75_value_1h": pa.array(p75, pa.float64()),
+                "iqr_value_1h": pa.array(p75 - p25, pa.float64()),
+            }
+        )
+
+    return map_partitions_by_key(ev, "user_id", kernel, num_partitions=32)
+
+
+@register(
     "purchases_between_errors",
     f"""
     WITH s AS (

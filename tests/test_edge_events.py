@@ -85,6 +85,8 @@ QUERIES = [
     "zscore_value_pit",
     "asof_last3_purchases",
     "purchases_between_errors",
+    "rolling_rowframe_5",
+    "rolling_iqr_1h",
     "median_value_per_user",
     "cum_distinct_types_per_user",
     "dataset_checksum",
