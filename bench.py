@@ -80,6 +80,7 @@ BENCH_QUERIES = [
     "zscore_value_pit",
     "editdist_neardup",
     "asof_last3_purchases",  # last-k history join (k=3 backward walk)
+    "global_sliding_1h",  # UNKEYED window: time-bucket + halo exchange
 ]
 
 # Per-query shuffle strategy, interleaved-A/B measured (2026-08-17, 32

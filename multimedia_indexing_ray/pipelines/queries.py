@@ -4587,6 +4587,135 @@ def q_zscore_value_pit(sf_dir: str):
 
 
 @register(
+    "global_sliding_1h",
+    f"""
+    SELECT event_id,
+      CAST(count(*) OVER w AS BIGINT) AS n_1h_all,
+      CAST(sum({_CENTS_SQL.format(col='value')}) OVER w AS BIGINT) AS sum_cents_1h_all
+    FROM events
+    WINDOW w AS (ORDER BY ts RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_global_sliding_1h(sf_dir: str):
+    """UNKEYED (global) sliding window — count/sum over ALL events in
+    the trailing hour, per event.  Every other sliding window here hash-
+    partitions on an entity key; a global window has no key, so the
+    scale plan is TIME-RANGE bucketing with HALO replication: each row
+    is routed to its hour bucket AND to the next one (tag=halo), so a
+    bucket's partition holds exactly the rows any of its windows can
+    reach (window width <= bucket width), and
+
+        F(t)      = base[bucket]   + rank of t among own rows  (<= t)
+        G(t-1h)   = base[bucket-1] + rank of t-1h among halo rows (< t-1h)
+        window    = F(t) - G(t-1h)
+
+    where base[] is the exclusive running total of PER-BUCKET partial
+    aggregates — one row per wall-clock hour, a metadata-sized driver
+    pass (10 years = 87,600 rows; documented bound, not data-sized).
+    Each row is shipped at most twice; the exchange key is the bucket.
+    Integer counts/cents -> hash-exact vs the global RANGE frame oracle.
+    """
+    from multimedia_indexing_ray.stages.partition import map_partitions_by_key
+
+    _US_H = 3600 * 1_000_000
+    ev = _rp(sf_dir, "events", ["event_id", "ts", "value"]).map_batches(
+        _add_value_cents_i64, batch_format="pyarrow"
+    )
+
+    # per-bucket partial (n, sum) -> exclusive running totals (tiny)
+    def _partial(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.int64()).to_numpy()
+        b = ts // _US_H
+        c = batch["value_cents"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ub, inv = np.unique(b, return_inverse=True)
+        n = np.bincount(inv).astype(np.int64)
+        s = np.bincount(inv, weights=c).astype(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(ub, pa.int64()),
+                "n": pa.array(n, pa.int64()),
+                "s": pa.array(s, pa.int64()),
+            }
+        )
+
+    parts = ev.map_batches(_partial, batch_format="pyarrow").to_pandas()
+    tot = parts.groupby("bucket", sort=True)[["n", "s"]].sum()
+    buckets = tot.index.to_numpy()
+    base_n = np.concatenate([[0], np.cumsum(tot["n"].to_numpy())[:-1]])
+    base_s = np.concatenate([[0], np.cumsum(tot["s"].to_numpy())[:-1]])
+
+    def _route(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.int64()).to_numpy()
+        b = ts // _US_H
+        own = batch.append_column("__bucket", pa.array(b, pa.int64()))
+        own = own.append_column("__halo", pa.array(np.zeros(len(b), np.int8)))
+        halo = batch.append_column("__bucket", pa.array(b + 1, pa.int64()))
+        halo = halo.append_column("__halo", pa.array(np.ones(len(b), np.int8)))
+        return pa.concat_tables([own, halo])
+
+    def kernel(table: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "event_id": pa.array([], pa.int64()),
+                "n_1h_all": pa.array([], pa.int64()),
+                "sum_cents_1h_all": pa.array([], pa.int64()),
+            }
+        )
+        own = table.filter(pc.equal(table["__halo"], 0))
+        if own.num_rows == 0:
+            return empty
+        halo = table.filter(pc.equal(table["__halo"], 1))
+        o = own.sort_by([("ts", "ascending")])
+        ots = o["ts"].cast(pa.int64()).to_numpy()
+        oc = o["value_cents"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hts_raw = halo["ts"].cast(pa.int64()).to_numpy()
+        horder = np.argsort(hts_raw, kind="stable")
+        hts = hts_raw[horder]
+        hc = halo["value_cents"].to_numpy(zero_copy_only=False).astype(np.int64)[horder]
+        Po = sg.prefix_sums_int(oc)[:, 0]
+        Ph = sg.prefix_sums_int(hc)[:, 0]
+        # a partition may hold SEVERAL buckets: resolve per distinct bucket
+        # (own rows sorted by ts => rows of one bucket are contiguous,
+        # bucket = ts // hour is monotone in ts; same for halo)
+        ob = o["__bucket"].to_numpy()
+        hb = halo["__bucket"].to_numpy()[horder]
+        n_out = np.empty(o.num_rows, np.int64)
+        s_out = np.empty(o.num_rows, np.int64)
+        for bk in np.unique(ob):
+            om = np.flatnonzero(ob == bk)
+            hm = np.flatnonzero(hb == bk)
+            t = ots[om]
+            # F(t): rank of t (<=) among own-bucket rows + base
+            ro = np.searchsorted(ots[om], t, side="right")
+            bi = np.searchsorted(buckets, bk)
+            bn = base_n[bi] if bi < len(buckets) and buckets[bi] == bk else 0
+            bs = base_s[bi] if bi < len(buckets) and buckets[bi] == bk else 0
+            f_n = bn + ro
+            f_s = bs + (Po[om[0] + ro] - Po[om[0]])
+            # G(t-1h): rank (<, strict) among PREVIOUS bucket's rows + its
+            # base; if the previous hour is empty, every earlier row is
+            # already below t-1h, so the own bucket's base IS the rank
+            pj = np.searchsorted(buckets, bk - 1)
+            has_prev = pj < len(buckets) and buckets[pj] == bk - 1
+            pn, ps = (base_n[pj], base_s[pj]) if has_prev else (bn, bs)
+            rh = np.searchsorted(hts[hm], t - _US_H, side="left") if hm.size else np.zeros(len(om), np.int64)
+            g_n = pn + rh
+            g_s = ps + ((Ph[hm[0] + rh] - Ph[hm[0]]) if hm.size else 0)
+            n_out[om] = f_n - g_n
+            s_out[om] = f_s - g_s
+        return pa.table(
+            {
+                "event_id": o["event_id"],
+                "n_1h_all": pa.array(n_out, pa.int64()),
+                "sum_cents_1h_all": pa.array(s_out, pa.int64()),
+            }
+        )
+
+    routed = ev.map_batches(_route, batch_format="pyarrow")
+    return map_partitions_by_key(routed, "__bucket", kernel, num_partitions=32)
+
+
+@register(
     "rolling_rowframe_5",
     f"""
     SELECT event_id, user_id,

@@ -87,6 +87,7 @@ QUERIES = [
     "purchases_between_errors",
     "rolling_rowframe_5",
     "rolling_iqr_1h",
+    "global_sliding_1h",
     "median_value_per_user",
     "cum_distinct_types_per_user",
     "dataset_checksum",
