@@ -339,17 +339,7 @@ def range_quantile_disc(
     no interpolation ULP hazard).  Same CSR + single-lexsort engine and
     window-MASS-bounded chunking as :func:`range_median`.  Empty ranges
     return NaN."""
-    if not 0 < q_pct <= 100:
-        raise ValueError(q_pct)
-    nq = len(lo)
-    out = np.full(nq, np.nan)
-    if nq == 0 or len(x) == 0:
-        return out
-    for start, ln, offs, sv in _csr_sorted_windows(x, lo, hi, mass_cap):
-        valid = np.flatnonzero(ln > 0)
-        k = offs[valid] + (q_pct * ln[valid] + 99) // 100 - 1
-        out[start + valid] = sv[k]
-    return out
+    return range_quantile_disc_multi(x, lo, hi, (q_pct,), mass_cap)[0]
 
 
 def range_quantile_disc_multi(

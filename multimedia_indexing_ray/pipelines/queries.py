@@ -4622,14 +4622,20 @@ def q_global_sliding_1h(sf_dir: str):
         _add_value_cents_i64, batch_format="pyarrow"
     )
 
-    # per-bucket partial (n, sum) -> exclusive running totals (tiny)
+    # per-bucket partial (n, sum) -> exclusive running totals (tiny).
+    # Accumulated with int64 np.add.at, NOT float-weighted bincount —
+    # a float64 partial would round past 2^53 and break hash-exactness.
+    # Fed from a SEPARATE column-pruned scan (ts+value only) rather than
+    # materializing `ev`: at 100 TB a full materialize pins the table in
+    # the object store, while a second 2-column scan streams.
     def _partial(batch: pa.Table) -> pa.Table:
         ts = batch["ts"].cast(pa.int64()).to_numpy()
         b = ts // _US_H
-        c = batch["value_cents"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = _cents(batch["value"].to_numpy()).astype(np.int64)
         ub, inv = np.unique(b, return_inverse=True)
         n = np.bincount(inv).astype(np.int64)
-        s = np.bincount(inv, weights=c).astype(np.int64)
+        s = np.zeros(len(ub), dtype=np.int64)
+        np.add.at(s, inv, c)
         return pa.table(
             {
                 "bucket": pa.array(ub, pa.int64()),
@@ -4638,7 +4644,11 @@ def q_global_sliding_1h(sf_dir: str):
             }
         )
 
-    parts = ev.map_batches(_partial, batch_format="pyarrow").to_pandas()
+    parts = (
+        _rp(sf_dir, "events", ["ts", "value"])
+        .map_batches(_partial, batch_format="pyarrow")
+        .to_pandas()
+    )
     tot = parts.groupby("bucket", sort=True)[["n", "s"]].sum()
     buckets = tot.index.to_numpy()
     base_n = np.concatenate([[0], np.cumsum(tot["n"].to_numpy())[:-1]])

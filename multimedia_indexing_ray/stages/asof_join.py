@@ -474,7 +474,9 @@ def asof_lastk_join(
     Output: right key/on/payload columns + ``{out_prefix}1..k`` (int64,
     nulls past the available history, newest first) + ``n_{out_prefix}``
     (matched count <= k).  Rows with NULL key/time are dropped on both
-    sides (SQL null-never-joins)."""
+    sides, and left rows with a NULL ``value_col`` are dropped too (SQL
+    null-never-joins; a null left value would otherwise corrupt the
+    int64 gather)."""
     right_key = right_key or left_key
     right_on = right_on or left_on
     l_schema = left.schema()
@@ -490,6 +492,12 @@ def asof_lastk_join(
 
     def _prep(batch: pa.Table, side: int, key: str, on: str) -> pa.Table:
         ok = pc.and_(pc.is_valid(batch[key]), pc.is_valid(batch[on]))
+        if side == 0:
+            # a NULL left value would round-trip the whole column through
+            # float64-with-NaN in the merge gather (NaN -> INT64_MIN
+            # garbage emitted as a real lastK value); drop such rows like
+            # null keys (SQL null-never-joins discipline)
+            ok = pc.and_(ok, pc.is_valid(batch[value_col]))
         if pc.any(pc.invert(ok)).as_py():
             batch = batch.filter(ok)
         n = batch.num_rows

@@ -986,14 +986,32 @@ def anchor_editdist_pairs(
         cps = [utf8_codes(s) for s in texts]
         starts = np.flatnonzero(np.concatenate([[True], anchors[1:] != anchors[:-1]]))
         ends = np.concatenate([starts[1:], [len(ids)]])
+        # pair generation is LENGTH-WINDOWED, not triu over the block:
+        # |len(a)-len(b)| > K pairs can never pass the verify, so a block
+        # of mutually-distant docs (spread lengths) generates ~0 pairs
+        # instead of b^2/2 index entries.  A block of same-length true
+        # duplicates still yields O(b^2) pairs — that IS the exact
+        # operator's output (same caveat as anchor_jaccard_pairs).
+        blens = np.fromiter((len(c) for c in cps), np.int64, len(cps))
         ai_parts, bi_parts = [], []
         for s, e in zip(starts, ends):
             b = e - s
             if b < 2:
                 continue
-            ii, jj = np.triu_indices(b, 1)
-            ai_parts.append(s + ii)
-            bi_parts.append(s + jj)
+            ordl = s + np.argsort(blens[s:e], kind="stable")
+            ls = blens[ordl]
+            cnt = np.searchsorted(ls, ls + max_dist, side="right") - np.arange(b) - 1
+            np.maximum(cnt, 0, out=cnt)
+            tot = int(cnt.sum())
+            if tot == 0:
+                continue
+            p_of = np.repeat(np.arange(b), cnt)
+            offs = np.concatenate([[0], np.cumsum(cnt)[:-1]])
+            q_of = np.arange(tot) - np.repeat(offs, cnt) + p_of + 1
+            i_idx = ordl[p_of]
+            j_idx = ordl[q_of]
+            ai_parts.append(np.minimum(i_idx, j_idx))  # rows sorted by id
+            bi_parts.append(np.maximum(i_idx, j_idx))
         if not ai_parts:
             return empty
         ai = np.concatenate(ai_parts)

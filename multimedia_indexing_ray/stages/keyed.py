@@ -586,18 +586,11 @@ def keyed_resample_ffill(
         starts = sg.segment_starts(codes)
         counts = sg.segment_counts(starts, n)
         ts = _ts_us(t, on)
-        t0 = ts[starts]
-        t1 = ts[starts + counts - 1]
-        g0 = -(-t0 // step_us) * step_us  # ceil-align to the epoch grid
-        nt = np.maximum((t1 - g0) // step_us + 1, 0)
-        total = int(nt.sum())
-        if total == 0:
+        seg, tick = _grid_ticks(ts, starts, counts, step_us)
+        if len(tick) == 0:
             return _empty()
-        seg = np.repeat(np.arange(len(starts), dtype=np.int64), nt)
-        cum = np.concatenate([[0], np.cumsum(nt)[:-1]])
-        tick = g0[seg] + (np.arange(total, dtype=np.int64) - np.repeat(cum, nt)) * step_us
         adj = sg.adjusted_ts(ts, starts, 1)
-        off = adj[starts] - t0
+        off = adj[starts] - ts[starts]
         # side="right" - 1: last row with ts <= tick; equal-ts peers are
         # sorted by tiebreak so the LAST (max tiebreak) wins.
         idx = np.searchsorted(adj, tick + off[seg], side="right") - 1

@@ -146,10 +146,13 @@ def test_anchor_editdist_mass_duplicate_block(ray_session):
     )
     n_same = 60 * 59 // 2
     assert (out["edit_distance"] == 0).sum() == n_same
-    # doc 60 differs from the identical block by one in-word edit; doc 61
-    # appends 4 chars
-    d60 = out[(out["b_id"] == 60) & (out["a_id"] < 60)]["edit_distance"].unique()
-    d61 = out[(out["b_id"] == 61) & (out["a_id"] < 60)]["edit_distance"].unique()
-    assert list(d60) == [6] or len(d60) == 1  # single consistent distance
-    assert len(d61) == 1
+    # docs 60/61 are near the identical block: their reported distances
+    # must EQUAL the reference DP (not merely be consistent)
+    exp60 = _ref_lev(text.encode(), texts[60].encode())
+    exp61 = _ref_lev(text.encode(), texts[61].encode())
+    assert 0 < exp60 <= 16 and 0 < exp61 <= 16  # fixture sanity
+    d60 = out[(out["b_id"] == 60) & (out["a_id"] < 60)]["edit_distance"]
+    d61 = out[(out["b_id"] == 61) & (out["a_id"] < 60)]["edit_distance"]
+    assert len(d60) == 60 and (d60 == exp60).all()
+    assert len(d61) == 60 and (d61 == exp61).all()
     assert (out["edit_distance"] <= 16).all()
