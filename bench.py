@@ -81,6 +81,8 @@ BENCH_QUERIES = [
     "editdist_neardup",
     "asof_last3_purchases",  # last-k history join (k=3 backward walk)
     "global_sliding_1h",  # UNKEYED window: time-bucket + halo exchange
+    "rolling_rowframe_5",  # ROWS frame (peers-excluded order window)
+    "rolling_iqr_1h",  # robust spread: p25+p75 from one CSR sort
 ]
 
 # Per-query shuffle strategy, interleaved-A/B measured (2026-08-17, 32
