@@ -83,6 +83,8 @@ BENCH_QUERIES = [
     "global_sliding_1h",  # UNKEYED window: time-bucket + halo exchange
     "rolling_rowframe_5",  # ROWS frame (peers-excluded order window)
     "rolling_iqr_1h",  # robust spread: p25+p75 from one CSR sort
+    "rolling_pctrank_1h",  # self-referential windowed dominance rank
+    "event_type_streak",  # gaps-and-islands run-length features
 ]
 
 # Per-query shuffle strategy, interleaved-A/B measured (2026-08-17, 32

@@ -367,3 +367,37 @@ def range_quantile_disc_multi(
             k = offs[valid] + (q * ln[valid] + 99) // 100 - 1
             outs[qi][start + valid] = sv[k]
     return outs
+
+
+def range_rank_le(
+    x: np.ndarray, lo: np.ndarray, hi: np.ndarray, mass_cap: int = 1 << 23
+) -> np.ndarray:
+    """Per row: COUNT of window values <= the row's OWN value (the
+    windowed dominance rank behind percent-rank features), comparing the
+    RAW doubles exactly (ties included) — NOT a quantized proxy: the
+    values of a CSR chunk are dense-ranked via one ``np.unique`` (order-
+    isomorphic exact integer codes), then the window-disjoint key trick
+    applies: sorted window codes get the key ``row_id * span + code`` so
+    windows become disjoint integer ranges and ONE global searchsorted
+    answers every row's in-window rank, no per-window loop.  Same
+    mass-capped CSR engine as the order-statistic kernels; empty windows
+    rank 0; values must be non-NaN."""
+    nq = len(lo)
+    out = np.zeros(nq, dtype=np.int64)
+    if nq == 0 or len(x) == 0:
+        return out
+    xf = np.asarray(x, dtype=np.float64)
+    for start, ln, offs, sv in _csr_sorted_windows(x, lo, hi, mass_cap):
+        if len(sv) == 0:
+            continue
+        valid = np.flatnonzero(ln > 0)
+        probes_f = xf[start + valid]
+        uni = np.unique(np.concatenate([sv, probes_f]))
+        codes = np.searchsorted(uni, sv)
+        pcode = np.searchsorted(uni, probes_f)
+        span = len(uni) + 1
+        rows = np.repeat(np.arange(len(ln), dtype=np.int64), ln)
+        key = rows * span + codes
+        probe = valid * span + pcode
+        out[start + valid] = np.searchsorted(key, probe, side="right") - offs[:-1][valid]
+    return out

@@ -4587,6 +4587,137 @@ def q_zscore_value_pit(sf_dir: str):
 
 
 @register(
+    "rolling_pctrank_1h",
+    """
+    SELECT e.event_id, e.user_id,
+      (SELECT CAST(count(*) AS BIGINT) FROM events u
+       WHERE u.user_id = e.user_id AND u.ts BETWEEN e.ts - INTERVAL 1 HOUR AND e.ts
+         AND u.value <= e.value) AS rank_le_1h,
+      (SELECT CAST(count(*) AS BIGINT) FROM events u
+       WHERE u.user_id = e.user_id AND u.ts BETWEEN e.ts - INTERVAL 1 HOUR AND e.ts) AS n_1h
+    FROM events e
+    """,
+)
+def q_rolling_pctrank(sf_dir: str):
+    """Windowed PERCENT-RANK inputs (rank of the row's own value among
+    its trailing-hour window, plus window size) — the SELF-REFERENTIAL
+    order statistic: median/p90/IQR select a window element by position,
+    this locates the CURRENT row within the window's distribution (the
+    'how unusual is this event for this user right now' feature).
+    Kernel: the window-disjoint integer-key trick
+    (`functions/segments.py:range_rank_le`) — sorted window values get
+    key row·span + (v−min), so ONE global searchsorted answers every
+    row's in-window dominance rank, no per-window loop; mass-capped CSR
+    chunks bound memory.  Integer counts -> hash-exact vs the
+    correlated-subquery oracle.  ONE shuffle on user_id; the comparison
+    is on the RAW doubles (dense-ranked exactly inside the kernel), so
+    sub-cent distinctions the oracle's `<=` sees are preserved."""
+    from multimedia_indexing_ray.stages.partition import map_partitions_by_key
+
+    ev = _rp(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    width_us = 3600 * 1_000_000
+
+    def kernel(table: pa.Table) -> pa.Table:
+        t = table.sort_by(
+            [("user_id", "ascending"), ("ts", "ascending"), ("event_id", "ascending")]
+        )
+        n = t.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "user_id": pa.array([], pa.int64()),
+                    "rank_le_1h": pa.array([], pa.int64()),
+                    "n_1h": pa.array([], pa.int64()),
+                }
+            )
+        uid = t["user_id"].to_numpy()
+        starts = sg.segment_starts(uid)
+        ts = t["ts"].cast(pa.int64()).to_numpy()
+        adj = sg.adjusted_ts(ts, starts, width_us + 1)
+        hi = sg.visible_hi(adj)
+        lo = sg.sliding_lo(adj, width_us, "both")
+        rank = sg.range_rank_le(t["value"].to_numpy(), lo, hi)
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "rank_le_1h": pa.array(rank, pa.int64()),
+                "n_1h": pa.array(hi - lo, pa.int64()),
+            }
+        )
+
+    return map_partitions_by_key(ev, "user_id", kernel, num_partitions=32)
+
+
+@register(
+    "event_type_streak",
+    """
+    WITH s AS (
+      SELECT event_id, user_id, event_type, ts,
+        row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+        row_number() OVER (PARTITION BY user_id, event_type
+                           ORDER BY ts, event_id) AS rnt
+      FROM events)
+    SELECT event_id, user_id,
+      CAST(row_number() OVER (PARTITION BY user_id, event_type, rn - rnt
+                              ORDER BY rn) AS BIGINT) AS streak_len,
+      CAST(CASE WHEN lag(event_type) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id)
+                     IS DISTINCT FROM event_type THEN 1 ELSE 0 END
+           AS BIGINT) AS is_run_start
+    FROM s
+    """,
+)
+def q_event_type_streak(sf_dir: str):
+    """GAPS-AND-ISLANDS (run-length) features: the length of the current
+    run of consecutive same-type events per user, plus the run-start
+    flag — the classic consecutive-behavior pattern (retry storms, rage
+    clicks, streak counters) whose SQL form is the famous ``rn − rn_per_
+    type`` grouping trick.  The engine side needs no window functions at
+    all: one sorted pass, run boundaries = (user change) OR (type
+    change), streak = relative index within the run + 1
+    (`functions/segments.py` segment kernels reused verbatim at the run
+    granularity).  Integer outputs -> hash-exact.  ONE shuffle on
+    user_id."""
+    from multimedia_indexing_ray.stages.partition import map_partitions_by_key
+
+    ev = _rp(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def kernel(table: pa.Table) -> pa.Table:
+        t = table.sort_by(
+            [("user_id", "ascending"), ("ts", "ascending"), ("event_id", "ascending")]
+        )
+        n = t.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "user_id": pa.array([], pa.int64()),
+                    "streak_len": pa.array([], pa.int64()),
+                    "is_run_start": pa.array([], pa.int64()),
+                }
+            )
+        uid = t["user_id"].to_numpy()
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        bound = np.ones(n, dtype=bool)
+        if n > 1:
+            bound[1:] = (uid[1:] != uid[:-1]) | (et[1:] != et[:-1])
+        run_starts = np.flatnonzero(bound).astype(np.int64)
+        streak = sg.rel_index(run_starts, n) + 1
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "streak_len": pa.array(streak, pa.int64()),
+                "is_run_start": pa.array(bound.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return map_partitions_by_key(ev, "user_id", kernel, num_partitions=32)
+
+
+@register(
     "global_sliding_1h",
     f"""
     SELECT event_id,

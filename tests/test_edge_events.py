@@ -88,6 +88,8 @@ QUERIES = [
     "rolling_rowframe_5",
     "rolling_iqr_1h",
     "global_sliding_1h",
+    "rolling_pctrank_1h",
+    "event_type_streak",
     "median_value_per_user",
     "cum_distinct_types_per_user",
     "dataset_checksum",

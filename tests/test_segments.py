@@ -181,3 +181,22 @@ def test_prefix_sums_int_exact_beyond_float53():
     np.testing.assert_array_equal(p[:, 0], [0, big, big + 1, big + 2])
     s = sg.range_sums(p, np.array([1]), np.array([3]))
     assert s[0, 0] == 2
+
+
+def test_range_rank_le_brute_force():
+    """Windowed dominance rank vs brute force, including sub-cent value
+    ties (the distinction that rules out any quantized comparison)."""
+    rng = np.random.default_rng(1)
+    for _ in range(120):
+        n = int(rng.integers(1, 40))
+        x = rng.integers(-50, 50, n).astype(float) + rng.choice(
+            [0.0, 0.005, -0.005], n
+        )
+        lo = rng.integers(0, n, n)
+        hi = rng.integers(0, n + 1, n)
+        lo, hi = np.minimum(lo, hi), np.maximum(lo, hi)
+        got = sg.range_rank_le(
+            x, lo.astype(np.int64), hi.astype(np.int64), mass_cap=64
+        )
+        for i in range(n):
+            assert got[i] == int((x[lo[i] : hi[i]] <= x[i]).sum())
