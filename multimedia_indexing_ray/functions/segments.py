@@ -381,15 +381,21 @@ def range_rank_le(
     windows become disjoint integer ranges and ONE global searchsorted
     answers every row's in-window rank, no per-window loop.  Same
     mass-capped CSR engine as the order-statistic kernels; empty windows
-    rank 0; values must be non-NaN."""
+    rank 0; values must be non-NaN.
+
+    SELF-RANK contract (unlike the positional siblings): output row i
+    probes ``x[i]``, so ``len(lo) == len(hi) == len(x)`` is required."""
     nq = len(lo)
+    if not (nq == len(hi) == len(x)):
+        raise ValueError(
+            f"range_rank_le is a self-rank kernel: len(lo)={nq}, "
+            f"len(hi)={len(hi)}, len(x)={len(x)} must all match"
+        )
     out = np.zeros(nq, dtype=np.int64)
-    if nq == 0 or len(x) == 0:
+    if nq == 0:
         return out
     xf = np.asarray(x, dtype=np.float64)
     for start, ln, offs, sv in _csr_sorted_windows(x, lo, hi, mass_cap):
-        if len(sv) == 0:
-            continue
         valid = np.flatnonzero(ln > 0)
         probes_f = xf[start + valid]
         uni = np.unique(np.concatenate([sv, probes_f]))

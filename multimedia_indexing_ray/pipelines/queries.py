@@ -4467,7 +4467,7 @@ def q_resample_1h_ffill(sf_dir: str):
     f"""
     WITH err AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
     pur AS (SELECT user_id, ts, event_id, {_CENTS_SQL.format(col='value')} AS c
-            FROM events WHERE event_type = 'purchase')
+            FROM events WHERE event_type = 'purchase' AND value IS NOT NULL)
     SELECT e.event_id, e.user_id, p.last1_cents, p.last2_cents, p.last3_cents, p.n_last
     FROM err e LEFT JOIN LATERAL (
       SELECT max(CASE WHEN rn = 1 THEN c END) AS last1_cents,
@@ -4822,9 +4822,12 @@ def q_global_sliding_1h(sf_dir: str):
         hb = halo["__bucket"].to_numpy()[horder]
         n_out = np.empty(o.num_rows, np.int64)
         s_out = np.empty(o.num_rows, np.int64)
+        # ob/hb are nondecreasing (bucket = ts // hour is monotone under
+        # the ts sort), so each bucket's rows are one contiguous range —
+        # two searchsorted per bucket, not a full boolean scan
         for bk in np.unique(ob):
-            om = np.flatnonzero(ob == bk)
-            hm = np.flatnonzero(hb == bk)
+            om = np.arange(*np.searchsorted(ob, [bk, bk + 1]))
+            hm = np.arange(*np.searchsorted(hb, [bk, bk + 1]))
             t = ots[om]
             # F(t): rank of t (<=) among own-bucket rows + base
             ro = np.searchsorted(ots[om], t, side="right")

@@ -474,9 +474,10 @@ def asof_lastk_join(
     Output: right key/on/payload columns + ``{out_prefix}1..k`` (int64,
     nulls past the available history, newest first) + ``n_{out_prefix}``
     (matched count <= k).  Rows with NULL key/time are dropped on both
-    sides, and left rows with a NULL ``value_col`` are dropped too (SQL
-    null-never-joins; a null left value would otherwise corrupt the
-    int64 gather)."""
+    sides, and left rows with a NULL ``value_col`` are dropped too —
+    callers' oracles must mirror that rule explicitly (``AND value IS
+    NOT NULL`` on the left side), since a null left value would
+    otherwise corrupt the int64 gather."""
     right_key = right_key or left_key
     right_on = right_on or left_on
     l_schema = left.schema()
