@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     "rolling_iqr_1h",  # robust spread: p25+p75 from one CSR sort
     "rolling_pctrank_1h",  # self-referential windowed dominance rank
     "event_type_streak",  # gaps-and-islands run-length features
+    "twa_value_1h",  # time-integral aggregation (pure int64 parity)
 ]
 
 # Per-query shuffle strategy, interleaved-A/B measured (2026-08-17, 32

@@ -4587,6 +4587,98 @@ def q_zscore_value_pit(sf_dir: str):
 
 
 @register(
+    "twa_value_1h",
+    f"""
+    WITH lw AS (SELECT user_id, ts, arg_max({_CENTS_SQL.format(col='value')}, event_id) AS c
+                FROM events GROUP BY user_id, ts),
+    seg AS (SELECT user_id, ts AS t0, c,
+                   lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS t1
+            FROM lw),
+    mn AS (SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id)
+    SELECT e.event_id, e.user_id,
+      (SELECT CAST(COALESCE(SUM(s.c *
+           (epoch_us(LEAST(COALESCE(s.t1, e.ts), e.ts))
+            - epoch_us(GREATEST(s.t0, e.ts - INTERVAL 1 HOUR)))), 0) AS BIGINT)
+       FROM seg s
+       WHERE s.user_id = e.user_id AND s.t0 <= e.ts
+         AND COALESCE(s.t1, e.ts) > e.ts - INTERVAL 1 HOUR) AS twa_num_cents_us,
+      CAST(epoch_us(e.ts) - epoch_us(GREATEST(e.ts - INTERVAL 1 HOUR, m.first_ts))
+           AS BIGINT) AS covered_us
+    FROM events e JOIN mn m USING (user_id)
+    """,
+)
+def q_twa_value(sf_dir: str):
+    """TIME-WEIGHTED AVERAGE inputs over the trailing hour — the
+    time-INTEGRAL aggregation family (level/state series: the value
+    holds between events, so the mean must weight by holding time, not
+    by event count — the opposite failure mode of `sliding_1h`'s
+    row-weighted sums).  Emits the EXACT integer numerator
+    ∫ v(s)ds in cents·µs and the covered duration (clipped at the
+    user's first event; no extrapolation), so parity is pure int64 —
+    no division, no floats anywhere.  One sorted pass: per-row segment
+    masses d_i = c_i·(next_ts − ts) prefix-summed, window = D[r] − D[lo]
+    plus the carry-in segment clipped at t−W (the piece of the last
+    pre-window event still covering the window start).  Equal-ts runs
+    have zero-width segments, so last-write-wins falls out of the sort
+    — matching the oracle's arg_max per (user, ts).  Overflow budget:
+    Σ cents·µs per partition group must stay below 2^63 (same stated
+    discipline as `prefix_sums_int`; num_partitions bounds it).  ONE
+    shuffle on user_id."""
+    from multimedia_indexing_ray.stages.partition import map_partitions_by_key
+
+    ev = _rp(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    W = 3600 * 1_000_000
+
+    def kernel(table: pa.Table) -> pa.Table:
+        t = table.sort_by(
+            [("user_id", "ascending"), ("ts", "ascending"), ("event_id", "ascending")]
+        )
+        n = t.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "user_id": pa.array([], pa.int64()),
+                    "twa_num_cents_us": pa.array([], pa.int64()),
+                    "covered_us": pa.array([], pa.int64()),
+                }
+            )
+        uid = t["user_id"].to_numpy()
+        starts = sg.segment_starts(uid)
+        counts = sg.segment_counts(starts, n)
+        seg0 = np.repeat(starts, counts)
+        ts = t["ts"].cast(pa.int64()).to_numpy()
+        c = _cents(t["value"].to_numpy()).astype(np.int64)
+        adj = sg.adjusted_ts(ts, starts, W + 1)
+        lo = sg.sliding_lo(adj, W, "both")
+        # per-row segment mass: value holds until the user's next event
+        nts = np.empty(n, dtype=np.int64)
+        nts[:-1] = ts[1:]
+        nts[-1] = ts[-1]
+        last_of_user = np.zeros(n, dtype=bool)
+        last_of_user[starts + counts - 1] = True
+        nts[last_of_user] = ts[last_of_user]  # open segment: zero mass
+        d = c * (nts - ts)
+        D = sg.prefix_sums_int(d)[:, 0]
+        rows = np.arange(n)
+        num = D[rows] - D[lo]  # segments fully inside [ts_lo, t)
+        has_carry = lo > seg0
+        j = np.maximum(lo - 1, 0)
+        carry = np.where(has_carry, c[j] * (ts[lo] - (ts - W)), 0)
+        covered = np.minimum(W, ts - ts[seg0])
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "twa_num_cents_us": pa.array(num + carry, pa.int64()),
+                "covered_us": pa.array(covered, pa.int64()),
+            }
+        )
+
+    return map_partitions_by_key(ev, "user_id", kernel, num_partitions=32)
+
+
+@register(
     "rolling_pctrank_1h",
     """
     SELECT e.event_id, e.user_id,

@@ -90,6 +90,7 @@ QUERIES = [
     "global_sliding_1h",
     "rolling_pctrank_1h",
     "event_type_streak",
+    "twa_value_1h",
     "median_value_per_user",
     "cum_distinct_types_per_user",
     "dataset_checksum",
