@@ -9103,3 +9103,277 @@ def q_bm25_top_docs(sf_dir: str):
         .repartition(1)
         .map_batches(_final, batch_format="pyarrow", batch_size=None)
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 5f — correlated-aggregate re-join, interval splitting, diversity
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "small_quantity_parts",
+    """
+    WITH li AS (SELECT l_partkey, CAST(l_quantity AS BIGINT) AS q,
+                  CAST(FLOOR(l_extendedprice*100+0.5) AS BIGINT) AS price_cents
+                FROM lineitem),
+    a AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_li,
+            CAST(SUM(q) AS BIGINT) AS sum_qty
+          FROM li GROUP BY 1)
+    SELECT a.l_partkey AS partkey, a.n_li, a.sum_qty,
+      CAST(SUM(CASE WHEN 5*li.q*a.n_li < a.sum_qty THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_small,
+      CAST(SUM(CASE WHEN 5*li.q*a.n_li < a.sum_qty THEN li.price_cents
+               ELSE 0 END) AS BIGINT) AS small_revenue_cents
+    FROM a JOIN li ON li.l_partkey = a.l_partkey
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_small_quantity_parts(sf_dir: str):
+    """Correlated per-group-aggregate re-join (TPC-H Q17's shape,
+    `examples/IndexTransformation.java`'s learn-then-apply split applied
+    to a relational key): for every part, the average lineitem quantity
+    defines a per-part threshold, and the query sums the revenue of the
+    lineitems falling below 20% of that average.
+
+    The naive logical plan is aggregate + re-join (two scans + a join
+    shuffle).  The Ray-Data-first physical plan fuses both sides into ONE
+    keyed exchange: ship slim (partkey, qty, price_cents) rows
+    hash-partitioned on partkey, and compute the per-part aggregate AND
+    the correlated filter inside the same partition group — every row of
+    a part is co-located by construction, so the "join" is a segmented
+    broadcast within the group (np.repeat of per-segment totals).  The
+    threshold compare is exact integer math (5*q*n_li < sum_qty —
+    quantities are integral doubles <= 50, counts bound the product far
+    below 2^63), so no float average ever exists on either engine."""
+    from multimedia_indexing_ray.stages.partition import map_partitions_by_key
+
+    li = _rp(sf_dir, "lineitem", ["l_partkey", "l_quantity", "l_extendedprice"])
+
+    def _slim(batch: pa.Table) -> pa.Table:
+        q = batch["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64)
+        price = _cents(
+            batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "partkey": batch["l_partkey"],
+                "q": pa.array(q, pa.int64()),
+                "price_cents": pa.array(price, pa.int64()),
+            }
+        )
+
+    _empty = pa.table(
+        {
+            "partkey": pa.array([], pa.int64()),
+            "n_li": pa.array([], pa.int64()),
+            "sum_qty": pa.array([], pa.int64()),
+            "n_small": pa.array([], pa.int64()),
+            "small_revenue_cents": pa.array([], pa.int64()),
+        }
+    )
+
+    def _finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _empty
+        k = t["partkey"].to_numpy(zero_copy_only=False)
+        q = t["q"].to_numpy(zero_copy_only=False)
+        price = t["price_cents"].to_numpy(zero_copy_only=False)
+        order = np.argsort(k, kind="stable")
+        k, q, price = k[order], q[order], price[order]
+        starts = sg.segment_starts(k)
+        counts = sg.segment_counts(starts, len(k))
+        n_li = counts.astype(np.int64)
+        sum_qty = np.add.reduceat(q, starts)
+        # segmented broadcast of the per-part aggregate back onto rows
+        small = 5 * q * np.repeat(n_li, counts) < np.repeat(sum_qty, counts)
+        n_small = np.add.reduceat(small.astype(np.int64), starts)
+        # reduceat on an all-False tail still yields 0 per segment; guard
+        # the empty-segment quirk is unnecessary because every segment has
+        # >= 1 row by construction
+        rev = np.add.reduceat(np.where(small, price, 0), starts)
+        return pa.table(
+            {
+                "partkey": pa.array(k[starts], pa.int64()),
+                "n_li": pa.array(n_li, pa.int64()),
+                "sum_qty": pa.array(sum_qty, pa.int64()),
+                "n_small": pa.array(n_small, pa.int64()),
+                "small_revenue_cents": pa.array(rev, pa.int64()),
+            }
+        )
+
+    slim = li.map_batches(_slim, batch_format="pyarrow")
+    return map_partitions_by_key(slim, "partkey", _finish, num_partitions=16)
+
+
+@register(
+    "session_day_split",
+    """
+    WITH s AS (
+      SELECT user_id, ts,
+        CAST(SUM(CASE WHEN gap_us > 1800000000 THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+          AS session_id
+      FROM (SELECT *, COALESCE(date_diff('microsecond',
+              lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts), 0)
+              AS gap_us
+            FROM events)),
+    sp AS (SELECT user_id, session_id, MIN(ts) AS t0, MAX(ts) AS t1
+           FROM s GROUP BY 1, 2),
+    e AS (SELECT user_id, session_id, t0, t1,
+            UNNEST(generate_series(date_trunc('day', t0),
+                                   date_trunc('day', t1),
+                                   INTERVAL 1 DAY)) AS day
+          FROM sp)
+    SELECT user_id, session_id, CAST(epoch_us(day) AS BIGINT) AS day_us,
+      CAST(date_diff('microsecond',
+                     greatest(t0, day),
+                     least(t1, day + INTERVAL 1 DAY)) AS BIGINT) AS overlap_us
+    FROM e
+    """,
+)
+def q_session_day_split(sf_dir: str):
+    """Interval SPLITTING — the calendar-expansion operator every
+    time-based feature pipeline needs (attribute a session's duration to
+    the calendar days it touches): each 30-minute-gap session [t0, t1]
+    emits one row per day in [day(t0) .. day(t1)] with the microseconds
+    of overlap.  A session ending exactly ON midnight emits a 0-us row
+    for that day (the closed-interval endpoint touches it) — the rule the
+    generate_series oracle implies, kept identical here.
+
+    Physical plan: ONE keyed exchange of slim (user_id, ts, event_id)
+    rows; inside each partition group, sessions are segment min/max
+    (sort + reduceat), and the day expansion is np.repeat over per-session
+    day counts — the fan-out is bounded by session DURATION in days (a
+    gap-bounded chain), never by event count, so the expansion cannot
+    amplify a hot user's row count."""
+    from multimedia_indexing_ray.stages.partition import map_partitions_by_key
+
+    DAY = 86_400_000_000
+    ev = _rp(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    _empty = pa.table(
+        {
+            "user_id": pa.array([], pa.int64()),
+            "session_id": pa.array([], pa.int64()),
+            "day_us": pa.array([], pa.int64()),
+            "overlap_us": pa.array([], pa.int64()),
+        }
+    )
+
+    def _finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _empty
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, u))
+        u, ts = u[order], ts[order]
+        ustarts = sg.segment_starts(u)
+        gaps = sg.seg_gap_us(ts, ustarts)
+        bound = sg.session_boundaries(gaps / 1e6, ustarts, 1800.0)
+        sstarts = np.flatnonzero(bound)
+        t0 = ts[sstarts]
+        t1 = np.maximum.reduceat(ts, sstarts)  # ts sorted per user; max = last
+        # per-user session ordinal (0-based, matching the oracle's SUM-of-
+        # boundary-flags numbering)
+        sess_user = u[sstarts]
+        su_starts = sg.segment_starts(sess_user)
+        sess_id = sg.rel_index(su_starts, len(sess_user)).astype(np.int64)
+        d0 = t0 // DAY
+        d1 = t1 // DAY
+        ndays = (d1 - d0 + 1).astype(np.int64)
+        rep = np.repeat(np.arange(len(sstarts)), ndays)
+        day_idx = (
+            np.arange(len(rep), dtype=np.int64)
+            - np.repeat(np.concatenate([[0], np.cumsum(ndays)[:-1]]), ndays)
+            + d0[rep]
+        )
+        day_us = day_idx * DAY
+        lo = np.maximum(t0[rep], day_us)
+        hi = np.minimum(t1[rep], day_us + DAY)
+        return pa.table(
+            {
+                "user_id": pa.array(sess_user[rep], pa.int64()),
+                "session_id": pa.array(sess_id[rep], pa.int64()),
+                "day_us": pa.array(day_us, pa.int64()),
+                "overlap_us": pa.array(hi - lo, pa.int64()),
+            }
+        )
+
+    return map_partitions_by_key(ev, "user_id", _finish, num_partitions=16)
+
+
+@register(
+    "type_diversity_per_user",
+    """
+    WITH c AS (SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+               FROM events GROUP BY 1, 2)
+    SELECT user_id, CAST(SUM(c) AS BIGINT) AS n,
+      CAST(COUNT(*) AS BIGINT) AS k,
+      CAST(SUM(c*(c-1)) AS BIGINT) AS coll_num,
+      CASE WHEN SUM(c) >= 2 THEN
+        CAST(SUM(c*(c-1)) AS DOUBLE) / CAST(SUM(c)*(SUM(c)-1) AS DOUBLE)
+      END AS simpson
+    FROM c GROUP BY 1
+    """,
+)
+def q_type_diversity_per_user(sf_dir: str):
+    """Behavioral diversity feature — the Simpson concentration index
+    (the Renyi-2 entropy surrogate: probability two random events of the
+    user share a type).  Shannon entropy needs logs whose summation order
+    is engine-dependent; the collision index is EXACTLY rational —
+    integer numerator sum(c*(c-1)) and denominator n*(n-1), one final
+    double division shared with the oracle — so it carries the same
+    signal (diversity/concentration of a user's event-type mix) with
+    bit-exact cross-engine parity.
+
+    Physical plan: per-batch (user, type) count partials (the combiner
+    bounds exchange volume by distinct pairs, not rows), one keyed
+    exchange on user_id, segmented reduceat finish."""
+    from multimedia_indexing_ray.stages.partition import map_partitions_by_key
+
+    ev = _rp(sf_dir, "events", ["user_id", "event_type"])
+
+    def _partials(batch: pa.Table) -> pa.Table:
+        t = batch.append_column(
+            "c", pa.array(np.ones(batch.num_rows, np.int64), pa.int64())
+        )
+        return _pa_group_sum(t, ["user_id", "event_type"], ["c"])
+
+    _empty = pa.table(
+        {
+            "user_id": pa.array([], pa.int64()),
+            "n": pa.array([], pa.int64()),
+            "k": pa.array([], pa.int64()),
+            "coll_num": pa.array([], pa.int64()),
+            "simpson": pa.array([], pa.float64()),
+        }
+    )
+
+    def _finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _empty
+        g = _pa_group_sum(t, ["user_id", "event_type"], ["c"])
+        u = g["user_id"].to_numpy(zero_copy_only=False)
+        c = g["c"].to_numpy(zero_copy_only=False)
+        order = np.argsort(u, kind="stable")
+        u, c = u[order], c[order]
+        starts = sg.segment_starts(u)
+        n = np.add.reduceat(c, starts)
+        k = sg.segment_counts(starts, len(u)).astype(np.int64)
+        coll = np.add.reduceat(c * (c - 1), starts)
+        den = (n * (n - 1)).astype(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            simpson = coll.astype(np.float64) / den
+        return pa.table(
+            {
+                "user_id": pa.array(u[starts], pa.int64()),
+                "n": pa.array(n, pa.int64()),
+                "k": pa.array(k, pa.int64()),
+                "coll_num": pa.array(coll, pa.int64()),
+                "simpson": pa.array(simpson, pa.float64(), mask=(n < 2)),
+            }
+        )
+
+    partials = ev.map_batches(_partials, batch_format="pyarrow")
+    return map_partitions_by_key(partials, "user_id", _finish, num_partitions=16)
