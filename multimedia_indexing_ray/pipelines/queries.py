@@ -8614,10 +8614,18 @@ def q_dup_span_docs(sf_dir: str):
     documents sharing a winnowed fingerprint enter the exact pass (same
     blocking-then-verify shape as `dd.anchor_jaccard_pairs`).  Gram
     extraction loops per DOCUMENT (C-level utf-32 encode + one
-    sliding_window_view per doc), never per gram/char."""
+    sliding_window_view per doc), never per gram/char.
+
+    Below `GRAFT_DUPSPAN_COALESCE_DOCS` documents (default 20k — the cap
+    is lower than `_COALESCE_DOCS` because the in-process gram table is
+    64 B/char) the two keyed exchanges' fixed cost dwarfs the kernels, so
+    the IDENTICAL kernels run once in-process (the gate reads a
+    metadata-only row count; the distributed plan is the same code and is
+    flipped on in the scale rehearsal)."""
     from multimedia_indexing_ray.stages.partition import map_partitions_by_key
 
     docs = _rp(sf_dir, "documents", ["doc_id", "text"])
+    coalesce_cap = int(os.environ.get("GRAFT_DUPSPAN_COALESCE_DOCS", "20000"))
     K = _GRAM_CHARS
     GB = pa.binary(4 * K)
 
@@ -8688,13 +8696,6 @@ def q_dup_span_docs(sf_dir: str):
             }
         )
 
-    hits = map_partitions_by_key(
-        docs.map_batches(_grams, batch_format="pyarrow"),
-        "gram",
-        _dup_hits,
-        num_partitions=16,
-    )
-
     def _len_rows(batch: pa.Table) -> pa.Table:
         return pa.table(
             {
@@ -8703,8 +8704,6 @@ def q_dup_span_docs(sf_dir: str):
                 "val": pc.utf8_length(batch["text"]).cast(pa.int64()),
             }
         )
-
-    lens = docs.map_batches(_len_rows, batch_format="pyarrow")
 
     _OUT_EMPTY = pa.table(
         {
@@ -8746,6 +8745,22 @@ def q_dup_span_docs(sf_dir: str):
             }
         )
 
+    if docs.count() <= coalesce_cap:
+        # one in-process pass over the whole (small) corpus — every gram
+        # and every doc is trivially "co-located", so the exchange-plan
+        # kernels apply unchanged
+        t = _pq(sf_dir, "documents", ["doc_id", "text"])
+        return _coverage(
+            pa.concat_tables([_len_rows(t), _dup_hits(_grams(t))])
+        )
+
+    hits = map_partitions_by_key(
+        docs.map_batches(_grams, batch_format="pyarrow"),
+        "gram",
+        _dup_hits,
+        num_partitions=16,
+    )
+    lens = docs.map_batches(_len_rows, batch_format="pyarrow")
     return map_partitions_by_key(
         lens.union(hits), "doc_id", _coverage, num_partitions=16
     )

@@ -31,6 +31,7 @@ tolerant decode, rescale, feature-extract
 
 from __future__ import annotations
 
+import functools
 import hashlib
 import logging
 from typing import Optional
@@ -586,6 +587,7 @@ def synthetic_wav_table(n: int = 32, seed: int = 42) -> pa.Table:
     return pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA)
 
 
+@functools.lru_cache(maxsize=4)
 def synthetic_dup_wav_table(n_base: int = 60, seed: int = 19) -> pa.Table:
     """Planted audio duplicate PAIRS: row n_base+i re-encodes the SAME
     samples with a different LIST/INFO metadata chunk — different file
@@ -731,6 +733,7 @@ def synthetic_avi_table(
     return pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA)
 
 
+@functools.lru_cache(maxsize=4)
 def synthetic_dup_avi_table(n_base: int = 60, seed: int = 23) -> pa.Table:
     """Planted video duplicate PAIRS: row n_base+i re-wraps the SAME
     frames with an extra LIST/INFO metadata chunk — different file
@@ -834,6 +837,7 @@ def dhash64(img: np.ndarray) -> int:
     return int.from_bytes(packed.tobytes(), "big", signed=True)
 
 
+@functools.lru_cache(maxsize=4)
 def synthetic_dup_ppm_table(n_base: int = 120, seed: int = 7) -> pa.Table:
     """Deterministic MIXED-FORMAT corpus with planted pixel-exact
     duplicate PAIRS: row i in [0, n_base) is a base image; row n_base+i

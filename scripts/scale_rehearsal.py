@@ -70,6 +70,9 @@ GATED = {
     # r5e: edit-distance verify flips from in-process coalesce to the
     # anchor-keyed exchange (texts co-located per block)
     "editdist_neardup": {"GRAFT_COALESCE_DOCS": "0"},
+    # r5f: duplicate-span detection flips from one in-process pass to the
+    # gram-keyed + doc-keyed exchange plan
+    "dup_span_docs": {"GRAFT_DUPSPAN_COALESCE_DOCS": "0"},
 }
 
 
