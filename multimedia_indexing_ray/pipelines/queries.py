@@ -9392,3 +9392,96 @@ def q_type_diversity_per_user(sf_dir: str):
 
     partials = ev.map_batches(_partials, batch_format="pyarrow")
     return map_partitions_by_key(partials, "user_id", _finish, num_partitions=16)
+
+
+@register(
+    "daily_purchase_error_join",
+    """
+    WITH p AS (SELECT user_id,
+         CAST(epoch_us(date_trunc('day', ts)) AS BIGINT) AS day_us,
+         CAST(SUM(CAST(FLOOR(value*100+0.5) AS BIGINT)) AS BIGINT)
+           AS purchase_cents,
+         CAST(COUNT(*) AS BIGINT) AS n_purchases
+       FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+    e AS (SELECT user_id,
+         CAST(epoch_us(date_trunc('day', ts)) AS BIGINT) AS day_us,
+         CAST(COUNT(*) AS BIGINT) AS n_errors
+       FROM events WHERE event_type = 'error' GROUP BY 1, 2)
+    SELECT COALESCE(p.user_id, e.user_id) AS user_id,
+      COALESCE(p.day_us, e.day_us) AS day_us,
+      p.purchase_cents, p.n_purchases, e.n_errors
+    FROM p FULL OUTER JOIN e
+      ON p.user_id = e.user_id AND p.day_us = e.day_us
+    """,
+)
+def q_daily_purchase_error_join(sf_dir: str):
+    """FULL OUTER join — the join-type matrix completer (inner =
+    `knn_with_metadata`, left = the broadcast decorations, semi =
+    `bloom_semijoin_errors`, anti = `users_without_high_value`): align a
+    user's daily purchase spend with their daily error count, KEEPING the
+    days that exist on only one side (purchases with no errors, errors
+    with no purchases) as null-padded rows — the outer-alignment shape a
+    feature table build needs when joining independently-aggregated
+    signals.
+
+    Physical plan: each side pre-aggregates with per-batch combiners
+    (`_pa_group_sum` partials bound exchange volume by distinct
+    (user, day) pairs) + one keyed finish, then `hash_join(join_type=
+    "full outer")` co-partitions both sides on the compound key and runs
+    Arrow's null-padding join per bucket — keys coalesce across sides
+    exactly like the SQL COALESCE pair.  On co-partitioned inputs the two
+    finish exchanges and the join exchange would fuse to one; they are
+    kept separate here because hash_join owns its own partitioner."""
+    from multimedia_indexing_ray.stages.partition import map_partitions_by_key
+
+    DAY = 86_400_000_000
+    ev = _rp(sf_dir, "events", ["user_id", "ts", "event_type", "value"])
+
+    def _partials(etype: str, with_cents: bool):
+        def _fn(batch: pa.Table) -> pa.Table:
+            m = pc.equal(batch["event_type"], etype)
+            b = batch.filter(m)
+            ts = b["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+            cols = {
+                "user_id": b["user_id"],
+                "day_us": pa.array(ts // DAY * DAY, pa.int64()),
+                "n": pa.array(np.ones(b.num_rows, np.int64), pa.int64()),
+            }
+            if with_cents:
+                cols["cents"] = pa.array(
+                    _cents(b["value"].to_numpy(zero_copy_only=False)).astype(np.int64),
+                    pa.int64(),
+                )
+            t = pa.table(cols)
+            return _pa_group_sum(
+                t, ["user_id", "day_us"], ["n", "cents"] if with_cents else ["n"]
+            )
+
+        return _fn
+
+    def _finish(sum_cols: "list[str]", out_names: "list[str]"):
+        def _fn(t: pa.Table) -> pa.Table:
+            g = _pa_group_sum(t, ["user_id", "day_us"], sum_cols)
+            cols = {"user_id": g["user_id"], "day_us": g["day_us"]}
+            for src, dst in zip(sum_cols, out_names):
+                cols[dst] = g[src]
+            return pa.table(cols)
+
+        return _fn
+
+    purch = map_partitions_by_key(
+        ev.map_batches(_partials("purchase", True), batch_format="pyarrow"),
+        "user_id",
+        _finish(["cents", "n"], ["purchase_cents", "n_purchases"]),
+        num_partitions=8,
+    )
+    err = map_partitions_by_key(
+        ev.map_batches(_partials("error", False), batch_format="pyarrow"),
+        "user_id",
+        _finish(["n"], ["n_errors"]),
+        num_partitions=8,
+    )
+    return hash_join(
+        purch, err, left_on=["user_id", "day_us"],
+        join_type="full outer", num_partitions=16,
+    )
