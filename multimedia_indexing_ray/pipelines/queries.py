@@ -9485,3 +9485,190 @@ def q_daily_purchase_error_join(sf_dir: str):
         purch, err, left_on=["user_id", "day_us"],
         join_type="full outer", num_partitions=16,
     )
+
+
+@register(
+    "quantile_sketch_conformance",
+    """
+    SELECT t.event_type, q.q_milli, CAST(1 AS BIGINT) AS within_eps
+    FROM (SELECT DISTINCT event_type FROM events) t,
+         (VALUES (100), (250), (500), (750), (900)) q(q_milli)
+    """,
+)
+def q_quantile_sketch_conformance(sf_dir: str):
+    """Mergeable quantile SUMMARY (MRL one-level compress,
+    `functions/qsketch.py`) — the sketch-family member for order
+    statistics (HLL = distinct, Count-Min = counts, Misra-Gries = heavy
+    hitters): per-batch per-type compress to <= 512 (value, weight)
+    pairs, ONE tiny keyed merge, and quantile answers whose rank error is
+    bounded by the summed per-block compression gaps.  Exact per-group
+    quantiles (`value_quantiles_by_type`) need every value of a group
+    co-located; the summary ships <= 512 rows per (type, block) and never
+    moves raw values — the 100-TB path.
+
+    The sketch's ESTIMATE is partition-dependent (block boundaries move
+    with parallelism), so the hashable output is the conformance verdict:
+    a second EXACT pass counts values <=/< each estimate, and within_eps
+    asserts the estimate's true rank lies within the deterministic error
+    envelope E = sum_blocks ceil(n_block / k) of the target rank — the
+    envelope, not the estimate, is the partition invariant (same shape as
+    the ANN recall-vs-exact conformance trio).  A wrong merge or a
+    violated bound hashes red."""
+    from multimedia_indexing_ray.functions import qsketch as qs
+    from multimedia_indexing_ray.stages.partition import map_partitions_by_key
+
+    K = 512
+    Q_MILLI = np.array([100, 250, 500, 750, 900], np.int64)
+    ev = _rp(sf_dir, "events", ["event_type", "value"])
+
+    _S_EMPTY = pa.table(
+        {
+            "event_type": pa.array([], pa.string()),
+            "v": pa.array([], pa.int64()),
+            "w": pa.array([], pa.int64()),
+            "g": pa.array([], pa.int64()),
+        }
+    )
+
+    def _summarize(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _S_EMPTY
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        c = _cents(batch["value"].to_numpy(zero_copy_only=False)).astype(np.int64)
+        order = np.argsort(et, kind="stable")
+        et, c = et[order], c[order]
+        starts = sg.segment_starts(et)
+        counts = sg.segment_counts(starts, len(et))
+        types_out, vs, ws, gs = [], [], [], []
+        for s0, cnt in zip(starts, counts):
+            seg = c[s0 : s0 + cnt]
+            v, w = qs.compress_block(seg, K)
+            g = np.zeros(len(v), np.int64)
+            g[0] = -(-len(seg) // K)  # ceil(n_block / K), on the first row
+            types_out.append(np.full(len(v), et[s0], object))
+            vs.append(v)
+            ws.append(w)
+            gs.append(g)
+        return pa.table(
+            {
+                "event_type": pa.array(np.concatenate(types_out), pa.string()),
+                "v": pa.array(np.concatenate(vs), pa.int64()),
+                "w": pa.array(np.concatenate(ws), pa.int64()),
+                "g": pa.array(np.concatenate(gs), pa.int64()),
+            }
+        )
+
+    _E_EMPTY = pa.table(
+        {
+            "event_type": pa.array([], pa.string()),
+            "q_milli": pa.array([], pa.int64()),
+            "est": pa.array([], pa.int64()),
+            "err_budget": pa.array([], pa.int64()),
+        }
+    )
+
+    def _merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _E_EMPTY
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        v = t["v"].to_numpy(zero_copy_only=False)
+        w = t["w"].to_numpy(zero_copy_only=False)
+        g = t["g"].to_numpy(zero_copy_only=False)
+        order = np.argsort(et, kind="stable")
+        et, v, w, g = et[order], v[order], w[order], g[order]
+        starts = sg.segment_starts(et)
+        counts = sg.segment_counts(starts, len(et))
+        rows_t, rows_q, rows_e, rows_b = [], [], [], []
+        for s0, cnt in zip(starts, counts):
+            est = qs.merge_estimate(v[s0 : s0 + cnt], w[s0 : s0 + cnt], Q_MILLI)
+            budget = int(g[s0 : s0 + cnt].sum())
+            rows_t.append(np.full(len(Q_MILLI), et[s0], object))
+            rows_q.append(Q_MILLI)
+            rows_e.append(est)
+            rows_b.append(np.full(len(Q_MILLI), budget, np.int64))
+        return pa.table(
+            {
+                "event_type": pa.array(np.concatenate(rows_t), pa.string()),
+                "q_milli": pa.array(np.concatenate(rows_q), pa.int64()),
+                "est": pa.array(np.concatenate(rows_e), pa.int64()),
+                "err_budget": pa.array(np.concatenate(rows_b), pa.int64()),
+            }
+        )
+
+    summaries = ev.map_batches(_summarize, batch_format="pyarrow")
+    est_parts = list(
+        map_partitions_by_key(
+            summaries, "event_type", _merge, num_partitions=8
+        ).iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    est_tbl = pa.concat_tables(est_parts) if est_parts else _E_EMPTY
+
+    # pass 2: EXACT ranks of every estimate — broadcast the tiny estimate
+    # table (|types| x 5 rows; event_type is a business-constant-cardinality
+    # key, so this never grows with corpus size), partial counts per batch,
+    # one tiny reduce
+    import ray as _ray
+
+    est_ref = _ray.put(est_tbl)
+
+    def _rank_partials(batch: pa.Table) -> pa.Table:
+        est = _ray.get(est_ref) if isinstance(est_ref, _ray.ObjectRef) else est_ref
+        et_b = batch["event_type"].to_numpy(zero_copy_only=False)
+        c = _cents(batch["value"].to_numpy(zero_copy_only=False)).astype(np.int64)
+        e_et = est["event_type"].to_numpy(zero_copy_only=False)
+        e_v = est["est"].to_numpy(zero_copy_only=False)
+        n_est = len(e_et)
+        le = np.zeros(n_est, np.int64)
+        lt = np.zeros(n_est, np.int64)
+        tot = np.zeros(n_est, np.int64)
+        order = np.argsort(et_b, kind="stable")
+        et_s, c_s = et_b[order], c[order]
+        starts = sg.segment_starts(et_s)
+        counts = sg.segment_counts(starts, len(et_s))
+        for s0, cnt in zip(starts, counts):
+            seg = np.sort(c_s[s0 : s0 + cnt])
+            m = e_et == et_s[s0]
+            le[m] = np.searchsorted(seg, e_v[m], side="right")
+            lt[m] = np.searchsorted(seg, e_v[m], side="left")
+            tot[m] = cnt
+        return pa.table(
+            {
+                "event_type": pa.array(e_et, pa.string()),
+                "q_milli": est["q_milli"],
+                "cnt_le": pa.array(le, pa.int64()),
+                "cnt_lt": pa.array(lt, pa.int64()),
+                "n": pa.array(tot, pa.int64()),
+            }
+        )
+
+    ranks = ev.map_batches(_rank_partials, batch_format="pyarrow")
+
+    def _verdict(t: pa.Table) -> pa.Table:
+        g = _pa_group_sum(t, ["event_type", "q_milli"], ["cnt_le", "cnt_lt", "n"])
+        et = g["event_type"].to_numpy(zero_copy_only=False)
+        qm = g["q_milli"].to_numpy(zero_copy_only=False)
+        le = g["cnt_le"].to_numpy(zero_copy_only=False)
+        lt = g["cnt_lt"].to_numpy(zero_copy_only=False)
+        n = g["n"].to_numpy(zero_copy_only=False)
+        est = _ray.get(est_ref) if isinstance(est_ref, _ray.ObjectRef) else est_ref
+        # align err budgets to (type, q) rows
+        key_e = np.char.add(
+            est["event_type"].to_numpy(zero_copy_only=False).astype(str),
+            np.char.mod("|%d", est["q_milli"].to_numpy(zero_copy_only=False)),
+        )
+        key_g = np.char.add(et.astype(str), np.char.mod("|%d", qm))
+        eorder = np.argsort(key_e)
+        pos = np.searchsorted(key_e[eorder], key_g)
+        budget = est["err_budget"].to_numpy(zero_copy_only=False)[eorder][pos]
+        t_rank = np.maximum(-(-(qm * n) // 1000), 1)
+        ok = (le >= t_rank - budget) & (lt <= t_rank - 1 + budget)
+        order = np.lexsort((qm, et))
+        return pa.table(
+            {
+                "event_type": pa.array(et[order], pa.string()),
+                "q_milli": pa.array(qm[order], pa.int64()),
+                "within_eps": pa.array(ok[order].astype(np.int64), pa.int64()),
+            }
+        )
+
+    return map_partitions_by_key(ranks, "event_type", _verdict, num_partitions=1)

@@ -260,3 +260,66 @@ def test_resample_ffill_tick_property(data, step):
             cand = [j for j in range(lo_row, hi_row) if ts[j] <= t]
             assert idx[pos] == cand[-1]
             pos += 1
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(st.integers(-1000, 1000), min_size=1, max_size=400),
+    st.integers(4, 32),
+)
+def test_qsketch_compress_envelope(vals, k):
+    """compress_block: weights sum to n, vals strictly increasing, and for
+    every query point |cumW_le(x) - rank_le(x)| < ceil(n/k)."""
+    from multimedia_indexing_ray.functions import qsketch as qs
+
+    a = np.array(vals, np.int64)
+    v, w = qs.compress_block(a, k)
+    assert w.sum() == len(a)
+    assert (np.diff(v) > 0).all()
+    s = np.sort(a)
+    gap = -(-len(a) // k)
+    cum = np.cumsum(w)
+    for x in np.unique(np.concatenate([a, a + 1, a - 1])):
+        cum_le = int(cum[np.searchsorted(v, x, side="right") - 1]) if (v <= x).any() else 0
+        rank_le = int(np.searchsorted(s, x, side="right"))
+        assert 0 <= rank_le - cum_le < max(gap, 1) + 1
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(st.integers(-1000, 1000), min_size=1, max_size=400),
+    st.integers(4, 32),
+    st.integers(1, 6),
+    st.integers(0, 2**31),
+)
+def test_qsketch_merge_estimate_within_envelope(vals, k, n_blocks, seed):
+    """Estimates from arbitrarily-partitioned blocks stay within the
+    summed per-block gap envelope of the exact lower-quantile target —
+    the partition-invariance the conformance query hashes."""
+    from multimedia_indexing_ray.functions import qsketch as qs
+
+    a = np.array(vals, np.int64)
+    rng = np.random.default_rng(seed)
+    bounds = np.sort(rng.integers(0, len(a) + 1, size=max(n_blocks - 1, 0)))
+    blocks = np.split(a, bounds)
+    vs, ws, budget = [], [], 0
+    for b in blocks:
+        if len(b) == 0:
+            continue
+        v, w = qs.compress_block(b, k)
+        vs.append(v)
+        ws.append(w)
+        budget += -(-len(b) // k)
+    q_milli = np.array([100, 250, 500, 750, 900], np.int64)
+    est = qs.merge_estimate(np.concatenate(vs), np.concatenate(ws), q_milli)
+    s = np.sort(a)
+    n = len(a)
+    t = np.maximum(-(-(q_milli * n) // 1000), 1)
+    for e, ti in zip(est, t):
+        le = int(np.searchsorted(s, e, side="right"))
+        lt = int(np.searchsorted(s, e, side="left"))
+        assert le >= ti - budget and lt <= ti - 1 + budget
+    # single uncompressed block must be EXACT (the discrete lower rule)
+    v1, w1 = qs.compress_block(a, len(a))
+    exact = qs.merge_estimate(v1, w1, q_milli)
+    np.testing.assert_array_equal(exact, s[t - 1])
