@@ -407,3 +407,37 @@ def range_rank_le(
         probe = valid * span + pcode
         out[start + valid] = np.searchsorted(key, probe, side="right") - offs[:-1][valid]
     return out
+
+
+def range_mode(
+    codes: np.ndarray, lo: np.ndarray, hi: np.ndarray, mass_cap: int = 1 << 23
+) -> np.ndarray:
+    """Exact MODE of integer ``codes[lo[i]:hi[i]]`` per output row — the
+    CATEGORICAL holistic window statistic (most frequent value in the
+    trailing window), tie rule = SMALLEST code among the max-count values
+    (factorize categories with a sorted ``np.unique`` so code order ==
+    lexicographic order and the tie rule becomes "alphabetically first").
+
+    Same mass-capped CSR engine as the order-statistic kernels: members
+    expand once and sort within rows, so equal codes form runs; run
+    lengths come from one reduceat, and the per-row winner is the FIRST
+    run under a (row, -count, code) lexsort — no per-window loop.  Empty
+    windows return -1."""
+    nq = len(lo)
+    out = np.full(nq, -1, dtype=np.int64)
+    if nq == 0 or len(codes) == 0:
+        return out
+    for start, ln, offs, sv in _csr_sorted_windows(codes, lo, hi, mass_cap):
+        rows = np.repeat(np.arange(len(ln), dtype=np.int64), ln)
+        is_start = np.empty(len(sv), bool)
+        is_start[0] = True
+        is_start[1:] = (rows[1:] != rows[:-1]) | (sv[1:] != sv[:-1])
+        rstarts = np.flatnonzero(is_start)
+        rlen = np.diff(np.concatenate([rstarts, [len(sv)]]))
+        rrow = rows[rstarts]
+        rval = sv[rstarts]
+        order = np.lexsort((rval, -rlen, rrow))
+        rrow_s = rrow[order]
+        win = segment_starts(rrow_s)
+        out[start + rrow_s[win]] = rval[order][win].astype(np.int64)
+    return out

@@ -9672,3 +9672,54 @@ def q_quantile_sketch_conformance(sf_dir: str):
         )
 
     return map_partitions_by_key(ranks, "event_type", _verdict, num_partitions=1)
+
+
+@register(
+    "rolling_mode_1h",
+    """
+    WITH wcnt AS (
+      SELECT a.event_id, a.user_id, b.event_type, CAST(COUNT(*) AS BIGINT) AS c
+      FROM events a JOIN events b
+        ON b.user_id = a.user_id
+       AND b.ts <= a.ts AND b.ts >= a.ts - INTERVAL 1 HOUR
+      GROUP BY 1, 2, 3),
+    r AS (SELECT *, row_number() OVER (PARTITION BY event_id
+            ORDER BY c DESC, event_type) AS rk FROM wcnt)
+    SELECT event_id, user_id, event_type AS mode_event_type
+    FROM r WHERE rk = 1
+    """,
+)
+def q_rolling_mode(sf_dir: str):
+    """Trailing-window MODE of a categorical column (the user's dominant
+    event type over the last hour) — the CATEGORICAL holistic window
+    statistic, completing the class inventory next to the numeric
+    holistics (median/p90/IQR): modes decompose under neither prefix sums
+    nor sparse tables nor sorts alone, so the kernel counts equal-code
+    RUNS inside the shared mass-capped CSR expansion
+    (`segments.range_mode`) and picks each window's first run under a
+    (-count, code) order — tie rule "alphabetically first among the most
+    frequent", mirrored by the oracle's ``ORDER BY c DESC, event_type``
+    rank.  ONE shuffle on user_id; the oracle's O(n x window) self-join
+    stays SQL-only."""
+    ev = _rp(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    out = kd.keyed_sliding_mode(
+        ev,
+        "user_id",
+        "ts",
+        "event_type",
+        width_s=3600.0,
+        closed="both",
+        tiebreak="event_id",
+        id_cols=["event_id"],
+    )
+
+    def _finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "user_id": batch["user_id"],
+                "mode_event_type": batch["mode_event_type"],
+            }
+        )
+
+    return out.map_batches(_finish, batch_format="pyarrow")

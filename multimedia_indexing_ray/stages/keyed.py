@@ -690,3 +690,48 @@ def keyed_session_stats(
         return pa.table(cols)
 
     return map_partitions_by_key(ds, key, kernel, num_partitions)
+
+
+def keyed_sliding_mode(
+    ds: "ray.data.Dataset",
+    key: str,
+    on: str,
+    value_col: str,
+    width_s: float,
+    closed: str = "both",
+    tiebreak: Optional[str] = None,
+    id_cols: Sequence[str] = (),
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+) -> "ray.data.Dataset":
+    """Per-row exact MODE of categorical ``value_col`` over the trailing
+    time window — the CATEGORICAL holistic sibling of
+    :func:`keyed_sliding_median` (the numeric ones): most frequent value,
+    ties broken alphabetically (``segments.range_mode``'s smallest-code
+    rule under a sorted factorization).  Same window semantics as every
+    sliding kernel here (closed="both" == SQL RANGE ... PRECEDING AND
+    CURRENT ROW with equal-ts peers included)."""
+    width_us = int(width_s * _US)
+
+    def kernel(table: pa.Table) -> pa.Table:
+        t = _sort_table(table, key, on, tiebreak)
+        codes = _codes(t, key)
+        starts = sg.segment_starts(codes)
+        ts = _ts_us(t, on)
+        adj = sg.adjusted_ts(ts, starts, width_us + 1)
+        hi = sg.visible_hi(adj)
+        lo = sg.sliding_lo(adj, width_us, closed)
+        vals = t[value_col].to_numpy(zero_copy_only=False)
+        cats, vcodes = np.unique(vals.astype(str), return_inverse=True)
+        mode_codes = sg.range_mode(vcodes, lo, hi)
+        # every window contains at least the current row, so -1 (empty)
+        # cannot occur under closed="both"; guard anyway for closed="right"
+        safe = np.maximum(mode_codes, 0)
+        mode_vals = cats[safe]
+        cols = {c: t[c] for c in [*id_cols, key] if c in t.column_names}
+        arr = pa.array(mode_vals, pa.string())
+        if (mode_codes < 0).any():
+            arr = pa.array(mode_vals, pa.string(), mask=(mode_codes < 0))
+        cols[f"mode_{value_col}"] = arr
+        return pa.table(cols)
+
+    return map_partitions_by_key(ds, key, kernel, num_partitions)

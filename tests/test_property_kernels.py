@@ -323,3 +323,27 @@ def test_qsketch_merge_estimate_within_envelope(vals, k, n_blocks, seed):
     v1, w1 = qs.compress_block(a, len(a))
     exact = qs.merge_estimate(v1, w1, q_milli)
     np.testing.assert_array_equal(exact, s[t - 1])
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    st.lists(st.integers(0, 4), min_size=1, max_size=60),
+    st.lists(st.tuples(st.integers(0, 59), st.integers(0, 60)), min_size=1, max_size=8),
+    st.sampled_from([4, 16, 1 << 20]),
+)
+def test_range_mode_property(codes, windows, cap):
+    """range_mode == brute-force most-frequent with smallest-code ties,
+    under every mass-cap chunking."""
+    from multimedia_indexing_ray.functions import segments as sg
+
+    c = np.array(codes, np.int64)
+    n = len(c)
+    lo = np.array([min(a, n) for a, _ in windows], np.int64)
+    hi = np.array([min(b, n) for _, b in windows], np.int64)
+    got = sg.range_mode(c, lo, hi, mass_cap=cap)
+    for i, (l, h) in enumerate(zip(lo, hi)):
+        if h <= l:
+            assert got[i] == -1
+            continue
+        cnt = np.bincount(c[l:h], minlength=5)
+        assert got[i] == np.flatnonzero(cnt == cnt.max())[0]
