@@ -86,6 +86,14 @@ BENCH_QUERIES = [
     "rolling_pctrank_1h",  # self-referential windowed dominance rank
     "event_type_streak",  # gaps-and-islands run-length features
     "twa_value_1h",  # time-integral aggregation (pure int64 parity)
+    # r5f: correlated per-group threshold re-join (Q17 shape, fused to one
+    # exchange), calendar interval splitting, full outer join, categorical
+    # window mode, and the mergeable quantile summary + exact-rank check
+    "small_quantity_parts",
+    "session_day_split",
+    "daily_purchase_error_join",
+    "rolling_mode_1h",
+    "quantile_sketch_conformance",
 ]
 
 # Per-query shuffle strategy, interleaved-A/B measured (2026-08-17, 32

@@ -9424,18 +9424,111 @@ def q_daily_purchase_error_join(sf_dir: str):
     feature table build needs when joining independently-aggregated
     signals.
 
-    Physical plan: each side pre-aggregates with per-batch combiners
-    (`_pa_group_sum` partials bound exchange volume by distinct
-    (user, day) pairs) + one keyed finish, then `hash_join(join_type=
-    "full outer")` co-partitions both sides on the compound key and runs
-    Arrow's null-padding join per bucket — keys coalesce across sides
-    exactly like the SQL COALESCE pair.  On co-partitioned inputs the two
-    finish exchanges and the join exchange would fuse to one; they are
-    kept separate here because hash_join owns its own partitioner."""
+    Physical plan (default, `GRAFT_FULLJOIN_FUSED=1`): because both sides
+    key on the SAME entity, the two aggregations and the outer alignment
+    fuse into ONE keyed exchange — a single events pass emits kind-tagged
+    (user, day, kind, n, cents) combiner partials, and the per-partition
+    finish pivots each (user, day) group's kinds into null-padded side
+    columns.  `GRAFT_FULLJOIN_FUSED=0` flips to the general plan — each
+    side finishes separately and `hash_join(join_type="full outer")`
+    null-pads per bucket (Arrow coalesces keys exactly like the SQL
+    COALESCE pair); the scale rehearsal proves both plans bit-identical.
+    The fused plan is strictly better at every scale HERE only because
+    the sides share a partitioner key; the hash_join path is the operator
+    a cross-entity outer join needs."""
     from multimedia_indexing_ray.stages.partition import map_partitions_by_key
 
     DAY = 86_400_000_000
+    fused = os.environ.get("GRAFT_FULLJOIN_FUSED", "1") != "0"
     ev = _rp(sf_dir, "events", ["user_id", "ts", "event_type", "value"])
+
+    if fused:
+        _P_EMPTY = pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "day_us": pa.array([], pa.int64()),
+                "kind": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+                "cents": pa.array([], pa.int64()),
+            }
+        )
+
+        def _tagged_partials(batch: pa.Table) -> pa.Table:
+            et = batch["event_type"]
+            m = pc.or_(pc.equal(et, "purchase"), pc.equal(et, "error"))
+            b = batch.filter(m)
+            if b.num_rows == 0:
+                return _P_EMPTY
+            ts = b["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+            kind = pc.equal(b["event_type"], "error").to_numpy(zero_copy_only=False).astype(np.int64)
+            cents = _cents(b["value"].to_numpy(zero_copy_only=False)).astype(np.int64)
+            t = pa.table(
+                {
+                    "user_id": b["user_id"],
+                    "day_us": pa.array(ts // DAY * DAY, pa.int64()),
+                    "kind": pa.array(kind, pa.int64()),
+                    "n": pa.array(np.ones(b.num_rows, np.int64), pa.int64()),
+                    # errors carry no spend; zeroing keeps one partial schema
+                    "cents": pa.array(np.where(kind == 1, 0, cents), pa.int64()),
+                }
+            )
+            return _pa_group_sum(t, ["user_id", "day_us", "kind"], ["n", "cents"])
+
+        _J_EMPTY = pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "day_us": pa.array([], pa.int64()),
+                "purchase_cents": pa.array([], pa.int64()),
+                "n_purchases": pa.array([], pa.int64()),
+                "n_errors": pa.array([], pa.int64()),
+            }
+        )
+
+        def _align(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return _J_EMPTY
+            g = _pa_group_sum(t, ["user_id", "day_us", "kind"], ["n", "cents"])
+            u = g["user_id"].to_numpy(zero_copy_only=False)
+            d = g["day_us"].to_numpy(zero_copy_only=False)
+            k = g["kind"].to_numpy(zero_copy_only=False)
+            n = g["n"].to_numpy(zero_copy_only=False)
+            c = g["cents"].to_numpy(zero_copy_only=False)
+            order = np.lexsort((k, d, u))
+            u, d, k, n, c = u[order], d[order], k[order], n[order], c[order]
+            new = np.empty(len(u), bool)
+            new[0] = True
+            new[1:] = (u[1:] != u[:-1]) | (d[1:] != d[:-1])
+            seg = np.cumsum(new) - 1
+            m = int(seg[-1]) + 1
+            starts = np.flatnonzero(new)
+            pc_out = np.zeros(m, np.int64)
+            np_out = np.zeros(m, np.int64)
+            ne_out = np.zeros(m, np.int64)
+            has_p = np.zeros(m, bool)
+            has_e = np.zeros(m, bool)
+            pm = k == 0
+            pc_out[seg[pm]] = c[pm]
+            np_out[seg[pm]] = n[pm]
+            has_p[seg[pm]] = True
+            em = k == 1
+            ne_out[seg[em]] = n[em]
+            has_e[seg[em]] = True
+            return pa.table(
+                {
+                    "user_id": pa.array(u[starts], pa.int64()),
+                    "day_us": pa.array(d[starts], pa.int64()),
+                    "purchase_cents": pa.array(pc_out, pa.int64(), mask=~has_p),
+                    "n_purchases": pa.array(np_out, pa.int64(), mask=~has_p),
+                    "n_errors": pa.array(ne_out, pa.int64(), mask=~has_e),
+                }
+            )
+
+        return map_partitions_by_key(
+            ev.map_batches(_tagged_partials, batch_format="pyarrow"),
+            "user_id",
+            _align,
+            num_partitions=16,
+        )
 
     def _partials(etype: str, with_cents: bool):
         def _fn(batch: pa.Table) -> pa.Table:
