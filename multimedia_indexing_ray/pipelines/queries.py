@@ -9285,7 +9285,11 @@ def q_session_day_split(sf_dir: str):
         u, ts = u[order], ts[order]
         ustarts = sg.segment_starts(u)
         gaps = sg.seg_gap_us(ts, ustarts)
-        bound = sg.session_boundaries(gaps / 1e6, ustarts, 1800.0)
+        # integer-µs gap compare, the keyed_sessionize convention (exact
+        # for any threshold, unlike a /1e6 seconds round-trip)
+        bound = sg.session_boundaries(
+            gaps.astype(np.float64), ustarts, float(1_800_000_000)
+        )
         sstarts = np.flatnonzero(bound)
         t0 = ts[sstarts]
         t1 = np.maximum.reduceat(ts, sstarts)  # ts sorted per user; max = last
@@ -9705,7 +9709,7 @@ def q_quantile_sketch_conformance(sf_dir: str):
     est_ref = _ray.put(est_tbl)
 
     def _rank_partials(batch: pa.Table) -> pa.Table:
-        est = _ray.get(est_ref) if isinstance(est_ref, _ray.ObjectRef) else est_ref
+        est = _ray.get(est_ref)
         et_b = batch["event_type"].to_numpy(zero_copy_only=False)
         c = _cents(batch["value"].to_numpy(zero_copy_only=False)).astype(np.int64)
         e_et = est["event_type"].to_numpy(zero_copy_only=False)
@@ -9743,7 +9747,7 @@ def q_quantile_sketch_conformance(sf_dir: str):
         le = g["cnt_le"].to_numpy(zero_copy_only=False)
         lt = g["cnt_lt"].to_numpy(zero_copy_only=False)
         n = g["n"].to_numpy(zero_copy_only=False)
-        est = _ray.get(est_ref) if isinstance(est_ref, _ray.ObjectRef) else est_ref
+        est = _ray.get(est_ref)
         # align err budgets to (type, q) rows
         key_e = np.char.add(
             est["event_type"].to_numpy(zero_copy_only=False).astype(str),
@@ -9795,7 +9799,7 @@ def q_rolling_mode(sf_dir: str):
     rank.  ONE shuffle on user_id; the oracle's O(n x window) self-join
     stays SQL-only."""
     ev = _rp(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
-    out = kd.keyed_sliding_mode(
+    return kd.keyed_sliding_mode(
         ev,
         "user_id",
         "ts",
@@ -9805,14 +9809,3 @@ def q_rolling_mode(sf_dir: str):
         tiebreak="event_id",
         id_cols=["event_id"],
     )
-
-    def _finish(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "event_id": batch["event_id"],
-                "user_id": batch["user_id"],
-                "mode_event_type": batch["mode_event_type"],
-            }
-        )
-
-    return out.map_batches(_finish, batch_format="pyarrow")
