@@ -149,7 +149,17 @@ def build_10x(src_sf: str, out_dir: str, replicas: int = 10) -> str:
 
 def pressure_10x(out: dict) -> None:
     """Run the dedup chain over the 10x corpus with DEFAULT gates; record
-    wall times and partition-size histograms of the main exchanges."""
+    wall times and partition-size histograms of the main exchanges.
+
+    Expected: `corpus_curation_v2` returns 0 rows HERE (and only here) —
+    the 10x replication plants a benchmark copy (doc_id % 23 == 7) into
+    ~43% of replica groups (id shift 100e6 ≡ 2 mod 23 walks the even
+    residues), so the benchmark winnowing-fingerprint union covers ~all
+    of the shared synthetic vocabulary's fingerprints (measured: 99.9%
+    mean containment of non-benchmark docs); every document is >= 80%
+    contained and decontamination correctly drops the whole corpus.
+    That is the contamination rule working as specified, not a dedup
+    failure — minhash/cc on the same corpus return full row counts."""
     import numpy as np
     import ray
 
@@ -190,6 +200,14 @@ def pressure_10x(out: dict) -> None:
     out["pressure_10x"] = {
         "docs": int(docs.count()),
         "runs": runs,
+        "note": (
+            "corpus_curation_v2 rows=0 is expected on THIS corpus: 10x "
+            "replication plants benchmark copies into ~43% of replica "
+            "groups, the benchmark fingerprint union covers ~99.9% of "
+            "every doc's winnowed fingerprints (shared synthetic vocab), "
+            "so the >=80% containment rule drops all docs — "
+            "decontamination semantics, not a dedup failure"
+        ),
         "band_bucket_exchange_partition_rows": {
             "min": int(sizes.min()), "median": float(np.median(sizes)),
             "max": int(sizes.max()),
