@@ -49,6 +49,7 @@ BENCH_QUERIES = [
     "knn_cosine",
     "minhash_dedup_docs",  # LSH candidates + exact-Jaccard verify
     "ngram_jaccard_pairs",
+    "containment_neardup",  # asymmetric subset-dup measure, 2-anchor blocking
     "ivfpq_knn_l2",  # WARM probe against the prebuilt artifact (build timed separately)
     "value_quantiles_by_type",  # exact quantiles via histogram combine
     "dedup_clusters",  # pairs -> connected components -> canonical docs

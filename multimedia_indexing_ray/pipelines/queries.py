@@ -3357,6 +3357,45 @@ def q_ngram_jaccard(sf_dir: str):
     )
 
 
+@register(
+    "containment_neardup",
+    r"""
+    WITH tk AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents),
+    s AS (SELECT doc_id, list_distinct(
+            CASE WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[])
+                 WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                 ELSE list_transform(range(1, len(toks) - 1),
+                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS sh
+          FROM tk),
+    s2 AS (SELECT doc_id, sh, list_sort(sh) AS srt FROM s WHERE len(sh) > 0),
+    a AS (SELECT doc_id, sh, unnest(srt[1:2]) AS anchor FROM s2),
+    pairs AS (
+      SELECT DISTINCT a1.doc_id AS a_id, a2.doc_id AS b_id,
+        CAST(len(list_intersect(a1.sh, a2.sh)) AS DOUBLE)
+          / CAST(least(len(a1.sh), len(a2.sh)) AS DOUBLE) AS containment
+      FROM a a1 JOIN a a2 ON a1.anchor = a2.anchor AND a1.doc_id < a2.doc_id)
+    SELECT a_id, b_id, containment FROM pairs WHERE containment >= 0.8
+    """,
+)
+def q_containment_neardup(sf_dir: str):
+    """Asymmetric CONTAINMENT near-dup pairs (|A∩B| / min(|A|,|B|) over
+    distinct 3-gram shingles, Broder 1997): the dedup measure for
+    subset-duplication — a doc quoted verbatim inside a longer one has
+    Jaccard ≈ |A|/|B| → 0 (invisible to `ngram_jaccard_pairs` at any
+    useful threshold) but containment = 1.  Multi-probe blocking on the
+    TWO smallest shingles per doc (`ShingleMultiAnchor`) closes the
+    single-min-anchor recall hole on exactly these asymmetric pairs;
+    the oracle mirrors the blocking with ``list_sort(sh)[1:2]`` +
+    unnest and collapses double-blocked pairs with DISTINCT.  One keyed
+    exchange of shingle sets (≤2× the Jaccard payload), CSR verify,
+    first-per-pair dedup."""
+    docs = _rp(sf_dir, "documents", ["doc_id", "text"])
+    return dd.anchor_containment_pairs(
+        docs, "text", "doc_id", threshold=0.8, num_partitions=16,
+        coalesce=docs.count() <= _COALESCE_DOCS,
+    )
+
+
 _NGRAM_PAIRS_CTE = r"""
     tk AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents),
     s AS (SELECT doc_id, list_distinct(

@@ -886,6 +886,207 @@ def anchor_jaccard_pairs(
     return map_partitions_by_key(sk, "anchor", kernel, num_partitions)
 
 
+class ShingleMultiAnchor:
+    """Actor-pool stage: per-doc DISTINCT k-token shingle set emitted
+    once per ANCHOR, where the anchors are the ``n_anchors`` smallest
+    distinct shingles — multi-probe blocking for the ASYMMETRIC
+    containment measure.  A subset-duplicate pair (A ⊂ B) often
+    disagrees on the single min shingle (B's extra shingles can win the
+    lexicographic min), so `ShingleAnchor`'s one-anchor blocking has a
+    recall hole exactly on the pairs containment exists to catch;
+    probing the j smallest shingles means the pair co-blocks whenever
+    ANY of A's first ``n_anchors`` shingles is among B's first
+    ``n_anchors`` (in particular always when A's min survives in B).
+    Exchange payload is ≤ ``n_anchors``× `ShingleAnchor`'s — bounded,
+    and still sets-not-text.  Tokenization / short-doc / empty-doc rules
+    are byte-identical to `ShingleAnchor` so the SQL oracle reproduces
+    the blocks with ``list_sort(sh)[1:n]`` + unnest."""
+
+    def __init__(self, text_col: str, id_col: str, k: int = 3, n_anchors: int = 2):
+        self.text_col = text_col
+        self.id_col = id_col
+        self.k = k
+        self.n_anchors = n_anchors
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                self.id_col: pa.array([], pa.int64()),
+                "anchor": pa.array([], pa.string()),
+                "sh": pa.array([], pa.list_(pa.string())),
+            }
+        )
+        ids = batch[self.id_col].to_numpy()
+        sh, docs, _ = _shingle_arrays(batch[self.text_col], self.k)
+        if len(sh) == 0:
+            return empty
+        df = pd.DataFrame({"d": docs, "s": sh}).drop_duplicates()
+        df = df.sort_values(["d", "s"], kind="mergesort")
+        d2 = df["d"].to_numpy()
+        s2 = df["s"].to_numpy()
+        seg = np.flatnonzero(np.concatenate([[True], d2[1:] != d2[:-1]]))
+        counts = np.diff(np.concatenate([seg, [len(d2)]]))
+        offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+        sh_col = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()), pa.array(s2.tolist(), pa.string())
+        )
+        doc_ids = pa.array(ids[d2[seg]], pa.int64())
+        # anchor j per doc = j-th smallest distinct shingle (segments are
+        # sorted); docs with fewer shingles than n_anchors emit fewer rows
+        parts = []
+        base = pa.table({self.id_col: doc_ids, "sh": sh_col})
+        for j in range(self.n_anchors):
+            has = counts > j
+            if not has.any():
+                break
+            t = base.filter(pa.array(has))
+            anchors = s2[seg[has] + j]
+            parts.append(
+                pa.table(
+                    {
+                        self.id_col: t[self.id_col],
+                        "anchor": pa.array(anchors.tolist(), pa.string()),
+                        "sh": t["sh"],
+                    }
+                )
+            )
+        return pa.concat_tables(parts) if parts else empty
+
+
+def anchor_containment_pairs(
+    ds: "ray.data.Dataset",
+    text_col: str,
+    id_col: str,
+    shingle_k: int = 3,
+    threshold: float = 0.8,
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+    concurrency: int = 4,
+    n_anchors: int = 2,
+    coalesce: bool = False,
+) -> "ray.data.Dataset":
+    """Exact n-gram CONTAINMENT near-dup pairs — Broder's asymmetric
+    resemblance companion: ``|A ∩ B| / min(|A|, |B|)``.  Symmetric
+    Jaccard misses subset-duplicates (a doc embedded verbatim inside a
+    much longer one has Jaccard ≈ |A|/|B| → 0 but containment = 1);
+    this is the measure an LLM-training dedup pass needs for
+    quote/boilerplate/prefix duplication (Broder 1997, "On the
+    resemblance and containment of documents").
+
+    Same shape as `anchor_jaccard_pairs` (reference parity:
+    the blocked verify mirrors how `utilities/Answer.java`-style result
+    lists are verified against exact distances): multi-anchor blocking
+    (`ShingleMultiAnchor`, ``n_anchors`` smallest shingles per doc) →
+    ONE keyed exchange of shingle SETS → CSR co-occurrence verify inside
+    blocks → `_dedup_pairs` first-per-(a,b) pass to collapse pairs found
+    under more than one shared anchor (containment is deterministic per
+    pair, so which copy survives is value-identical).
+
+    ``coalesce=True`` runs both kernels in-process for candidate-sized
+    corpora (gated by callers on a metadata-only row count; the
+    distributed plan is the same code, flipped in the scale rehearsal)."""
+    sk = ds.map_batches(
+        ShingleMultiAnchor(text_col, id_col, shingle_k, n_anchors),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+    empty = pa.table(
+        {
+            "a_id": pa.array([], pa.int64()),
+            "b_id": pa.array([], pa.int64()),
+            "containment": pa.array([], pa.float64()),
+        }
+    )
+
+    def kernel(table: pa.Table) -> pa.Table:
+        if table.num_rows == 0:
+            return empty
+        t = table.take(
+            pc.sort_indices(table, sort_keys=[("anchor", "ascending"), (id_col, "ascending")])
+        )
+        ids = t[id_col].to_numpy()
+        anchors = t["anchor"].to_numpy(zero_copy_only=False)
+        sh_col = t["sh"].combine_chunks()
+        offsets = sh_col.offsets.to_numpy().astype(np.int64)
+        flat = sh_col.values.to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.concatenate([[True], anchors[1:] != anchors[:-1]]))
+        ends = np.concatenate([starts[1:], [len(ids)]])
+        a_out, b_out, c_out = [], [], []
+        for s, e in zip(starts, ends):
+            b = e - s
+            if b < 2:
+                continue
+            sz = offsets[s + 1 : e + 1] - offsets[s:e]
+            doc_of = np.repeat(np.arange(b, dtype=np.int64), sz)
+            _, sid = np.unique(flat[offsets[s] : offsets[e]], return_inverse=True)
+            order = np.argsort(sid, kind="stable")
+            sid_s, doc_s = sid[order], doc_of[order]
+            seg = np.flatnonzero(np.concatenate([[True], sid_s[1:] != sid_s[:-1]]))
+            seg_end = np.concatenate([seg[1:], [len(sid_s)]])
+            keys = []
+            for ss, ee in zip(seg, seg_end):
+                L = ee - ss
+                if L < 2:
+                    continue
+                dl = np.sort(doc_s[ss:ee])
+                ii, jj = np.triu_indices(L, 1)
+                keys.append(dl[ii] * b + dl[jj])
+            if not keys:
+                continue
+            pk, inter = np.unique(np.concatenate(keys), return_counts=True)
+            i, j = pk // b, pk % b
+            # a multi-anchor block can hold the SAME doc twice (two of its
+            # anchors equal) only if shingles repeat — impossible: the set
+            # is distinct, so ids within a block are unique
+            cont = inter / np.minimum(sz[i], sz[j])
+            m = cont >= threshold
+            a_out.append(ids[s + i[m]])
+            b_out.append(ids[s + j[m]])
+            c_out.append(cont[m])
+        if not a_out:
+            return empty
+        return pa.table(
+            {
+                "a_id": pa.array(np.concatenate(a_out), pa.int64()),
+                "b_id": pa.array(np.concatenate(b_out), pa.int64()),
+                "containment": pa.array(np.concatenate(c_out), pa.float64()),
+            }
+        )
+
+    if coalesce:
+        import ray as _ray
+
+        import ray.data as _rd
+
+        tables = [
+            t
+            for t in _ray.get(sk.to_arrow_refs())
+            if t.num_rows  # empty Ray blocks can carry a FIELDLESS schema
+        ]
+        if not tables:
+            return _rd.from_arrow(empty)
+        raw = kernel(pa.concat_tables(tables))
+        if raw.num_rows == 0:
+            return _rd.from_arrow(empty)
+        # in-process first-per-(a,b): same rule as _dedup_pairs
+        tt = raw.take(
+            pc.sort_indices(
+                raw,
+                sort_keys=[
+                    ("a_id", "ascending"),
+                    ("b_id", "ascending"),
+                    ("containment", "ascending"),
+                ],
+            )
+        )
+        a = tt["a_id"].to_numpy()
+        bb = tt["b_id"].to_numpy()
+        first = np.r_[True, (a[1:] != a[:-1]) | (bb[1:] != bb[:-1])]
+        return _rd.from_arrow(tt.filter(pa.array(first)))
+    pairs = map_partitions_by_key(sk, "anchor", kernel, num_partitions)
+    return _dedup_pairs(pairs, "containment", num_partitions)
+
+
 class TextAnchor:
     """Actor-pool stage: (id, anchor, text) — ShingleAnchor's min-shingle
     blocking key WITHOUT the shingle-set payload, for verifiers (edit

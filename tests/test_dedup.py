@@ -359,3 +359,108 @@ def test_exact_jaccard_verify_vectorized_matches_distributed(ray_session):
     assert len(outs[0]) == len(cands.to_pandas().drop_duplicates())
     assert outs[0].equals(outs[1])
     assert (outs[0]["jaccard"] > 0).sum() > 0  # some overlap exists
+
+
+def test_containment_finds_subset_dup_jaccard_misses(ray_session):
+    """The semantic point of the containment measure: doc A quoted
+    verbatim inside a much longer doc B has Jaccard ~ |A|/|B| (below any
+    useful threshold) but containment = 1.0 — `anchor_containment_pairs`
+    must report the pair, `anchor_jaccard_pairs` at 0.3 must not."""
+    import ray.data as rd
+
+    from multimedia_indexing_ray.stages.dedup import (
+        anchor_containment_pairs,
+        anchor_jaccard_pairs,
+    )
+
+    rng = np.random.default_rng(11)
+    quote = " ".join(f"q{i}" for i in range(12))  # 12 tokens, 10 shingles
+    # B embeds A verbatim at the START so A's min shingles survive in B,
+    # then adds 200 distinct tokens -> Jaccard = 10/~208, containment = 1
+    long_tail = " ".join(f"t{rng.integers(0, 10_000)}_{i}" for i in range(200))
+    noise = [
+        " ".join(f"n{rng.integers(0, 500)}" for _ in range(30)) for _ in range(40)
+    ]
+    texts = [quote, quote + " " + long_tail] + noise
+    docs = pa.table(
+        {
+            "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+            "text": pa.array(texts),
+        }
+    )
+    for coalesce in (True, False):
+        cont = (
+            anchor_containment_pairs(
+                rd.from_arrow(docs), "text", "doc_id",
+                threshold=0.8, num_partitions=4, coalesce=coalesce,
+            )
+            .to_pandas()
+            .sort_values(["a_id", "b_id"])
+            .reset_index(drop=True)
+        )
+        assert [0, 1] in cont[["a_id", "b_id"]].values.tolist(), coalesce
+        row = cont[(cont.a_id == 0) & (cont.b_id == 1)].iloc[0]
+        assert row["containment"] == 1.0, coalesce
+    jac = anchor_jaccard_pairs(
+        rd.from_arrow(docs), "text", "doc_id", threshold=0.3, num_partitions=4
+    ).to_pandas()
+    # symmetric Jaccard is blind to the subset dup (empty result = no
+    # pairs at all, which also proves the point)
+    if len(jac):
+        assert jac[(jac["a_id"] == 0) & (jac["b_id"] == 1)].empty
+
+
+def test_containment_brute_force_and_partition_invariance(ray_session):
+    """Pairs from `anchor_containment_pairs` must equal the brute-force
+    containment over BRUTE-FORCE blocking with the same 2-anchor rule,
+    identically at several partition counts and on both plans."""
+    import ray.data as rd
+
+    from multimedia_indexing_ray.stages.dedup import anchor_containment_pairs
+
+    rng = np.random.default_rng(7)
+    texts = []
+    for _ in range(120):
+        toks = [f"w{rng.integers(0, 40)}" for _ in range(rng.integers(4, 25))]
+        texts.append(" ".join(toks))
+    texts[5] = texts[6]  # exact dup
+    texts[9] = texts[8] + " extra tokens here now"  # prefix-subset dup
+    docs = pa.table(
+        {
+            "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+            "text": pa.array(texts),
+        }
+    )
+
+    def shset(tx):
+        toks = tx.split()
+        if not toks:
+            return set()
+        if len(toks) < 3:
+            return {" ".join(toks)}
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    sets = [shset(tx) for tx in texts]
+    anchors = [tuple(sorted(s)[:2]) for s in sets]
+    truth = set()
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            if not sets[i] or not sets[j]:
+                continue
+            if not (set(anchors[i]) & set(anchors[j])):
+                continue
+            c = len(sets[i] & sets[j]) / min(len(sets[i]), len(sets[j]))
+            if c >= 0.8:
+                truth.add((i, j))
+    assert truth, "fixture must plant at least one pair"
+
+    for coalesce in (True, False):
+        for nparts in (1, 3, 8):
+            out = anchor_containment_pairs(
+                rd.from_arrow(docs), "text", "doc_id",
+                threshold=0.8, num_partitions=nparts, coalesce=coalesce,
+            ).to_pandas()
+            got = set(zip(out.a_id.tolist(), out.b_id.tolist()))
+            assert got == truth, (coalesce, nparts)
+            # exactly one row per pair (multi-anchor double-hit collapsed)
+            assert len(out) == len(got), (coalesce, nparts)
