@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "minhash_dedup_docs",  # LSH candidates + exact-Jaccard verify
     "ngram_jaccard_pairs",
     "containment_neardup",  # asymmetric subset-dup measure, 2-anchor blocking
+    "dup_span_scrub",  # ExactSubstr span removal (clean_text reconstruction)
     "ivfpq_knn_l2",  # WARM probe against the prebuilt artifact (build timed separately)
     "value_quantiles_by_type",  # exact quantiles via histogram combine
     "dedup_clusters",  # pairs -> connected components -> canonical docs

@@ -8611,6 +8611,74 @@ def q_lm_perplexity_docs(sf_dir: str):
 
 _GRAM_CHARS = 16
 
+
+def _span_grams(batch: pa.Table, K: int) -> pa.Table:
+    """(gram fixed_size_binary(4K), doc_id, i): every K-codepoint window
+    of every doc, packed ZERO-COPY from the UTF-32 codepoint array (so a
+    gram is exact bytes, not a hash — collisions impossible); ``i`` is
+    the 1-based codepoint start, exactly SQL ``substr`` semantics.
+    Extraction loops per DOCUMENT (C-level utf-32 encode + one
+    sliding_window_view per doc), never per gram/char.  Shared by
+    `q_dup_span_docs` and `q_dup_span_scrub`."""
+    GB = pa.binary(4 * K)
+    empty = pa.table(
+        {
+            "gram": pa.array([], GB),
+            "doc_id": pa.array([], pa.int64()),
+            "i": pa.array([], pa.int64()),
+        }
+    )
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    texts = batch["text"].to_pylist()
+    chunks, out_ids, out_pos = [], [], []
+    for did, s in zip(ids, texts):
+        if s is None or len(s) < K:
+            continue
+        u32 = np.frombuffer(s.encode("utf-32-le"), np.uint32)
+        win = np.ascontiguousarray(np.lib.stride_tricks.sliding_window_view(u32, K))
+        m = len(win)
+        chunks.append(win)
+        out_ids.append(np.full(m, did, np.int64))
+        out_pos.append(np.arange(1, m + 1, dtype=np.int64))
+    if not chunks:
+        return empty
+    data = np.concatenate(chunks)
+    n = len(data)
+    grams = pa.FixedSizeBinaryArray.from_buffers(
+        GB, n, [None, pa.py_buffer(data.tobytes())]
+    )
+    return pa.table(
+        {
+            "gram": grams,
+            "doc_id": pa.array(np.concatenate(out_ids), pa.int64()),
+            "i": pa.array(np.concatenate(out_pos), pa.int64()),
+        }
+    )
+
+
+def _span_dup_positions(t: pa.Table, K: int) -> pa.Table:
+    """(doc_id, i) occurrences of grams that appear MORE THAN ONCE within
+    ``t`` — callers co-locate equal grams (keyed exchange or one
+    in-process table), so within-t repetition == corpus-wide repetition.
+    One np.unique over the raw fixed-size-binary buffer, no per-gram
+    Python objects."""
+    empty = pa.table(
+        {"doc_id": pa.array([], pa.int64()), "i": pa.array([], pa.int64())}
+    )
+    if t.num_rows == 0:
+        return empty
+    col = t["gram"].combine_chunks()
+    raw = np.frombuffer(col.buffers()[1], dtype=f"V{4 * K}")[
+        col.offset : col.offset + len(col)
+    ]
+    _, inv, cnt = np.unique(raw, return_inverse=True, return_counts=True)
+    keep = cnt[inv] > 1
+    if not keep.any():
+        return empty
+    km = pa.array(keep)
+    return pa.table({"doc_id": t["doc_id"].filter(km), "i": t["i"].filter(km)})
+
+
 _DUP_SPAN_SQL = f"""
 WITH g AS (SELECT doc_id,
                   unnest(range(1, greatest(length(text)-{_GRAM_CHARS - 2}, 1))) AS i,
@@ -8666,45 +8734,9 @@ def q_dup_span_docs(sf_dir: str):
     docs = _rp(sf_dir, "documents", ["doc_id", "text"])
     coalesce_cap = int(os.environ.get("GRAFT_DUPSPAN_COALESCE_DOCS", "20000"))
     K = _GRAM_CHARS
-    GB = pa.binary(4 * K)
-
-    _GRAMS_EMPTY = pa.table(
-        {
-            "gram": pa.array([], GB),
-            "doc_id": pa.array([], pa.int64()),
-            "i": pa.array([], pa.int64()),
-        }
-    )
 
     def _grams(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        texts = batch["text"].to_pylist()
-        chunks, out_ids, out_pos = [], [], []
-        for did, s in zip(ids, texts):
-            if s is None or len(s) < K:
-                continue
-            u32 = np.frombuffer(s.encode("utf-32-le"), np.uint32)
-            win = np.ascontiguousarray(
-                np.lib.stride_tricks.sliding_window_view(u32, K)
-            )
-            m = len(win)
-            chunks.append(win)
-            out_ids.append(np.full(m, did, np.int64))
-            out_pos.append(np.arange(1, m + 1, dtype=np.int64))
-        if not chunks:
-            return _GRAMS_EMPTY
-        data = np.concatenate(chunks)
-        n = len(data)
-        grams = pa.FixedSizeBinaryArray.from_buffers(
-            GB, n, [None, pa.py_buffer(data.tobytes())]
-        )
-        return pa.table(
-            {
-                "gram": grams,
-                "doc_id": pa.array(np.concatenate(out_ids), pa.int64()),
-                "i": pa.array(np.concatenate(out_pos), pa.int64()),
-            }
-        )
+        return _span_grams(batch, K)
 
     _KV_EMPTY = pa.table(
         {
@@ -8715,23 +8747,14 @@ def q_dup_span_docs(sf_dir: str):
     )
 
     def _dup_hits(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return _KV_EMPTY
-        col = t["gram"].combine_chunks()
-        raw = np.frombuffer(col.buffers()[1], dtype=f"V{4 * K}")[
-            col.offset : col.offset + len(col)
-        ]
-        _, inv, cnt = np.unique(raw, return_inverse=True, return_counts=True)
-        keep = cnt[inv] > 1
-        if not keep.any():
+        h = _span_dup_positions(t, K)
+        if h.num_rows == 0:
             return _KV_EMPTY
         return pa.table(
             {
-                "doc_id": t["doc_id"].filter(pa.array(keep)),
-                "kind": pa.array(
-                    np.ones(int(keep.sum()), np.int64), pa.int64()
-                ),
-                "val": t["i"].filter(pa.array(keep)),
+                "doc_id": h["doc_id"],
+                "kind": pa.array(np.ones(h.num_rows, np.int64), pa.int64()),
+                "val": h["i"],
             }
         )
 
@@ -8802,6 +8825,147 @@ def q_dup_span_docs(sf_dir: str):
     lens = docs.map_batches(_len_rows, batch_format="pyarrow")
     return map_partitions_by_key(
         lens.union(hits), "doc_id", _coverage, num_partitions=16
+    )
+
+
+_DUP_SCRUB_SQL = f"""
+WITH g AS (SELECT doc_id,
+                  unnest(range(1, greatest(length(text)-{_GRAM_CHARS - 2}, 1))) AS i,
+                  text FROM documents),
+g2 AS (SELECT doc_id, i, substr(text, CAST(i AS INTEGER), {_GRAM_CHARS}) AS gram FROM g),
+dup AS (SELECT gram FROM g2 GROUP BY gram HAVING COUNT(*) > 1),
+hits AS (SELECT g2.doc_id, g2.i FROM g2 JOIN dup USING (gram)),
+pos AS (SELECT DISTINCT doc_id, unnest(range(i, i+{_GRAM_CHARS})) AS p FROM hits),
+chars AS (SELECT doc_id, text, unnest(range(1, length(text)+1)) AS p FROM documents),
+kept AS (SELECT c.doc_id, c.p, substr(c.text, CAST(c.p AS INTEGER), 1) AS ch
+         FROM chars c ANTI JOIN pos ON c.doc_id = pos.doc_id AND c.p = pos.p),
+agg AS (SELECT doc_id, string_agg(ch, '' ORDER BY p) AS clean_text,
+               CAST(COUNT(*) AS BIGINT) AS n_kept FROM kept GROUP BY doc_id)
+SELECT d.doc_id, COALESCE(a.clean_text, '') AS clean_text,
+       COALESCE(a.n_kept, 0) AS n_kept
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
+@register("dup_span_scrub", _DUP_SCRUB_SQL)
+def q_dup_span_scrub(sf_dir: str):
+    """ExactSubstr span REMOVAL — the second half of the Lee et al. 2022
+    pipeline (`q_dup_span_docs` measures the duplicated mass; this query
+    CUTS it): every codepoint covered by at least one corpus-repeated
+    16-gram is removed, and the survivors are re-joined in order into
+    ``clean_text`` (plus ``n_kept``, the kept-codepoint count — the
+    checkable aggregate).  Same gram machinery (`_span_grams` /
+    `_span_dup_positions`), same SQL ``substr`` codepoint semantics.
+
+    Scale shape: hits come from the same slim gram exchange as
+    dup_span_docs; the second exchange is doc-keyed and must ship the
+    TEXT once (inherent — the output IS text), plus 8B per hit position.
+    Per-doc scrub is a vectorized diff-array coverage mask over the
+    UTF-32 array (np.add.at + cumsum), one encode/decode per doc, never
+    per char.  Coalesce gate identical to dup_span_docs
+    (`GRAFT_DUPSPAN_COALESCE_DOCS`, metadata-only row count); the
+    distributed plan is the same code, flipped in the scale rehearsal."""
+    from multimedia_indexing_ray.stages.partition import map_partitions_by_key
+
+    docs = _rp(sf_dir, "documents", ["doc_id", "text"])
+    coalesce_cap = int(os.environ.get("GRAFT_DUPSPAN_COALESCE_DOCS", "20000"))
+    K = _GRAM_CHARS
+
+    def _grams(batch: pa.Table) -> pa.Table:
+        return _span_grams(batch, K)
+
+    _HIT_EMPTY = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "i": pa.array([], pa.int64()),
+            "text": pa.array([], pa.string()),
+        }
+    )
+
+    def _hit_rows(t: pa.Table) -> pa.Table:
+        h = _span_dup_positions(t, K)
+        if h.num_rows == 0:
+            return _HIT_EMPTY
+        return pa.table(
+            {
+                "doc_id": h["doc_id"],
+                "i": h["i"],
+                "text": pa.nulls(h.num_rows, pa.string()),
+            }
+        )
+
+    def _doc_rows(batch: pa.Table) -> pa.Table:
+        # i = 0 sorts BEFORE any hit (hit starts are 1-based)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].cast(pa.int64()),
+                "i": pa.array(np.zeros(batch.num_rows, np.int64), pa.int64()),
+                "text": batch["text"],
+            }
+        )
+
+    _OUT_EMPTY = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "clean_text": pa.array([], pa.string()),
+            "n_kept": pa.array([], pa.int64()),
+        }
+    )
+
+    def _scrub(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _OUT_EMPTY
+        d = t["doc_id"].to_numpy(zero_copy_only=False)
+        pos = t["i"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((pos, d))
+        d, pos = d[order], pos[order]
+        texts = t["text"].take(pa.array(order, pa.int64())).to_pylist()
+        starts = sg.segment_starts(d)
+        ends = np.concatenate([starts[1:], [len(d)]])
+        out_ids, out_txt, out_kept = [], [], []
+        for s, e in zip(starts, ends):
+            # first row of the segment is the doc row (i == 0)
+            txt = texts[s]
+            out_ids.append(d[s])
+            if txt is None or txt == "":
+                out_txt.append("")
+                out_kept.append(0)
+                continue
+            if e - s == 1:  # no hits: everything kept
+                out_txt.append(txt)
+                out_kept.append(len(txt))
+                continue
+            u32 = np.frombuffer(txt.encode("utf-32-le"), np.uint32)
+            n = len(u32)
+            h = pos[s + 1 : e]  # 1-based covered-span starts, unique
+            delta = np.zeros(n + 1, np.int64)
+            np.add.at(delta, h - 1, 1)
+            np.add.at(delta, np.minimum(h - 1 + K, n), -1)
+            covered = np.cumsum(delta[:n]) > 0
+            kept = u32[~covered]
+            out_txt.append(kept.tobytes().decode("utf-32-le"))
+            out_kept.append(len(kept))
+        return pa.table(
+            {
+                "doc_id": pa.array(np.array(out_ids, np.int64), pa.int64()),
+                "clean_text": pa.array(out_txt, pa.string()),
+                "n_kept": pa.array(np.array(out_kept, np.int64), pa.int64()),
+            }
+        )
+
+    if docs.count() <= coalesce_cap:
+        t = _pq(sf_dir, "documents", ["doc_id", "text"])
+        return _scrub(pa.concat_tables([_doc_rows(t), _hit_rows(_grams(t))]))
+
+    hits = map_partitions_by_key(
+        docs.map_batches(_grams, batch_format="pyarrow"),
+        "gram",
+        _hit_rows,
+        num_partitions=16,
+    )
+    doc_rows = docs.map_batches(_doc_rows, batch_format="pyarrow")
+    return map_partitions_by_key(
+        doc_rows.union(hits), "doc_id", _scrub, num_partitions=16
     )
 
 

@@ -73,6 +73,9 @@ GATED = {
     # r5f: duplicate-span detection flips from one in-process pass to the
     # gram-keyed + doc-keyed exchange plan
     "dup_span_docs": {"GRAFT_DUPSPAN_COALESCE_DOCS": "0"},
+    # r5g: span REMOVAL flips the same way (gram exchange + doc-keyed
+    # text/hit exchange instead of one in-process pass)
+    "dup_span_scrub": {"GRAFT_DUPSPAN_COALESCE_DOCS": "0"},
     # r5g: containment pairs flip from in-process coalesce to the
     # multi-anchor keyed exchange + distributed first-per-pair dedup
     "containment_neardup": {"GRAFT_COALESCE_DOCS": "0", "GRAFT_PAIR_COALESCE_CAP": "0"},

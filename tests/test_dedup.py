@@ -464,3 +464,62 @@ def test_containment_brute_force_and_partition_invariance(ray_session):
             assert got == truth, (coalesce, nparts)
             # exactly one row per pair (multi-anchor double-hit collapsed)
             assert len(out) == len(got), (coalesce, nparts)
+
+
+def test_dup_span_scrub_planted_and_mass_conformance(ray_session, tmp_path):
+    """ExactSubstr removal: a paragraph repeated across two docs must be
+    cut from both; unique docs come back verbatim; and per doc
+    len(clean_text) == n_kept == n_chars - dup_chars (cross-operator
+    conformance with q_dup_span_docs), on BOTH plans."""
+    import os
+
+    import pyarrow.parquet as papq
+
+    from multimedia_indexing_ray.pipelines.queries import REGISTRY
+
+    K = 16
+    dup_para = "the exact same boilerplate paragraph repeated verbatim"
+    assert len(dup_para) >= K
+    texts = [
+        "unique prefix one " + dup_para + " unique suffix one",
+        "completely different start " + dup_para,
+        "a fully unique document with no repeated grams at all here",
+        "",  # empty doc -> clean '' / 0 kept
+        "short",  # < K chars -> no grams -> kept verbatim
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+            "text": pa.array(texts),
+            "n_chars": pa.array([len(s) for s in texts], pa.int64()),
+        }
+    )
+    sf = str(tmp_path)
+    papq.write_table(t, os.path.join(sf, "documents.parquet"))
+
+    def run(name):
+        res = REGISTRY[name].fn(sf)
+        df = res.to_pandas() if hasattr(res, "to_pandas") else res.to_pandas()
+        return df.sort_values("doc_id").reset_index(drop=True)
+
+    for env in ({}, {"GRAFT_DUPSPAN_COALESCE_DOCS": "0"}):
+        old = {k: os.environ.get(k) for k in env}
+        os.environ.update(env)
+        try:
+            scrub = run("dup_span_scrub")
+            span = run("dup_span_docs")
+        finally:
+            for k, v in old.items():
+                os.environ.pop(k, None) if v is None else os.environ.__setitem__(k, v)
+        # the repeated paragraph (and the spill of overlapping grams) is
+        # gone from both carriers
+        assert dup_para not in scrub.loc[0, "clean_text"], env
+        assert dup_para not in scrub.loc[1, "clean_text"], env
+        # unique / short / empty docs intact
+        assert scrub.loc[2, "clean_text"] == texts[2], env
+        assert scrub.loc[3, "clean_text"] == "" and scrub.loc[3, "n_kept"] == 0, env
+        assert scrub.loc[4, "clean_text"] == "short", env
+        # n_kept == len(clean_text), and mass conformance vs dup_span_docs
+        assert (scrub["n_kept"] == scrub["clean_text"].str.len()).all(), env
+        merged = scrub.merge(span, on="doc_id")
+        assert (merged["n_kept"] == merged["n_chars"] - merged["dup_chars"]).all(), env
