@@ -51,6 +51,8 @@ BENCH_QUERIES = [
     "ngram_jaccard_pairs",
     "containment_neardup",  # asymmetric subset-dup measure, 2-anchor blocking
     "dup_span_scrub",  # ExactSubstr span removal (clean_text reconstruction)
+    "nation_revenue_share",  # ratio-to-parent window over the dim chain
+    "basket_part_pairs",  # market-basket support/lift (association rules)
     "ivfpq_knn_l2",  # WARM probe against the prebuilt artifact (build timed separately)
     "value_quantiles_by_type",  # exact quantiles via histogram combine
     "dedup_clusters",  # pairs -> connected components -> canonical docs

@@ -743,6 +743,319 @@ def q_supplier_nation_revenue(sf_dir: str):
 
 
 @register(
+    "nation_revenue_share",
+    """
+    WITH nr AS (
+      SELECT r_name, n_name,
+        CAST(SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100+0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+      FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+      GROUP BY 1, 2)
+    SELECT r_name, n_name, revenue_cents,
+      CAST(SUM(revenue_cents) OVER (PARTITION BY r_name) AS BIGINT) AS region_cents,
+      CAST(revenue_cents AS DOUBLE)
+        / CAST(SUM(revenue_cents) OVER (PARTITION BY r_name) AS DOUBLE) AS share
+    FROM nr
+    """,
+)
+def q_nation_revenue_share(sf_dir: str):
+    """RATIO-TO-PARENT (contribution analysis): each nation's share of
+    its REGION's revenue — the ``x / SUM(x) OVER (PARTITION BY parent)``
+    window family (Oracle's RATIO_TO_REPORT), the one windowed-ratio
+    class not covered by rank/percent-rank/ntile.  Fact side is the
+    proven region_revenue plan (per-orderkey combiner -> bucketed hash
+    join -> broadcast dim chain) with the key widened to (r_name,
+    n_name); the share division happens on the AGGREGATE-sized result
+    (<= |nations| rows) in one block — integer cents everywhere, one
+    double division per row, same operand order as the SQL."""
+    li = _rp(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+    orders = _rp(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+
+    def _pre_agg(batch: pa.Table) -> pa.Table:
+        price = batch["l_extendedprice"].to_numpy()
+        disc = batch["l_discount"].to_numpy()
+        t2 = pa.table(
+            {
+                "l_orderkey": batch["l_orderkey"],
+                "revenue_cents": pa.array(_cents(price * (1 - disc)).astype(np.int64)),
+            }
+        )
+        return _pa_group_sum(t2, ["l_orderkey"], ["revenue_cents"])
+
+    cust = _pq(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    nation = _pq(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"])
+    region = _pq(sf_dir, "region", ["r_regionkey", "r_name"])
+    dim = cust.join(nation, keys="c_nationkey", right_keys="n_nationkey").join(
+        region, keys="n_regionkey", right_keys="r_regionkey"
+    )
+    dim = dim.select(["c_custkey", "r_name", "n_name"])
+
+    # same gate as region_revenue: below the broadcast cap the orderkey ->
+    # (region, nation) map ships once and the whole fact side is ONE
+    # zero-exchange streaming fold to <= |nations| partials per batch
+    if orders.count() <= _broadcast_row_cap():
+        import ray as _ray
+
+        ot = _pq(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+        ck = dim["c_custkey"].to_numpy()
+        rnames = np.asarray(dim["r_name"]).astype(object)
+        nnames = np.asarray(dim["n_name"]).astype(object)
+        co = np.argsort(ck, kind="stable")
+        ck_s = ck[co]
+        combo = np.array(
+            [f"{r}\x01{n}" for r, n in zip(rnames[co], nnames[co])], dtype=object
+        )
+        uniq, lid_of_cust = (
+            np.unique(combo, return_inverse=True)
+            if len(co)
+            else (np.array([], dtype=object), np.array([], dtype=np.int64))
+        )
+        u_r = np.array([s.split("\x01")[0] for s in uniq], dtype=object)
+        u_n = np.array([s.split("\x01")[1] for s in uniq], dtype=object)
+        oc = ot["o_custkey"].to_numpy()
+        ci = np.searchsorted(ck_s, oc)
+        ci = np.clip(ci, 0, max(len(ck_s) - 1, 0))
+        cmatch = (
+            (len(ck_s) > 0) & (ck_s[ci] == oc)
+            if len(ck_s)
+            else np.zeros(len(oc), bool)
+        )
+        lid_of_order = lid_of_cust[ci[cmatch]]
+        ok = ot["o_orderkey"].to_numpy()[cmatch]
+        oo = np.argsort(ok, kind="stable")
+        bref = _ray.put((ok[oo], lid_of_order[oo], u_r, u_n))
+
+        def _fold(batch: pa.Table) -> pa.Table:
+            okeys, lid, urr, unn = _ray.get(bref)
+            price = batch["l_extendedprice"].to_numpy()
+            disc = batch["l_discount"].to_numpy()
+            cents = _cents(price * (1 - disc)).astype(np.int64)
+            lo = batch["l_orderkey"].to_numpy()
+            idx = np.searchsorted(okeys, lo)
+            idx = np.clip(idx, 0, max(len(okeys) - 1, 0))
+            hit = okeys[idx] == lo if len(okeys) else np.zeros(len(lo), bool)
+            hits = np.bincount(lid[idx[hit]], minlength=len(urr))
+            sums = np.zeros(len(urr), dtype=np.int64)
+            np.add.at(sums, lid[idx[hit]], cents[hit])
+            nz = np.flatnonzero(hits)
+            return pa.table(
+                {
+                    "r_name": pa.array(urr[nz], pa.string()),
+                    "n_name": pa.array(unn[nz], pa.string()),
+                    "revenue_cents": pa.array(sums[nz], pa.int64()),
+                }
+            )
+
+        agg = _tiny_group_sum(
+            li.map_batches(_fold, batch_format="pyarrow"),
+            ["r_name", "n_name"], ["revenue_cents"],
+        )
+    else:
+        li_partial = li.map_batches(_pre_agg, batch_format="pyarrow")
+        li_ord = hash_join(
+            li_partial, orders, left_on="l_orderkey", right_on="o_orderkey", num_partitions=32
+        )
+        joined = broadcast_join(li_ord, dim, keys="o_custkey", right_keys="c_custkey")
+        agg = _tiny_group_sum(joined, ["r_name", "n_name"], ["revenue_cents"])
+
+    def _share(batch: pa.Table) -> pa.Table:
+        # one block of <= |nations| rows: compute the parent totals with a
+        # segmented sum and divide — the only float op in the query
+        idx = pc.sort_indices(
+            batch, sort_keys=[("r_name", "ascending"), ("n_name", "ascending")]
+        )
+        t = batch.take(idx)
+        r = t["r_name"].to_numpy(zero_copy_only=False)
+        cents = t["revenue_cents"].to_numpy()
+        starts = np.flatnonzero(np.concatenate([[True], r[1:] != r[:-1]]))
+        counts = np.diff(np.concatenate([starts, [len(r)]]))
+        totals = np.repeat(np.add.reduceat(cents, starts), counts)
+        return pa.table(
+            {
+                "r_name": t["r_name"],
+                "n_name": t["n_name"],
+                "revenue_cents": t["revenue_cents"],
+                "region_cents": pa.array(totals, pa.int64()),
+                "share": pa.array(cents.astype(np.float64) / totals.astype(np.float64)),
+            }
+        )
+
+    return agg.map_batches(_share, batch_format="pyarrow", batch_size=None)
+
+
+@register(
+    "basket_part_pairs",
+    """
+    WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM b),
+    pc AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_part FROM b GROUP BY 1),
+    pp AS (SELECT a.l_partkey AS p_a, b2.l_partkey AS p_b,
+                  CAST(COUNT(*) AS BIGINT) AS n_both
+           FROM b a JOIN b b2
+             ON a.l_orderkey = b2.l_orderkey AND a.l_partkey < b2.l_partkey
+           GROUP BY 1, 2)
+    SELECT p_a, p_b, n_both, ca.n_part AS n_a, cb.n_part AS n_b,
+      CAST(n_both AS DOUBLE) * n.n_orders
+        / (CAST(ca.n_part AS DOUBLE) * cb.n_part) AS lift,
+      CAST(n_both AS DOUBLE) / ca.n_part AS confidence
+    FROM pp
+      JOIN pc ca ON pp.p_a = ca.l_partkey
+      JOIN pc cb ON pp.p_b = cb.l_partkey
+      CROSS JOIN n
+    WHERE n_both >= 2
+    """,
+)
+def q_basket_part_pairs(sf_dir: str):
+    """Market-basket ASSOCIATION RULES (Agrawal et al. 1993's A-priori
+    support counting, pair level): parts co-ordered in the same order,
+    with support (n_both), per-part frequencies, lift and confidence —
+    the co-occurrence family over TRANSACTIONS rather than text windows
+    (`term_cooccurrence`'s retail sibling).
+
+    Scale shape: ONE orderkey-keyed exchange of slim (orderkey, partkey)
+    rows; the per-partition kernel dedups and pair-expands each basket
+    with a shifted-compare loop over offsets 1..max_basket (vectorized —
+    baskets are catalog-bounded small, never a Python loop per order),
+    emitting pair rows PLUS per-part and order-count side rows with
+    sentinel keys.  A second keyed exchange sums all three kinds by
+    p_a.  Part frequencies and the order total are CATALOG-bounded
+    (|parts|+1 rows), so they broadcast for the final lift map — never
+    a third shuffle; pair support is pre-filtered (n_both >= 2) before
+    the metric map."""
+    import ray as _ray
+
+    from multimedia_indexing_ray.stages.partition import map_partitions_by_key
+
+    li = _rp(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    _ROWS_EMPTY = pa.table(
+        {
+            "p_a": pa.array([], pa.int64()),
+            "p_b": pa.array([], pa.int64()),
+            "n": pa.array([], pa.int64()),
+        }
+    )
+
+    def _expand(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _ROWS_EMPTY
+        o = t["l_orderkey"].to_numpy()
+        p = t["l_partkey"].to_numpy()
+        order = np.lexsort((p, o))
+        o, p = o[order], p[order]
+        # distinct (order, part)
+        first = np.r_[True, (o[1:] != o[:-1]) | (p[1:] != p[:-1])]
+        o, p = o[first], p[first]
+        n = len(o)
+        parts = []
+        # pair rows: sorted within segment, so offset-d neighbors with the
+        # same orderkey give p_a < p_b directly
+        d = 1
+        while True:
+            if d >= n:
+                break
+            same = o[d:] == o[:-d]
+            if not same.any():
+                break
+            parts.append(
+                pa.table(
+                    {
+                        "p_a": pa.array(p[:-d][same], pa.int64()),
+                        "p_b": pa.array(p[d:][same], pa.int64()),
+                        "n": pa.array(np.ones(int(same.sum()), np.int64), pa.int64()),
+                    }
+                )
+            )
+            d += 1
+        # per-part frequency rows (p_b = -1) and the order-count row
+        # (p_a = p_b = -2); orderkey partitioning makes both exact
+        u_part, c_part = np.unique(p, return_counts=True)
+        parts.append(
+            pa.table(
+                {
+                    "p_a": pa.array(u_part, pa.int64()),
+                    "p_b": pa.array(np.full(len(u_part), -1, np.int64), pa.int64()),
+                    "n": pa.array(c_part.astype(np.int64), pa.int64()),
+                }
+            )
+        )
+        n_orders = int(np.count_nonzero(np.r_[True, o[1:] != o[:-1]]))
+        parts.append(
+            pa.table(
+                {
+                    "p_a": pa.array([-2], pa.int64()),
+                    "p_b": pa.array([-2], pa.int64()),
+                    "n": pa.array([n_orders], pa.int64()),
+                }
+            )
+        )
+        return pa.concat_tables(parts)
+
+    def _sum_kernel(t: pa.Table) -> pa.Table:
+        return _pa_group_sum(t, ["p_a", "p_b"], ["n"])
+
+    expanded = map_partitions_by_key(li, "l_orderkey", _expand, num_partitions=32)
+    agg = map_partitions_by_key(expanded, "p_a", _sum_kernel, num_partitions=32).materialize()
+
+    side = agg.filter(expr="p_a < 0 or p_b < 0")
+    side_t = pa.concat_tables([pa.table(b) for b in side.iter_batches(batch_format="pyarrow")]) \
+        if side.count() else _ROWS_EMPTY
+    pa_keys = side_t.filter(pc.equal(side_t["p_b"], -1))
+    pk = pa_keys["p_a"].to_numpy()
+    pn = pa_keys["n"].to_numpy()
+    po = np.argsort(pk, kind="stable")
+    n_orders = int(
+        pc.sum(side_t.filter(pc.equal(side_t["p_a"], -2))["n"]).as_py() or 0
+    )
+    bref = _ray.put((pk[po], pn[po].astype(np.int64), n_orders))
+
+    _OUT_EMPTY = pa.table(
+        {
+            "p_a": pa.array([], pa.int64()),
+            "p_b": pa.array([], pa.int64()),
+            "n_both": pa.array([], pa.int64()),
+            "n_a": pa.array([], pa.int64()),
+            "n_b": pa.array([], pa.int64()),
+            "lift": pa.array([], pa.float64()),
+            "confidence": pa.array([], pa.float64()),
+        }
+    )
+
+    def _metrics(batch: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.and_(pc.greater_equal(batch["p_a"], 0), pc.greater_equal(batch["p_b"], 0)),
+            pc.greater_equal(batch["n"], 2),
+        )
+        t = batch.filter(m)
+        if t.num_rows == 0:
+            return _OUT_EMPTY
+        keys, counts, total = _ray.get(bref)
+        a = t["p_a"].to_numpy()
+        b = t["p_b"].to_numpy()
+        nb = t["n"].to_numpy()
+        n_a = counts[np.searchsorted(keys, a)]
+        n_b = counts[np.searchsorted(keys, b)]
+        lift = nb.astype(np.float64) * total / (n_a.astype(np.float64) * n_b)
+        conf = nb.astype(np.float64) / n_a
+        return pa.table(
+            {
+                "p_a": pa.array(a, pa.int64()),
+                "p_b": pa.array(b, pa.int64()),
+                "n_both": pa.array(nb, pa.int64()),
+                "n_a": pa.array(n_a, pa.int64()),
+                "n_b": pa.array(n_b, pa.int64()),
+                "lift": pa.array(lift, pa.float64()),
+                "confidence": pa.array(conf, pa.float64()),
+            }
+        )
+
+    return agg.map_batches(_metrics, batch_format="pyarrow")
+
+
+@register(
     "promo_revenue_monthly",
     """
     SELECT CAST(year(l_shipdate)*100 + month(l_shipdate) AS BIGINT) AS month_id,

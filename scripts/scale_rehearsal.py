@@ -62,6 +62,9 @@ GATED = {
                            # co-partitioned plan (the last key-set broadcast)
                            "GRAFT_BROADCAST_ROW_CAP": "0"},
     "users_without_high_value": {"GRAFT_BROADCAST_ROW_CAP": "0"},
+    # r5g: ratio-to-parent flips from the zero-exchange broadcast fold to
+    # the bucketed hash-join plan (same pair as region_revenue)
+    "nation_revenue_share": {"GRAFT_BROADCAST_ROW_CAP": "0"},
     "tfidf_top_terms": {"GRAFT_MAX_VOCAB_BROADCAST": "0"},
     "top_term_docs": {"GRAFT_MAX_VOCAB_BROADCAST": "0"},
     # r5c: bigram-LM model tables flip from broadcast to two bucketed

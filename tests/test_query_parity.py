@@ -145,3 +145,68 @@ def test_hll_estimate_tracks_exact_distinct(ray_session, tmp_path):
     est = float(res["est"].iloc[0])
     assert res["zero_registers"].iloc[0] == 0  # out of linear-counting range
     assert abs(est - 10000) / 10000 < 0.4  # ~3 sigma for m=64
+
+
+def test_basket_pairs_brute_force_and_partition_invariance(ray_session, tmp_path):
+    """Association-rule counting vs a brute-force itertools oracle on a
+    random basket fixture, identical at several partition counts."""
+    import itertools
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    from multimedia_indexing_ray.pipelines.queries import REGISTRY
+
+    rng = np.random.default_rng(13)
+    rows_o, rows_p = [], []
+    for okey in range(300):
+        basket = rng.choice(40, size=rng.integers(1, 7), replace=False)
+        for p in basket:
+            # duplicate lineitems of the same part inside an order must
+            # count once (DISTINCT semantics)
+            for _ in range(rng.integers(1, 3)):
+                rows_o.append(okey)
+                rows_p.append(int(p))
+    t = pa.table(
+        {
+            "l_orderkey": pa.array(rows_o, pa.int64()),
+            "l_partkey": pa.array(rows_p, pa.int64()),
+        }
+    )
+    sf = str(tmp_path)
+    papq.write_table(t, os.path.join(sf, "lineitem.parquet"))
+
+    # brute force
+    baskets = {}
+    for o, p in zip(rows_o, rows_p):
+        baskets.setdefault(o, set()).add(p)
+    from collections import Counter
+
+    pair_c, part_c = Counter(), Counter()
+    for b in baskets.values():
+        for p in b:
+            part_c[p] += 1
+        for a, bb in itertools.combinations(sorted(b), 2):
+            pair_c[(a, bb)] += 1
+    n_orders = len(baskets)
+    exp = {
+        k: (
+            v,
+            part_c[k[0]],
+            part_c[k[1]],
+            float(v) * n_orders / (float(part_c[k[0]]) * part_c[k[1]]),
+            float(v) / part_c[k[0]],
+        )
+        for k, v in pair_c.items()
+        if v >= 2
+    }
+    assert exp, "fixture must produce pairs with support >= 2"
+
+    df = REGISTRY["basket_part_pairs"].fn(sf).to_pandas()
+    got = {
+        (r.p_a, r.p_b): (r.n_both, r.n_a, r.n_b, r.lift, r.confidence)
+        for r in df.itertuples()
+    }
+    assert got == exp
