@@ -805,16 +805,21 @@ def q_nation_revenue_share(sf_dir: str):
         nnames = np.asarray(dim["n_name"]).astype(object)
         co = np.argsort(ck, kind="stable")
         ck_s = ck[co]
-        combo = np.array(
-            [f"{r}\x01{n}" for r, n in zip(rnames[co], nnames[co])], dtype=object
-        )
-        uniq, lid_of_cust = (
-            np.unique(combo, return_inverse=True)
-            if len(co)
-            else (np.array([], dtype=object), np.array([], dtype=np.int64))
-        )
-        u_r = np.array([s.split("\x01")[0] for s in uniq], dtype=object)
-        u_n = np.array([s.split("\x01")[1] for s in uniq], dtype=object)
+        # numpy-native (r, n) -> label id: per-column codes, then one
+        # combined int code — no per-customer Python string work
+        if len(co):
+            r_uniq, r_code = np.unique(rnames[co], return_inverse=True)
+            n_uniq, n_code = np.unique(nnames[co], return_inverse=True)
+            base = len(n_uniq)
+            uniq_combo, lid_of_cust = np.unique(
+                r_code.astype(np.int64) * base + n_code, return_inverse=True
+            )
+            u_r = r_uniq[uniq_combo // base]
+            u_n = n_uniq[uniq_combo % base]
+        else:
+            lid_of_cust = np.array([], dtype=np.int64)
+            u_r = np.array([], dtype=object)
+            u_n = np.array([], dtype=object)
         oc = ot["o_custkey"].to_numpy()
         ci = np.searchsorted(ck_s, oc)
         ci = np.clip(ci, 0, max(len(ck_s) - 1, 0))
@@ -864,6 +869,16 @@ def q_nation_revenue_share(sf_dir: str):
     def _share(batch: pa.Table) -> pa.Table:
         # one block of <= |nations| rows: compute the parent totals with a
         # segmented sum and divide — the only float op in the query
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "r_name": pa.array([], pa.string()),
+                    "n_name": pa.array([], pa.string()),
+                    "revenue_cents": pa.array([], pa.int64()),
+                    "region_cents": pa.array([], pa.int64()),
+                    "share": pa.array([], pa.float64()),
+                }
+            )
         idx = pc.sort_indices(
             batch, sort_keys=[("r_name", "ascending"), ("n_name", "ascending")]
         )
@@ -925,11 +940,18 @@ def q_basket_part_pairs(sf_dir: str):
     (|parts|+1 rows), so they broadcast for the final lift map — never
     a third shuffle; pair support is pre-filtered (n_both >= 2) before
     the metric map."""
+    li = _rp(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    return basket_pair_metrics(li, num_partitions=32)
+
+
+def basket_pair_metrics(
+    li: "ray.data.Dataset", num_partitions: int
+) -> "ray.data.Dataset":
+    """Pipeline body of `basket_part_pairs`, parameterized on partition
+    count so partition invariance is directly testable."""
     import ray as _ray
 
     from multimedia_indexing_ray.stages.partition import map_partitions_by_key
-
-    li = _rp(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
 
     _ROWS_EMPTY = pa.table(
         {
@@ -997,12 +1019,16 @@ def q_basket_part_pairs(sf_dir: str):
     def _sum_kernel(t: pa.Table) -> pa.Table:
         return _pa_group_sum(t, ["p_a", "p_b"], ["n"])
 
-    expanded = map_partitions_by_key(li, "l_orderkey", _expand, num_partitions=32)
-    agg = map_partitions_by_key(expanded, "p_a", _sum_kernel, num_partitions=32).materialize()
+    expanded = map_partitions_by_key(
+        li, "l_orderkey", _expand, num_partitions=num_partitions
+    )
+    agg = map_partitions_by_key(
+        expanded, "p_a", _sum_kernel, num_partitions=num_partitions
+    ).materialize()
 
     side = agg.filter(expr="p_a < 0 or p_b < 0")
-    side_t = pa.concat_tables([pa.table(b) for b in side.iter_batches(batch_format="pyarrow")]) \
-        if side.count() else _ROWS_EMPTY
+    side_tables = list(side.iter_batches(batch_format="pyarrow"))
+    side_t = pa.concat_tables(side_tables) if side_tables else _ROWS_EMPTY
     pa_keys = side_t.filter(pc.equal(side_t["p_b"], -1))
     pk = pa_keys["p_a"].to_numpy()
     pn = pa_keys["n"].to_numpy()

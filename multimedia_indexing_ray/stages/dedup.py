@@ -206,6 +206,26 @@ class MinHashSketcher:
         )
 
 
+def _first_per_pair_block(batch: pa.Table, value_col: str) -> pa.Table:
+    """First row per (a_id, b_id) ordered by value_col, within ONE block
+    — the tie rule both pair-dedup plans (coalesced and distributed)
+    must share so forced plan flips stay bit-identical."""
+    t = batch.take(
+        pc.sort_indices(
+            batch,
+            sort_keys=[
+                ("a_id", "ascending"),
+                ("b_id", "ascending"),
+                (value_col, "ascending"),
+            ],
+        )
+    )
+    a = t["a_id"].to_numpy()
+    b = t["b_id"].to_numpy()
+    first = np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])]
+    return t.filter(pa.array(first))
+
+
 def _dedup_pairs(
     pairs: "ray.data.Dataset", value_col: str, num_partitions: int,
     coalesce_cap: "int | None" = None,
@@ -219,25 +239,10 @@ def _dedup_pairs(
         coalesce_cap = int(os.environ.get("GRAFT_PAIR_COALESCE_CAP", "2000000"))
     pairs = pairs.materialize()
     if pairs.count() <= coalesce_cap:
-
-        def _dedup_block(batch: pa.Table) -> pa.Table:
-            t = batch.take(
-                pc.sort_indices(
-                    batch,
-                    sort_keys=[
-                        ("a_id", "ascending"),
-                        ("b_id", "ascending"),
-                        (value_col, "ascending"),
-                    ],
-                )
-            )
-            a = t["a_id"].to_numpy()
-            b = t["b_id"].to_numpy()
-            first = np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])]
-            return t.filter(pa.array(first))
-
         return pairs.repartition(1).map_batches(
-            _dedup_block, batch_format="pyarrow", batch_size=None
+            lambda b: _first_per_pair_block(b, value_col),
+            batch_format="pyarrow",
+            batch_size=None,
         )
     return dedup_by_key(pairs, ["a_id", "b_id"], [value_col], num_partitions)
 
@@ -713,194 +718,22 @@ def simhash_pairs(
     return _dedup_pairs(pairs, "hamming", num_partitions)
 
 
-class ShingleAnchor:
-    """Actor-pool stage: per-doc DISTINCT k-token shingle set + anchor
-    (lexicographic min shingle) — the blocking key for exact n-gram
-    Jaccard.  Near-identical docs share their min shingle with high
-    probability, and the blocking rule is deterministic on both engine
-    and SQL sides, so the pair output is oracle-checkable."""
-
-    def __init__(self, text_col: str, id_col: str, k: int = 3):
-        self.text_col = text_col
-        self.id_col = id_col
-        self.k = k
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        empty = pa.table(
-            {
-                self.id_col: pa.array([], pa.int64()),
-                "anchor": pa.array([], pa.string()),
-                "sh": pa.array([], pa.list_(pa.string())),
-            }
-        )
-        ids = batch[self.id_col].to_numpy()
-        sh, docs, _ = _shingle_arrays(batch[self.text_col], self.k)
-        if len(sh) == 0:
-            return empty
-        df = pd.DataFrame({"d": docs, "s": sh}).drop_duplicates()
-        df = df.sort_values(["d", "s"], kind="mergesort")
-        d2 = df["d"].to_numpy()
-        s2 = df["s"].to_numpy()
-        seg = np.flatnonzero(np.concatenate([[True], d2[1:] != d2[:-1]]))
-        counts = np.diff(np.concatenate([seg, [len(d2)]]))
-        offsets = np.concatenate([[0], np.cumsum(counts)])
-        sh_col = pa.ListArray.from_arrays(
-            pa.array(offsets, pa.int32()), pa.array(s2.tolist(), pa.string())
-        )
-        return pa.table(
-            {
-                self.id_col: pa.array(ids[d2[seg]], pa.int64()),
-                "anchor": pa.array(s2[seg].tolist(), pa.string()),
-                "sh": sh_col,
-            }
-        )
-
-
-def anchor_jaccard_pairs(
-    ds: "ray.data.Dataset",
-    text_col: str,
-    id_col: str,
-    shingle_k: int = 3,
-    threshold: float = 0.3,
-    num_partitions: int = DEFAULT_NUM_PARTITIONS,
-    concurrency: int = 4,
-    bucket_cap: "int | None" = None,
-    coalesce: bool = False,
-) -> "ray.data.Dataset":
-    """Exact n-gram-Jaccard near-dup pairs within anchor blocks: ONE
-    shuffle on the anchor key, shingle SETS (never text) cross the wire,
-    all-pairs verification inside blocks.  Replaces the round-1
-    broadcast-the-whole-corpus verify (a driver-side materialization).
-
-    ``coalesce=True`` runs the identical kernel once in-process instead
-    of through the keyed exchange — for CANDIDATE-SIZED corpora where
-    the exchange's ~1-1.5s fixed cost dwarfs the kernel (same rule as
-    `_dedup_pairs`); callers gate it on a metadata-only row count, so
-    the at-scale path never materializes.
-
-    ``bucket_cap`` defaults to None (NO cap): this operator is exact and
-    SQL-oracled, and a cap would silently drop pairs the oracle computes.
-    Pass a cap only for uncurated corpora where mass-duplicate anchors
-    are expected AND oracle parity is not required (run exact dedup
-    first instead where possible).
-
-    In-block verify is CSR-style, not per-pair Python set ops: shingles
-    are dictionary-encoded per block, co-occurrence pair keys are
-    generated per shingle segment and counted in one ``np.unique`` —
-    intersection sizes for ALL pairs at once; union = |A| + |B| - inter.
-    A mass-duplicate anchor block stays O(b^2) pairs (that IS the exact
-    operator's output complexity) but runs at numpy speed."""
-    sk = ds.map_batches(
-        ShingleAnchor(text_col, id_col, shingle_k),
-        batch_format="pyarrow",
-        concurrency=concurrency,
-    )
-
-    def kernel(table: pa.Table) -> pa.Table:
-        empty = pa.table(
-            {
-                "a_id": pa.array([], pa.int64()),
-                "b_id": pa.array([], pa.int64()),
-                "jaccard": pa.array([], pa.float64()),
-            }
-        )
-        if table.num_rows == 0:
-            return empty
-        t = table.take(
-            pc.sort_indices(table, sort_keys=[("anchor", "ascending"), (id_col, "ascending")])
-        )
-        ids = t[id_col].to_numpy()
-        anchors = t["anchor"].to_numpy(zero_copy_only=False)
-        sh_col = t["sh"].combine_chunks()
-        offsets = sh_col.offsets.to_numpy().astype(np.int64)
-        flat = sh_col.values.to_numpy(zero_copy_only=False)
-        starts = np.flatnonzero(np.concatenate([[True], anchors[1:] != anchors[:-1]]))
-        ends = np.concatenate([starts[1:], [len(ids)]])
-        a_out, b_out, j_out = [], [], []
-        dropped = 0
-        for s, e in zip(starts, ends):
-            b = e - s
-            if b < 2:
-                continue
-            if bucket_cap is not None and b > bucket_cap:
-                dropped += 1
-                continue
-            sz = offsets[s + 1 : e + 1] - offsets[s:e]  # distinct-shingle count per doc
-            doc_of = np.repeat(np.arange(b, dtype=np.int64), sz)
-            _, sid = np.unique(flat[offsets[s] : offsets[e]], return_inverse=True)
-            order = np.argsort(sid, kind="stable")
-            sid_s, doc_s = sid[order], doc_of[order]
-            seg = np.flatnonzero(np.concatenate([[True], sid_s[1:] != sid_s[:-1]]))
-            seg_end = np.concatenate([seg[1:], [len(sid_s)]])
-            keys = []
-            for ss, ee in zip(seg, seg_end):
-                L = ee - ss
-                if L < 2:
-                    continue
-                dl = np.sort(doc_s[ss:ee])
-                ii, jj = np.triu_indices(L, 1)
-                keys.append(dl[ii] * b + dl[jj])
-            if not keys:
-                continue
-            pk, inter = np.unique(np.concatenate(keys), return_counts=True)
-            i, j = pk // b, pk % b
-            union = sz[i] + sz[j] - inter
-            jac = np.where(union > 0, inter / np.maximum(union, 1), 1.0)
-            m = jac > threshold
-            a_out.append(ids[s + i[m]])
-            b_out.append(ids[s + j[m]])
-            j_out.append(jac[m])
-        if dropped:
-            logger.warning("anchor_jaccard_pairs: dropped %d oversize blocks (> %d)", dropped, bucket_cap)
-        if not a_out:
-            return empty
-        return pa.table(
-            {
-                "a_id": pa.array(np.concatenate(a_out), pa.int64()),
-                "b_id": pa.array(np.concatenate(b_out), pa.int64()),
-                "jaccard": pa.array(np.concatenate(j_out), pa.float64()),
-            }
-        )
-
-    if coalesce:
-        import ray as _ray
-
-        import ray.data as _rd
-
-        tables = [
-            t
-            for t in _ray.get(sk.to_arrow_refs())
-            if t.num_rows  # empty Ray blocks can carry a FIELDLESS schema
-        ]
-        if not tables:
-            return _rd.from_arrow(
-                pa.table(
-                    {
-                        "a_id": pa.array([], pa.int64()),
-                        "b_id": pa.array([], pa.int64()),
-                        "jaccard": pa.array([], pa.float64()),
-                    }
-                )
-            )
-        return _rd.from_arrow(kernel(pa.concat_tables(tables)))
-    return map_partitions_by_key(sk, "anchor", kernel, num_partitions)
-
-
 class ShingleMultiAnchor:
     """Actor-pool stage: per-doc DISTINCT k-token shingle set emitted
     once per ANCHOR, where the anchors are the ``n_anchors`` smallest
     distinct shingles — multi-probe blocking for the ASYMMETRIC
     containment measure.  A subset-duplicate pair (A ⊂ B) often
     disagrees on the single min shingle (B's extra shingles can win the
-    lexicographic min), so `ShingleAnchor`'s one-anchor blocking has a
-    recall hole exactly on the pairs containment exists to catch;
-    probing the j smallest shingles means the pair co-blocks whenever
-    ANY of A's first ``n_anchors`` shingles is among B's first
-    ``n_anchors`` (in particular always when A's min survives in B).
-    Exchange payload is ≤ ``n_anchors``× `ShingleAnchor`'s — bounded,
-    and still sets-not-text.  Tokenization / short-doc / empty-doc rules
-    are byte-identical to `ShingleAnchor` so the SQL oracle reproduces
-    the blocks with ``list_sort(sh)[1:n]`` + unnest."""
+    lexicographic min), so one-anchor blocking has a recall hole exactly
+    on the pairs containment exists to catch; probing the j smallest
+    shingles means the pair co-blocks whenever ANY of A's first
+    ``n_anchors`` shingles is among B's first ``n_anchors`` (in
+    particular always when A's min survives in B).  Exchange payload is
+    ≤ ``n_anchors``× the one-anchor payload — bounded, and still
+    sets-not-text.  `ShingleAnchor` is the ``n_anchors=1`` case, so the
+    tokenization / short-doc / empty-doc rules are shared by
+    construction and the SQL oracles reproduce the blocks with
+    ``list_min(sh)`` / ``list_sort(sh)[1:n]`` + unnest."""
 
     def __init__(self, text_col: str, id_col: str, k: int = 3, n_anchors: int = 2):
         self.text_col = text_col
@@ -953,6 +786,167 @@ class ShingleMultiAnchor:
         return pa.concat_tables(parts) if parts else empty
 
 
+class ShingleAnchor(ShingleMultiAnchor):
+    """Actor-pool stage: per-doc DISTINCT k-token shingle set + anchor
+    (lexicographic min shingle) — the blocking key for exact n-gram
+    Jaccard.  Near-identical docs share their min shingle with high
+    probability, and the blocking rule is deterministic on both engine
+    and SQL sides, so the pair output is oracle-checkable.  Exactly
+    `ShingleMultiAnchor` with one anchor per doc."""
+
+    def __init__(self, text_col: str, id_col: str, k: int = 3):
+        super().__init__(text_col, id_col, k, n_anchors=1)
+
+
+def _anchor_block_pairs_kernel(
+    id_col: str,
+    metric: str,
+    threshold: float,
+    bucket_cap: "int | None",
+):
+    """Shared CSR-style in-block pair verifier for anchor-blocked set
+    similarity: sort by (anchor, id), dictionary-encode shingles per
+    block, generate co-occurrence pair keys per shingle segment, count
+    intersections for ALL pairs in one ``np.unique`` — then apply the
+    ``metric``: ``jaccard`` = inter / (|A|+|B|-inter), kept when
+    STRICTLY above ``threshold``; ``containment`` = inter / min(|A|,|B|)
+    (Broder's asymmetric measure), kept when >= ``threshold``.  Returns
+    a kernel usable both per keyed partition and once in-process."""
+    out_col = metric
+
+    empty = pa.table(
+        {
+            "a_id": pa.array([], pa.int64()),
+            "b_id": pa.array([], pa.int64()),
+            out_col: pa.array([], pa.float64()),
+        }
+    )
+
+    def kernel(table: pa.Table) -> pa.Table:
+        if table.num_rows == 0:
+            return empty
+        t = table.take(
+            pc.sort_indices(table, sort_keys=[("anchor", "ascending"), (id_col, "ascending")])
+        )
+        ids = t[id_col].to_numpy()
+        anchors = t["anchor"].to_numpy(zero_copy_only=False)
+        sh_col = t["sh"].combine_chunks()
+        offsets = sh_col.offsets.to_numpy().astype(np.int64)
+        flat = sh_col.values.to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.concatenate([[True], anchors[1:] != anchors[:-1]]))
+        ends = np.concatenate([starts[1:], [len(ids)]])
+        a_out, b_out, v_out = [], [], []
+        dropped = 0
+        for s, e in zip(starts, ends):
+            b = e - s
+            if b < 2:
+                continue
+            if bucket_cap is not None and b > bucket_cap:
+                dropped += 1
+                continue
+            sz = offsets[s + 1 : e + 1] - offsets[s:e]  # distinct-shingle count per doc
+            doc_of = np.repeat(np.arange(b, dtype=np.int64), sz)
+            _, sid = np.unique(flat[offsets[s] : offsets[e]], return_inverse=True)
+            order = np.argsort(sid, kind="stable")
+            sid_s, doc_s = sid[order], doc_of[order]
+            seg = np.flatnonzero(np.concatenate([[True], sid_s[1:] != sid_s[:-1]]))
+            seg_end = np.concatenate([seg[1:], [len(sid_s)]])
+            keys = []
+            for ss, ee in zip(seg, seg_end):
+                L = ee - ss
+                if L < 2:
+                    continue
+                dl = np.sort(doc_s[ss:ee])
+                ii, jj = np.triu_indices(L, 1)
+                keys.append(dl[ii] * b + dl[jj])
+            if not keys:
+                continue
+            pk, inter = np.unique(np.concatenate(keys), return_counts=True)
+            i, j = pk // b, pk % b
+            if metric == "jaccard":
+                union = sz[i] + sz[j] - inter
+                val = np.where(union > 0, inter / np.maximum(union, 1), 1.0)
+                m = val > threshold
+            else:  # containment: min size >= 1 always, direct division
+                val = inter / np.minimum(sz[i], sz[j])
+                m = val >= threshold
+            a_out.append(ids[s + i[m]])
+            b_out.append(ids[s + j[m]])
+            v_out.append(val[m])
+        if dropped:
+            logger.warning(
+                "%s pairs: dropped %d oversize blocks (> %d)", metric, dropped, bucket_cap
+            )
+        if not a_out:
+            return empty
+        return pa.table(
+            {
+                "a_id": pa.array(np.concatenate(a_out), pa.int64()),
+                "b_id": pa.array(np.concatenate(b_out), pa.int64()),
+                out_col: pa.array(np.concatenate(v_out), pa.float64()),
+            }
+        )
+
+    return kernel, empty
+
+
+def anchor_jaccard_pairs(
+    ds: "ray.data.Dataset",
+    text_col: str,
+    id_col: str,
+    shingle_k: int = 3,
+    threshold: float = 0.3,
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+    concurrency: int = 4,
+    bucket_cap: "int | None" = None,
+    coalesce: bool = False,
+) -> "ray.data.Dataset":
+    """Exact n-gram-Jaccard near-dup pairs within anchor blocks: ONE
+    shuffle on the anchor key, shingle SETS (never text) cross the wire,
+    all-pairs verification inside blocks.  Replaces the round-1
+    broadcast-the-whole-corpus verify (a driver-side materialization).
+
+    ``coalesce=True`` runs the identical kernel once in-process instead
+    of through the keyed exchange — for CANDIDATE-SIZED corpora where
+    the exchange's ~1-1.5s fixed cost dwarfs the kernel (same rule as
+    `_dedup_pairs`); callers gate it on a metadata-only row count, so
+    the at-scale path never materializes.
+
+    ``bucket_cap`` defaults to None (NO cap): this operator is exact and
+    SQL-oracled, and a cap would silently drop pairs the oracle computes.
+    Pass a cap only for uncurated corpora where mass-duplicate anchors
+    are expected AND oracle parity is not required (run exact dedup
+    first instead where possible).
+
+    In-block verify is CSR-style, not per-pair Python set ops: shingles
+    are dictionary-encoded per block, co-occurrence pair keys are
+    generated per shingle segment and counted in one ``np.unique`` —
+    intersection sizes for ALL pairs at once; union = |A| + |B| - inter.
+    A mass-duplicate anchor block stays O(b^2) pairs (that IS the exact
+    operator's output complexity) but runs at numpy speed."""
+    sk = ds.map_batches(
+        ShingleAnchor(text_col, id_col, shingle_k),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+    kernel, empty = _anchor_block_pairs_kernel(id_col, "jaccard", threshold, bucket_cap)
+
+    if coalesce:
+        import ray as _ray
+
+        import ray.data as _rd
+
+        tables = [
+            t
+            for t in _ray.get(sk.to_arrow_refs())
+            if t.num_rows  # empty Ray blocks can carry a FIELDLESS schema
+        ]
+        if not tables:
+            return _rd.from_arrow(empty)
+        return _rd.from_arrow(kernel(pa.concat_tables(tables)))
+    return map_partitions_by_key(sk, "anchor", kernel, num_partitions)
+
+
 def anchor_containment_pairs(
     ds: "ray.data.Dataset",
     text_col: str,
@@ -962,6 +956,7 @@ def anchor_containment_pairs(
     num_partitions: int = DEFAULT_NUM_PARTITIONS,
     concurrency: int = 4,
     n_anchors: int = 2,
+    bucket_cap: "int | None" = None,
     coalesce: bool = False,
 ) -> "ray.data.Dataset":
     """Exact n-gram CONTAINMENT near-dup pairs — Broder's asymmetric
@@ -983,75 +978,19 @@ def anchor_containment_pairs(
 
     ``coalesce=True`` runs both kernels in-process for candidate-sized
     corpora (gated by callers on a metadata-only row count; the
-    distributed plan is the same code, flipped in the scale rehearsal)."""
+    distributed plan is the same code, flipped in the scale rehearsal).
+    Within any one anchor block ids are unique (a doc's two anchors are
+    distinct shingles), so the CSR verifier's pair keys are well-formed;
+    ``bucket_cap`` follows `anchor_jaccard_pairs`' contract (None = exact
+    + oracle parity; set it only for uncurated corpora)."""
     sk = ds.map_batches(
         ShingleMultiAnchor(text_col, id_col, shingle_k, n_anchors),
         batch_format="pyarrow",
         concurrency=concurrency,
     )
-
-    empty = pa.table(
-        {
-            "a_id": pa.array([], pa.int64()),
-            "b_id": pa.array([], pa.int64()),
-            "containment": pa.array([], pa.float64()),
-        }
+    kernel, empty = _anchor_block_pairs_kernel(
+        id_col, "containment", threshold, bucket_cap
     )
-
-    def kernel(table: pa.Table) -> pa.Table:
-        if table.num_rows == 0:
-            return empty
-        t = table.take(
-            pc.sort_indices(table, sort_keys=[("anchor", "ascending"), (id_col, "ascending")])
-        )
-        ids = t[id_col].to_numpy()
-        anchors = t["anchor"].to_numpy(zero_copy_only=False)
-        sh_col = t["sh"].combine_chunks()
-        offsets = sh_col.offsets.to_numpy().astype(np.int64)
-        flat = sh_col.values.to_numpy(zero_copy_only=False)
-        starts = np.flatnonzero(np.concatenate([[True], anchors[1:] != anchors[:-1]]))
-        ends = np.concatenate([starts[1:], [len(ids)]])
-        a_out, b_out, c_out = [], [], []
-        for s, e in zip(starts, ends):
-            b = e - s
-            if b < 2:
-                continue
-            sz = offsets[s + 1 : e + 1] - offsets[s:e]
-            doc_of = np.repeat(np.arange(b, dtype=np.int64), sz)
-            _, sid = np.unique(flat[offsets[s] : offsets[e]], return_inverse=True)
-            order = np.argsort(sid, kind="stable")
-            sid_s, doc_s = sid[order], doc_of[order]
-            seg = np.flatnonzero(np.concatenate([[True], sid_s[1:] != sid_s[:-1]]))
-            seg_end = np.concatenate([seg[1:], [len(sid_s)]])
-            keys = []
-            for ss, ee in zip(seg, seg_end):
-                L = ee - ss
-                if L < 2:
-                    continue
-                dl = np.sort(doc_s[ss:ee])
-                ii, jj = np.triu_indices(L, 1)
-                keys.append(dl[ii] * b + dl[jj])
-            if not keys:
-                continue
-            pk, inter = np.unique(np.concatenate(keys), return_counts=True)
-            i, j = pk // b, pk % b
-            # a multi-anchor block can hold the SAME doc twice (two of its
-            # anchors equal) only if shingles repeat — impossible: the set
-            # is distinct, so ids within a block are unique
-            cont = inter / np.minimum(sz[i], sz[j])
-            m = cont >= threshold
-            a_out.append(ids[s + i[m]])
-            b_out.append(ids[s + j[m]])
-            c_out.append(cont[m])
-        if not a_out:
-            return empty
-        return pa.table(
-            {
-                "a_id": pa.array(np.concatenate(a_out), pa.int64()),
-                "b_id": pa.array(np.concatenate(b_out), pa.int64()),
-                "containment": pa.array(np.concatenate(c_out), pa.float64()),
-            }
-        )
 
     if coalesce:
         import ray as _ray
@@ -1068,21 +1007,8 @@ def anchor_containment_pairs(
         raw = kernel(pa.concat_tables(tables))
         if raw.num_rows == 0:
             return _rd.from_arrow(empty)
-        # in-process first-per-(a,b): same rule as _dedup_pairs
-        tt = raw.take(
-            pc.sort_indices(
-                raw,
-                sort_keys=[
-                    ("a_id", "ascending"),
-                    ("b_id", "ascending"),
-                    ("containment", "ascending"),
-                ],
-            )
-        )
-        a = tt["a_id"].to_numpy()
-        bb = tt["b_id"].to_numpy()
-        first = np.r_[True, (a[1:] != a[:-1]) | (bb[1:] != bb[:-1])]
-        return _rd.from_arrow(tt.filter(pa.array(first)))
+        # in-process first-per-(a,b): same tie rule as _dedup_pairs
+        return _rd.from_arrow(_first_per_pair_block(raw, "containment"))
     pairs = map_partitions_by_key(sk, "anchor", kernel, num_partitions)
     return _dedup_pairs(pairs, "containment", num_partitions)
 

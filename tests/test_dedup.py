@@ -499,7 +499,7 @@ def test_dup_span_scrub_planted_and_mass_conformance(ray_session, tmp_path):
 
     def run(name):
         res = REGISTRY[name].fn(sf)
-        df = res.to_pandas() if hasattr(res, "to_pandas") else res.to_pandas()
+        df = res.to_pandas()
         return df.sort_values("doc_id").reset_index(drop=True)
 
     for env in ({}, {"GRAFT_DUPSPAN_COALESCE_DOCS": "0"}):

@@ -210,3 +210,17 @@ def test_basket_pairs_brute_force_and_partition_invariance(ray_session, tmp_path
         for r in df.itertuples()
     }
     assert got == exp
+
+    # partition invariance: the sentinel side-row counting (per-part
+    # frequencies, order totals) must be exact at ANY partition count
+    import ray.data as rd
+
+    from multimedia_indexing_ray.pipelines.queries import basket_pair_metrics
+
+    for nparts in (1, 3, 8):
+        df_n = basket_pair_metrics(rd.from_arrow(t), num_partitions=nparts).to_pandas()
+        got_n = {
+            (r.p_a, r.p_b): (r.n_both, r.n_a, r.n_b, r.lift, r.confidence)
+            for r in df_n.itertuples()
+        }
+        assert got_n == exp, nparts
