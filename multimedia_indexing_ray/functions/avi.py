@@ -126,6 +126,8 @@ def parse_mjpeg_avi(
     def _tolerate(msg: str) -> None:
         if not tolerant:
             raise AviError(msg)
+        if len(warnings) >= 256:  # hostile-payload amplification guard
+            raise AviError("excessive_warnings")
         warnings.append(msg)
 
     if not is_avi(payload):

@@ -41,6 +41,12 @@ class JpegError(ValueError):
     pass
 
 
+# Tolerance cap: a real noisy-but-decodable file emits a handful of
+# warnings; anything past this is a hostile payload — raise instead of
+# accumulating (memory-amplification guard, see decode_jpeg_gray).
+_MAX_WARNINGS = 256
+
+
 # ---------------------------------------------------------------------------
 # shared constants (ITU-T T.81 Annex K)
 # ---------------------------------------------------------------------------
@@ -963,6 +969,12 @@ def decode_jpeg_gray(
     def _tolerate(msg: str) -> None:
         if not tolerant:
             raise JpegError(msg)
+        # A hostile payload (e.g. alternating garbage/RST bytes at the
+        # fetch stage's 64MB cap) must not amplify into tens of millions
+        # of warning strings: past the cap the stream is junk, not a
+        # tolerable file — fail it into the error side-channel.
+        if len(warnings) >= _MAX_WARNINGS:
+            raise JpegError("excessive_warnings")
         warnings.append(msg)
 
     data = payload

@@ -182,6 +182,8 @@ def decode_png_gray(
     def _tolerate(msg: str) -> None:
         if not tolerant:
             raise PngError(msg)
+        if len(warnings) >= 256:  # hostile-payload amplification guard
+            raise PngError("excessive_warnings")
         warnings.append(msg)
 
     if payload[:8] != _SIG:

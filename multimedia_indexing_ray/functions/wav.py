@@ -231,6 +231,8 @@ def decode_wav(
     def _tolerate(msg: str) -> None:
         if not tolerant:
             raise WavError(msg)
+        if len(warnings) >= 256:  # hostile-payload amplification guard
+            raise WavError("excessive_warnings")
         warnings.append(msg)
 
     if not is_wav(payload):

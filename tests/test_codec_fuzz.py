@@ -177,3 +177,33 @@ def test_corruption_never_escapes_typed_error(name, payload, decode, err):
     assert decoded + failed == len(cases)
     # sanity: the corpus exercised both outcomes
     assert failed > 0, f"{name}: no corruption case failed (fuzz too weak?)"
+
+
+def test_hostile_warning_amplification_bounded():
+    """A payload engineered to emit one tolerated warning per few bytes
+    (alternating garbage/RST for JPEG, a run of tiny bad-CRC chunks for
+    PNG) must fail FAST with the typed error once the warning cap trips
+    — not accumulate millions of warning strings (the memory-amplifier
+    the 64MB fetch cap would otherwise allow: ~20M strings / multi-GB).
+    Upstream, MediaDecoder catches the typed error into the
+    decode_error column, so the batch survives (S4 contract)."""
+    import time
+
+    # JPEG: SOI then repeated (garbage byte, RST marker) — one
+    # garbage_between_segments warning per 3-byte unit
+    hostile_jpeg = b"\xff\xd8" + b"\x00\xff\xd0" * 400_000
+    t0 = time.monotonic()
+    with pytest.raises(jpeg.JpegError, match="excessive_warnings"):
+        jpeg.decode_jpeg_gray(hostile_jpeg, tolerant=True)
+    assert time.monotonic() - t0 < 5.0
+
+    # PNG: valid signature then a run of zero-length chunks with bad
+    # CRCs — one bad_crc warning per 12-byte chunk
+    hostile_png = (
+        b"\x89PNG\r\n\x1a\n"
+        + (b"\x00\x00\x00\x00" + b"tEXt" + b"\x00\x00\x00\x00") * 100_000
+    )
+    t0 = time.monotonic()
+    with pytest.raises(png.PngError, match="excessive_warnings"):
+        png.decode_png_gray(hostile_png, tolerant=True)
+    assert time.monotonic() - t0 < 5.0
