@@ -1410,9 +1410,10 @@ def q_doc_fingerprint(sf_dir: str):
     return dd.add_fingerprint(docs, "text", "fp").select_columns(["doc_id", "fp"])
 
 
-@register(
-    "langid_docs",
-    r"""
+# The langid decision SQL, shared verbatim by `langid_docs` and every
+# oracle that conditions on the predicted language (chi2_term_lang), so
+# the label rule cannot drift between queries.
+_LANGID_SQL = r"""
     WITH c AS (SELECT doc_id,
       len(regexp_extract_all(text, '\b(the|and|of|to|is)\b')) AS en,
       len(regexp_extract_all(text, '\b(der|die|und|das|ist)\b')) AS de,
@@ -1428,8 +1429,10 @@ def q_doc_fingerprint(sf_dir: str):
       WHEN es>=zh THEN 'es'
       ELSE 'zh' END AS lang_pred
     FROM c
-    """,
-)
+    """
+
+
+@register("langid_docs", _LANGID_SQL)
 def q_langid(sf_dir: str):
     docs = _rp(sf_dir, "documents", ["doc_id", "text"])
 
@@ -9473,10 +9476,12 @@ _BM25_QTERMS = 5
 _BM25_TOP_K = 20
 
 
-def _bm25_sql() -> str:
-    Q, K = _BM25_QTERMS, _BM25_TOP_K
-    return rf"""
-    WITH t2 AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS tok
+def _bm25_ctes() -> str:
+    """The BM25 scoring CTE chain (ends at ``sc`` = per-doc bm25_milli),
+    shared by `bm25_top_docs` and the rank-fusion oracle so the scoring
+    rule cannot drift between them."""
+    Q = _BM25_QTERMS
+    return rf"""t2 AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS tok
                 FROM documents),
     stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS total_len FROM t2),
     nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
@@ -9491,7 +9496,13 @@ def _bm25_sql() -> str:
                     // (tf.tf*1000000 + 300000 + 900000*dl.dl*nd.n // stats.total_len))
                  // 1000000 ) AS BIGINT) AS bm25_milli
            FROM tf JOIN qterms q USING (tok) JOIN dl USING (doc_id), nd, stats
-           GROUP BY 1)
+           GROUP BY 1)"""
+
+
+def _bm25_sql() -> str:
+    K = _BM25_TOP_K
+    return rf"""
+    WITH {_bm25_ctes()}
     SELECT doc_id, bm25_milli,
            CAST(row_number() OVER (ORDER BY bm25_milli DESC, doc_id) AS BIGINT) AS rk
     FROM sc QUALIFY rk <= {K}
@@ -10350,4 +10361,266 @@ def q_rolling_mode(sf_dir: str):
         closed="both",
         tiebreak="event_id",
         id_cols=["event_id"],
+    )
+
+
+@register(
+    "chi2_term_lang",
+    rf"""
+    WITH lang AS (SELECT doc_id, lang_pred AS lang FROM ({_LANGID_SQL})),
+    tot AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS nl FROM lang GROUP BY 1),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lang),
+    dt AS (SELECT DISTINCT doc_id, unnest(regexp_extract_all(text, '\S+')) AS term
+           FROM documents),
+    tl AS (SELECT dt.term, lang.lang, CAST(COUNT(*) AS BIGINT) AS a
+           FROM dt JOIN lang USING (doc_id) GROUP BY 1, 2),
+    dfq AS (SELECT term, CAST(SUM(a) AS BIGINT) AS df FROM tl GROUP BY 1),
+    fullq AS (SELECT c.term, c.lang, COALESCE(tl.a, 0) AS a, c.df, c.nl, nn.n
+              FROM (SELECT dfq.term, dfq.df, tot.lang, tot.nl
+                    FROM dfq CROSS JOIN tot) c
+              LEFT JOIN tl ON c.term = tl.term AND c.lang = tl.lang
+              CROSS JOIN nn
+              WHERE c.df >= 5),
+    sc AS (SELECT term, lang, a, df,
+             CASE WHEN (CAST(df AS DOUBLE) * (CAST(n AS DOUBLE) - CAST(df AS DOUBLE)))
+                       * (CAST(nl AS DOUBLE) * (CAST(n AS DOUBLE) - CAST(nl AS DOUBLE))) > 0
+             THEN (CAST(n AS DOUBLE) *
+                    ((CAST(a AS DOUBLE) * CAST(n - df - nl + a AS DOUBLE)
+                      - CAST(df - a AS DOUBLE) * CAST(nl - a AS DOUBLE))
+                     * (CAST(a AS DOUBLE) * CAST(n - df - nl + a AS DOUBLE)
+                        - CAST(df - a AS DOUBLE) * CAST(nl - a AS DOUBLE))))
+                  / ((CAST(df AS DOUBLE) * (CAST(n AS DOUBLE) - CAST(df AS DOUBLE)))
+                     * (CAST(nl AS DOUBLE) * (CAST(n AS DOUBLE) - CAST(nl AS DOUBLE))))
+             ELSE 0.0 END AS chi2
+           FROM fullq),
+    r AS (SELECT *, row_number() OVER (PARTITION BY lang
+            ORDER BY chi2 DESC, term) AS rk FROM sc)
+    SELECT lang, term, a, df, chi2 FROM r WHERE rk <= 20
+    """,
+)
+def q_chi2_term_lang(sf_dir: str):
+    """Chi-square TERM <-> LABEL feature selection (Yang & Pedersen 1997
+    — the statistical-association / hypothesis-test family): top-20 terms
+    per predicted language by the 2x2-contingency chi-square over DOC
+    PRESENCE, including the A=0 cells (a common term *absent* from one
+    label is exactly as diagnostic as a rare term present in it).
+
+    Plan: one pass over text computes per-doc langid + DISTINCT terms and
+    emits slim (term, lang, count) partials plus per-batch label-count
+    sentinel rows (term='' — never a \\S+ token) through the SAME
+    term-keyed exchange; each term lands whole in one partition, so df
+    and the full 5-label expansion are partition-local.  The only
+    driver-side pull is the label-total sentinel (<= |labels| rows);
+    every partition then computes chi-square vectorized and keeps its
+    local top-20 per label, and the final merge re-ranks <= 20 x labels
+    x partitions rows in one tiny block.  Vocabulary is never broadcast
+    and never leaves the workers (contrast `tfidf_top_terms`' gated
+    vocab broadcast — here the statistic is label-conditioned, so the
+    exchange already co-locates everything the kernel needs).
+
+    Determinism: counts are exact int64; chi-square is evaluated in
+    double with the IDENTICAL operation tree on both engines
+    (t = a*d - b*c; chi2 = (n * (t*t)) / ((df*(n-df)) * (nl*(n-nl)))),
+    so results are bit-equal; ties rank by term ascending."""
+    from multimedia_indexing_ray.stages.partition import map_partitions_by_key
+
+    docs = _rp(sf_dir, "documents", ["doc_id", "text"])
+
+    _empty_part = pa.table(
+        {
+            "term": pa.array([], pa.string()),
+            "lang": pa.array([], pa.string()),
+            "a": pa.array([], pa.int64()),
+        }
+    )
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        labels = langid(batch["text"])
+        luniq, lid = np.unique(labels, return_inverse=True)
+        lcnt = np.bincount(lid, minlength=len(luniq)).astype(np.int64)
+        sent = pa.table(
+            {
+                "term": pa.array(np.full(len(luniq), "", object), pa.string()),
+                "lang": pa.array(luniq, pa.string()),
+                "a": pa.array(lcnt, pa.int64()),
+            }
+        )
+        flat, counts = tx.flat_tokens(batch["text"])
+        if len(flat) == 0:
+            return sent
+        doc_of = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+        tuniq, tok_id = np.unique(flat, return_inverse=True)
+        nv = np.int64(len(tuniq))
+        # distinct (doc, term) pairs, then (term, label) doc counts
+        pair = np.unique(doc_of * nv + tok_id)
+        d, t = pair // nv, pair % nv
+        key = t * np.int64(len(luniq)) + lid[d]
+        kuniq, kcnt = np.unique(key, return_counts=True)
+        body = pa.table(
+            {
+                "term": pa.array(tuniq[kuniq // len(luniq)], pa.string()),
+                "lang": pa.array(luniq[kuniq % len(luniq)], pa.string()),
+                "a": pa.array(kcnt.astype(np.int64), pa.int64()),
+            }
+        )
+        return pa.concat_tables([body, sent])
+
+    def _reduce(t: pa.Table) -> pa.Table:
+        return _pa_group_sum(t, ["term", "lang"], ["a"]) if t.num_rows else _empty_part
+
+    partials = docs.map_batches(_partial, batch_format="pyarrow")
+    reduced = map_partitions_by_key(
+        partials, "term", _reduce, num_partitions=16
+    ).materialize()
+
+    # label totals: the '' sentinel term is aggregate-sized (<= |labels|)
+    sent_rows = reduced.filter(expr="term == ''").take_all()
+    langs = np.array(sorted(r["lang"] for r in sent_rows), dtype=object)
+    nl_of = {r["lang"]: r["a"] for r in sent_rows}
+    nl = np.array([nl_of[l] for l in langs], dtype=np.int64)
+    n_total = int(nl.sum())
+
+    _empty_out = pa.table(
+        {
+            "lang": pa.array([], pa.string()),
+            "term": pa.array([], pa.string()),
+            "a": pa.array([], pa.int64()),
+            "df": pa.array([], pa.int64()),
+            "chi2": pa.array([], pa.float64()),
+        }
+    )
+
+    def _chi2_topk(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.invert(pc.equal(t["term"], "")))
+        if t.num_rows == 0:
+            return _empty_out
+        terms = np.asarray(t["term"]).astype(object)
+        tl = np.asarray(t["lang"]).astype(object)
+        a_obs = t["a"].to_numpy()
+        tuniq, tinv = np.unique(terms.astype(str), return_inverse=True)
+        k = len(langs)
+        # dense (term x label) A matrix incl. the zero cells
+        lidx = np.searchsorted(langs.astype(str), tl.astype(str))
+        A = np.zeros((len(tuniq), k), np.int64)
+        A[tinv, lidx] = a_obs
+        df = A.sum(axis=1)
+        keep = df >= 5
+        if not keep.any():
+            return _empty_out
+        A, df, tu = A[keep], df[keep], tuniq[keep]
+        aD = A.astype(np.float64)
+        dfD = df.astype(np.float64)[:, None]
+        nlD = nl.astype(np.float64)[None, :]
+        nD = np.float64(n_total)
+        tmat = aD * (nD - dfD - nlD + aD) - (dfD - aD) * (nlD - aD)
+        den = (dfD * (nD - dfD)) * (nlD * (nD - nlD))
+        chi2 = np.where(den > 0, (nD * (tmat * tmat)) / np.where(den > 0, den, 1.0), 0.0)
+        # local top-20 per label: (chi2 desc, term asc)
+        rows_l, rows_t, rows_a, rows_df, rows_c = [], [], [], [], []
+        for j in range(k):
+            order = np.lexsort((tu, -chi2[:, j]))[:20]
+            rows_l.append(np.full(len(order), langs[j], object))
+            rows_t.append(tu[order].astype(object))
+            rows_a.append(A[order, j])
+            rows_df.append(df[order])
+            rows_c.append(chi2[order, j])
+        return pa.table(
+            {
+                "lang": pa.array(np.concatenate(rows_l), pa.string()),
+                "term": pa.array(np.concatenate(rows_t), pa.string()),
+                "a": pa.array(np.concatenate(rows_a), pa.int64()),
+                "df": pa.array(np.concatenate(rows_df), pa.int64()),
+                "chi2": pa.array(np.concatenate(rows_c), pa.float64()),
+            }
+        )
+
+    def _final(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _empty_out
+        tl = np.asarray(t["lang"]).astype(object)
+        terms = np.asarray(t["term"]).astype(object)
+        chi2 = t["chi2"].to_numpy()
+        order = np.lexsort((terms.astype(str), -chi2, tl.astype(str)))
+        ts = tl[order].astype(str)
+        starts = sg.segment_starts(ts)
+        keep = sg.rel_index(starts, len(ts)) < 20
+        idx = order[keep]
+        return pa.table(
+            {
+                "lang": t["lang"].take(pa.array(idx)),
+                "term": t["term"].take(pa.array(idx)),
+                "a": t["a"].take(pa.array(idx)),
+                "df": t["df"].take(pa.array(idx)),
+                "chi2": t["chi2"].take(pa.array(idx)),
+            }
+        )
+
+    return (
+        reduced.map_batches(_chi2_topk, batch_format="pyarrow", batch_size=None)
+        .repartition(1)
+        .map_batches(_final, batch_format="pyarrow", batch_size=None)
+    )
+
+
+@register(
+    "rrf_fusion_docs",
+    rf"""
+    WITH {{bm25_ctes}},
+    lexr AS (SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY bm25_milli DESC, doc_id) AS BIGINT) AS rk
+             FROM sc QUALIFY rk <= 20),
+    q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
+    semr AS (SELECT doc_id, rk FROM (
+               SELECT e.vec_id AS doc_id,
+                 CAST(row_number() OVER (ORDER BY
+                   list_cosine_similarity(qe, CAST(e.embedding AS DOUBLE[])) DESC,
+                   e.vec_id) AS BIGINT) AS rk
+               FROM q, embeddings e WHERE e.vec_id != 0)
+             WHERE rk <= 20)
+    SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+      COALESCE(l.rk, 0) AS rk_lex, COALESCE(s.rk, 0) AS rk_sem,
+      COALESCE(1.0 / (60.0 + CAST(l.rk AS DOUBLE)), 0.0)
+        + COALESCE(1.0 / (60.0 + CAST(s.rk AS DOUBLE)), 0.0) AS rrf
+    FROM lexr l FULL OUTER JOIN semr s ON l.doc_id = s.doc_id
+    """.format(bm25_ctes=_bm25_ctes()),
+)
+def q_rrf_fusion_docs(sf_dir: str):
+    """Reciprocal-rank FUSION (Cormack, Clarke & Buettcher 2009, k=60)
+    of a lexical and a semantic ranking of the SAME corpus — the
+    rank-aggregation family, the standard hybrid-retrieval combiner in
+    LLM data pipelines (BM25 recall + embedding precision):
+    rrf(d) = sum over lists of 1/(60 + rank_d), absent list contributes
+    0.  Lexical list = the BM25 top-20 for the deterministic highest-df
+    query (`bm25_top_docs` machinery, shared CTE chain in the oracle);
+    semantic list = brute-force cosine top-20 to document 0's embedding
+    (`knn_cosine` machinery, self excluded).
+
+    Scale shape: both rankings are the scale-shaped pipelines they come
+    from (one keyed df exchange + shuffle-free scoring + partial top-k
+    for BM25; per-block matmul partial top-k for cosine); the fusion
+    itself touches only the two RANKED LISTS — aggregate-sized by
+    construction (<= 2k rows for any corpus size), merged in one small
+    kernel.  Floats: rrf is two double divisions added lex-first on
+    both engines; ranks are exact int64."""
+    lex = {r["doc_id"]: r["rk"] for r in REGISTRY["bm25_top_docs"].fn(sf_dir).take_all()}
+    emb = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
+    sem_rows = nn.brute_force_knn(
+        emb, _query_vectors(sf_dir, 1), "embedding", "vec_id", k=20
+    ).take_all()
+    sem = {r["neighbor_id"]: r["rank"] for r in sem_rows}
+    ids = np.array(sorted(set(lex) | set(sem)), dtype=np.int64)
+    rk_lex = np.array([lex.get(i, 0) for i in ids], dtype=np.int64)
+    rk_sem = np.array([sem.get(i, 0) for i in ids], dtype=np.int64)
+    rrf = np.where(rk_lex > 0, 1.0 / (60.0 + rk_lex.astype(np.float64)), 0.0) + np.where(
+        rk_sem > 0, 1.0 / (60.0 + rk_sem.astype(np.float64)), 0.0
+    )
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "rk_lex": pa.array(rk_lex, pa.int64()),
+                "rk_sem": pa.array(rk_sem, pa.int64()),
+                "rrf": pa.array(rrf, pa.float64()),
+            }
+        )
     )

@@ -224,3 +224,49 @@ def test_basket_pairs_brute_force_and_partition_invariance(ray_session, tmp_path
             for r in df_n.itertuples()
         }
         assert got_n == exp, nparts
+
+
+def test_chi2_term_lang_planted_association(ray_session, tmp_path):
+    """A token present in EVERY en doc and NO de doc must top the en
+    ranking with the theoretical-maximum chi-square (== n for a perfect
+    2x2 association); the df floor must drop rare tokens."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from multimedia_indexing_ray.pipelines.queries import REGISTRY
+
+    en = [f"the and of to is zebrafish filler{i % 7}" for i in range(30)]
+    de = [f"der die und das ist filler{i % 7}" for i in range(30)]
+    rare = ["the and of to is unicorn"]  # df=1 < 5: must be filtered
+    texts = en + de + rare
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    pq.write_table(t, tmp_path / "documents.parquet")
+
+    df = REGISTRY["chi2_term_lang"].fn(str(tmp_path)).to_pandas()
+    assert set(df["lang"]) == {"en", "de"}
+    assert (df.groupby("lang").size() <= 20).all()
+    en_top = df[df["lang"] == "en"].sort_values(
+        ["chi2", "term"], ascending=[False, True]
+    )
+    # zebrafish: in the 30 planted-en docs only => a=30, df=30; the
+    # 'unicorn' doc is also predicted en, so nl(en)=31, n=61:
+    # chi2 = n*(a*d - b*c)^2 / (df*(n-df) * nl*(n-nl))
+    #      = 61*(30*30 - 0*1)^2 / ((30*31)*(31*30))
+    z = en_top[en_top["term"] == "zebrafish"]
+    assert len(z) == 1 and z.iloc[0]["a"] == 30 and z.iloc[0]["df"] == 30
+    expected = 61 * (30 * 30) ** 2 / ((30 * 31) * (31 * 30))
+    assert z.iloc[0]["chi2"] == pytest.approx(expected)
+    # the PERFECT discriminators (chi2 == n exactly) are the en
+    # stopwords (all 31 en docs, 0 de) and the de-only stopwords
+    # (A=0 for en — the zero cells matter); tie rule = term ascending
+    assert en_top.iloc[0]["chi2"] == pytest.approx(61.0)
+    assert en_top.iloc[0]["term"] == "and"
+    # negative association is symmetric in the 2x2: zebrafish also maxes de
+    de_top = df[df["lang"] == "de"]
+    assert "zebrafish" in set(de_top["term"])
+    assert "unicorn" not in set(df["term"])
