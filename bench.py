@@ -98,7 +98,7 @@ BENCH_QUERIES = [
     "daily_purchase_error_join",
     "rolling_mode_1h",
     "quantile_sketch_conformance",
-    # r5g: statistical-association feature selection (one term-keyed
+    # r5h: statistical-association feature selection (one term-keyed
     # exchange, label-conditioned chi-square, vocab never broadcast) and
     # hybrid-retrieval rank fusion (BM25 + cosine lists, RRF k=60)
     "chi2_term_lang",

@@ -35,6 +35,8 @@ from typing import List, Optional, Tuple
 
 import numpy as np
 
+from multimedia_indexing_ray.functions import MAX_TOLERATED_WARNINGS
+
 from multimedia_indexing_ray.functions import bmp
 
 
@@ -126,7 +128,7 @@ def parse_mjpeg_avi(
     def _tolerate(msg: str) -> None:
         if not tolerant:
             raise AviError(msg)
-        if len(warnings) >= 256:  # hostile-payload amplification guard
+        if len(warnings) >= MAX_TOLERATED_WARNINGS:  # amplification guard
             raise AviError("excessive_warnings")
         warnings.append(msg)
 

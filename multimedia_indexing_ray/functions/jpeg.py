@@ -37,14 +37,11 @@ from typing import List, Tuple
 import numpy as np
 
 
+from multimedia_indexing_ray.functions import MAX_TOLERATED_WARNINGS
+
+
 class JpegError(ValueError):
     pass
-
-
-# Tolerance cap: a real noisy-but-decodable file emits a handful of
-# warnings; anything past this is a hostile payload — raise instead of
-# accumulating (memory-amplification guard, see decode_jpeg_gray).
-_MAX_WARNINGS = 256
 
 
 # ---------------------------------------------------------------------------
@@ -973,7 +970,7 @@ def decode_jpeg_gray(
         # fetch stage's 64MB cap) must not amplify into tens of millions
         # of warning strings: past the cap the stream is junk, not a
         # tolerable file — fail it into the error side-channel.
-        if len(warnings) >= _MAX_WARNINGS:
+        if len(warnings) >= MAX_TOLERATED_WARNINGS:
             raise JpegError("excessive_warnings")
         warnings.append(msg)
 

@@ -27,6 +27,8 @@ from typing import List, Tuple
 
 import numpy as np
 
+from multimedia_indexing_ray.functions import MAX_TOLERATED_WARNINGS
+
 _SIG = b"\x89PNG\r\n\x1a\n"
 _LUMA = np.array([0.299, 0.587, 0.114], dtype=np.float64)
 
@@ -182,7 +184,7 @@ def decode_png_gray(
     def _tolerate(msg: str) -> None:
         if not tolerant:
             raise PngError(msg)
-        if len(warnings) >= 256:  # hostile-payload amplification guard
+        if len(warnings) >= MAX_TOLERATED_WARNINGS:  # amplification guard
             raise PngError("excessive_warnings")
         warnings.append(msg)
 

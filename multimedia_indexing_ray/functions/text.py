@@ -230,6 +230,25 @@ def flat_tokens(text_col) -> "tuple[np.ndarray, np.ndarray]":
     return flat, counts.astype(np.int64)
 
 
+def distinct_doc_token_pairs(
+    text_col,
+) -> "tuple[np.ndarray, np.ndarray, np.ndarray]":
+    """DISTINCT (document, token) pairs for a whole Arrow string column:
+    (doc_idx int64, tok_id int64, uniq_tokens) — the shared kernel behind
+    every document-frequency partial (tf-idf, BM25, chi-square): encode
+    pairs as doc*|batch_vocab|+tok in int64 (safe while batch_docs x
+    batch_vocab < 2^63 — any practical batch), one np.unique dedups.
+    A df partial is then ``np.bincount(tok_id, minlength=len(uniq))``."""
+    flat, counts = flat_tokens(text_col)
+    if len(flat) == 0:
+        e = np.array([], np.int64)
+        return e, e, np.array([], object)
+    doc_of = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+    uniq, tok_id = np.unique(flat, return_inverse=True)
+    pair = np.unique(doc_of * np.int64(len(uniq)) + tok_id)
+    return pair // len(uniq), pair % len(uniq), uniq
+
+
 def repetition_stats(text_col) -> "tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]":
     """Gopher-style repetition signals per document, fully vectorized:
     (n_tokens, n_distinct, top_token_n, top_bigram_n).

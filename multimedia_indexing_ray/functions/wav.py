@@ -31,6 +31,8 @@ from typing import List, Tuple
 
 import numpy as np
 
+from multimedia_indexing_ray.functions import MAX_TOLERATED_WARNINGS
+
 
 class WavError(ValueError):
     pass
@@ -231,7 +233,7 @@ def decode_wav(
     def _tolerate(msg: str) -> None:
         if not tolerant:
             raise WavError(msg)
-        if len(warnings) >= 256:  # hostile-payload amplification guard
+        if len(warnings) >= MAX_TOLERATED_WARNINGS:  # amplification guard
             raise WavError("excessive_warnings")
         warnings.append(msg)
 

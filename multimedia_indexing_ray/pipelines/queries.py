@@ -7372,15 +7372,10 @@ def q_tfidf_top_terms(sf_dir: str):
     )
 
     def _df_partial(batch: pa.Table) -> pa.Table:
-        flat, counts = tx.flat_tokens(batch["text"])
-        if len(flat) == 0:
+        _, tok_id, uniq = tx.distinct_doc_token_pairs(batch["text"])
+        if len(uniq) == 0:
             return _dfempty
-        doc_of = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
-        uniq, tok_id = np.unique(flat, return_inverse=True)
-        nv = np.int64(len(uniq))
-        dfc = np.bincount(
-            np.unique(doc_of * nv + tok_id) % nv, minlength=len(uniq)
-        ).astype(np.int64)
+        dfc = np.bincount(tok_id, minlength=len(uniq)).astype(np.int64)
         return pa.table({"term": pa.array(uniq, pa.string()), "df": pa.array(dfc, pa.int64())})
 
     def _df_reduce(t: pa.Table) -> pa.Table:
@@ -9543,15 +9538,10 @@ def q_bm25_top_docs(sf_dir: str):
     _LEN_EMPTY = pa.table({"tl": pa.array([], pa.int64())})
 
     def _df_partial(batch: pa.Table) -> pa.Table:
-        flat, counts = tx.flat_tokens(batch["text"])
-        if len(flat) == 0:
+        _, tok_id, uniq = tx.distinct_doc_token_pairs(batch["text"])
+        if len(uniq) == 0:
             return _DF_EMPTY
-        doc_of = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
-        uniq, tok_id = np.unique(flat, return_inverse=True)
-        nv = np.int64(len(uniq))
-        dfc = np.bincount(
-            np.unique(doc_of * nv + tok_id) % nv, minlength=len(uniq)
-        ).astype(np.int64)
+        dfc = np.bincount(tok_id, minlength=len(uniq)).astype(np.int64)
         return pa.table(
             {"tok": pa.array(uniq, pa.string()), "df": pa.array(dfc, pa.int64())}
         )
@@ -10445,15 +10435,10 @@ def q_chi2_term_lang(sf_dir: str):
                 "a": pa.array(lcnt, pa.int64()),
             }
         )
-        flat, counts = tx.flat_tokens(batch["text"])
-        if len(flat) == 0:
+        d, t, tuniq = tx.distinct_doc_token_pairs(batch["text"])
+        if len(tuniq) == 0:
             return sent
-        doc_of = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
-        tuniq, tok_id = np.unique(flat, return_inverse=True)
-        nv = np.int64(len(tuniq))
-        # distinct (doc, term) pairs, then (term, label) doc counts
-        pair = np.unique(doc_of * nv + tok_id)
-        d, t = pair // nv, pair % nv
+        # distinct (doc, term) pairs -> (term, label) doc counts
         key = t * np.int64(len(luniq)) + lid[d]
         kuniq, kcnt = np.unique(key, return_counts=True)
         body = pa.table(
@@ -10555,17 +10540,22 @@ def q_chi2_term_lang(sf_dir: str):
             }
         )
 
-    return (
-        reduced.map_batches(_chi2_topk, batch_format="pyarrow", batch_size=None)
-        .repartition(1)
-        .map_batches(_final, batch_format="pyarrow", batch_size=None)
+    # the chi2 kernel needs WHOLE term groups (df + dense label expansion
+    # are per-term); materialized blocks carry no such guarantee (Ray may
+    # split a large partition output), so the kernel runs inside a second
+    # term-keyed exchange — the input is the REDUCED table (vocab-sized,
+    # slim), so the extra exchange is cheap at any scale
+    body = reduced.filter(expr="term != ''")
+    topk = map_partitions_by_key(body, "term", _chi2_topk, num_partitions=16)
+    return topk.repartition(1).map_batches(
+        _final, batch_format="pyarrow", batch_size=None
     )
 
 
 @register(
     "rrf_fusion_docs",
     rf"""
-    WITH {{bm25_ctes}},
+    WITH {_bm25_ctes()},
     lexr AS (SELECT doc_id,
                CAST(row_number() OVER (ORDER BY bm25_milli DESC, doc_id) AS BIGINT) AS rk
              FROM sc QUALIFY rk <= 20),
@@ -10582,7 +10572,7 @@ def q_chi2_term_lang(sf_dir: str):
       COALESCE(1.0 / (60.0 + CAST(l.rk AS DOUBLE)), 0.0)
         + COALESCE(1.0 / (60.0 + CAST(s.rk AS DOUBLE)), 0.0) AS rrf
     FROM lexr l FULL OUTER JOIN semr s ON l.doc_id = s.doc_id
-    """.format(bm25_ctes=_bm25_ctes()),
+    """,
 )
 def q_rrf_fusion_docs(sf_dir: str):
     """Reciprocal-rank FUSION (Cormack, Clarke & Buettcher 2009, k=60)

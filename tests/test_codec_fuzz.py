@@ -207,3 +207,19 @@ def test_hostile_warning_amplification_bounded():
     with pytest.raises(png.PngError, match="excessive_warnings"):
         png.decode_png_gray(hostile_png, tolerant=True)
     assert time.monotonic() - t0 < 5.0
+
+    # AVI: a run of zero-size LIST chunks — each is "cut before its
+    # type" (one truncated_chunk warning per 8 bytes, walk continues)
+    import struct
+
+    avi_body = (b"LIST" + struct.pack("<I", 0)) * 100_000
+    hostile_avi = (
+        b"RIFF" + struct.pack("<I", 4 + len(avi_body)) + b"AVI " + avi_body
+    )
+    t0 = time.monotonic()
+    with pytest.raises(avi.AviError, match="excessive_warnings"):
+        avi.parse_mjpeg_avi(hostile_avi, tolerant=True)
+    assert time.monotonic() - t0 < 5.0
+
+    # WAV cannot amplify: its chunk walk BREAKS after the first
+    # truncation warning, so the cap there is defense-in-depth only.
