@@ -103,6 +103,9 @@ BENCH_QUERIES = [
     # hybrid-retrieval rank fusion (BM25 + cosine lists, RRF k=60)
     "chi2_term_lang",
     "rrf_fusion_docs",
+    # r5h: cluster-then-prune semantic dedup (SemDeDup), one
+    # centroid-keyed exchange + per-cluster int64 matmul verify
+    "semdedup_docs",
 ]
 
 # Per-query shuffle strategy, interleaved-A/B measured (2026-08-17, 32

@@ -1926,6 +1926,27 @@ def q_pack_context_windows(sf_dir: str):
     )
 
 
+def _det_milli_centroids(embs: "ray.data.Dataset"):
+    """Deterministic SQL-expressible 'centroids': the 8 lowest-vec_id
+    embeddings quantized to integer milli-units — (cids int64, cq int64
+    (8, d)).  Both the IVF-router query (`centroid_assign`) and the
+    SemDeDup query share this rule, so the oracle CTE is identical.
+    Per-block partial min-8 -> tiny driver merge (never the full table)."""
+
+    def _partial_min(batch: pa.Table) -> pa.Table:
+        vid = batch["vec_id"].to_numpy(zero_copy_only=False)
+        keep = np.argsort(vid, kind="mergesort")[:8]
+        return batch.take(pa.array(np.sort(keep)))
+
+    cands = embs.map_batches(_partial_min, batch_format="pyarrow").take_all()
+    cands.sort(key=lambda r: r["vec_id"])
+    cands = cands[:8]
+    cids = np.array([r["vec_id"] for r in cands], np.int64)
+    cmat = np.stack([np.asarray(r["embedding"], np.float64) for r in cands])
+    cq = np.floor(cmat * 1000.0 + 0.5).astype(np.int64)
+    return cids, cq
+
+
 @register(
     "centroid_assign",
     """
@@ -1951,21 +1972,9 @@ def q_centroid_assign(sf_dir: str):
     8 lowest-vec_id embeddings (deterministic, SQL-expressible); the
     learned-quantizer path is exercised by the ivf_* queries."""
     embs = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
-
-    def _partial_min(batch: pa.Table) -> pa.Table:
-        vid = batch["vec_id"].to_numpy(zero_copy_only=False)
-        keep = np.argsort(vid, kind="mergesort")[:8]
-        return batch.take(pa.array(np.sort(keep)))
-
-    cands = embs.map_batches(_partial_min, batch_format="pyarrow").take_all()
-    cands.sort(key=lambda r: r["vec_id"])
-    cands = cands[:8]
-    cids = np.array([r["vec_id"] for r in cands], np.int64)
-    cmat = np.stack([np.asarray(r["embedding"], np.float64) for r in cands])
-    cq = np.floor(cmat * 1000.0 + 0.5).astype(np.int64)
     import ray as _ray
 
-    ref = _ray.put((cids, cq))
+    ref = _ray.put(_det_milli_centroids(embs))
 
     def _assign(batch: pa.Table) -> pa.Table:
         c_ids, c_q = _ray.get(ref)
@@ -10614,3 +10623,139 @@ def q_rrf_fusion_docs(sf_dir: str):
             }
         )
     )
+
+
+@register(
+    "semdedup_docs",
+    """
+    WITH q AS (SELECT vec_id,
+          list_transform(embedding, x -> CAST(floor(x*1000+0.5) AS BIGINT)) AS iq
+          FROM embeddings),
+    c AS (SELECT vec_id AS cid, iq AS ciq FROM q ORDER BY vec_id LIMIT 8),
+    d AS (SELECT q.vec_id, c.cid,
+          list_sum(list_transform(range(1, len(q.iq)+1),
+            i -> (q.iq[i]-c.ciq[i])*(q.iq[i]-c.ciq[i]))) AS dist
+          FROM q CROSS JOIN c),
+    a AS (SELECT vec_id, cid, dist FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+              ORDER BY dist, cid) AS rn FROM d) WHERE rn = 1),
+    qq AS (SELECT a.vec_id, a.cid, a.dist, q.iq,
+             list_sum(list_transform(q.iq, x -> x*x)) AS nrm
+           FROM a JOIN q USING (vec_id)),
+    p AS (SELECT x.vec_id AS vid,
+            list_sum(list_transform(range(1, len(x.iq)+1),
+              i -> x.iq[i]*y.iq[i])) AS dot,
+            x.nrm AS xn, y.nrm AS yn
+          FROM qq x JOIN qq y ON x.cid = y.cid
+            AND (y.dist < x.dist OR (y.dist = x.dist AND y.vec_id < x.vec_id))),
+    drp AS (SELECT DISTINCT vid FROM p
+            WHERE dot > 0 AND 100*dot*dot > 9*xn*yn)
+    SELECT qq.vec_id, qq.cid AS centroid_id, CAST(qq.dist AS BIGINT) AS dist,
+      CAST(CASE WHEN drp.vid IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+    FROM qq LEFT JOIN drp ON qq.vec_id = drp.vid
+    """,
+)
+def q_semdedup_docs(sf_dir: str):
+    """SemDeDup (Abbas et al. 2023): SEMANTIC deduplication by k-means-
+    style clustering + within-cluster cosine pruning — the
+    cluster-then-prune dedup family next to the pairwise near-dup
+    operators (LSH / SimHash / containment work on exact token overlap;
+    SemDeDup drops *paraphrase-level* duplicates that share no tokens).
+
+    Deterministic, fully SQL-oracled formulation: 'centroids' are the 8
+    lowest-vec_id embeddings milli-quantized to int64 (shared rule with
+    `centroid_assign` via `_det_milli_centroids`); each vector joins its
+    exact-int64-argmin centroid; within a cluster, members are ordered
+    by (dist-to-centroid asc, vec_id asc) and a member is DROPPED when
+    any EARLIER member is cosine-similar above tau=0.3 — evaluated in
+    exact integer arithmetic (dot > 0 AND 100*dot^2 > 9*|a|^2*|b|^2, so
+    no float ulp can flip a verdict; bounds: dim 64, |q|<=525 =>
+    dot^2*100 < 2^63).  Output: every vector with its cluster, distance
+    and kept flag.
+
+    Scale shape: ONE exchange keyed on centroid_id ships (vec_id, dist,
+    iq) — the quantized vector must reach its cluster's worker, that is
+    inherent to the method; the in-cluster verify is one int64 matmul
+    (b x d @ d x b) per cluster, O(b^2) like every anchor-block verify,
+    bounded by the cluster size — at corpus scale k grows with n (the
+    paper uses k ~ sqrt(n)) so b stays bounded; the deterministic-8
+    clustering here is the oracle-checkable stand-in for the learned
+    k-means router the ivf_* queries exercise."""
+    from multimedia_indexing_ray.stages.partition import map_partitions_by_key
+
+    embs = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
+    import ray as _ray
+
+    ref = _ray.put(_det_milli_centroids(embs))
+
+    def _assign(batch: pa.Table) -> pa.Table:
+        c_ids, c_q = _ray.get(ref)
+        mat = nn._batch_matrix(batch, "embedding")
+        eq = np.floor(mat * 1000.0 + 0.5).astype(np.int64)
+        d = ((eq[:, None, :] - c_q[None, :, :]) ** 2).sum(axis=2)
+        best = np.argmin(d, axis=1)
+        n, dim = eq.shape
+        return pa.table(
+            {
+                "vec_id": pc.cast(batch["vec_id"], pa.int64()),
+                "centroid_id": pa.array(c_ids[best], pa.int64()),
+                "dist": pa.array(d[np.arange(n), best], pa.int64()),
+                "iq": pa.FixedSizeListArray.from_arrays(
+                    pa.array(eq.reshape(-1), pa.int64()), dim
+                ),
+            }
+        )
+
+    _empty = pa.table(
+        {
+            "vec_id": pa.array([], pa.int64()),
+            "centroid_id": pa.array([], pa.int64()),
+            "dist": pa.array([], pa.int64()),
+            "kept": pa.array([], pa.int64()),
+        }
+    )
+
+    def _prune(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _empty
+        idx = pc.sort_indices(
+            t,
+            sort_keys=[
+                ("centroid_id", "ascending"),
+                ("dist", "ascending"),
+                ("vec_id", "ascending"),
+            ],
+        )
+        t = t.take(idx)
+        cid = t["centroid_id"].to_numpy()
+        iq_col = t["iq"].combine_chunks()
+        if isinstance(iq_col, pa.ChunkedArray):
+            iq_col = iq_col.combine_chunks()
+        dim = iq_col.type.list_size
+        Q = iq_col.values.to_numpy().reshape(t.num_rows, dim)
+        kept = np.ones(t.num_rows, dtype=np.int64)
+        starts = sg.segment_starts(cid)
+        ends = np.concatenate([starts[1:], [t.num_rows]])
+        for s, e in zip(starts, ends):
+            b = e - s
+            if b < 2:
+                continue
+            Qi = Q[s:e]
+            dot = Qi @ Qi.T  # exact int64
+            nrm = np.diag(dot).copy()
+            # tau=0.3: cos > 0.3  <=>  dot > 0 AND 100*dot^2 > 9*|a|^2*|b|^2
+            sim = (dot > 0) & (100 * dot * dot > 9 * nrm[:, None] * nrm[None, :])
+            # dropped iff any EARLIER member (strict lower triangle) is similar
+            earlier = np.tril(sim, k=-1)
+            kept[s:e] = (~earlier.any(axis=1)).astype(np.int64)
+        return pa.table(
+            {
+                "vec_id": t["vec_id"],
+                "centroid_id": t["centroid_id"],
+                "dist": t["dist"],
+                "kept": pa.array(kept, pa.int64()),
+            }
+        )
+
+    assigned = embs.map_batches(_assign, batch_format="pyarrow")
+    return map_partitions_by_key(assigned, "centroid_id", _prune, num_partitions=8)

@@ -270,3 +270,57 @@ def test_chi2_term_lang_planted_association(ray_session, tmp_path):
     de_top = df[df["lang"] == "de"]
     assert "zebrafish" in set(de_top["term"])
     assert "unicorn" not in set(df["term"])
+
+
+def test_semdedup_planted_semantic_duplicates(ray_session, tmp_path):
+    """Identical (and near-identical) embedding vectors land in the same
+    cluster and only the FIRST in (dist, vec_id) order survives; an
+    orthogonal vector is never dropped."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from multimedia_indexing_ray.pipelines.queries import REGISTRY
+
+    d = 16
+    # 10 mutually-ORTHOGONAL anchors (one-hot dims 0..9; the 8 lowest
+    # vec_ids become the centroids) so no accidental cosine > tau
+    rows = []
+    for i in range(10):
+        v = np.zeros(d)
+        v[i] = 0.3
+        rows.append(v)
+    # planted: three copies of `base` (vec_ids 10, 11, 12) — cosine 1.0
+    # with each other, 0.0 with every anchor
+    base = np.zeros(d)
+    base[10] = 0.2
+    base[11] = 0.2
+    rows += [base, base, base]
+    # planted: an isolated vector orthogonal to everything
+    iso = np.zeros(d)
+    iso[d - 1] = 0.4
+    rows.append(iso)  # vec_id 13
+    mat = np.stack(rows).astype(np.float32)
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(len(rows)), pa.int64()),
+            "embedding": pa.array([list(map(float, r)) for r in mat]),
+            "label": pa.array([0] * len(rows), pa.int32()),
+        }
+    )
+    pq.write_table(t, tmp_path / "embeddings.parquet")
+
+    df = (
+        REGISTRY["semdedup_docs"].fn(str(tmp_path))
+        .to_pandas()
+        .set_index("vec_id")
+        .sort_index()
+    )
+    assert len(df) == 14 and df["kept"].isin([0, 1]).all()
+    trio = df.loc[[10, 11, 12]]
+    # all three identical vectors share a cluster; exactly one survives
+    assert trio["centroid_id"].nunique() == 1
+    assert trio["kept"].sum() == 1
+    # equal dist => vec_id tie rule: the lowest id is the survivor
+    assert trio.loc[10, "kept"] == 1
+    assert df.loc[13, "kept"] == 1
