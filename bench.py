@@ -106,6 +106,12 @@ BENCH_QUERIES = [
     # r5h: cluster-then-prune semantic dedup (SemDeDup), one
     # centroid-keyed exchange + per-cluster int64 matmul verify
     "semdedup_docs",
+    # r5i: rank-based eval metric (histogram-reduced exact AUC), robust
+    # per-type MAD outlier stats (one keyed exchange, nested integer
+    # medians), mode-label community detection (pagerank-skeleton LP)
+    "auc_value_purchase",
+    "mad_outlier_per_type",
+    "labelprop_neardup",
 ]
 
 # Per-query shuffle strategy, interleaved-A/B measured (2026-08-17, 32

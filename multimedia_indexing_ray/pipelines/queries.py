@@ -10759,3 +10759,253 @@ def q_semdedup_docs(sf_dir: str):
 
     assigned = embs.map_batches(_assign, batch_format="pyarrow")
     return map_partitions_by_key(assigned, "centroid_id", _prune, num_partitions=8)
+
+
+# ---------------------------------------------------------------------------
+# §2.11 additions (round 5i): rank-based model-evaluation metrics (exact
+# AUC), robust outlier statistics (median absolute deviation), and
+# mode-label community detection (label propagation) — three semantic
+# families the registry did not yet cover.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "auc_value_purchase",
+    f"""
+    WITH c AS (SELECT {_CENTS_SQL.format(col='value')} AS cents,
+                 CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+               FROM events),
+    g AS (SELECT cents, CAST(SUM(pos) AS BIGINT) AS np,
+                 CAST(COUNT(*) AS BIGINT) AS nt
+          FROM c GROUP BY 1),
+    r AS (SELECT cents, np, nt,
+            CAST(SUM(nt) OVER (ORDER BY cents) - nt AS BIGINT) AS cumb
+          FROM g),
+    t AS (SELECT CAST(SUM(np*(2*cumb + nt + 1)) AS BIGINT) AS two_r,
+                 CAST(SUM(np) AS BIGINT) AS n_pos,
+                 CAST(SUM(nt - np) AS BIGINT) AS n_neg
+          FROM r)
+    SELECT n_pos, n_neg,
+      CAST(two_r - n_pos*(n_pos+1) AS BIGINT) AS auc_num,
+      CAST(2*n_pos*n_neg AS BIGINT) AS auc_den,
+      CAST(two_r - n_pos*(n_pos+1) AS DOUBLE)
+        / CAST(2*n_pos*n_neg AS DOUBLE) AS auc
+    FROM t
+    """,
+)
+def q_auc_value_purchase(sf_dir: str):
+    """Exact AUC-ROC of `value` as a predictor of the purchase label —
+    the rank-based MODEL-EVALUATION family (Mann-Whitney U with the
+    standard tie correction: tied scores get their average rank), the
+    metric every data-quality / classifier-calibration pipeline ends
+    with.  Doubled-rank trick keeps everything integer: a tie group of
+    size c starting after cumb rows has 2*avg_rank = 2*cumb + c + 1, so
+    2*R_pos = Σ np*(2*cumb + nt + 1) and
+    AUC = (2*R_pos − n_pos(n_pos+1)) / (2 n_pos n_neg) — numerator and
+    denominator emitted as exact int64 plus ONE double division mirrored
+    on both engines.
+
+    Scale shape: AUC with ties depends only on the per-score histogram
+    (score -> n_pos, n_total), so the plan is a per-batch Arrow combiner
+    emitting slim (cents, np, nt) partials, then a single aggregate-sized
+    rank scan — the same shape as `hourly_concurrent_sessions`' +1/-1
+    scan.  The histogram is bounded by the score DOMAIN (distinct cents
+    values), not the row count; rank products approach int64 range only
+    past ~10^9 rows per label, where the tiny finish (and the oracle's
+    hugeint) would move to object ints — the partials never would."""
+    ev = _rp(sf_dir, "events", ["event_type", "value"])
+
+    _P_SCHEMA = pa.schema(
+        [("cents", pa.int64()), ("np", pa.int64()), ("nt", pa.int64())]
+    )
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        cents = _cents(batch["value"].to_numpy(zero_copy_only=False)).astype(np.int64)
+        pos = (
+            pc.equal(batch["event_type"], "purchase").to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        uniq, inv = np.unique(cents, return_inverse=True)
+        np_ = np.zeros(len(uniq), dtype=np.int64)
+        nt = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(np_, inv, pos)
+        np.add.at(nt, inv, 1)
+        return pa.table({"cents": uniq, "np": np_, "nt": nt}, schema=_P_SCHEMA)
+
+    _OUT_EMPTY = pa.table(
+        {
+            "n_pos": pa.array([], pa.int64()),
+            "n_neg": pa.array([], pa.int64()),
+            "auc_num": pa.array([], pa.int64()),
+            "auc_den": pa.array([], pa.int64()),
+            "auc": pa.array([], pa.float64()),
+        }
+    )
+
+    def _finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _OUT_EMPTY
+        g = _pa_group_sum(t, ["cents"], ["np", "nt"])
+        cents = g["cents"].to_numpy()
+        np_ = g["np"].to_numpy()
+        nt = g["nt"].to_numpy()
+        order = np.argsort(cents, kind="stable")
+        np_, nt = np_[order], nt[order]
+        # tiny aggregate-sized scan: Python ints (no overflow at any n)
+        cumb = np.concatenate([[0], np.cumsum(nt)[:-1]])
+        two_r = int(np.sum(np_ * (2 * cumb + nt + 1), dtype=object))
+        n_pos = int(np_.sum())
+        n_neg = int(nt.sum()) - n_pos
+        num = two_r - n_pos * (n_pos + 1)
+        den = 2 * n_pos * n_neg
+        return pa.table(
+            {
+                "n_pos": pa.array([n_pos], pa.int64()),
+                "n_neg": pa.array([n_neg], pa.int64()),
+                "auc_num": pa.array([num], pa.int64()),
+                "auc_den": pa.array([den], pa.int64()),
+                "auc": pa.array([float(num) / float(den)], pa.float64()),
+            }
+        )
+
+    partials = ev.map_batches(_partial, batch_format="pyarrow")
+    return partials.repartition(1).map_batches(
+        _finish, batch_format="pyarrow", batch_size=None
+    )
+
+
+@register(
+    "mad_outlier_per_type",
+    f"""
+    WITH c AS (SELECT event_type,
+                 {_CENTS_SQL.format(col='value')} AS cents FROM events),
+    m AS (SELECT event_type,
+            CAST(quantile_disc(cents, 0.5) + (-quantile_disc(-cents, 0.5))
+                 AS BIGINT) AS med2
+          FROM c GROUP BY 1),
+    d AS (SELECT c.event_type, ABS(2*c.cents - m.med2) AS dev2, m.med2
+          FROM c JOIN m USING (event_type)),
+    md AS (SELECT event_type,
+             CAST(quantile_disc(dev2, 0.5) + (-quantile_disc(-dev2, 0.5))
+                  AS BIGINT) AS mad2
+           FROM d GROUP BY 1)
+    SELECT d.event_type, d.med2, md.mad2,
+      CAST(d.med2 AS DOUBLE)/200.0 AS median_value,
+      CAST(md.mad2 AS DOUBLE)/400.0 AS mad_value,
+      CAST(SUM(CASE WHEN 2*d.dev2 > 3*md.mad2 THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_outliers,
+      CAST(COUNT(*) AS BIGINT) AS n
+    FROM d JOIN md USING (event_type)
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_mad_outlier_per_type(sf_dir: str):
+    """Robust outlier statistics per event type: median + MAD (median
+    absolute deviation, Hampel's robust scale) and the classic
+    |x − med| > 3·MAD outlier count — the ROBUST-STATISTICS family next
+    to the moment-based z-score (`zscore_value_per_user` breaks under
+    heavy tails; MAD has a 50% breakdown point).
+
+    Exact integer formulation (no float median anywhere): med2 = lo+hi
+    of sorted cents (2x the exact median, integer even when the median
+    is a .5); dev2 = |2·cents − med2| (2x each absolute deviation);
+    mad2 = lo+hi over dev2 (4x the MAD).  The outlier rule
+    |x − med| > 3·MAD becomes 2·dev2 > 3·mad2 — pure int64 compares, so
+    both engines agree bit-for-bit; the reported doubles are single
+    divisions (med2/200, mad2/400) mirrored in the oracle.
+
+    Scale shape: holistic aggregate (two nested medians), so like
+    `median_value_per_user` the raw cents ride ONE shuffle keyed on
+    event_type and each type computes both medians locally in sorted
+    numpy — no second pass, no broadcast.  Oracle: DuckDB quantile_disc
+    picks the lower middle and -quantile_disc(-x) the upper, giving the
+    same exact lo+hi pairs."""
+    from multimedia_indexing_ray.stages.partition import map_partitions_by_key
+
+    ev = _rp(sf_dir, "events", ["event_type", "value"])
+
+    _empty = pa.table(
+        {
+            "event_type": pa.array([], pa.string()),
+            "med2": pa.array([], pa.int64()),
+            "mad2": pa.array([], pa.int64()),
+            "median_value": pa.array([], pa.float64()),
+            "mad_value": pa.array([], pa.float64()),
+            "n_outliers": pa.array([], pa.int64()),
+            "n": pa.array([], pa.int64()),
+        }
+    )
+
+    def kernel(table: pa.Table) -> pa.Table:
+        if table.num_rows == 0:
+            return _empty
+        et = table["event_type"].to_numpy(zero_copy_only=False)
+        cents = _cents(table["value"].to_numpy(zero_copy_only=False)).astype(np.int64)
+        types, meds2, mads2, outl, ns = [], [], [], [], []
+        for t in np.unique(et):  # <= K event types per partition (tiny loop)
+            c = np.sort(cents[et == t])
+            n = len(c)
+            med2 = int(c[(n - 1) // 2]) + int(c[n // 2])
+            dev2 = np.sort(np.abs(2 * c - med2))
+            mad2 = int(dev2[(n - 1) // 2]) + int(dev2[n // 2])
+            types.append(t)
+            meds2.append(med2)
+            mads2.append(mad2)
+            outl.append(int(np.sum(2 * dev2 > 3 * mad2)))
+            ns.append(n)
+        med2a = np.array(meds2, dtype=np.int64)
+        mad2a = np.array(mads2, dtype=np.int64)
+        return pa.table(
+            {
+                "event_type": pa.array(types, pa.string()),
+                "med2": pa.array(med2a, pa.int64()),
+                "mad2": pa.array(mad2a, pa.int64()),
+                "median_value": pa.array(med2a.astype(np.float64) / 200.0, pa.float64()),
+                "mad_value": pa.array(mad2a.astype(np.float64) / 400.0, pa.float64()),
+                "n_outliers": pa.array(outl, pa.int64()),
+                "n": pa.array(ns, pa.int64()),
+            }
+        )
+
+    return map_partitions_by_key(ev, "event_type", kernel, num_partitions=8)
+
+
+def _labelprop_sql(rounds: int = 4) -> str:
+    its = []
+    prev = "l0"
+    for i in range(1, rounds + 1):
+        its.append(
+            f"""c{i} AS (SELECT e.v AS node, l.lbl, CAST(COUNT(*) AS BIGINT) AS c
+            FROM edges e JOIN {prev} l ON l.node = e.u GROUP BY 1, 2),
+            l{i} AS (SELECT node, lbl FROM c{i}
+             QUALIFY row_number() OVER (PARTITION BY node ORDER BY c DESC, lbl) = 1)"""
+        )
+        prev = f"l{i}"
+    return f"""
+    WITH {_NGRAM_PAIRS_CTE},
+    edges AS (SELECT a_id AS u, b_id AS v FROM pairs
+              UNION SELECT b_id, a_id FROM pairs),
+    l0 AS (SELECT DISTINCT u AS node, u AS lbl FROM edges),
+    {', '.join(its)}
+    SELECT node AS doc_id, lbl AS community FROM {prev}
+    """
+
+
+@register("labelprop_neardup", _labelprop_sql(4))
+def q_labelprop_neardup(sf_dir: str):
+    """Label-propagation COMMUNITIES (4 synchronous mode-label rounds,
+    Raghavan et al. 2007) over the 3-gram Jaccard near-dup graph — the
+    fifth graph kernel, and the community-detection counterpart to
+    `dedup_clusters`: CC fuses everything reachable (one incidental
+    cross-family pair merges two template families); LP's most-frequent-
+    neighbor-label update keeps the dense cores separate.
+    `stages/cc.py:label_propagation`; exactly R rounds with the
+    (count desc, label asc) tie rule on both sides, so the unrolled SQL
+    matches bit-for-bit even on graphs that have not converged."""
+    from multimedia_indexing_ray.stages.cc import label_propagation
+
+    docs = _rp(sf_dir, "documents", ["doc_id", "text"])
+    pairs = dd.anchor_jaccard_pairs(
+        docs, "text", "doc_id", threshold=0.3, num_partitions=16,
+        coalesce=docs.count() <= _COALESCE_DOCS,
+    )
+    return label_propagation(pairs, rounds=4)

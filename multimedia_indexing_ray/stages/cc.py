@@ -607,6 +607,184 @@ def pagerank(
     )
 
 
+def _mode_labels(tgt: np.ndarray, lbl: np.ndarray):
+    """Per-target mode label with the deterministic (count desc, label
+    asc) tie rule — the label-propagation update, fully vectorized:
+    one lexsort groups (target, label) runs, a second lexsort picks each
+    target's winning run.  Returns (targets, winning_labels), targets
+    ascending unique."""
+    order = np.lexsort((lbl, tgt))
+    st, sl = tgt[order], lbl[order]
+    rs = np.flatnonzero(np.r_[True, (st[1:] != st[:-1]) | (sl[1:] != sl[:-1])])
+    rc = np.diff(np.r_[rs, len(st)]).astype(np.int64)
+    rt, rl = st[rs], sl[rs]
+    o2 = np.lexsort((rl, -rc, rt))
+    rt2, rl2 = rt[o2], rl[o2]
+    first = np.flatnonzero(np.r_[True, rt2[1:] != rt2[:-1]])
+    return rt2[first], rl2[first]
+
+
+def label_propagation(
+    pairs: "ray.data.Dataset",
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+    rounds: int = 4,
+    num_partitions: int = 8,
+    driver_edge_cap: "int | None" = None,
+) -> "ray.data.Dataset":
+    """Synchronous label propagation (Raghavan, Albert & Kumara 2007)
+    over the symmetrized near-dup pair graph — COMMUNITY detection, the
+    fifth graph kernel: where connected components fuses everything
+    reachable into one cluster, LP's mode-label update finds the dense
+    cores inside a weakly-bridged component (two template families
+    joined by one incidental pair stay separate communities).
+
+    Deterministic formulation so a SQL engine unrolling the same K
+    rounds matches bit-for-bit: label_0(v) = v; each round every node
+    takes the MOST FREQUENT label among its neighbors, ties broken by
+    the smallest label; exactly ``rounds`` synchronous updates (no
+    convergence test — fixpoint order would differ between engines).
+    Isolated nodes never appear (every node in a pair set has degree
+    >= 1 after symmetrization).
+
+    Scale shape: identical to `pagerank` — per-round state is the slim
+    (node, label) set; each distributed round is two keyed exchanges of
+    edge-sized tables (group-by-source emit (neighbor, my_label)
+    messages, group-by-target mode-update); edge sets at or under
+    ``driver_edge_cap`` run the identical integer kernels in one
+    in-memory loop where per-round exchange fixed costs would dominate.
+    """
+
+    def _init(batch: pa.Table) -> pa.Table:
+        u = batch[a_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = batch[b_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = u != v
+        u, v = u[keep], v[keep]
+        return _dedup_uv(np.concatenate([u, v]), np.concatenate([v, u]))
+
+    edges = pairs.map_batches(_init, batch_format="pyarrow").materialize()
+    out_schema = pa.schema([("doc_id", pa.int64()), ("community", pa.int64())])
+    n_edges = edges.count()
+    if n_edges == 0:
+        return ray.data.from_arrow(out_schema.empty_table())
+
+    if n_edges <= _edge_cap(driver_edge_cap):
+        import ray as _ray
+
+        t = pa.concat_tables(
+            tb.select(["u", "v"]) for tb in _ray.get(edges.to_arrow_refs()) if tb.num_rows
+        ).combine_chunks()
+        uv = np.unique(
+            np.stack(
+                [t["u"].to_numpy(zero_copy_only=False), t["v"].to_numpy(zero_copy_only=False)],
+                axis=1,
+            ),
+            axis=0,
+        )
+        u_arr, v_arr = uv[:, 0], uv[:, 1]
+        nodes, u_idx = np.unique(u_arr, return_inverse=True)
+        v_idx = np.searchsorted(nodes, v_arr)  # symmetric graph: always present
+        lbl = nodes.copy()
+        for _ in range(rounds):
+            # message u -> v carries u's label; mode per target
+            t_nodes, t_lbl = _mode_labels(v_idx, lbl[u_idx])
+            lbl = lbl.copy()
+            lbl[t_nodes] = t_lbl  # symmetric: t_nodes covers every node
+        return ray.data.from_arrow(
+            pa.table({"doc_id": nodes, "community": lbl}, schema=out_schema)
+        )
+
+    # distributed path: keyed dedup pass (whole (u, *) neighborhood local,
+    # so in-group dedup IS global dedup), then `rounds` x (scatter
+    # messages by source, mode-gather by target) — the pagerank skeleton
+    # with the gather swapped for the mode-label kernel
+    def _dedup_group(table: pa.Table) -> pa.Table:
+        return _dedup_uv(
+            table["u"].to_numpy(zero_copy_only=False),
+            table["v"].to_numpy(zero_copy_only=False),
+        )
+
+    edges = map_partitions_by_key(
+        _compact(edges, num_partitions), "u", _dedup_group, num_partitions=num_partitions
+    ).materialize()
+
+    _LBL_SCHEMA = pa.schema([("u", pa.int64()), ("lbl", pa.int64())])
+    _MIXED_SCHEMA = pa.schema(
+        [("u", pa.int64()), ("v", pa.int64()), ("lbl", pa.int64())]
+    )
+
+    def _init_labels(table: pa.Table) -> pa.Table:
+        u = np.unique(table["u"].to_numpy(zero_copy_only=False))
+        return pa.table({"u": u, "lbl": u}, schema=_LBL_SCHEMA)
+
+    labels = map_partitions_by_key(
+        edges, "u", _init_labels, num_partitions=num_partitions
+    ).materialize()
+
+    def _edge_rows(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "u": batch["u"],
+                "v": batch["v"],
+                "lbl": pa.array(np.full(batch.num_rows, -1, np.int64), pa.int64()),
+            },
+            schema=_MIXED_SCHEMA,
+        )
+
+    def _label_rows(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "u": batch["u"],
+                "v": pa.array(np.full(batch.num_rows, -1, np.int64), pa.int64()),
+                "lbl": batch["lbl"],
+            },
+            schema=_MIXED_SCHEMA,
+        )
+
+    _MSG_SCHEMA = pa.schema([("u", pa.int64()), ("lbl", pa.int64())])
+
+    def _scatter(table: pa.Table) -> pa.Table:
+        # per source u: one label row + its edge rows; emit (v, lbl)
+        u = table["u"].to_numpy(zero_copy_only=False)
+        v = table["v"].to_numpy(zero_copy_only=False)
+        ml = table["lbl"].to_numpy(zero_copy_only=False)
+        is_edge = v >= 0
+        order, su, starts = _segments(u)
+        sv, sl, se = v[order], ml[order], is_edge[order]
+        counts = np.diff(np.r_[starts, len(su)])
+        gid = np.repeat(np.arange(len(starts)), counts)
+        lbl_of = np.zeros(len(starts), dtype=np.int64)
+        srow = ~se
+        lbl_of[gid[srow]] = sl[srow]
+        return pa.table(
+            {"u": sv[se], "lbl": lbl_of[gid[se]]}, schema=_MSG_SCHEMA
+        )
+
+    def _gather(table: pa.Table) -> pa.Table:
+        t_nodes, t_lbl = _mode_labels(
+            table["u"].to_numpy(zero_copy_only=False),
+            table["lbl"].to_numpy(zero_copy_only=False),
+        )
+        return pa.table({"u": t_nodes, "lbl": t_lbl}, schema=_LBL_SCHEMA)
+
+    edge_tagged = edges.map_batches(_edge_rows, batch_format="pyarrow").materialize()
+    for _ in range(rounds):
+        mixed = edge_tagged.union(labels.map_batches(_label_rows, batch_format="pyarrow"))
+        msgs = map_partitions_by_key(
+            mixed, "u", _scatter, num_partitions=num_partitions
+        )
+        labels = map_partitions_by_key(
+            msgs, "u", _gather, num_partitions=num_partitions
+        ).materialize()
+
+    def _finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": batch["u"], "community": batch["lbl"]}, schema=out_schema
+        )
+
+    return labels.map_batches(_finish, batch_format="pyarrow")
+
+
 def _pack64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """Pack two non-negative int32-range ids into one sortable int64.
     Raises for out-of-range ids — a silent collision would corrupt the

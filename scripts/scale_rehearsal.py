@@ -54,6 +54,10 @@ GATED = {
                          "GRAFT_COALESCE_DOCS": "0", "GRAFT_MAX_BROADCAST_IDS": "0"},
     "triangle_counts_neardup": {"GRAFT_DRIVER_EDGE_CAP": "0", "GRAFT_PAIR_COALESCE_CAP": "0",
                                 "GRAFT_COALESCE_DOCS": "0", "GRAFT_MAX_BROADCAST_IDS": "0"},
+    # r5i: label propagation flips from the in-memory loop to per-round
+    # scatter/mode-gather keyed exchanges (the pagerank skeleton)
+    "labelprop_neardup": {"GRAFT_DRIVER_EDGE_CAP": "0", "GRAFT_PAIR_COALESCE_CAP": "0",
+                          "GRAFT_COALESCE_DOCS": "0", "GRAFT_MAX_BROADCAST_IDS": "0"},
     "minhash_dedup_docs": {"GRAFT_MAX_BROADCAST_IDS": "0", "GRAFT_PAIR_COALESCE_CAP": "0"},
     "ngram_jaccard_pairs": {"GRAFT_COALESCE_DOCS": "0", "GRAFT_PAIR_COALESCE_CAP": "0"},
     "corpus_curation_v2": {"GRAFT_DRIVER_EDGE_CAP": "0", "GRAFT_PAIR_COALESCE_CAP": "0",

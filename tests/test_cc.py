@@ -407,3 +407,81 @@ def test_kcore_pendant_star_unconverged_paths_agree(ray_session):
     ).take_all()
     assert out_coalesced == []
     assert out_distributed == []
+
+
+def _brute_labelprop(pairs, rounds):
+    """Reference sync label propagation: mode of neighbor labels, ties
+    to the smallest label, exactly `rounds` updates."""
+    adj = {}
+    for a, b in pairs:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    lbl = {v: v for v in adj}
+    for _ in range(rounds):
+        new = {}
+        for v, nbrs in adj.items():
+            counts = {}
+            for u in nbrs:
+                counts[lbl[u]] = counts.get(lbl[u], 0) + 1
+            new[v] = min(counts, key=lambda l: (-counts[l], l))
+        lbl = new
+    return lbl
+
+
+@pytest.mark.parametrize("cap", [2_000_000, 0], ids=["local", "distributed"])
+@pytest.mark.parametrize("seed,n,m", [(3, 40, 55), (4, 120, 150)])
+def test_label_propagation_vs_brute_force(ray_session, seed, n, m, cap):
+    from multimedia_indexing_ray.stages.cc import label_propagation
+
+    rng = np.random.default_rng(seed)
+    pairs = [tuple(p) for p in rng.integers(0, n, size=(m, 2)) if p[0] != p[1]]
+    got = {
+        r["doc_id"]: r["community"]
+        for r in label_propagation(
+            _pairs_ds(ray_session, pairs), rounds=4, driver_edge_cap=cap
+        ).take_all()
+    }
+    want = _brute_labelprop(pairs, 4)
+    assert got == want
+
+
+def test_label_propagation_two_cliques_one_bridge(ray_session):
+    """CC would merge the two triangles across the bridge; LP keeps them
+    distinct communities."""
+    from multimedia_indexing_ray.stages.cc import (
+        connected_components,
+        label_propagation,
+    )
+
+    tri1 = [(0, 1), (1, 2), (0, 2)]
+    tri2 = [(10, 11), (11, 12), (10, 12)]
+    bridge = [(2, 10)]
+    pairs = tri1 + tri2 + bridge
+    lp = {
+        r["doc_id"]: r["community"]
+        for r in label_propagation(_pairs_ds(ray_session, pairs), rounds=4).take_all()
+    }
+    # each triangle converges to ONE internal label, and the two stay
+    # distinct communities (CC would fuse them across the bridge); the
+    # exact labels follow the deterministic update (the bridge carries
+    # label 2 into the second triangle)
+    assert lp == _brute_labelprop(pairs, 4)
+    assert lp[0] == lp[1] == lp[2] == 0
+    assert lp[10] == lp[11] == lp[12] == 2
+    assert lp[0] != lp[10]
+    cc = connected_components(_pairs_ds(ray_session, pairs)).take_all()
+    roots = {r["u"] for r in cc} | {r["v"] for r in cc}
+    assert 0 in {min(roots)}  # single CC component rooted at 0
+
+
+def test_mode_labels_tie_rule():
+    from multimedia_indexing_ray.stages.cc import _mode_labels
+
+    # target 7 sees labels [5, 3, 5, 3] -> tie on count, smaller label 3 wins
+    tgt = np.array([7, 7, 7, 7, 8], dtype=np.int64)
+    lbl = np.array([5, 3, 5, 3, 9], dtype=np.int64)
+    t, l = _mode_labels(tgt, lbl)
+    assert list(t) == [7, 8]
+    assert list(l) == [3, 9]

@@ -324,3 +324,77 @@ def test_semdedup_planted_semantic_duplicates(ray_session, tmp_path):
     # equal dist => vec_id tie rule: the lowest id is the survivor
     assert trio.loc[10, "kept"] == 1
     assert df.loc[13, "kept"] == 1
+
+
+def _events_table(values, types):
+    import pyarrow as pa
+
+    n = len(values)
+    return pa.table(
+        {
+            "event_id": pa.array(range(n), pa.int64()),
+            "ts": pa.array([1_700_000_000_000_000 + i for i in range(n)], pa.timestamp("us")),
+            "user_id": pa.array([i % 7 for i in range(n)], pa.int64()),
+            "event_type": pa.array(types, pa.string()),
+            "value": pa.array([float(v) for v in values], pa.float64()),
+            "props": pa.array(["{}"] * n, pa.string()),
+        }
+    )
+
+
+def test_auc_matches_pairwise_brute_force(ray_session, tmp_path):
+    """AUC from the rank formula == (wins + ties/2) / (n_pos*n_neg) by
+    O(n^2) pair counting, heavy ties included."""
+    import pyarrow.parquet as pq
+
+    from multimedia_indexing_ray.pipelines.queries import REGISTRY
+
+    rng = np.random.default_rng(42)
+    vals = rng.integers(0, 20, size=300) / 4.0  # many ties
+    pos = rng.random(300) < 0.3
+    types = np.where(pos, "purchase", "view")
+    pq.write_table(_events_table(vals, list(types)), tmp_path / "events.parquet")
+
+    row = REGISTRY["auc_value_purchase"].fn(str(tmp_path)).to_pandas().iloc[0]
+    p, n = vals[pos], vals[~pos]
+    wins = (p[:, None] > n[None, :]).sum()
+    ties = (p[:, None] == n[None, :]).sum()
+    auc = (wins + 0.5 * ties) / (len(p) * len(n))
+    assert row["n_pos"] == len(p) and row["n_neg"] == len(n)
+    assert row["auc_num"] == 2 * wins + ties
+    assert row["auc_den"] == 2 * len(p) * len(n)
+    assert abs(row["auc"] - auc) < 1e-12
+
+
+def test_mad_outliers_match_numpy_brute_force(ray_session, tmp_path):
+    """Exact integer med2/mad2 vs float numpy medians, plus the 3-MAD
+    outlier count, across even and odd group sizes."""
+    import pyarrow.parquet as pq
+
+    from multimedia_indexing_ray.pipelines.queries import REGISTRY
+
+    rng = np.random.default_rng(7)
+    vals = np.concatenate(
+        [rng.normal(10, 2, 101), rng.normal(50, 1, 100), [500.0, -300.0]]
+    )
+    types = ["a"] * 101 + ["b"] * 100 + ["a", "b"]
+    pq.write_table(_events_table(vals, types), tmp_path / "events.parquet")
+
+    df = (
+        REGISTRY["mad_outlier_per_type"].fn(str(tmp_path))
+        .to_pandas()
+        .set_index("event_type")
+        .sort_index()
+    )
+    cents = np.floor(np.asarray(vals) * 100.0 + 0.5).astype(np.int64)
+    for t in ("a", "b"):
+        c = cents[np.asarray(types) == t]
+        med = np.median(c)
+        mad = np.median(np.abs(c - med))
+        row = df.loc[t]
+        assert row["med2"] == int(round(2 * med))
+        assert row["mad2"] == int(round(4 * mad))
+        assert row["median_value"] == pytest.approx(med / 100.0)
+        assert row["mad_value"] == pytest.approx(mad / 100.0)
+        assert row["n_outliers"] == int(np.sum(np.abs(c - med) > 3 * mad))
+        assert row["n"] == len(c)
