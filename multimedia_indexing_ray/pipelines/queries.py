@@ -11009,3 +11009,239 @@ def q_labelprop_neardup(sf_dir: str):
         coalesce=docs.count() <= _COALESCE_DOCS,
     )
     return label_propagation(pairs, rounds=4)
+
+
+@register(
+    "cube_type_day",
+    f"""
+    WITH c AS (SELECT event_type,
+                 CAST(epoch_us(ts)//86400000000 AS BIGINT) AS day,
+                 {_CENTS_SQL.format(col='value')} AS cents FROM events)
+    SELECT COALESCE(event_type, '(all)') AS event_type,
+      COALESCE(day, -1) AS day,
+      CAST(GROUPING(event_type)*2 + GROUPING(day) AS BIGINT) AS gid,
+      CAST(COUNT(*) AS BIGINT) AS n,
+      CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM c GROUP BY CUBE(event_type, day)
+    """,
+)
+def q_cube_type_day(sf_dir: str):
+    """GROUP BY CUBE — the MULTI-GROUPING relational surface
+    (GROUPING SETS / ROLLUP / CUBE; Gray et al. 1997 "Data Cube"):
+    all four groupings of (event_type, day) — both, type-only,
+    day-only, grand total — with the standard GROUPING() id, in ONE
+    input pass.  `rollup_type_hour` covers the hierarchical prefix
+    case; CUBE needs the cross combinations, which a naive plan
+    computes as four separate scans + a union.
+
+    Plan (the classic MR cube trick): the per-batch Arrow combiner
+    emits each batch's partial aggregates under all 4 key variants
+    (sentinels '(all)' / -1 standing in for the rolled-up dimension —
+    mirrored by COALESCE in the oracle, which also keeps the output
+    null-free for stable sorting), so the exchange carries ~4x
+    AGGREGATE-sized partials, never 4x the data; the finish re-groups
+    the tiny partial set in one block, exactly the `_tiny_group_sum`
+    discipline (groups bounded by |types| x |days| — low-cardinality by
+    construction; a high-cardinality cube would shard the finish by
+    gid)."""
+    ev = _rp(sf_dir, "events", ["event_type", "ts", "value"])
+    DAY_US = 86_400_000_000
+
+    _P_SCHEMA = pa.schema(
+        [
+            ("event_type", pa.string()),
+            ("day", pa.int64()),
+            ("gid", pa.int64()),
+            ("n", pa.int64()),
+            ("sum_cents", pa.int64()),
+        ]
+    )
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        day = batch["ts"].cast(pa.int64()).to_numpy() // DAY_US
+        cents = _cents(batch["value"].to_numpy(zero_copy_only=False)).astype(np.int64)
+        outs = []
+        alls = np.full(len(et), "(all)", dtype=object)
+        neg1 = np.full(len(et), -1, dtype=np.int64)
+        for gid, (k1, k2) in enumerate(
+            [(et, day), (et, neg1), (alls, day), (alls, neg1)]
+        ):
+            t = pa.table(
+                {
+                    "event_type": pa.array(k1, pa.string()),
+                    "day": pa.array(k2, pa.int64()),
+                    "n": pa.array(np.ones(len(et), np.int64), pa.int64()),
+                    "sum_cents": pa.array(cents, pa.int64()),
+                }
+            )
+            g = _pa_group_sum(t, ["event_type", "day"], ["n", "sum_cents"])
+            g = g.append_column(
+                "gid", pa.array(np.full(g.num_rows, gid, np.int64), pa.int64())
+            )
+            outs.append(g.select(["event_type", "day", "gid", "n", "sum_cents"]))
+        return pa.concat_tables(outs).cast(_P_SCHEMA)
+
+    def _final(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _P_SCHEMA.empty_table()
+        g = _pa_group_sum(t, ["event_type", "day", "gid"], ["n", "sum_cents"])
+        return g.select(["event_type", "day", "gid", "n", "sum_cents"]).cast(_P_SCHEMA)
+
+    partials = ev.map_batches(_partial, batch_format="pyarrow")
+    return partials.repartition(1).map_batches(
+        _final, batch_format="pyarrow", batch_size=None
+    )
+
+
+_TV_BUCKET_SQL = (
+    f"CASE WHEN {_CENTS_SQL.format(col='value')} >= 0 "
+    f"THEN {_CENTS_SQL.format(col='value')}//500 "
+    f"ELSE -((-{_CENTS_SQL.format(col='value')} + 499)//500) END"
+)
+
+
+@register(
+    "tv_drift_by_type",
+    f"""
+    WITH d AS (SELECT CAST(MIN(epoch_us(ts)//86400000000) AS BIGINT) AS dmin,
+                      CAST(MAX(epoch_us(ts)//86400000000) AS BIGINT) AS dmax
+               FROM events),
+    v AS (SELECT event_type,
+            {_TV_BUCKET_SQL} AS bucket,
+            CASE WHEN epoch_us(ts)//86400000000
+                   < (SELECT (dmin+dmax+1)//2 FROM d)
+                 THEN 1 ELSE 0 END AS early
+          FROM events),
+    h AS (SELECT event_type, bucket,
+            CAST(SUM(early) AS BIGINT) AS na,
+            CAST(SUM(1-early) AS BIGINT) AS nb
+          FROM v GROUP BY 1, 2),
+    t AS (SELECT event_type, CAST(SUM(na) AS BIGINT) AS n_early,
+                 CAST(SUM(nb) AS BIGINT) AS n_late
+          FROM h GROUP BY 1)
+    SELECT h.event_type, t.n_early, t.n_late,
+      CAST(SUM(ABS(h.na*t.n_late - h.nb*t.n_early)) AS BIGINT) AS tv_num,
+      CAST(2*t.n_early*t.n_late AS BIGINT) AS tv_den,
+      CASE WHEN t.n_early*t.n_late != 0 THEN
+        CAST(SUM(ABS(h.na*t.n_late - h.nb*t.n_early)) AS DOUBLE)
+          / CAST(2*t.n_early*t.n_late AS DOUBLE) END AS tv
+    FROM h JOIN t USING (event_type) GROUP BY 1, 2, 3
+    """,
+)
+def q_tv_drift_by_type(sf_dir: str):
+    """DISTRIBUTION-DRIFT detection (dataset-shift family): per event
+    type, the total-variation distance between the value distribution
+    of the EARLY half of the time range and the LATE half — the
+    standard train/serve skew monitor a 100 TB training-data pipeline
+    runs before every refresh.  TV is chosen over KL/JS because it is
+    an exact RATIONAL in the histogram counts (no logs):
+    tv = sum_b |na_b*N_late - nb_b*N_early| / (2*N_early*N_late),
+    so both engines evaluate integer arithmetic plus ONE double
+    division of <2^53 ints — bit-exact (exact while per-type
+    rows < ~6e9; same int64 discipline as `gini_by_type`).
+
+    Plan: pass 1 is a column-pruned min/max over `ts` (per-batch
+    2-int partials, driver pull = one tiny frame) fixing the split
+    day at (dmin+dmax+1)//2; pass 2 emits per-batch
+    (type, $5-value-bucket, early/late) count partials — bucket uses
+    explicit FLOOR division (the SQL CASE mirrors numpy's semantics
+    for negative cents; DuckDB's `//` truncates) — through one
+    event_type-keyed exchange of AGGREGATE-sized rows; the finish is
+    a segmented reduceat per type.  The raw data never re-shuffles."""
+    from multimedia_indexing_ray.stages.partition import map_partitions_by_key
+
+    DAY_US = 86_400_000_000
+
+    _mm_empty = pa.table(
+        {"dmin": pa.array([], pa.int64()), "dmax": pa.array([], pa.int64())}
+    )
+
+    def _mm(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _mm_empty
+        d = batch["ts"].cast(pa.int64()).to_numpy() // DAY_US
+        return pa.table(
+            {
+                "dmin": pa.array([int(d.min())], pa.int64()),
+                "dmax": pa.array([int(d.max())], pa.int64()),
+            }
+        )
+
+    mm = (
+        _rp(sf_dir, "events", ["ts"])
+        .map_batches(_mm, batch_format="pyarrow")
+        .to_pandas()
+    )
+    boundary = (int(mm["dmin"].min()) + int(mm["dmax"].max()) + 1) // 2
+
+    _hempty = pa.table(
+        {
+            "event_type": pa.array([], pa.string()),
+            "bucket": pa.array([], pa.int64()),
+            "na": pa.array([], pa.int64()),
+            "nb": pa.array([], pa.int64()),
+        }
+    )
+    _out_schema = pa.schema(
+        [
+            ("event_type", pa.string()),
+            ("n_early", pa.int64()),
+            ("n_late", pa.int64()),
+            ("tv_num", pa.int64()),
+            ("tv_den", pa.int64()),
+            ("tv", pa.float64()),
+        ]
+    )
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _hempty
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        day = batch["ts"].cast(pa.int64()).to_numpy() // DAY_US
+        c = _cents(batch["value"].to_numpy(zero_copy_only=False)).astype(np.int64)
+        early = (day < boundary).astype(np.int64)
+        t = pa.table(
+            {
+                "event_type": pa.array(et, pa.string()),
+                "bucket": pa.array(c // 500, pa.int64()),
+                "na": pa.array(early, pa.int64()),
+                "nb": pa.array(1 - early, pa.int64()),
+            }
+        )
+        return _pa_group_sum(t, ["event_type", "bucket"], ["na", "nb"])
+
+    def _finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _out_schema.empty_table()
+        g = _pa_group_sum(t, ["event_type", "bucket"], ["na", "nb"])
+        et = g["event_type"].to_numpy(zero_copy_only=False)
+        na = g["na"].to_numpy()
+        nb = g["nb"].to_numpy()
+        order = np.argsort(et, kind="stable")
+        et, na, nb = et[order], na[order], nb[order]
+        starts = sg.segment_starts(et)
+        n_early = np.add.reduceat(na, starts)
+        n_late = np.add.reduceat(nb, starts)
+        cnts = sg.segment_counts(starts, len(et))
+        tv_num = np.add.reduceat(
+            np.abs(na * np.repeat(n_late, cnts) - nb * np.repeat(n_early, cnts)),
+            starts,
+        )
+        tv_den = 2 * n_early * n_late
+        with np.errstate(invalid="ignore", divide="ignore"):
+            tv = tv_num.astype(np.float64) / tv_den.astype(np.float64)
+        return pa.table(
+            {
+                "event_type": pa.array(et[starts], pa.string()),
+                "n_early": pa.array(n_early, pa.int64()),
+                "n_late": pa.array(n_late, pa.int64()),
+                "tv_num": pa.array(tv_num, pa.int64()),
+                "tv_den": pa.array(tv_den, pa.int64()),
+                "tv": pa.array(tv, pa.float64(), mask=(tv_den == 0)),
+            }
+        )
+
+    ev = _rp(sf_dir, "events", ["event_type", "ts", "value"])
+    partials = ev.map_batches(_partial, batch_format="pyarrow")
+    return map_partitions_by_key(partials, "event_type", _finish, num_partitions=8)

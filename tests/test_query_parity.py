@@ -366,6 +366,56 @@ def test_auc_matches_pairwise_brute_force(ray_session, tmp_path):
     assert abs(row["auc"] - auc) < 1e-12
 
 
+def test_tv_drift_planted_extremes(ray_session, tmp_path):
+    """A type whose value distribution is identical in both halves must
+    score tv == 0; a type whose supports are disjoint must score
+    tv == 1; a half-shifted type must score exactly 0.5."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from multimedia_indexing_ray.pipelines.queries import REGISTRY
+
+    day = 86_400_000_000
+    rows = []  # (day_idx, type, value)
+    for d in (0, 9):  # early half = days < 5, late half = days >= 5
+        for v in (1.0, 2.0, 3.0, 4.0):
+            rows.append((d, "same", v))
+    for i, v in enumerate((1.0, 2.0, 100.0, 200.0)):
+        rows.append((0 if i < 2 else 9, "disjoint", v))
+    # half: early = {1,1,2,2}, late = {1,1,9,9} -> tv = 0.5
+    for v in (1.0, 1.0, 2.0, 2.0):
+        rows.append((0, "half", v))
+    for v in (1.0, 1.0, 9.0, 9.0):
+        rows.append((9, "half", v))
+    n = len(rows)
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(n), pa.int64()),
+            "ts": pa.array(
+                [1_700_000_000_000_000 + d * day for d, _, _ in rows],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([0] * n, pa.int64()),
+            "event_type": pa.array([t for _, t, _ in rows], pa.string()),
+            "value": pa.array([v for _, _, v in rows], pa.float64()),
+            "props": pa.array(["{}"] * n, pa.string()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "events.parquet")
+
+    df = (
+        REGISTRY["tv_drift_by_type"].fn(str(tmp_path))
+        .to_pandas()
+        .set_index("event_type")
+    )
+    assert df.loc["same", "tv"] == 0.0
+    assert df.loc["disjoint", "tv"] == 1.0
+    assert df.loc["half", "tv"] == 0.5
+    assert (df["n_early"] + df["n_late"]).sum() == n
+    # exact rational invariant: tv == tv_num / tv_den
+    assert (df["tv"] == df["tv_num"] / df["tv_den"]).all()
+
+
 def test_mad_outliers_match_numpy_brute_force(ray_session, tmp_path):
     """Exact integer med2/mad2 vs float numpy medians, plus the 3-MAD
     outlier count, across even and odd group sizes."""
