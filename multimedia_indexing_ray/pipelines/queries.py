@@ -11245,3 +11245,101 @@ def q_tv_drift_by_type(sf_dir: str):
     ev = _rp(sf_dir, "events", ["event_type", "ts", "value"])
     partials = ev.map_batches(_partial, batch_format="pyarrow")
     return map_partitions_by_key(partials, "event_type", _finish, num_partitions=8)
+
+
+@register(
+    "mutual_knn_pairs",
+    """
+    WITH r AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst,
+        CAST(row_number() OVER (PARTITION BY a.vec_id
+          ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                          CAST(b.embedding AS DOUBLE[])) DESC,
+                   b.vec_id) AS BIGINT) AS rank
+      FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id),
+    t AS (SELECT * FROM r WHERE rank <= 5)
+    SELECT x.src AS a_id, x.dst AS b_id, x.rank AS rank_ab, y.rank AS rank_ba
+    FROM t x JOIN t y ON x.src = y.dst AND x.dst = y.src
+    WHERE x.src < x.dst
+    """,
+)
+def q_mutual_knn_pairs(sf_dir: str):
+    """RECIPROCAL nearest-neighbor matching (mutual top-k): pairs where
+    each vector appears in the OTHER's cosine top-5 — the standard
+    alignment/bitext-mining primitive (margin-based mining a la CCMatrix
+    keeps only mutual neighbors) and a high-precision near-dup verifier:
+    mutuality kills the hub problem that one-directional kNN has.
+
+    Plan: the per-vector top-5 comes from the exhaustive-kNN stage
+    (`stages/knn.py:134` — per-batch matmul partial top-k + merge, cos
+    desc / id asc tie rule shared with the oracle's window ORDER BY);
+    the query matrix is ONE `ray.put` broadcast, which bounds this
+    baseline at ~1e6 vectors — at corpus scale swap the candidate
+    generator for the IVF path (`ivf_knn`) and keep the SAME mutuality
+    join below.  Mutual matching then touches only the k*n edge list:
+    each directed edge maps to its canonical undirected key lo:hi, one
+    keyed exchange groups the <=2 directed rows per pair, and a pair
+    survives iff BOTH directions are present — no n^2 work after the
+    kNN, no driver-side set."""
+    from multimedia_indexing_ray.stages import knn as nn
+    from multimedia_indexing_ray.stages.partition import map_partitions_by_key
+
+    emb = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    # all-vectors query matrix: the documented broadcast (see docstring)
+    t = _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy()
+    mat = np.stack([np.asarray(v, dtype=np.float64) for v in t["embedding"].to_pylist()])
+    topk = nn.brute_force_knn(emb, (ids, mat), "embedding", "vec_id", k=5)
+
+    _out_schema = pa.schema(
+        [
+            ("a_id", pa.int64()),
+            ("b_id", pa.int64()),
+            ("rank_ab", pa.int64()),
+            ("rank_ba", pa.int64()),
+        ]
+    )
+
+    def _edge_key(batch: pa.Table) -> pa.Table:
+        src = batch["query_id"].to_numpy()
+        dst = batch["neighbor_id"].to_numpy()
+        lo = np.minimum(src, dst)
+        hi = np.maximum(src, dst)
+        key = np.char.add(
+            np.char.add(lo.astype("U20"), ":"), hi.astype("U20")
+        ).astype(object)
+        return pa.table(
+            {
+                "pair": pa.array(key, pa.string()),
+                "lo": pa.array(lo, pa.int64()),
+                "hi": pa.array(hi, pa.int64()),
+                "fwd": pa.array((src == lo).astype(np.int8), pa.int8()),
+                "rank": batch["rank"],
+            }
+        )
+
+    def _match(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _out_schema.empty_table()
+        lo = t["lo"].to_numpy()
+        hi = t["hi"].to_numpy()
+        fwd = t["fwd"].to_numpy()
+        rank = t["rank"].to_numpy().astype(np.int64)
+        order = np.lexsort((fwd, hi, lo))
+        lo, hi, fwd, rank = lo[order], hi[order], fwd[order], rank[order]
+        change = np.flatnonzero((lo[1:] != lo[:-1]) | (hi[1:] != hi[:-1])) + 1
+        starts = np.concatenate([[0], change]).astype(np.int64)
+        cnts = sg.segment_counts(starts, len(lo))
+        both = starts[cnts == 2]  # row order within: fwd=0 (bwd) then fwd=1
+        return pa.table(
+            {
+                "a_id": pa.array(lo[both], pa.int64()),
+                "b_id": pa.array(hi[both], pa.int64()),
+                "rank_ab": pa.array(rank[both + 1], pa.int64()),
+                "rank_ba": pa.array(rank[both], pa.int64()),
+            }
+        )
+
+    edges = topk.map_batches(_edge_key, batch_format="pyarrow")
+    return map_partitions_by_key(edges, "pair", _match, num_partitions=8)

@@ -416,6 +416,66 @@ def test_tv_drift_planted_extremes(ray_session, tmp_path):
     assert (df["tv"] == df["tv_num"] / df["tv_den"]).all()
 
 
+def test_mutual_knn_planted_hub_asymmetry(ray_session, tmp_path):
+    """An outlier whose top-5 are all cluster members, while every
+    cluster member prefers its 6 peers, must produce NO mutual pair —
+    the hub-suppression property one-directional kNN lacks; an
+    identical-vector pair must be mutual at rank 1/1.  Full output is
+    cross-checked against an O(n^2) numpy oracle with the same
+    (cos desc, id asc) tie rule."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from multimedia_indexing_ray.pipelines.queries import REGISTRY
+
+    d = 8
+    vecs, ids = [], []
+
+    def add(i, v):
+        ids.append(i)
+        vecs.append(np.asarray(v, dtype=np.float64))
+
+    e = np.eye(d)
+    add(0, e[3])  # identical pair -> mutual rank 1/1
+    add(1, e[3])
+    for i in range(10, 17):  # 7-member tight cluster on e1
+        add(i, e[1])
+    add(20, 0.5 * e[1] + np.sqrt(0.75) * e[2])  # outlier: cos 0.5 to cluster
+    mat = np.stack(vecs)
+    t = pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in vecs]),
+            "label": pa.array([0] * len(ids), pa.int32()),
+        }
+    )
+    pq.write_table(t, tmp_path / "embeddings.parquet")
+
+    df = REGISTRY["mutual_knn_pairs"].fn(str(tmp_path)).to_pandas()
+    got = {(r.a_id, r.b_id): (r.rank_ab, r.rank_ba) for r in df.itertuples()}
+
+    # numpy oracle: top-5 by (cos desc, id asc), then mutual intersection
+    idv = np.asarray(ids)
+    unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    cos = unit @ unit.T
+    topk = {}
+    for qi in range(len(idv)):
+        order = sorted(
+            (j for j in range(len(idv)) if j != qi),
+            key=lambda j: (-cos[qi, j], idv[j]),
+        )[:5]
+        topk[idv[qi]] = {idv[j]: r + 1 for r, j in enumerate(order)}
+    exp = {}
+    for a in idv:
+        for b, rab in topk[a].items():
+            if a < b and a in topk[b]:
+                exp[(a, b)] = (rab, topk[b][a])
+    assert got == exp
+    assert got[(0, 1)] == (1, 1)
+    assert not any(20 in p for p in got)  # the hub never becomes mutual
+    assert any(p[0] >= 10 for p in got)  # intra-cluster mutuals exist
+
+
 def test_mad_outliers_match_numpy_brute_force(ray_session, tmp_path):
     """Exact integer med2/mad2 vs float numpy medians, plus the 3-MAD
     outlier count, across even and odd group sizes."""
