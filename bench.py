@@ -112,6 +112,12 @@ BENCH_QUERIES = [
     "auc_value_purchase",
     "mad_outlier_per_type",
     "labelprop_neardup",
+    # r5j: one-pass CUBE (aggregate-sized multi-grouping partials),
+    # exact-rational total-variation drift monitor, and reciprocal
+    # top-k matching (kNN edge list -> canonical-pair keyed exchange)
+    "cube_type_day",
+    "tv_drift_by_type",
+    "mutual_knn_pairs",
 ]
 
 # Per-query shuffle strategy, interleaved-A/B measured (2026-08-17, 32

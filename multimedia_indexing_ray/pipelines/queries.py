@@ -11270,27 +11270,62 @@ def q_mutual_knn_pairs(sf_dir: str):
     keeps only mutual neighbors) and a high-precision near-dup verifier:
     mutuality kills the hub problem that one-directional kNN has.
 
-    Plan: the per-vector top-5 comes from the exhaustive-kNN stage
-    (`stages/knn.py:134` — per-batch matmul partial top-k + merge, cos
-    desc / id asc tie rule shared with the oracle's window ORDER BY);
-    the query matrix is ONE `ray.put` broadcast, which bounds this
-    baseline at ~1e6 vectors — at corpus scale swap the candidate
-    generator for the IVF path (`ivf_knn`) and keep the SAME mutuality
-    join below.  Mutual matching then touches only the k*n edge list:
-    each directed edge maps to its canonical undirected key lo:hi, one
-    keyed exchange groups the <=2 directed rows per pair, and a pair
-    survives iff BOTH directions are present — no n^2 work after the
-    kNN, no driver-side set."""
-    from multimedia_indexing_ray.stages import knn as nn
+    Plan: because self-kNN broadcasts the FULL unit matrix once
+    (`ray.put`), each batch computes its own rows' EXACT cosine top-5
+    against it in one matmul + `topk_rows` (`stages/knn.py:57` — same
+    cos desc / id asc tie rule as the oracle's window ORDER BY), so
+    unlike the few-query `brute_force_knn` there is NO partial-candidate
+    merge shuffle at all.  The broadcast bounds this baseline at ~1e6
+    vectors — at corpus scale swap the candidate generator for the IVF
+    path (`ivf_knn`) and keep the SAME mutuality join below.  Mutual
+    matching then touches only the k*n edge list: each directed edge
+    maps to its canonical undirected key lo:hi, one keyed exchange
+    groups the <=2 directed rows per pair, and a pair survives iff BOTH
+    directions are present — no n^2 work after the kNN, no driver-side
+    set."""
+    import ray as _ray
+
+    from multimedia_indexing_ray.stages.knn import _batch_matrix, _unit, topk_rows
     from multimedia_indexing_ray.stages.partition import map_partitions_by_key
 
     emb = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
 
-    # all-vectors query matrix: the documented broadcast (see docstring)
+    # all-vectors matrix: the documented broadcast (see docstring)
     t = _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
-    ids = t["vec_id"].to_numpy()
-    mat = np.stack([np.asarray(v, dtype=np.float64) for v in t["embedding"].to_pylist()])
-    topk = nn.brute_force_knn(emb, (ids, mat), "embedding", "vec_id", k=5)
+    all_ids = t["vec_id"].to_numpy().astype(np.int64)
+    all_mat = _unit(
+        np.stack([np.asarray(v, dtype=np.float64) for v in t["embedding"].to_pylist()])
+    )
+    ref = _ray.put((all_ids, all_mat))
+
+    _edge_schema = pa.schema(
+        [("query_id", pa.int64()), ("neighbor_id", pa.int64()), ("rank", pa.int64())]
+    )
+
+    def _selfknn(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _edge_schema.empty_table()
+        cids, cmat = _ray.get(ref)
+        bids = batch["vec_id"].to_numpy().astype(np.int64)
+        key = -(_unit(_batch_matrix(batch, "embedding")) @ cmat.T)
+        key[bids[:, None] == cids[None, :]] = np.inf  # exclude self
+        out_q, out_n, _ = topk_rows(bids, cids, key, 5)
+        if not out_q:
+            return _edge_schema.empty_table()
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                "neighbor_id": pa.array(np.concatenate(out_n), pa.int64()),
+                # topk_rows emits each row's survivors already in
+                # (cos desc, id asc) order -> rank is positional
+                "rank": pa.array(
+                    np.concatenate([np.arange(1, len(o) + 1) for o in out_q]),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    topk = emb.map_batches(_selfknn, batch_format="pyarrow", batch_size=1024)
 
     _out_schema = pa.schema(
         [
