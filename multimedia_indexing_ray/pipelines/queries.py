@@ -1951,7 +1951,7 @@ def _det_milli_centroids(embs: "ray.data.Dataset"):
     "centroid_assign",
     """
     WITH q AS (SELECT vec_id,
-          list_transform(embedding, x -> CAST(floor(x*1000+0.5) AS BIGINT)) AS iq
+          list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000+0.5) AS BIGINT)) AS iq
           FROM embeddings),
     c AS (SELECT vec_id AS cid, iq FROM q ORDER BY vec_id LIMIT 8),
     d AS (SELECT q.vec_id, c.cid,
@@ -10629,7 +10629,7 @@ def q_rrf_fusion_docs(sf_dir: str):
     "semdedup_docs",
     """
     WITH q AS (SELECT vec_id,
-          list_transform(embedding, x -> CAST(floor(x*1000+0.5) AS BIGINT)) AS iq
+          list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000+0.5) AS BIGINT)) AS iq
           FROM embeddings),
     c AS (SELECT vec_id AS cid, iq AS ciq FROM q ORDER BY vec_id LIMIT 8),
     d AS (SELECT q.vec_id, c.cid,
