@@ -11378,3 +11378,641 @@ def q_mutual_knn_pairs(sf_dir: str):
 
     edges = topk.map_batches(_edge_key, batch_format="pyarrow")
     return map_partitions_by_key(edges, "pair", _match, num_partitions=8)
+
+
+# --------------------------------------------------------------------------
+# round 5k: CDC snapshot diff, eval-metric curves, corpus-growth novelty,
+# shuffle-skew diagnostics, Z-order zone-map layout
+# --------------------------------------------------------------------------
+
+# Two deterministic "snapshot" views of events stand in for two daily
+# dumps landed in storage (the fixture for the CDC diff below): snapshot
+# A drops every 10th key; snapshot B drops every 7th key and doubles the
+# cents of every 5th key.  Membership/mutation are pure functions of
+# event_id so both engines derive identical snapshots with no RNG.
+_SNAP_A_SQL = (
+    f"SELECT event_id, {_CENTS_SQL.format(col='value')} AS cents "
+    "FROM events WHERE event_id % 10 != 0"
+)
+_SNAP_B_SQL = (
+    f"SELECT event_id, CASE WHEN event_id % 5 = 0 "
+    f"THEN 2*{_CENTS_SQL.format(col='value')} "
+    f"ELSE {_CENTS_SQL.format(col='value')} END AS cents "
+    "FROM events WHERE event_id % 7 != 0"
+)
+
+
+@register(
+    "snapshot_diff",
+    f"""
+    WITH a AS ({_SNAP_A_SQL}), b AS ({_SNAP_B_SQL})
+    SELECT COALESCE(a.event_id, b.event_id) AS event_id,
+      CASE WHEN a.event_id IS NULL THEN 'added'
+           WHEN b.event_id IS NULL THEN 'removed'
+           ELSE 'changed' END AS status,
+      a.cents AS old_cents, b.cents AS new_cents
+    FROM a FULL OUTER JOIN b ON a.event_id = b.event_id
+    WHERE a.event_id IS NULL OR b.event_id IS NULL OR a.cents != b.cents
+    """,
+)
+def q_snapshot_diff(sf_dir: str):
+    """CDC-style SNAPSHOT DIFF — the change-data-capture primitive a
+    100 TB pipeline runs between two landed dumps of the same table
+    before an incremental refresh: rows only in the new dump are
+    'added', rows only in the old are 'removed', rows in both with a
+    different payload are 'changed', unchanged rows are dropped (the
+    usual >99% of a daily diff never leaves the workers).
+
+    Plan: each snapshot is read independently (column-pruned, filter
+    applied in the first map), tagged with a side bit, and unioned;
+    ONE event_id-keyed exchange of slim (key, side, cents) rows
+    co-locates the <=2 rows per key; the per-partition kernel is a
+    lexsort + segment-boundary compare (no per-row Python).  The diff
+    output is proportional to the churn, not the table."""
+    from multimedia_indexing_ray.stages.partition import map_partitions_by_key
+
+    def _snap(side: int, keep_mod: int):
+        def _fn(batch: pa.Table) -> pa.Table:
+            ids = batch["event_id"].to_numpy()
+            cents = _cents(batch["value"].to_numpy(zero_copy_only=False)).astype(
+                np.int64
+            )
+            if side == 1:  # snapshot B mutates every 5th key
+                cents = np.where(ids % 5 == 0, 2 * cents, cents)
+            keep = ids % keep_mod != 0
+            return pa.table(
+                {
+                    "event_id": pa.array(ids[keep], pa.int64()),
+                    "side": pa.array(np.full(int(keep.sum()), side, np.int8)),
+                    "cents": pa.array(cents[keep], pa.int64()),
+                }
+            )
+
+        return _fn
+
+    ev_a = _rp(sf_dir, "events", ["event_id", "value"]).map_batches(
+        _snap(0, 10), batch_format="pyarrow"
+    )
+    ev_b = _rp(sf_dir, "events", ["event_id", "value"]).map_batches(
+        _snap(1, 7), batch_format="pyarrow"
+    )
+
+    _out_schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("status", pa.string()),
+            ("old_cents", pa.int64()),
+            ("new_cents", pa.int64()),
+        ]
+    )
+
+    def _diff(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _out_schema.empty_table()
+        ids = t["event_id"].to_numpy()
+        side = t["side"].to_numpy()
+        cents = t["cents"].to_numpy()
+        order = np.lexsort((side, ids))
+        ids, side, cents = ids[order], side[order], cents[order]
+        starts = sg.segment_starts(ids)
+        cnts = sg.segment_counts(starts, len(ids))
+        one = starts[cnts == 1]
+        added = one[side[one] == 1]
+        removed = one[side[one] == 0]
+        two = starts[cnts == 2]  # row order within: side 0 (old) then 1 (new)
+        changed = two[cents[two] != cents[two + 1]]
+        out_id = np.concatenate([ids[added], ids[removed], ids[changed]])
+        status = np.concatenate(
+            [
+                np.full(len(added), "added", object),
+                np.full(len(removed), "removed", object),
+                np.full(len(changed), "changed", object),
+            ]
+        )
+        old_c = np.concatenate([cents[added], cents[removed], cents[changed]])
+        old_mask = np.concatenate(
+            [np.ones(len(added), bool), np.zeros(len(removed) + len(changed), bool)]
+        )
+        new_c = np.concatenate([cents[added], cents[removed], cents[changed + 1]])
+        new_mask = np.concatenate(
+            [np.zeros(len(added), bool), np.ones(len(removed), bool),
+             np.zeros(len(changed), bool)]
+        )
+        return pa.table(
+            {
+                "event_id": pa.array(out_id, pa.int64()),
+                "status": pa.array(status, pa.string()),
+                "old_cents": pa.array(old_c, pa.int64(), mask=old_mask),
+                "new_cents": pa.array(new_c, pa.int64(), mask=new_mask),
+            }
+        )
+
+    return map_partitions_by_key(
+        ev_a.union(ev_b), "event_id", _diff, num_partitions=16
+    )
+
+
+_FNV_SQL = (
+    "list_reduce(list_prepend(CAST(2166136261 AS BIGINT), "
+    "list_transform(split(CAST({col} AS VARCHAR), ''), c -> ascii(c))), "
+    "(a, b) -> (xor(a, b) * 16777619) % 4294967296)"
+)
+
+
+@register(
+    "calibration_bins",
+    f"""
+    WITH s AS (SELECT CAST({_FNV_SQL.format(col='event_id')} % 1000 AS BIGINT)
+                 AS score_milli,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+               FROM events)
+    SELECT score_milli // 100 AS bin,
+      CAST(COUNT(*) AS BIGINT) AS n,
+      CAST(SUM(pos) AS BIGINT) AS n_pos,
+      CAST(SUM(score_milli) AS DOUBLE) / (COUNT(*) * 1000) AS mean_score,
+      CAST(SUM(pos) AS DOUBLE) / COUNT(*) AS pos_rate
+    FROM s GROUP BY 1
+    """,
+)
+def q_calibration_bins(sf_dir: str):
+    """MODEL-CALIBRATION reliability diagram (the eval-metrics family
+    next to `auc_value_purchase`): bucket a score into 10 equal bins
+    and report per-bin count, mean score and positive rate — the table
+    a training pipeline emits to check a quality/filter model's
+    calibration before using its scores as sampling weights.  The
+    score here is the deterministic content hash mapped to [0,1) (the
+    K8 sampler's `_fnv1a32`, so both engines derive identical scores
+    with no model dependency); the label is event_type='purchase'.
+
+    Exactness: per-bin sums are int64; each output double is ONE
+    division of <2^53 integers, so the compare is bit-exact.  Plan:
+    per-batch 10-group combiner -> `_tiny_group_sum` (no keyed
+    exchange at all — the classic partial-aggregate shape)."""
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        h = (_fnv1a32(batch["event_id"].to_numpy()) % np.uint64(1000)).astype(np.int64)
+        pos = pc.equal(batch["event_type"], "purchase").to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                "bin": pa.array(h // 100, pa.int64()),
+                "n": pa.array(np.ones(len(h), np.int64)),
+                "n_pos": pa.array(pos.astype(np.int64)),
+                "sum_milli": pa.array(h, pa.int64()),
+            }
+        )
+        return _pa_group_sum(t, ["bin"], ["n", "n_pos", "sum_milli"])
+
+    def _finish(batch: pa.Table) -> pa.Table:
+        n = batch["n"].to_numpy()
+        n_pos = batch["n_pos"].to_numpy()
+        sm = batch["sum_milli"].to_numpy()
+        return pa.table(
+            {
+                "bin": batch["bin"],
+                "n": batch["n"],
+                "n_pos": batch["n_pos"],
+                "mean_score": pa.array(sm.astype(np.float64) / (n * 1000)),
+                "pos_rate": pa.array(n_pos.astype(np.float64) / n),
+            }
+        )
+
+    ev = _rp(sf_dir, "events", ["event_id", "event_type"])
+    return _tiny_group_sum(ev.map_batches(_partial, batch_format="pyarrow"),
+                           ["bin"], ["n", "n_pos", "sum_milli"]).map_batches(
+        _finish, batch_format="pyarrow"
+    )
+
+
+@register(
+    "pr_at_thresholds",
+    f"""
+    WITH b AS (
+      SELECT LEAST({_TV_BUCKET_SQL}, 19) AS bucket,
+        CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+      FROM events),
+    c AS (SELECT bucket, CAST(SUM(pos) AS BIGINT) AS npos,
+                 CAST(SUM(1 - pos) AS BIGINT) AS nneg
+          FROM b GROUP BY 1),
+    t AS (SELECT CAST(r.range AS BIGINT) AS thr FROM range(0, 20) r),
+    s AS (SELECT t.thr,
+            CAST(COALESCE(SUM(CASE WHEN c.bucket >= t.thr THEN c.npos END), 0)
+                 AS BIGINT) AS tp,
+            CAST(COALESCE(SUM(CASE WHEN c.bucket >= t.thr THEN c.nneg END), 0)
+                 AS BIGINT) AS fp
+          FROM t LEFT JOIN c ON true GROUP BY 1),
+    p AS (SELECT CAST(COALESCE(SUM(npos), 0) AS BIGINT) AS p_total FROM c),
+    m AS (SELECT thr, thr * 500 AS thr_cents, tp, fp, p.p_total - tp AS fn,
+            CASE WHEN tp + fp > 0
+                 THEN CAST(tp AS DOUBLE) / (tp + fp) END AS precision,
+            CASE WHEN p.p_total > 0
+                 THEN CAST(tp AS DOUBLE) / p.p_total END AS recall
+          FROM s, p)
+    SELECT thr, thr_cents, tp, fp, fn, precision, recall,
+      CASE WHEN precision + recall > 0
+           THEN 2 * precision * recall / (precision + recall) END AS f1
+    FROM m
+    """,
+)
+def q_pr_at_thresholds(sf_dir: str):
+    """PRECISION/RECALL CURVE on a fixed threshold grid (the quality-
+    filter tuning table: 'keep docs with score >= t' for t = $0, $5,
+    ..., $95) — with `auc_value_purchase` and `calibration_bins` this
+    completes the eval-metrics family.  Score = value, label =
+    event_type='purchase'; for each of the 20 thresholds: tp/fp/fn and
+    precision/recall/F1 at 'predict positive iff value >= t'.
+
+    Exactness: value buckets reuse `_TV_BUCKET_SQL`'s exact floor-
+    division cents bucketing clamped to [.., 19] (a row >= $95 counts
+    toward every threshold, exactly mirrored by LEAST); tp/fp are
+    suffix sums of int64 bucket counts; precision and recall are ONE
+    int/int division each and F1 is computed from those two already-
+    rounded doubles with the same ((2*p)*r)/(p+r) operation tree on
+    both engines — bit-exact.  Plan: per-batch bucket combiner ->
+    `_tiny_group_sum` -> a 20-row driver-side finish (no exchange)."""
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        c = _cents(batch["value"].to_numpy(zero_copy_only=False)).astype(np.int64)
+        bucket = np.minimum(np.floor_divide(c, 500), 19)
+        pos = pc.equal(batch["event_type"], "purchase").to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        t = pa.table(
+            {
+                "bucket": pa.array(bucket, pa.int64()),
+                "npos": pa.array(pos, pa.int64()),
+                "nneg": pa.array(1 - pos, pa.int64()),
+            }
+        )
+        return _pa_group_sum(t, ["bucket"], ["npos", "nneg"])
+
+    def _finish(batch: pa.Table) -> pa.Table:
+        bucket = batch["bucket"].to_numpy()
+        npos = batch["npos"].to_numpy()
+        nneg = batch["nneg"].to_numpy()
+        thr = np.arange(20, dtype=np.int64)
+        sel = bucket[None, :] >= thr[:, None]
+        tp = (sel * npos[None, :]).sum(axis=1)
+        fp = (sel * nneg[None, :]).sum(axis=1)
+        p_total = int(npos.sum())
+        fn = p_total - tp
+        with np.errstate(invalid="ignore", divide="ignore"):
+            precision = tp.astype(np.float64) / (tp + fp)
+            recall = (
+                tp.astype(np.float64) / p_total if p_total > 0
+                else np.full(20, np.nan)
+            )
+            f1 = 2 * precision * recall / (precision + recall)
+        prec_null = (tp + fp) == 0
+        rec_null = p_total == 0
+        f1_null = prec_null | rec_null | ~(np.nan_to_num(precision) +
+                                           np.nan_to_num(recall) > 0)
+        return pa.table(
+            {
+                "thr": pa.array(thr, pa.int64()),
+                "thr_cents": pa.array(thr * 500, pa.int64()),
+                "tp": pa.array(tp, pa.int64()),
+                "fp": pa.array(fp, pa.int64()),
+                "fn": pa.array(fn, pa.int64()),
+                "precision": pa.array(
+                    np.nan_to_num(precision), pa.float64(), mask=prec_null
+                ),
+                "recall": pa.array(
+                    np.nan_to_num(recall), pa.float64(),
+                    mask=np.full(20, rec_null),
+                ),
+                "f1": pa.array(np.nan_to_num(f1), pa.float64(), mask=f1_null),
+            }
+        )
+
+    ev = _rp(sf_dir, "events", ["value", "event_type"])
+    return _tiny_group_sum(
+        ev.map_batches(_partial, batch_format="pyarrow"), ["bucket"], ["npos", "nneg"]
+    ).map_batches(_finish, batch_format="pyarrow", batch_size=None)
+
+
+@register(
+    "new_user_rate_daily",
+    """
+    WITH ud AS (SELECT DISTINCT user_id,
+                  CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+                FROM events),
+    f AS (SELECT user_id, MIN(day) AS fday FROM ud GROUP BY 1)
+    SELECT day, CAST(COUNT(*) AS BIGINT) AS n_users,
+      CAST(SUM(CASE WHEN ud.day = f.fday THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+      CAST(SUM(CASE WHEN ud.day = f.fday THEN 1 ELSE 0 END) AS DOUBLE)
+        / COUNT(*) AS new_rate
+    FROM ud JOIN f USING (user_id) GROUP BY 1
+    """,
+)
+def q_new_user_rate_daily(sf_dir: str):
+    """CORPUS-GROWTH / NOVELTY rate — per day, how many of the day's
+    active keys were never seen before (the 'fraction of today's crawl
+    that is genuinely new' monitor a continuously-refreshed corpus
+    tracks; first-seen semantics are the same as the dedup family's
+    first-wins rule, aggregated instead of filtered).
+
+    Plan: per-batch distinct (user_id, day) combiner slims the
+    exchange to active-key-days; ONE user_id-keyed exchange groups
+    each key's days; the per-partition kernel re-dedupes, marks each
+    key's MIN day, and emits (day, n, n_new) partials; the finish is a
+    `_tiny_group_sum` over the O(days) rows plus one exact division.
+    The raw event rows never shuffle."""
+    from multimedia_indexing_ray.stages.partition import map_partitions_by_key
+
+    DAY_US = 86_400_000_000
+
+    def _pairs(batch: pa.Table) -> pa.Table:
+        u = batch["user_id"].to_numpy()
+        d = batch["ts"].cast(pa.int64()).to_numpy() // DAY_US
+        uniq = np.unique(np.stack([u, d], axis=1), axis=0)
+        return pa.table(
+            {
+                "user_id": pa.array(uniq[:, 0], pa.int64()),
+                "day": pa.array(uniq[:, 1], pa.int64()),
+            }
+        )
+
+    _part_schema = pa.schema(
+        [("day", pa.int64()), ("n", pa.int64()), ("n_new", pa.int64())]
+    )
+
+    def _per_user(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _part_schema.empty_table()
+        u = t["user_id"].to_numpy()
+        d = t["day"].to_numpy()
+        uniq = np.unique(np.stack([u, d], axis=1), axis=0)
+        u, d = uniq[:, 0], uniq[:, 1]
+        starts = sg.segment_starts(u)
+        is_first = np.zeros(len(u), np.int64)
+        is_first[starts] = 1  # rows sorted by (user, day): first = min day
+        t2 = pa.table(
+            {
+                "day": pa.array(d, pa.int64()),
+                "n": pa.array(np.ones(len(d), np.int64)),
+                "n_new": pa.array(is_first, pa.int64()),
+            }
+        )
+        return _pa_group_sum(t2, ["day"], ["n", "n_new"])
+
+    def _finish(batch: pa.Table) -> pa.Table:
+        n = batch["n"].to_numpy()
+        n_new = batch["n_new"].to_numpy()
+        return pa.table(
+            {
+                "day": batch["day"],
+                "n_users": batch["n"],
+                "n_new": batch["n_new"],
+                "new_rate": pa.array(n_new.astype(np.float64) / n),
+            }
+        )
+
+    ev = _rp(sf_dir, "events", ["user_id", "ts"])
+    pairs = ev.map_batches(_pairs, batch_format="pyarrow")
+    partials = map_partitions_by_key(pairs, "user_id", _per_user, num_partitions=16)
+    return _tiny_group_sum(partials, ["day"], ["n", "n_new"]).map_batches(
+        _finish, batch_format="pyarrow"
+    )
+
+
+@register(
+    "key_skew_report",
+    """
+    WITH c AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+               FROM events GROUP BY 1)
+    SELECT CAST(length(bin(cnt)) - 1 AS BIGINT) AS bucket,
+      CAST(COUNT(*) AS BIGINT) AS n_keys,
+      CAST(SUM(cnt) AS BIGINT) AS n_rows,
+      CAST(MAX(cnt) AS BIGINT) AS max_cnt
+    FROM c GROUP BY 1
+    """,
+)
+def q_key_skew_report(sf_dir: str):
+    """SHUFFLE-SKEW DIAGNOSTICS — the log2 histogram of per-key row
+    counts (keys per power-of-two bucket, rows they hold, the largest
+    key) that tells an operator author whether a planned groupby key
+    is safe or needs the hot-key split plan (`stages/hotkeys.py` makes
+    that decision online with a Misra-Gries sketch; this query is the
+    offline audit report of the same distribution).
+
+    Exactness: bucket = floor(log2(cnt)) computed as the binary
+    exponent via np.frexp (exact for cnt < 2^53 — no float log2
+    rounding risk at exact powers of two), mirrored in SQL as
+    length(bin(cnt))-1.  Plan: per-batch (user, partial-count)
+    combiner -> ONE user-keyed exchange summing true per-key counts ->
+    per-partition bucket partials (sum/sum/max) -> one tiny merge."""
+    from multimedia_indexing_ray.stages.partition import map_partitions_by_key
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "user_id": batch["user_id"],
+                "cnt": pa.array(np.ones(batch.num_rows, np.int64)),
+            }
+        )
+        return _pa_group_sum(t, ["user_id"], ["cnt"])
+
+    _bucket_schema = pa.schema(
+        [
+            ("bucket", pa.int64()),
+            ("n_keys", pa.int64()),
+            ("n_rows", pa.int64()),
+            ("max_cnt", pa.int64()),
+        ]
+    )
+
+    def _bucketize(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _bucket_schema.empty_table()
+        g = _pa_group_sum(t, ["user_id"], ["cnt"])
+        cnt = g["cnt"].to_numpy()
+        bucket = (np.frexp(cnt.astype(np.float64))[1] - 1).astype(np.int64)
+        t2 = pa.table(
+            {
+                "bucket": pa.array(bucket, pa.int64()),
+                "n_keys": pa.array(np.ones(len(cnt), np.int64)),
+                "n_rows": pa.array(cnt, pa.int64()),
+                "max_cnt": pa.array(cnt, pa.int64()),
+            }
+        )
+        gb = pa.TableGroupBy(t2, ["bucket"]).aggregate(
+            [("n_keys", "sum"), ("n_rows", "sum"), ("max_cnt", "max")]
+        )
+        return pa.table(
+            {
+                "bucket": gb["bucket"],
+                "n_keys": gb["n_keys_sum"],
+                "n_rows": gb["n_rows_sum"],
+                "max_cnt": gb["max_cnt_max"],
+            }
+        )
+
+    def _merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _bucket_schema.empty_table()
+        gb = pa.TableGroupBy(t, ["bucket"]).aggregate(
+            [("n_keys", "sum"), ("n_rows", "sum"), ("max_cnt", "max")]
+        )
+        return pa.table(
+            {
+                "bucket": gb["bucket"],
+                "n_keys": gb["n_keys_sum"],
+                "n_rows": gb["n_rows_sum"],
+                "max_cnt": gb["max_cnt_max"],
+            }
+        )
+
+    ev = _rp(sf_dir, "events", ["user_id"])
+    partials = ev.map_batches(_partial, batch_format="pyarrow")
+    buckets = map_partitions_by_key(partials, "user_id", _bucketize,
+                                    num_partitions=16)
+    return buckets.repartition(1).map_batches(
+        _merge, batch_format="pyarrow", batch_size=None
+    )
+
+
+# Z-order bit interleave: value bucket v into ODD bit positions, time
+# bucket t into EVEN positions (10 bits each -> 20-bit key).  The SQL
+# expression is generated to mirror the numpy kernel term by term.
+_Z_TERMS_SQL = " + ".join(
+    f"(((v >> {i}) & 1) << {2 * i + 1}) + (((t >> {i}) & 1) << {2 * i})"
+    for i in range(10)
+)
+
+
+def _zorder_interleave(v: np.ndarray, t: np.ndarray) -> np.ndarray:
+    z = np.zeros(len(v), np.int64)
+    for i in range(10):
+        z += ((v >> i) & 1) << (2 * i + 1)
+        z += ((t >> i) & 1) << (2 * i)
+    return z
+
+
+@register(
+    "zorder_zonemap",
+    f"""
+    WITH m AS (SELECT CAST(MIN(epoch_us(ts) // 3600000000) AS BIGINT) AS hmin
+               FROM events),
+    s AS (SELECT
+            GREATEST(LEAST({_CENTS_SQL.format(col='value')} // 50, 1023), 0) AS v,
+            LEAST(CAST(epoch_us(ts) // 3600000000 AS BIGINT)
+                  - (SELECT hmin FROM m), 1023) AS t,
+            {_CENTS_SQL.format(col='value')} AS cents,
+            CAST(epoch_us(ts) // 3600000000 AS BIGINT)
+              - (SELECT hmin FROM m) AS hoff
+          FROM events),
+    z AS (SELECT ({_Z_TERMS_SQL}) AS zkey, cents, hoff FROM s)
+    SELECT CAST(zkey >> 14 AS BIGINT) AS cell,
+      CAST(COUNT(*) AS BIGINT) AS n_rows,
+      CAST(MIN(cents) AS BIGINT) AS vmin_cents,
+      CAST(MAX(cents) AS BIGINT) AS vmax_cents,
+      CAST(MIN(hoff) AS BIGINT) AS hmin_off,
+      CAST(MAX(hoff) AS BIGINT) AS hmax_off
+    FROM z GROUP BY 1
+    """,
+)
+def q_zorder_zonemap(sf_dir: str):
+    """DATA-LAYOUT op: Z-ORDER (Morton) clustering cells + their ZONE
+    MAPS.  A 100 TB table queried by BOTH value range and time range
+    cannot be sorted to serve both; the standard layout answer is to
+    interleave the bits of the two bucketized dimensions into one
+    Morton key and cluster files by its prefix — every resulting cell
+    is then TIGHT in both dimensions at once, so either predicate
+    prunes most cells at the read (`read_parquet` row-group pruning
+    against exactly these min/max zone maps).  This query computes the
+    cell assignment (6-bit zkey prefix = a 128x128-bucket quad cell)
+    and each cell's zone map (n_rows, min/max cents, min/max
+    hour-offset); writing would be `write_parquet(partition_by=cell)`.
+
+    Exactness: buckets are exact floor-division cents / hour offsets
+    (hmin fixed by a 1-int min pass, same shape as tv_drift's); the
+    interleave is integer bit arithmetic generated term-by-term into
+    the SQL so both engines evaluate the identical expression.  Plan:
+    min pass (2-int partials) -> vectorized map -> per-batch cell
+    combiner (sum/min/max over <=64 cells) -> one tiny merge; no keyed
+    exchange at all."""
+    HOUR_US = 3_600_000_000
+
+    mm = (
+        _rp(sf_dir, "events", ["ts"])
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "hmin": pa.array(
+                        [int(b["ts"].cast(pa.int64()).to_numpy().min() // HOUR_US)]
+                        if b.num_rows
+                        else [],
+                        pa.int64(),
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    hmin = int(mm["hmin"].min())
+
+    _cell_schema = pa.schema(
+        [
+            ("cell", pa.int64()),
+            ("n_rows", pa.int64()),
+            ("vmin_cents", pa.int64()),
+            ("vmax_cents", pa.int64()),
+            ("hmin_off", pa.int64()),
+            ("hmax_off", pa.int64()),
+        ]
+    )
+
+    def _agg_cells(t: pa.Table) -> pa.Table:
+        gb = pa.TableGroupBy(t, ["cell"]).aggregate(
+            [
+                ("n_rows", "sum"),
+                ("vmin_cents", "min"),
+                ("vmax_cents", "max"),
+                ("hmin_off", "min"),
+                ("hmax_off", "max"),
+            ]
+        )
+        return pa.table(
+            {
+                "cell": gb["cell"],
+                "n_rows": gb["n_rows_sum"],
+                "vmin_cents": gb["vmin_cents_min"],
+                "vmax_cents": gb["vmax_cents_max"],
+                "hmin_off": gb["hmin_off_min"],
+                "hmax_off": gb["hmax_off_max"],
+            }
+        )
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _cell_schema.empty_table()
+        cents = _cents(batch["value"].to_numpy(zero_copy_only=False)).astype(np.int64)
+        hoff = batch["ts"].cast(pa.int64()).to_numpy() // HOUR_US - hmin
+        v = np.clip(np.floor_divide(cents, 50), 0, 1023)
+        t = np.minimum(hoff, 1023)
+        cell = _zorder_interleave(v, t) >> 14
+        return _agg_cells(
+            pa.table(
+                {
+                    "cell": pa.array(cell, pa.int64()),
+                    "n_rows": pa.array(np.ones(len(cell), np.int64)),
+                    "vmin_cents": pa.array(cents, pa.int64()),
+                    "vmax_cents": pa.array(cents, pa.int64()),
+                    "hmin_off": pa.array(hoff, pa.int64()),
+                    "hmax_off": pa.array(hoff, pa.int64()),
+                }
+            )
+        )
+
+    def _merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _cell_schema.empty_table()
+        return _agg_cells(t)
+
+    ev = _rp(sf_dir, "events", ["ts", "value"])
+    return (
+        ev.map_batches(_partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(_merge, batch_format="pyarrow", batch_size=None)
+    )

@@ -99,6 +99,12 @@ QUERIES = [
     "incremental_feature_store_parity",
     "hourly_concurrent_sessions",
     "sliding_distinct_users_1h",
+    "snapshot_diff",
+    "calibration_bins",
+    "pr_at_thresholds",
+    "new_user_rate_daily",
+    "key_skew_report",
+    "zorder_zonemap",
 ]
 
 
