@@ -12016,3 +12016,474 @@ def q_zorder_zonemap(sf_dir: str):
         .repartition(1)
         .map_batches(_merge, batch_format="pyarrow", batch_size=None)
     )
+
+
+# --------------------------------------------------------------------------
+# round 5l: classification eval (confusion/per-class metrics), nucleus
+# per-source token-budget selection, CUSUM change-point, seasonal residuals
+# --------------------------------------------------------------------------
+
+
+@register(
+    "langid_confusion",
+    f"""
+    WITH p AS ({_LANGID_SQL})
+    SELECT d.lang AS lang_true, p.lang_pred, CAST(COUNT(*) AS BIGINT) AS n
+    FROM documents d JOIN p USING (doc_id) GROUP BY 1, 2
+    """,
+)
+def q_langid_confusion(sf_dir: str):
+    """CLASSIFIER-EVAL confusion matrix: the langid heuristic's
+    predictions against the corpus's `lang` labels — the table every
+    pipeline emits before trusting a model's output as a routing/
+    filter key (here: before `balance_by_lang` / `chi2_term_lang`
+    condition on predicted language).  Reuses the SHARED `langid`
+    kernel/SQL so the label rule cannot drift from the other
+    langid-conditioned queries.
+
+    Plan: one map computes (lang_true, lang_pred) per doc; the counts
+    are a <=|langs|^2-group `_tiny_group_sum` — pure partial
+    aggregation, no keyed exchange."""
+    docs = _rp(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def _fn(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "lang_true": batch["lang"],
+                "lang_pred": pa.array(langid(batch["text"]), pa.string()),
+                "n": pa.array(np.ones(batch.num_rows, np.int64)),
+            }
+        )
+        return _pa_group_sum(t, ["lang_true", "lang_pred"], ["n"])
+
+    return _tiny_group_sum(
+        docs.map_batches(_fn, batch_format="pyarrow"), ["lang_true", "lang_pred"], ["n"]
+    )
+
+
+@register(
+    "langid_class_metrics",
+    f"""
+    WITH p AS ({_LANGID_SQL}),
+    cm AS (SELECT d.lang AS lang_true, p.lang_pred, CAST(COUNT(*) AS BIGINT) AS n
+           FROM documents d JOIN p USING (doc_id) GROUP BY 1, 2),
+    cls AS (SELECT DISTINCT lang_true AS lang FROM cm
+            UNION SELECT DISTINCT lang_pred FROM cm),
+    s AS (SELECT cls.lang,
+        CAST(COALESCE(SUM(CASE WHEN cm.lang_true = cls.lang
+                                AND cm.lang_pred = cls.lang THEN cm.n END), 0)
+             AS BIGINT) AS tp,
+        CAST(COALESCE(SUM(CASE WHEN cm.lang_pred = cls.lang
+                                AND cm.lang_true != cls.lang THEN cm.n END), 0)
+             AS BIGINT) AS fp,
+        CAST(COALESCE(SUM(CASE WHEN cm.lang_true = cls.lang
+                                AND cm.lang_pred != cls.lang THEN cm.n END), 0)
+             AS BIGINT) AS fn
+      FROM cls LEFT JOIN cm ON true GROUP BY 1),
+    m AS (SELECT lang, tp, fp, fn,
+        CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / (tp + fp) END AS precision,
+        CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / (tp + fn) END AS recall
+      FROM s)
+    SELECT lang, tp, fp, fn, precision, recall,
+      CASE WHEN precision + recall > 0
+           THEN 2 * precision * recall / (precision + recall) END AS f1
+    FROM m
+    """,
+)
+def q_langid_class_metrics(sf_dir: str):
+    """Per-class precision/recall/F1 from the langid confusion matrix
+    (one-vs-rest over the union of true and predicted classes) — with
+    `auc_value_purchase`, `calibration_bins` and `pr_at_thresholds`
+    this completes the eval-metrics family for categorical outputs.
+
+    Exactness: tp/fp/fn are int64 confusion sums; precision/recall are
+    ONE int/int division each and F1 uses the same ((2*p)*r)/(p+r)
+    tree as `pr_at_thresholds` — bit-exact.  Plan: the confusion
+    matrix is the aggregate (same plan as `langid_confusion`); the
+    per-class pivot runs on the driver over <=|langs|^2 rows."""
+    docs = _rp(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def _fn(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "lang_true": batch["lang"],
+                "lang_pred": pa.array(langid(batch["text"]), pa.string()),
+                "n": pa.array(np.ones(batch.num_rows, np.int64)),
+            }
+        )
+        return _pa_group_sum(t, ["lang_true", "lang_pred"], ["n"])
+
+    cm = _tiny_group_sum(
+        docs.map_batches(_fn, batch_format="pyarrow"), ["lang_true", "lang_pred"], ["n"]
+    ).to_pandas()
+    classes = sorted(set(cm["lang_true"]) | set(cm["lang_pred"]))
+    tru = cm["lang_true"].to_numpy()
+    prd = cm["lang_pred"].to_numpy()
+    n = cm["n"].to_numpy()
+    tp = np.array([n[(tru == c) & (prd == c)].sum() for c in classes], np.int64)
+    fp = np.array([n[(prd == c) & (tru != c)].sum() for c in classes], np.int64)
+    fn = np.array([n[(tru == c) & (prd != c)].sum() for c in classes], np.int64)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        precision = tp.astype(np.float64) / (tp + fp)
+        recall = tp.astype(np.float64) / (tp + fn)
+        f1 = 2 * precision * recall / (precision + recall)
+    prec_null = (tp + fp) == 0
+    rec_null = (tp + fn) == 0
+    f1_null = prec_null | rec_null | ~(
+        np.nan_to_num(precision) + np.nan_to_num(recall) > 0
+    )
+    return pa.table(
+        {
+            "lang": pa.array(classes, pa.string()),
+            "tp": pa.array(tp, pa.int64()),
+            "fp": pa.array(fp, pa.int64()),
+            "fn": pa.array(fn, pa.int64()),
+            "precision": pa.array(np.nan_to_num(precision), pa.float64(), mask=prec_null),
+            "recall": pa.array(np.nan_to_num(recall), pa.float64(), mask=rec_null),
+            "f1": pa.array(np.nan_to_num(f1), pa.float64(), mask=f1_null),
+        }
+    )
+
+
+_STOPW_RE = r"\b(the|and|of|a|to|in|is|it)\b"
+_TOKEN_RE = r"\S+"
+
+
+@register(
+    "nucleus_select_docs",
+    rf"""
+    WITH f AS (SELECT doc_id, source,
+        CAST(len(regexp_extract_all(text, '{_STOPW_RE}')) AS BIGINT) AS quality,
+        CAST(len(regexp_extract_all(text, '{_TOKEN_RE}')) AS BIGINT) AS n_tokens
+      FROM documents),
+    w AS (SELECT *,
+        CAST(COALESCE(SUM(n_tokens) OVER (
+          PARTITION BY source ORDER BY quality DESC, doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+          AS cum_before,
+        CAST(SUM(n_tokens) OVER (PARTITION BY source) AS BIGINT) AS total
+      FROM f)
+    SELECT doc_id, source, quality, n_tokens FROM w
+    WHERE cum_before < 4 * total // 5
+    """,
+)
+def q_nucleus_select_docs(sf_dir: str):
+    """NUCLEUS (top-p) CORPUS SELECTION — per source, keep the highest-
+    quality documents until 80% of the source's token budget is spent
+    (quality desc, doc_id asc; a doc is kept iff the tokens ranked
+    strictly before it are under budget).  This is the quality-ranked
+    counterpart of `mixture_resample_docs` (which reweights blindly)
+    and `token_shard_docs` (which spends the budget in id order): the
+    curation step that turns a quality score into a token-budgeted
+    corpus cut.
+
+    SCALE PLAN — no per-source ordered scan of the corpus: pass 1
+    aggregates (source, quality) -> token sums (tiny: quality is a
+    small-int score); the driver finds each source's quality CUTOFF
+    bucket on that aggregate; pass 2 is a stateless filter (quality
+    above cutoff -> keep, below -> drop) plus a keyed exchange of ONLY
+    the boundary bucket's rows (one quality value per source) whose
+    doc_id-ordered prefix spends the remaining budget.  Equivalent to
+    the full (quality desc, doc_id) scan, but the only ordered work is
+    the boundary sliver."""
+    from multimedia_indexing_ray.stages.partition import map_partitions_by_key
+
+    docs = _rp(sf_dir, "documents", ["doc_id", "source", "text"])
+
+    def _feat(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "source": batch["source"],
+                "quality": pa.array(tx.stopword_count(batch["text"]), pa.int64()),
+                "n_tokens": pa.array(tx.token_count(batch["text"]), pa.int64()),
+            }
+        )
+
+    feats = docs.map_batches(_feat, batch_format="pyarrow")
+
+    def _hist_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "source": batch["source"],
+                "quality": batch["quality"],
+                "n_tokens": batch["n_tokens"],
+            }
+        )
+        return _pa_group_sum(t, ["source", "quality"], ["n_tokens"])
+
+    hist = _tiny_group_sum(
+        feats.map_batches(_hist_partial, batch_format="pyarrow"),
+        ["source", "quality"],
+        ["n_tokens"],
+    ).to_pandas()
+
+    # per-source cutoff: buckets in quality-desc order; kept while the
+    # cumulative (incl.) stays <= budget; the first bucket whose prefix
+    # is < budget but whose inclusion crosses it is the boundary
+    plans: dict = {}
+    for src, g in hist.groupby("source"):
+        g = g.sort_values("quality", ascending=False)
+        q = g["quality"].to_numpy()
+        tok = g["n_tokens"].to_numpy()
+        total = int(tok.sum())
+        budget = 4 * total // 5
+        cum_incl = np.cumsum(tok)
+        cum_before = cum_incl - tok
+        full_keep = cum_incl <= budget
+        q_min_keep = int(q[full_keep].min()) if full_keep.any() else None
+        bnd = (cum_before < budget) & (cum_incl > budget)
+        q_bound = int(q[bnd][0]) if bnd.any() else None
+        offset = int(cum_before[bnd][0]) if bnd.any() else 0
+        plans[src] = (q_min_keep, q_bound, offset, budget)
+
+    def _route(code: int):
+        # code 1 = fully-kept buckets, 2 = boundary bucket rows
+        def _fn(batch: pa.Table) -> pa.Table:
+            src = batch["source"].to_numpy(zero_copy_only=False)
+            qv = batch["quality"].to_numpy()
+            keep = np.zeros(len(src), bool)
+            for s in np.unique(src):
+                q_min_keep, q_bound, _, _ = plans[s]
+                m = src == s
+                if code == 1 and q_min_keep is not None:
+                    keep |= m & (qv >= q_min_keep)
+                elif code == 2 and q_bound is not None:
+                    keep |= m & (qv == q_bound)
+            return batch.filter(pa.array(keep))
+
+        return _fn
+
+    kept = feats.map_batches(_route(1), batch_format="pyarrow")
+    boundary = feats.map_batches(_route(2), batch_format="pyarrow")
+
+    _schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("source", pa.string()),
+            ("quality", pa.int64()),
+            ("n_tokens", pa.int64()),
+        ]
+    )
+
+    def _boundary_prefix(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _schema.empty_table()
+        src = t["source"].to_numpy(zero_copy_only=False)
+        ids = t["doc_id"].to_numpy()
+        tok = t["n_tokens"].to_numpy()
+        order = np.lexsort((ids, src))
+        src, ids, tok = src[order], ids[order], tok[order]
+        starts = sg.segment_starts(src)
+        cum = np.cumsum(tok)
+        base = np.repeat(cum[starts] - tok[starts], sg.segment_counts(starts, len(src)))
+        cum_within_before = cum - tok - base
+        off = np.array([plans[s][2] for s in src], np.int64)
+        bud = np.array([plans[s][3] for s in src], np.int64)
+        keep = off + cum_within_before < bud
+        return t.take(pa.array(order[keep]))
+
+    boundary_kept = map_partitions_by_key(
+        boundary, "source", _boundary_prefix, num_partitions=8
+    )
+    return kept.union(boundary_kept)
+
+
+@register(
+    "cusum_changepoint_by_type",
+    """
+    WITH d AS (SELECT event_type,
+                 CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+                 CAST(COUNT(*) AS BIGINT) AS c
+               FROM events GROUP BY 1, 2),
+    w AS (SELECT event_type, day, c,
+            CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY day) AS BIGINT)
+              AS cum,
+            CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day)
+                 AS BIGINT) AS k,
+            CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS t,
+            CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+          FROM d),
+    s AS (SELECT event_type, day, k, n, t, ABS(n * cum - k * t) AS dev FROM w)
+    SELECT event_type, n AS n_days, t AS total, day AS day_star, k AS k_star,
+      CAST(dev AS BIGINT) AS s_max,
+      CASE WHEN n * t > 0 THEN CAST(dev AS DOUBLE) / (n * t) END AS s_norm
+    FROM s
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type
+                               ORDER BY dev DESC, day) = 1
+    """,
+)
+def q_cusum_changepoint_by_type(sf_dir: str):
+    """CHANGE-POINT DETECTION (CUSUM, Page 1954): per event type, the
+    day where the cumulative daily-count curve deviates most from the
+    uniform-rate line — the volume-shift monitor a pipeline runs on a
+    source before retraining on its latest window (a feed that doubled
+    its rate mid-month shows up here, not in the mean).
+
+    Exactness: with k = day rank, n = #observed days, T = total and
+    cum_k the running count, the deviation is the exact INTEGER
+    |n*cum_k - k*T| (the uniform line scaled by n — no float drift in
+    the argmax); ties break to the earliest day, and the one
+    normalized double is a single division by n*T.  Plan: per-batch
+    (type, day) count combiner -> `_tiny_group_sum` (O(types x days)
+    rows) -> per-type segmented argmax on the driver block."""
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "event_type": batch["event_type"],
+                "day": pa.array(
+                    batch["ts"].cast(pa.int64()).to_numpy() // 86_400_000_000,
+                    pa.int64(),
+                ),
+                "c": pa.array(np.ones(batch.num_rows, np.int64)),
+            }
+        )
+        return _pa_group_sum(t, ["event_type", "day"], ["c"])
+
+    _out_schema = pa.schema(
+        [
+            ("event_type", pa.string()),
+            ("n_days", pa.int64()),
+            ("total", pa.int64()),
+            ("day_star", pa.int64()),
+            ("k_star", pa.int64()),
+            ("s_max", pa.int64()),
+            ("s_norm", pa.float64()),
+        ]
+    )
+
+    def _finish(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _out_schema.empty_table()
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        day = batch["day"].to_numpy()
+        c = batch["c"].to_numpy()
+        order = np.lexsort((day, et))
+        et, day, c = et[order], day[order], c[order]
+        starts = sg.segment_starts(et)
+        cnts = sg.segment_counts(starts, len(et))
+        rows = []
+        for i, s0 in enumerate(starts):
+            e = s0 + cnts[i]
+            cd, cc = day[s0:e], c[s0:e]
+            n = len(cd)
+            t_tot = int(cc.sum())
+            cum = np.cumsum(cc)
+            k = np.arange(1, n + 1, dtype=np.int64)
+            dev = np.abs(n * cum - k * t_tot)
+            j = int(np.argmax(dev))  # np.argmax takes the FIRST max = earliest day
+            s_norm = float(dev[j]) / (n * t_tot) if n * t_tot > 0 else None
+            rows.append(
+                (et[s0], n, t_tot, int(cd[j]), int(k[j]), int(dev[j]), s_norm)
+            )
+        cols = list(zip(*rows))
+        return pa.table(
+            {
+                "event_type": pa.array(list(cols[0]), pa.string()),
+                "n_days": pa.array(list(cols[1]), pa.int64()),
+                "total": pa.array(list(cols[2]), pa.int64()),
+                "day_star": pa.array(list(cols[3]), pa.int64()),
+                "k_star": pa.array(list(cols[4]), pa.int64()),
+                "s_max": pa.array(list(cols[5]), pa.int64()),
+                "s_norm": pa.array(
+                    [x if x is not None else 0.0 for x in cols[6]],
+                    pa.float64(),
+                    mask=np.array([x is None for x in cols[6]]),
+                ),
+            }
+        )
+
+    ev = _rp(sf_dir, "events", ["event_type", "ts"])
+    return _tiny_group_sum(
+        ev.map_batches(_partial, batch_format="pyarrow"), ["event_type", "day"], ["c"]
+    ).map_batches(_finish, batch_format="pyarrow", batch_size=None)
+
+
+@register(
+    "seasonal_residual_by_hour",
+    f"""
+    WITH e AS (SELECT event_id, event_type,
+                 CAST(epoch_us(ts) // 3600000000 % 24 AS BIGINT) AS hod,
+                 {_CENTS_SQL.format(col='value')} AS cents
+               FROM events),
+    m AS (SELECT event_type, hod, CAST(SUM(cents) AS BIGINT) AS s,
+                 CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM e GROUP BY 1, 2)
+    SELECT e.event_id, e.event_type, e.hod, e.cents, m.cnt AS grp_n,
+      CAST(e.cents * m.cnt - m.s AS BIGINT) AS res_num,
+      CAST(e.cents * m.cnt - m.s AS DOUBLE) / m.cnt AS residual
+    FROM e JOIN m USING (event_type, hod)
+    """,
+)
+def q_seasonal_residual_by_hour(sf_dir: str):
+    """SEASONAL-BASELINE residual — each event's value minus its
+    (event_type, hour-of-day) mean: the deseasonalized signal that
+    anomaly monitors threshold instead of the raw value (a $50
+    purchase at 3am is the outlier, not the $50 at noon).  Joins the
+    anomaly family (`outlier_events_p99`, `zscore_value_per_user`)
+    with a CALENDAR-conditioned baseline.
+
+    Exactness: the mean is kept as the exact rational (sum, count) —
+    res_num = cents*cnt - sum is int64 (exact while a group's
+    cents*count < 2^63; at 100 TB partition the day range first) and
+    the residual double is ONE division by cnt.  Plan: per-batch
+    (type, hod) sum/count combiner -> 120-row aggregate broadcast via
+    `ray.put` -> stateless decorate map; the event rows never
+    shuffle (the J1/J2 broadcast-join shape)."""
+    import ray as _ray
+
+    HOUR_US = 3_600_000_000
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        cents = _cents(batch["value"].to_numpy(zero_copy_only=False)).astype(np.int64)
+        t = pa.table(
+            {
+                "event_type": batch["event_type"],
+                "hod": pa.array(
+                    batch["ts"].cast(pa.int64()).to_numpy() // HOUR_US % 24, pa.int64()
+                ),
+                "s": pa.array(cents, pa.int64()),
+                "cnt": pa.array(np.ones(len(cents), np.int64)),
+            }
+        )
+        return _pa_group_sum(t, ["event_type", "hod"], ["s", "cnt"])
+
+    ev = _rp(sf_dir, "events", ["event_id", "event_type", "ts", "value"])
+    means = _tiny_group_sum(
+        ev.map_batches(_partial, batch_format="pyarrow"),
+        ["event_type", "hod"],
+        ["s", "cnt"],
+    ).to_pandas()
+    lut = {
+        (r.event_type, int(r.hod)): (int(r.s), int(r.cnt))
+        for r in means.itertuples()
+    }
+    ref = _ray.put(lut)
+
+    def _decorate(batch: pa.Table) -> pa.Table:
+        m = _ray.get(ref)
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        hod = batch["ts"].cast(pa.int64()).to_numpy() // HOUR_US % 24
+        cents = _cents(batch["value"].to_numpy(zero_copy_only=False)).astype(np.int64)
+        s = np.empty(len(et), np.int64)
+        cnt = np.empty(len(et), np.int64)
+        # group count is tiny (|types| x 24): iterate GROUPS, not rows
+        for (t_, h_), (sv, cv) in m.items():
+            sel = (et == t_) & (hod == h_)
+            s[sel] = sv
+            cnt[sel] = cv
+        num = cents * cnt - s
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "event_type": batch["event_type"],
+                "hod": pa.array(hod, pa.int64()),
+                "cents": pa.array(cents, pa.int64()),
+                "grp_n": pa.array(cnt, pa.int64()),
+                "res_num": pa.array(num, pa.int64()),
+                "residual": pa.array(num.astype(np.float64) / cnt, pa.float64()),
+            }
+        )
+
+    return ev.map_batches(_decorate, batch_format="pyarrow")

@@ -1,0 +1,117 @@
+"""Planted-semantics tests for the round-5l operators: CUSUM must put
+the change-point exactly at a planted rate step (and pick the EARLIEST
+day on ties), and nucleus selection must cut mid-bucket with the
+doc_id tie rule when the token budget crosses inside one quality
+bucket."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as papq
+
+US = 1_000_000
+DAY = 86400 * US
+BASE_DAY = (1_700_000_000 * US // DAY) * DAY  # midnight-aligned
+
+
+def test_cusum_planted_step(ray_session, tmp_path):
+    import __ray_entry__ as e
+
+    # 10 days at 1/day then 10 days at 3/day: n=20, T=40; dev_k =
+    # |20*cum_k - 40k| peaks at k=10 (value 200), the step boundary
+    rows = []
+    for d in range(10):
+        rows.append(d)
+    for d in range(10, 20):
+        rows.extend([d, d, d])
+    n = len(rows)
+    t = pa.table(
+        {
+            "event_id": pa.array(np.arange(1, n + 1, dtype=np.int64)),
+            "ts": pa.array(
+                np.array([BASE_DAY + d * DAY for d in rows], np.int64),
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array(np.ones(n, np.int64)),
+            "event_type": pa.array(["click"] * n, pa.string()),
+            "value": pa.array(np.ones(n), pa.float64()),
+            "props": pa.array(["{}"] * n, pa.string()),
+        }
+    )
+    papq.write_table(t, str(tmp_path / "events.parquet"))
+    out = e.queries()["cusum_changepoint_by_type"](str(tmp_path)).to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert r["n_days"] == 20 and r["total"] == 40
+    assert r["k_star"] == 10  # last flat day = the change boundary
+    assert r["day_star"] == BASE_DAY // DAY + 9
+    assert r["s_max"] == 200 and r["s_norm"] == 200 / (20 * 40)
+
+
+def test_cusum_uniform_ties_to_earliest(ray_session, tmp_path):
+    import __ray_entry__ as e
+
+    # perfectly uniform 1/day for 5 days: dev_k = 0 for all k -> the
+    # earliest day must win the argmax tie
+    n = 5
+    t = pa.table(
+        {
+            "event_id": pa.array(np.arange(1, n + 1, dtype=np.int64)),
+            "ts": pa.array(
+                np.array([BASE_DAY + d * DAY for d in range(n)], np.int64),
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array(np.ones(n, np.int64)),
+            "event_type": pa.array(["view"] * n, pa.string()),
+            "value": pa.array(np.ones(n), pa.float64()),
+            "props": pa.array(["{}"] * n, pa.string()),
+        }
+    )
+    papq.write_table(t, str(tmp_path / "events.parquet"))
+    out = e.queries()["cusum_changepoint_by_type"](str(tmp_path)).to_pandas()
+    r = out.iloc[0]
+    assert r["s_max"] == 0 and r["k_star"] == 1
+    assert r["day_star"] == BASE_DAY // DAY
+
+
+def _write_docs(d, ids, texts, source="srcA"):
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.asarray(ids, np.int64), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * len(ids), pa.string()),
+            "source": pa.array([source] * len(ids), pa.string()),
+            "n_chars": pa.array([len(s) for s in texts], pa.int64()),
+        }
+    )
+    papq.write_table(t, str(d / "documents.parquet"))
+    return str(d)
+
+
+def test_nucleus_mid_bucket_cut(ray_session, tmp_path):
+    import __ray_entry__ as e
+
+    # quality = stopword count ('the' x q), tokens = total words.
+    # q=2 docs: ids 1,2,3 with 10 tokens each; q=1 docs: ids 4,5,6
+    # with 10 tokens each. total=60, budget=48: all q=2 kept (30),
+    # then q=1 in doc_id order: id4 (cum_before 30), id5 (40) kept;
+    # id6 (cum_before 50 >= 48) dropped -> the cut lands MID-bucket
+    def doc(q, pad):
+        return " ".join(["the"] * q + ["w%d" % i for i in range(pad)])
+
+    texts = [doc(2, 8), doc(2, 8), doc(2, 8), doc(1, 9), doc(1, 9), doc(1, 9)]
+    sf = _write_docs(tmp_path, [1, 2, 3, 4, 5, 6], texts)
+    out = e.queries()["nucleus_select_docs"](sf).to_pandas()
+    assert sorted(out["doc_id"]) == [1, 2, 3, 4, 5]
+    # and the selection agrees column-for-column with the oracle rule
+    assert (out["n_tokens"] == 10).all()
+
+
+def test_nucleus_budget_covers_all_but_tail(ray_session, tmp_path):
+    import __ray_entry__ as e
+
+    # one source, single quality bucket: pure doc_id-ordered prefix
+    texts = ["a b c d e"] * 5  # 5 tokens each, total 25, budget 20
+    sf = _write_docs(tmp_path, [10, 20, 30, 40, 50], texts)
+    out = e.queries()["nucleus_select_docs"](sf).to_pandas()
+    assert sorted(out["doc_id"]) == [10, 20, 30, 40]

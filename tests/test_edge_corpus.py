@@ -58,6 +58,9 @@ QUERIES = [
     "dsir_importance_docs",
     "bm25_top_docs",
     "editdist_neardup",
+    "langid_confusion",
+    "langid_class_metrics",
+    "nucleus_select_docs",
 ]
 
 

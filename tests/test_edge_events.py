@@ -105,6 +105,8 @@ QUERIES = [
     "new_user_rate_daily",
     "key_skew_report",
     "zorder_zonemap",
+    "cusum_changepoint_by_type",
+    "seasonal_residual_by_hour",
 ]
 
 
