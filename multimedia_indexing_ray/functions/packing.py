@@ -110,3 +110,46 @@ def pack_partition(
             "bin_offset": pa.array(bin_off, pa.int64()),
         }
     )
+
+
+def debounce_frontier(
+    grp: np.ndarray, ts: np.ndarray, window: int
+) -> np.ndarray:
+    """Greedy DEBOUNCE (cooldown/rate-limit) keep mask: per group, the
+    first event is kept and every later event is kept iff it is at
+    least ``window`` after the LAST KEPT event — the classic
+    suppress-repeats rule (alert dedup, at-most-one-per-cooldown
+    emission).  Unlike sessionize (whose break depends only on the
+    PREVIOUS row's gap, hence one vectorized cumsum), the debounce
+    recurrence depends on the last *kept* row, so it is genuinely
+    sequential per key; like `pack_next_fit` above it still vectorizes
+    as a FRONTIER sweep across all groups simultaneously: each pass
+    keeps every group's first unresolved event and resolves (drops)
+    the events inside its window, so passes = max kept-per-group and
+    each pass is one O(remaining) numpy sweep.  ``grp`` must be
+    nondecreasing; rows within a group must be in (ts, tiebreak)
+    order.  Returns the boolean keep mask aligned to the input rows.
+    """
+    rows = len(ts)
+    if rows == 0:
+        return np.zeros(0, bool)
+    if np.any(np.diff(grp) < 0):
+        raise ValueError("debounce_frontier requires grp to be nondecreasing")
+    t = ts.astype(np.int64, copy=False)
+    w = np.int64(window)
+    kept = np.zeros(rows, bool)
+    unresolved = np.ones(rows, bool)
+    while True:
+        idx = np.flatnonzero(unresolved)
+        if idx.size == 0:
+            break
+        g = grp[idx]
+        tt = t[idx]
+        starts = np.flatnonzero(np.r_[True, g[1:] != g[:-1]])
+        first_t = np.repeat(tt[starts], np.diff(np.r_[starts, idx.size]))
+        is_first = np.zeros(idx.size, bool)
+        is_first[starts] = True
+        kept[idx[is_first]] = True
+        resolve = is_first | (tt < first_t + w)
+        unresolved[idx[resolve]] = False
+    return kept

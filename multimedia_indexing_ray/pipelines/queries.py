@@ -12487,3 +12487,212 @@ def q_seasonal_residual_by_hour(sf_dir: str):
         )
 
     return ev.map_batches(_decorate, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# round 5m: debounce/rate-limit, per-group deterministic sampling,
+# time-in-state aggregation
+# --------------------------------------------------------------------------
+
+
+@register(
+    "debounce_events",
+    """
+    WITH RECURSIVE r(event_id, user_id, ts, kept) AS (
+      SELECT event_id, user_id, ts, CAST(NULL AS BOOLEAN) FROM events
+      UNION ALL
+      SELECT event_id, user_id, ts,
+        CASE WHEN rn = 1 THEN TRUE
+             WHEN epoch_us(ts) < first_us + 1800000000 THEN FALSE
+        END
+      FROM (
+        SELECT event_id, user_id, ts,
+          ROW_NUMBER() OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) AS rn,
+          FIRST_VALUE(epoch_us(ts)) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) AS first_us
+        FROM r WHERE kept IS NULL
+      ) s
+    )
+    SELECT event_id, user_id, ts FROM r WHERE kept
+    """,
+)
+def q_debounce_events(sf_dir: str):
+    """DEBOUNCE / cooldown rate-limit — per user, keep an event only if
+    at least 30 minutes have passed since the last KEPT event (first
+    event always kept): the alert-dedup / at-most-one-per-cooldown
+    primitive.  This is NOT sessionize: the recurrence depends on the
+    last kept row (greedy independent set on the timeline), so no
+    single window/cumsum expresses it — it joins `pack_context_windows`
+    as the second genuinely-sequential operator, and uses the same
+    vectorized FRONTIER sweep (`functions/packing.py:debounce_frontier`:
+    each pass keeps every user's first unresolved event and resolves
+    the events inside its window, across all users simultaneously) with
+    the same unrolled-frontier recursive-CTE oracle shape — so the
+    frontier-vs-sequential equivalence is hash-checked end-to-end.
+
+    Plan: ONE user_id-keyed exchange of slim (event_id, ts) rows; the
+    per-partition kernel lexsorts by (user, ts, event_id) and runs the
+    frontier.  Ties at the same microsecond: only the min event_id can
+    be kept (any W > 0 suppresses its same-instant peers)."""
+    from multimedia_indexing_ray.functions.packing import debounce_frontier
+    from multimedia_indexing_ray.stages.partition import map_partitions_by_key
+
+    W_US = 1_800_000_000
+
+    _schema = pa.schema(
+        [("event_id", pa.int64()), ("user_id", pa.int64()),
+         ("ts", pa.timestamp("us"))]
+    )
+
+    def _debounce(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _schema.empty_table()
+        uid = t["user_id"].to_numpy()
+        eid = t["event_id"].to_numpy()
+        ts = t["ts"].cast(pa.int64()).to_numpy()
+        order = np.lexsort((eid, ts, uid))
+        keep = debounce_frontier(uid[order], ts[order], W_US)
+        return t.take(pa.array(order[keep]))
+
+    ev = _rp(sf_dir, "events", ["event_id", "user_id", "ts"])
+    return map_partitions_by_key(ev, "user_id", _debounce, num_partitions=16)
+
+
+@register(
+    "group_sample_k",
+    f"""
+    SELECT event_id, user_id, h FROM (
+      SELECT event_id, user_id,
+        CAST({_FNV_SQL.format(col='event_id')} AS BIGINT) AS h,
+        ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY
+          {_FNV_SQL.format(col='event_id')}, event_id) AS rn
+      FROM events) s
+    WHERE rn <= 3
+    """,
+)
+def q_group_sample_k(sf_dir: str):
+    """PER-GROUP DETERMINISTIC k-SAMPLE — for every user, the 3 events
+    with the smallest content hash (FNV of the id, tie id asc): the
+    distributed 'uniform k per key' sampler (bottom-k / KMV sketch
+    semantics).  Same row wins on every run under ANY partitioning —
+    the per-key counterpart of `sample_hash`'s corpus-level gate — and
+    because min-hash survivors commute with union, each batch can be
+    pre-trimmed to its own per-key top-3 BEFORE the exchange, so the
+    shuffle carries <= 3 rows per (key, batch), never the raw table.
+
+    Plan: per-batch segmented partial top-3 -> one user-keyed exchange
+    of the slim survivors -> final segmented top-3 per key."""
+    from multimedia_indexing_ray.stages.partition import map_partitions_by_key
+
+    def _topk(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy()
+        eid = t["event_id"].to_numpy()
+        h = t["h"].to_numpy() if "h" in t.column_names else (
+            _fnv1a32(eid).astype(np.int64)
+        )
+        order = np.lexsort((eid, h, uid))
+        uid_s = uid[order]
+        starts = sg.segment_starts(uid_s)
+        rank = np.arange(len(uid_s)) - np.repeat(
+            starts, sg.segment_counts(starts, len(uid_s))
+        )
+        keep = order[rank < 3]
+        return pa.table(
+            {
+                "event_id": pa.array(eid[keep], pa.int64()),
+                "user_id": pa.array(uid[keep], pa.int64()),
+                "h": pa.array(
+                    h[keep] if "h" in t.column_names
+                    else _fnv1a32(eid[keep]).astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy()
+        withh = batch.append_column(
+            "h", pa.array(_fnv1a32(eid).astype(np.int64), pa.int64())
+        )
+        return _topk(withh)
+
+    ev = _rp(sf_dir, "events", ["event_id", "user_id"])
+    partials = ev.map_batches(_partial, batch_format="pyarrow")
+    return map_partitions_by_key(partials, "user_id", _topk, num_partitions=16)
+
+
+@register(
+    "time_in_state_by_type",
+    """
+    WITH g AS (SELECT event_type,
+        CAST(COALESCE(date_diff('microsecond', ts,
+          lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)), 0)
+          AS BIGINT) AS dwell_us
+      FROM events)
+    SELECT event_type, CAST(SUM(dwell_us) AS BIGINT) AS dwell_us_total,
+      CAST(COUNT(*) AS BIGINT) AS n,
+      CAST(SUM(dwell_us) AS DOUBLE) / COUNT(*) AS mean_dwell_us
+    FROM g GROUP BY 1
+    """,
+)
+def q_time_in_state_by_type(sf_dir: str):
+    """TIME-IN-STATE aggregation — treat each user's event stream as a
+    state machine (the event type is the state entered) and charge the
+    wall-clock until their NEXT event to the current state; a user's
+    last event holds its state for 0 (no open-interval extrapolation).
+    With `event_transition_probs` (where users go) and
+    `event_type_streak` (how long runs last in events), this adds the
+    missing WHERE-THE-TIME-GOES view of the state machine.
+
+    Exactness: dwell is exact integer microseconds; the one mean
+    double is a single int/int division.  Plan: ONE user-keyed
+    exchange of slim (ts, event_id, type) rows; the partition kernel
+    computes next-ts per row with a shifted compare (vectorized), then
+    per-type int64 partials -> tiny merge."""
+    from multimedia_indexing_ray.stages.partition import map_partitions_by_key
+
+    _part_schema = pa.schema(
+        [("event_type", pa.string()), ("dwell_us", pa.int64()),
+         ("n", pa.int64())]
+    )
+
+    def _dwell(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _part_schema.empty_table()
+        uid = t["user_id"].to_numpy()
+        eid = t["event_id"].to_numpy()
+        ts = t["ts"].cast(pa.int64()).to_numpy()
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        uid, ts, et = uid[order], ts[order], et[order]
+        dwell = np.zeros(len(ts), np.int64)
+        if len(ts) > 1:
+            same = uid[:-1] == uid[1:]
+            dwell[:-1] = np.where(same, ts[1:] - ts[:-1], 0)
+        t2 = pa.table(
+            {
+                "event_type": pa.array(et, pa.string()),
+                "dwell_us": pa.array(dwell, pa.int64()),
+                "n": pa.array(np.ones(len(ts), np.int64)),
+            }
+        )
+        return _pa_group_sum(t2, ["event_type"], ["dwell_us", "n"])
+
+    def _finish(batch: pa.Table) -> pa.Table:
+        d = batch["dwell_us"].to_numpy()
+        n = batch["n"].to_numpy()
+        return pa.table(
+            {
+                "event_type": batch["event_type"],
+                "dwell_us_total": batch["dwell_us"],
+                "n": batch["n"],
+                "mean_dwell_us": pa.array(d.astype(np.float64) / n),
+            }
+        )
+
+    ev = _rp(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    partials = map_partitions_by_key(ev, "user_id", _dwell, num_partitions=16)
+    return _tiny_group_sum(partials, ["event_type"], ["dwell_us", "n"]).map_batches(
+        _finish, batch_format="pyarrow"
+    )

@@ -115,3 +115,23 @@ def test_nucleus_budget_covers_all_but_tail(ray_session, tmp_path):
     sf = _write_docs(tmp_path, [10, 20, 30, 40, 50], texts)
     out = e.queries()["nucleus_select_docs"](sf).to_pandas()
     assert sorted(out["doc_id"]) == [10, 20, 30, 40]
+
+
+def test_debounce_frontier_kernel():
+    """Greedy keep-mask semantics incl. the boundary rule (an event at
+    EXACTLY last_kept + W is kept) and last-KEPT (not last-seen)
+    anchoring: 0, 10, 20, 30, 45 with W=30 keeps 0, 30 (not 45 —
+    45 < 30+30) ... and ties at the same instant keep only the first."""
+    import numpy as np
+
+    from multimedia_indexing_ray.functions.packing import debounce_frontier
+
+    grp = np.zeros(6, np.int64)
+    ts = np.array([0, 10, 20, 30, 45, 70], np.int64)
+    keep = debounce_frontier(grp, ts, 30)
+    assert keep.tolist() == [True, False, False, True, False, True]
+    # same-instant ties: only the first row (min tiebreak) survives
+    grp2 = np.array([1, 1, 1, 2], np.int64)
+    ts2 = np.array([5, 5, 5, 5], np.int64)
+    keep2 = debounce_frontier(grp2, ts2, 30)
+    assert keep2.tolist() == [True, False, False, True]

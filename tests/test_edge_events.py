@@ -107,6 +107,9 @@ QUERIES = [
     "zorder_zonemap",
     "cusum_changepoint_by_type",
     "seasonal_residual_by_hour",
+    "debounce_events",
+    "group_sample_k",
+    "time_in_state_by_type",
 ]
 
 
