@@ -12696,3 +12696,366 @@ def q_time_in_state_by_type(sf_dir: str):
     return _tiny_group_sum(partials, ["event_type"], ["dwell_us", "n"]).map_batches(
         _finish, batch_format="pyarrow"
     )
+
+
+# --------------------------------------------------------------------------
+# round 5n: BPE merge training, Q21-style only-late-supplier blame,
+# FK referential-integrity audit
+# --------------------------------------------------------------------------
+
+_BPE_ROUNDS = 8
+_BPE_MARKER0 = 57344  # U+E000, private-use; corpus text never contains these
+
+
+def _bpe_sql() -> str:
+    """Unrolled {rounds}-round BPE-training oracle: words -> adjacent
+    char-pair counts -> winner (count desc, pair asc) -> replace() the
+    winner with the round's private-use marker -> recount.  DuckDB's
+    replace() is greedy left-to-right non-overlapping, exactly
+    matching pyarrow's replace_substring and Python str.replace."""
+    parts = [
+        r"WITH w0 AS (SELECT unnest(regexp_extract_all(text, '\S+')) AS w"
+        " FROM documents)"
+    ]
+    for r in range(1, _BPE_ROUNDS + 1):
+        parts.append(
+            f""",
+    c{r} AS (SELECT pair, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        SELECT unnest(list_transform(range(1, length(w)),
+                      i -> w[i:i] || w[i+1:i+1])) AS pair
+        FROM w{r - 1}) GROUP BY 1),
+    b{r} AS (SELECT pair, n FROM c{r} ORDER BY n DESC, pair LIMIT 1),
+    w{r} AS (SELECT replace(w, (SELECT pair FROM b{r}),
+                            chr({_BPE_MARKER0 + r - 1})) AS w FROM w{r - 1})"""
+        )
+    unions = " UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS round, pair, n FROM b{r}"
+        for r in range(1, _BPE_ROUNDS + 1)
+    )
+    return "".join(parts) + "\n    " + unions
+
+
+# RE2 \s — the whitespace set shared with token_count's '\S+'
+_BPE_WS = np.array([9, 10, 12, 13, 32], np.uint32)
+
+
+def _bpe_pair_counts_batch(texts: pa.ChunkedArray, merges) -> pa.Table:
+    """Apply the merge list (pair string -> marker char) to the batch's
+    text, then count adjacent non-whitespace char pairs, vectorized:
+    the batch joins into ONE utf-32 buffer ('\\n' separators are
+    whitespace, so cross-doc pairs drop out with the mask) and the
+    pair key packs both code points into an int64."""
+    arr = pa.array(texts) if not isinstance(texts, (pa.Array, pa.ChunkedArray)) else texts
+    for pair_str, marker in merges:
+        arr = pc.replace_substring(arr, pattern=pair_str, replacement=marker)
+    joined = "\n".join(x for x in arr.to_pylist() if x)
+    a = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+    if len(a) < 2:
+        return pa.table(
+            {"pk": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+        )
+    lo, hi = a[:-1], a[1:]
+    mask = ~np.isin(lo, _BPE_WS) & ~np.isin(hi, _BPE_WS)
+    key = (lo[mask].astype(np.int64) << 32) | hi[mask].astype(np.int64)
+    uniq, cnt = np.unique(key, return_counts=True)
+    return pa.table(
+        {"pk": pa.array(uniq, pa.int64()), "n": pa.array(cnt.astype(np.int64))}
+    )
+
+
+@register("bpe_train_merges", _bpe_sql())
+def q_bpe_train_merges(sf_dir: str):
+    """BPE TOKENIZER TRAINING — the iterative merge-learning loop
+    itself, not just one round's pair counts (`bpe_pair_counts` is the
+    counting step; this LEARNS the merge table a training pipeline
+    ships with the corpus).  8 rounds of: count adjacent symbol pairs
+    across the corpus -> adopt the most frequent pair (ties to the
+    lexicographically smallest, binary-collation == Python code-point
+    order) -> rewrite every occurrence greedily left-to-right.  Merged
+    symbols are private-use code points (U+E000+round), so round r's
+    pairs can span earlier merges — real BPE, expressible to the
+    oracle because DuckDB replace() shares pyarrow
+    replace_substring's greedy non-overlap scan (verified: 'aaa' with
+    'aa' -> 'Xa' on both).
+
+    Scale plan: each round is ONE stateless corpus pass (apply the
+    <= 8-entry merge list, count pairs vectorized over a single
+    utf-32 buffer per batch) into a `_tiny_group_sum` of (pair, n)
+    partials — the aggregate is bounded by the live symbol alphabet
+    squared, the same bounded-vocabulary regime as `bpe_pair_counts`;
+    the driver only picks the per-round argmax.  Words never
+    shuffle."""
+    docs = _rp(sf_dir, "documents", ["text"])
+
+    merges: "list[tuple[str, str]]" = []
+    out_rows = []
+    for r in range(1, _BPE_ROUNDS + 1):
+        mlist = list(merges)
+
+        def _partial(batch: pa.Table, _m=mlist) -> pa.Table:
+            return _bpe_pair_counts_batch(batch["text"], _m)
+
+        counts = _tiny_group_sum(
+            docs.map_batches(_partial, batch_format="pyarrow"), ["pk"], ["n"]
+        ).to_pandas()
+        if len(counts) == 0:
+            break
+        pk = counts["pk"].to_numpy()
+        n = counts["n"].to_numpy()
+        pairs = [chr(int(k) >> 32) + chr(int(k) & 0xFFFFFFFF) for k in pk]
+        best = min(range(len(pairs)), key=lambda i: (-int(n[i]), pairs[i]))
+        out_rows.append((r, pairs[best], int(n[best])))
+        merges.append((pairs[best], chr(_BPE_MARKER0 + r - 1)))
+
+    return pa.table(
+        {
+            "round": pa.array([r for r, _, _ in out_rows], pa.int64()),
+            "pair": pa.array([p for _, p, _ in out_rows], pa.string()),
+            "n": pa.array([c for _, _, c in out_rows], pa.int64()),
+        }
+    )
+
+
+@register(
+    "late_supplier_blame",
+    """
+    WITH l AS (SELECT l_orderkey, l_suppkey, l_shipdate, o_orderdate
+               FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+               WHERE o_orderstatus = 'F'),
+    f AS (SELECT l_orderkey, l_suppkey,
+            MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                     THEN 1 ELSE 0 END) AS late
+          FROM l GROUP BY 1, 2),
+    g AS (SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS nsupp,
+                 CAST(SUM(late) AS BIGINT) AS nlate
+          FROM f GROUP BY 1)
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM f JOIN g USING (l_orderkey)
+    JOIN supplier ON s_suppkey = l_suppkey
+    WHERE f.late = 1 AND g.nsupp >= 2 AND g.nlate = 1
+    GROUP BY 1
+    """,
+)
+def q_late_supplier_blame(sf_dir: str):
+    """TPC-H Q21's join shape (suppliers-who-kept-orders-waiting),
+    adapted to this schema: for finalized orders ('F') shipped by
+    several suppliers, blame the supplier who was the ONLY late one
+    (late = shipped > 60 days after the order date) — the hardest
+    classic shape still missing from the join matrix: a semi-join
+    ('another supplier exists') AND an anti-join ('no OTHER supplier
+    was late') against the same fact table, per group.
+
+    Plan: both conditions collapse into per-order-group counts, so ONE
+    orderkey exchange of slim tagged rows (order side: date; line
+    side: supp + shipdate) suffices: the partition kernel maps each
+    line to its order date via searchsorted, reduces (order, supp) ->
+    any_late, then order -> (nsupp, nlate), and emits qualifying
+    suppkey count partials; supplier names decorate via the broadcast
+    dim join (J1).  No self-join materializes."""
+    from multimedia_indexing_ray.stages.partition import map_partitions_by_key
+
+    SIXTY_D_US = 60 * 86_400_000_000
+
+    ords = _rp(sf_dir, "orders", ["o_orderkey", "o_orderstatus", "o_orderdate"])
+
+    def _o(batch: pa.Table) -> pa.Table:
+        keep = pc.equal(batch["o_orderstatus"], "F")
+        b = batch.filter(keep)
+        return pa.table(
+            {
+                "okey": b["o_orderkey"],
+                "suppkey": pa.array(np.full(b.num_rows, -1, np.int64)),
+                "ship_us": pa.array(np.zeros(b.num_rows, np.int64)),
+                "od_us": pa.array(
+                    b["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False),
+                    pa.int64(),
+                ),
+                "is_order": pa.array(np.ones(b.num_rows, np.int8)),
+            }
+        )
+
+    li = _rp(sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_shipdate"])
+
+    def _l(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "okey": batch["l_orderkey"],
+                "suppkey": batch["l_suppkey"],
+                "ship_us": pa.array(
+                    batch["l_shipdate"].cast(pa.int64()).to_numpy(zero_copy_only=False),
+                    pa.int64(),
+                ),
+                "od_us": pa.array(np.zeros(batch.num_rows, np.int64)),
+                "is_order": pa.array(np.zeros(batch.num_rows, np.int8)),
+            }
+        )
+
+    both = ords.map_batches(_o, batch_format="pyarrow").union(
+        li.map_batches(_l, batch_format="pyarrow")
+    )
+
+    _part_schema = pa.schema([("suppkey", pa.int64()), ("numwait", pa.int64())])
+
+    def _blame(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _part_schema.empty_table()
+        okey = t["okey"].to_numpy()
+        supp = t["suppkey"].to_numpy()
+        ship = t["ship_us"].to_numpy()
+        od = t["od_us"].to_numpy()
+        iso = t["is_order"].to_numpy().astype(bool)
+        o_keys = np.sort(okey[iso])
+        o_dates = od[iso][np.argsort(okey[iso], kind="stable")]
+        if len(o_keys) == 0:  # partition holds only non-'F' lineitems
+            return _part_schema.empty_table()
+        lk, ls, lt = okey[~iso], supp[~iso], ship[~iso]
+        pos = np.searchsorted(o_keys, lk)
+        ok = (pos < len(o_keys)) & (o_keys[np.minimum(pos, len(o_keys) - 1)] == lk)
+        lk, ls, lt, pos = lk[ok], ls[ok], lt[ok], pos[ok]
+        if len(lk) == 0:
+            return _part_schema.empty_table()
+        late = (lt > o_dates[pos] + SIXTY_D_US).astype(np.int64)
+        order = np.lexsort((ls, lk))
+        lk, ls, late = lk[order], ls[order], late[order]
+        # (order, supp) -> any late
+        ch = np.flatnonzero((lk[1:] != lk[:-1]) | (ls[1:] != ls[:-1])) + 1
+        starts = np.concatenate([[0], ch]).astype(np.int64)
+        g_k = lk[starts]
+        g_s = ls[starts]
+        g_late = np.maximum.reduceat(late, starts)
+        # order -> (nsupp, nlate)
+        ostarts = sg.segment_starts(g_k)
+        nsupp = sg.segment_counts(ostarts, len(g_k))
+        nlate = np.add.reduceat(g_late, ostarts)
+        nsupp_r = np.repeat(nsupp, nsupp)
+        nlate_r = np.repeat(nlate, nsupp)
+        pick = (g_late == 1) & (nsupp_r >= 2) & (nlate_r == 1)
+        t2 = pa.table(
+            {
+                "suppkey": pa.array(g_s[pick], pa.int64()),
+                "numwait": pa.array(np.ones(int(pick.sum()), np.int64)),
+            }
+        )
+        return _pa_group_sum(t2, ["suppkey"], ["numwait"])
+
+    waits = _tiny_group_sum(
+        map_partitions_by_key(both, "okey", _blame, num_partitions=16),
+        ["suppkey"],
+        ["numwait"],
+    )
+
+    sup = _pq(sf_dir, "supplier", ["s_suppkey", "s_name"])
+    names = dict(
+        zip(sup["s_suppkey"].to_numpy().tolist(), sup["s_name"].to_pylist())
+    )
+
+    def _name(batch: pa.Table) -> pa.Table:
+        sk = batch["suppkey"].to_numpy()
+        t2 = pa.table(
+            {
+                "s_name": pa.array([names[int(k)] for k in sk], pa.string()),
+                "numwait": batch["numwait"],
+            }
+        )
+        return _pa_group_sum(t2, ["s_name"], ["numwait"])
+
+    return waits.map_batches(_name, batch_format="pyarrow")
+
+
+@register(
+    "fk_integrity_audit",
+    """
+    SELECT 'orphan_lineitems' AS chk, CAST(COUNT(*) AS BIGINT) AS n
+      FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+    UNION ALL
+    SELECT 'orphan_lineitem_keys', CAST(COUNT(DISTINCT l_orderkey) AS BIGINT)
+      FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+    UNION ALL
+    SELECT 'childless_orders', CAST(COUNT(*) AS BIGINT)
+      FROM orders WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)
+    UNION ALL
+    SELECT 'matched_orders', CAST(COUNT(*) AS BIGINT)
+      FROM orders WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem)
+    UNION ALL
+    SELECT 'matched_lineitems', CAST(COUNT(*) AS BIGINT)
+      FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM orders)
+    UNION ALL
+    SELECT 'duplicate_order_keys', CAST(COUNT(*) AS BIGINT) FROM
+      (SELECT o_orderkey FROM orders GROUP BY 1 HAVING COUNT(*) > 1)
+    """,
+)
+def q_fk_integrity_audit(sf_dir: str):
+    """REFERENTIAL-INTEGRITY AUDIT — the data-quality gate a pipeline
+    runs before trusting a foreign key for joins/partitioning: orphan
+    child rows (and distinct orphan keys), childless parents, matched
+    counts on both sides, and duplicated parent keys.  Six counts in
+    ONE pass: both tables project to slim tagged key rows, one
+    orderkey exchange co-locates each key's parent+child rows, and the
+    partition kernel reduces per-key (n_parents, n_children) to count
+    partials; the finish merges a 6-row table.  This is the audit the
+    `late_supplier_blame` / `region_revenue` join plans assume clean.
+    """
+    from multimedia_indexing_ray.stages.partition import map_partitions_by_key
+
+    ords = _rp(sf_dir, "orders", ["o_orderkey"])
+    li = _rp(sf_dir, "lineitem", ["l_orderkey"])
+
+    def _tag(col: str, side: int):
+        def _fn(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            return pa.table(
+                {
+                    "okey": batch[col],
+                    "side": pa.array(np.full(n, side, np.int8)),
+                }
+            )
+
+        return _fn
+
+    both = ords.map_batches(_tag("o_orderkey", 0), batch_format="pyarrow").union(
+        li.map_batches(_tag("l_orderkey", 1), batch_format="pyarrow")
+    )
+
+    _part_schema = pa.schema([("chk", pa.string()), ("n", pa.int64())])
+    _CHECKS = [
+        "orphan_lineitems",
+        "orphan_lineitem_keys",
+        "childless_orders",
+        "matched_orders",
+        "matched_lineitems",
+        "duplicate_order_keys",
+    ]
+
+    def _audit(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _part_schema.empty_table()
+        okey = t["okey"].to_numpy()
+        side = t["side"].to_numpy().astype(np.int64)
+        order = np.argsort(okey, kind="stable")
+        okey, side = okey[order], side[order]
+        starts = sg.segment_starts(okey)
+        n_par = np.add.reduceat(1 - side, starts)
+        n_chi = np.add.reduceat(side, starts)
+        # row-level counts (NOT key-level) for the order-side checks:
+        # a duplicated parent key contributes each of its rows, exactly
+        # like the oracle's NOT IN / IN row predicates
+        vals = [
+            int(n_chi[n_par == 0].sum()),
+            int((n_par == 0).sum()),
+            int(n_par[(n_par > 0) & (n_chi == 0)].sum()),
+            int(n_par[(n_par > 0) & (n_chi > 0)].sum()),
+            int(n_chi[n_par > 0].sum()),
+            int((n_par > 1).sum()),
+        ]
+        return pa.table(
+            {
+                "chk": pa.array(_CHECKS, pa.string()),
+                "n": pa.array(vals, pa.int64()),
+            }
+        )
+
+    return _tiny_group_sum(
+        map_partitions_by_key(both, "okey", _audit, num_partitions=16),
+        ["chk"],
+        ["n"],
+    )

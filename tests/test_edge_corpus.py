@@ -61,6 +61,7 @@ QUERIES = [
     "langid_confusion",
     "langid_class_metrics",
     "nucleus_select_docs",
+    "bpe_train_merges",
 ]
 
 
