@@ -118,6 +118,22 @@ BENCH_QUERIES = [
     "cube_type_day",
     "tv_drift_by_type",
     "mutual_knn_pairs",
+    # r5k: CDC snapshot diff (one slim keyed exchange, output ~ churn),
+    # Z-order clustering cells + zone maps (pure partial-agg layout op),
+    # corpus-growth novelty rate, and per-key skew audit
+    "snapshot_diff",
+    "zorder_zonemap",
+    "new_user_rate_daily",
+    "key_skew_report",
+    # r5l/5m: histogram-threshold nucleus selection (boundary-sliver-only
+    # ordered work), seasonal-baseline residual decorate (120-row
+    # broadcast), debounce frontier, and the Q21 only-late-blame shape
+    "nucleus_select_docs",
+    "seasonal_residual_by_hour",
+    "debounce_events",
+    "late_supplier_blame",
+    # r5n: iterative BPE merge training — 8 stateless corpus passes
+    "bpe_train_merges",
 ]
 
 # Per-query shuffle strategy, interleaved-A/B measured (2026-08-17, 32

@@ -441,3 +441,32 @@ def range_mode(
         win = segment_starts(rrow_s)
         out[start + rrow_s[win]] = rval[order][win].astype(np.int64)
     return out
+
+
+def seg_next_true_idx(mask: np.ndarray, starts: np.ndarray) -> np.ndarray:
+    """For each row, the index of the NEAREST STRICTLY-LATER row within
+    its segment where ``mask`` is True, else -1 — the suffix scan the
+    ordered-chain operators (window funnel) build on.  O(n) via the
+    same encoded index-carry as `seg_ffill`, run on the reversed
+    arrays: scanning right-to-left, the most recently seen True row is
+    exactly the nearest one to the right; the strict shift then drops
+    the row itself."""
+    n = len(mask)
+    if n == 0:
+        return np.empty(0, np.int64)
+    seg_of = np.repeat(np.arange(len(starts)), segment_counts(starts, n))
+    # reversed scan: carry the nearest True index from the right
+    idx = np.where(mask, np.arange(n), -1)[::-1]
+    seg_rev = seg_of[::-1]
+    big = n + 1
+    # reversed segment ids are descending; negate so accumulate works
+    key = np.where(idx >= 0, (-seg_rev) * big + (n - 1 - idx),
+                   (-seg_rev) * big - 1)
+    np.maximum.accumulate(key, out=key)
+    got = key - (-seg_rev) * big
+    incl = np.where(got >= 0, n - 1 - np.clip(got, 0, n - 1), -1)[::-1]
+    # inclusive-nearest at position >= i  ->  strictly-later: shift by 1
+    out = np.r_[incl[1:], -1]
+    ends = np.r_[starts[1:], n] - 1
+    out[ends] = -1
+    return out.astype(np.int64)

@@ -13059,3 +13059,189 @@ def q_fk_integrity_audit(sf_dir: str):
         ["chk"],
         ["n"],
     )
+
+
+# --------------------------------------------------------------------------
+# round 5o: ordered time-bounded funnel (windowFunnel), equi-depth
+# range-partition planning
+# --------------------------------------------------------------------------
+
+
+@register(
+    "window_funnel_levels",
+    """
+    WITH u AS (SELECT user_id FROM events GROUP BY 1),
+    a AS (SELECT user_id, ts FROM events WHERE event_type = 'signup'),
+    l2 AS (SELECT DISTINCT a.user_id FROM a
+           JOIN events b ON b.user_id = a.user_id AND b.event_type = 'click'
+            AND b.ts > a.ts
+            AND epoch_us(b.ts) <= epoch_us(a.ts) + 259200000000),
+    l3 AS (SELECT DISTINCT a.user_id FROM a
+           JOIN events b ON b.user_id = a.user_id AND b.event_type = 'click'
+            AND b.ts > a.ts
+           JOIN events c ON c.user_id = a.user_id AND c.event_type = 'purchase'
+            AND c.ts > b.ts
+            AND epoch_us(c.ts) <= epoch_us(a.ts) + 259200000000)
+    SELECT u.user_id,
+      CAST(CASE WHEN u.user_id IN (SELECT user_id FROM l3) THEN 3
+                WHEN u.user_id IN (SELECT user_id FROM l2) THEN 2
+                WHEN u.user_id IN (SELECT user_id FROM a) THEN 1
+                ELSE 0 END AS BIGINT) AS funnel_level
+    FROM u
+    """,
+)
+def q_window_funnel_levels(sf_dir: str):
+    """ORDERED TIME-BOUNDED FUNNEL (ClickHouse windowFunnel): per user,
+    the deepest prefix of signup -> click -> purchase completed with
+    every step STRICTLY later than the previous and the whole chain
+    within 3 days of its first step.  `session_funnel` answers the
+    unordered within-session pair; this is the product-analytics chain
+    with an explicit window anchored at the chain head.
+
+    Equivalence note: the oracle is EXISTS-any-chain; the engine runs
+    the greedy earliest chain, equal by the exchange argument (for a
+    fixed head, taking the FIRST qualifying next step minimizes every
+    later timestamp, so a chain exists iff the greedy one completes).
+    Plan: ONE user-keyed exchange of slim (ts, step) rows; inside each
+    partition the chain walks are `seg_next_true_idx` suffix scans
+    (O(n) index-carry, no per-row search): next-click-after for signup
+    rows, next-purchase-after for those clicks; same-microsecond peers
+    are excluded by the sort priority (purchase < click < signup at
+    equal ts), which is exactly the oracle's strict `>`."""
+    from multimedia_indexing_ray.stages.partition import map_partitions_by_key
+
+    W_US = 3 * 86_400_000_000
+    _PRIO = {"purchase": 0, "click": 1, "signup": 2}
+
+    def _slim(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        prio = np.full(len(et), 3, np.int8)
+        for name, p in _PRIO.items():
+            prio[et == name] = p
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "ts_us": pa.array(
+                    batch["ts"].cast(pa.int64()).to_numpy(), pa.int64()
+                ),
+                "prio": pa.array(prio, pa.int8()),
+            }
+        )
+
+    _schema = pa.schema([("user_id", pa.int64()), ("funnel_level", pa.int64())])
+
+    def _funnel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _schema.empty_table()
+        uid = t["user_id"].to_numpy()
+        ts = t["ts_us"].to_numpy()
+        prio = t["prio"].to_numpy()
+        order = np.lexsort((prio, ts, uid))
+        uid, ts, prio = uid[order], ts[order], prio[order]
+        starts = sg.segment_starts(uid)
+        next_b = sg.seg_next_true_idx(prio == 1, starts)
+        next_c = sg.seg_next_true_idx(prio == 0, starts)
+        is_a = prio == 2
+        a_idx = np.flatnonzero(is_a)
+        lvl = np.zeros(len(uid), np.int64)
+        lvl[a_idx] = 1
+        b = next_b[a_idx]
+        has_b = b >= 0
+        l2 = has_b & (ts[np.maximum(b, 0)] <= ts[a_idx] + W_US)
+        lvl[a_idx[l2]] = 2
+        c = np.where(has_b, next_c[np.maximum(b, 0)], -1)
+        l3 = (c >= 0) & (ts[np.maximum(c, 0)] <= ts[a_idx] + W_US)
+        lvl[a_idx[l3]] = 3
+        best = np.maximum.reduceat(lvl, starts)
+        return pa.table(
+            {
+                "user_id": pa.array(uid[starts], pa.int64()),
+                "funnel_level": pa.array(best, pa.int64()),
+            }
+        )
+
+    ev = _rp(sf_dir, "events", ["user_id", "ts", "event_type"])
+    slim = ev.map_batches(_slim, batch_format="pyarrow")
+    return map_partitions_by_key(slim, "user_id", _funnel, num_partitions=16)
+
+
+@register(
+    "range_partition_plan",
+    f"""
+    WITH v AS (SELECT {_CENTS_SQL.format(col='value')} AS c FROM events),
+    r AS (SELECT c, row_number() OVER (ORDER BY c) AS rn,
+                 count(*) OVER () AS n FROM v)
+    SELECT CAST((16 * (rn - 1)) // n AS BIGINT) AS bucket,
+      CAST(COUNT(*) AS BIGINT) AS n_rows,
+      CAST(MIN(c) AS BIGINT) AS lo_cents,
+      CAST(MAX(c) AS BIGINT) AS hi_cents
+    FROM r GROUP BY 1
+    """,
+)
+def q_range_partition_plan(sf_dir: str):
+    """EQUI-DEPTH RANGE-PARTITION PLAN — the 16 split buckets a range
+    partitioner / range-based `sort` would use on `value`, with each
+    bucket's row count and [lo, hi] zone: the planning sibling of
+    `key_skew_report` (hash keys) and `zorder_zonemap` (multi-dim),
+    and exactly what Ray Data's sort boundary sampling estimates —
+    computed EXACTLY here.  Bucket of the rank-rn row is
+    (16*(rn-1))//n, so bucket sizes are fixed by rank arithmetic and
+    every output column is tie-order-independent (tied values that
+    straddle a boundary contribute identical min/max on both sides).
+
+    Plan: the `value_quantiles_by_type` histogram method, global: one
+    pass of per-batch (cents -> count) partials, ONE aggregate-sized
+    exchange of histogram rows (bounded by distinct cents, never raw
+    events), then rank arithmetic + two searchsorteds on the cumsum
+    per bucket."""
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        c = _cents(batch["value"].to_numpy(zero_copy_only=False)).astype(np.int64)
+        uniq, cnt = np.unique(c, return_counts=True)
+        return pa.table(
+            {
+                "c": pa.array(uniq, pa.int64()),
+                "cnt": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    _schema = pa.schema(
+        [
+            ("bucket", pa.int64()),
+            ("n_rows", pa.int64()),
+            ("lo_cents", pa.int64()),
+            ("hi_cents", pa.int64()),
+        ]
+    )
+
+    def _finish(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _schema.empty_table()
+        c = batch["c"].to_numpy()
+        cnt = batch["cnt"].to_numpy()
+        order = np.argsort(c, kind="stable")
+        c, cnt = c[order], cnt[order]
+        cum = np.cumsum(cnt)
+        n = int(cum[-1])
+        k = np.arange(16, dtype=np.int64)
+        # bucket k holds ranks with k <= 16*(rn-1)/n < k+1, i.e.
+        # rn in [ceil(k*n/16)+1, ceil((k+1)*n/16)] — ceil, not floor
+        lo_rank = (k * n + 15) // 16 + 1
+        hi_rank = ((k + 1) * n + 15) // 16
+        nonempty = hi_rank >= lo_rank
+        k, lo_rank, hi_rank = k[nonempty], lo_rank[nonempty], hi_rank[nonempty]
+        lo_val = c[np.searchsorted(cum, lo_rank, side="left")]
+        hi_val = c[np.searchsorted(cum, hi_rank, side="left")]
+        return pa.table(
+            {
+                "bucket": pa.array(k, pa.int64()),
+                "n_rows": pa.array(hi_rank - lo_rank + 1, pa.int64()),
+                "lo_cents": pa.array(lo_val, pa.int64()),
+                "hi_cents": pa.array(hi_val, pa.int64()),
+            }
+        )
+
+    ev = _rp(sf_dir, "events", ["value"])
+    return _tiny_group_sum(
+        ev.map_batches(_partial, batch_format="pyarrow"), ["c"], ["cnt"]
+    ).map_batches(_finish, batch_format="pyarrow", batch_size=None)

@@ -135,3 +135,58 @@ def test_debounce_frontier_kernel():
     ts2 = np.array([5, 5, 5, 5], np.int64)
     keep2 = debounce_frontier(grp2, ts2, 30)
     assert keep2.tolist() == [True, False, False, True]
+
+
+def _write_funnel_events(d, rows):
+    # rows: (user_id, ts_us, event_type)
+    uid, ts, et = zip(*rows)
+    n = len(rows)
+    t = pa.table(
+        {
+            "event_id": pa.array(np.arange(1, n + 1, dtype=np.int64)),
+            "ts": pa.array(np.array(ts, np.int64), pa.timestamp("us")),
+            "user_id": pa.array(np.array(uid, np.int64)),
+            "event_type": pa.array(list(et), pa.string()),
+            "value": pa.array(np.ones(n), pa.float64()),
+            "props": pa.array(["{}"] * n, pa.string()),
+        }
+    )
+    papq.write_table(t, str(d / "events.parquet"))
+    return str(d)
+
+
+def test_window_funnel_planted(ray_session, tmp_path):
+    import __ray_entry__ as e
+
+    US = 1_000_000
+    D = 86400 * US
+    B = 1_700_000_000 * US
+    rows = [
+        # user 1: full chain inside 3d -> level 3
+        (1, B, "signup"), (1, B + D, "click"), (1, B + 2 * D, "purchase"),
+        # user 2: purchase lands at exactly +3d -> inclusive, level 3
+        (2, B, "signup"), (2, B + D, "click"), (2, B + 3 * D, "purchase"),
+        # user 3: purchase 1us past the window -> level 2
+        (3, B, "signup"), (3, B + D, "click"), (3, B + 3 * D + 1, "purchase"),
+        # user 4: click at the SAME microsecond as signup -> strict '>'
+        # rejects it; a later click exists -> level 2 via that one,
+        # purchase BEFORE the click must not count -> not level 3
+        (4, B, "signup"), (4, B, "click"), (4, B + 1, "purchase"),
+        (4, B + 2, "click"),
+        # user 5: greedy trap — first click early, purchase only before
+        # it; later click is followed by purchase inside window; the
+        # EXISTS semantics (any chain) must find it -> level 3
+        (5, B, "signup"), (5, B + 1, "click"), (5, B + 2 * D, "click"),
+        (5, B + 2 * D + 1, "purchase"),
+        # user 6: no signup at all -> level 0
+        (6, B, "click"), (6, B + 1, "purchase"),
+        # user 7: signup only -> level 1
+        (7, B, "signup"),
+    ]
+    sf = _write_funnel_events(tmp_path, rows)
+    out = (
+        e.queries()["window_funnel_levels"](sf)
+        .to_pandas()
+        .set_index("user_id")["funnel_level"]
+    )
+    assert out.to_dict() == {1: 3, 2: 3, 3: 2, 4: 2, 5: 3, 6: 0, 7: 1}

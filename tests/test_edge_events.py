@@ -110,6 +110,8 @@ QUERIES = [
     "debounce_events",
     "group_sample_k",
     "time_in_state_by_type",
+    "window_funnel_levels",
+    "range_partition_plan",
 ]
 
 
