@@ -134,6 +134,15 @@ BENCH_QUERIES = [
     "late_supplier_blame",
     # r5n: iterative BPE merge training — 8 stateless corpus passes
     "bpe_train_merges",
+    # r5o/5p: ordered time-bounded funnel (suffix-scan chains),
+    # equi-depth partition planning (histogram quantile ranks),
+    # cross-source gram contamination matrix, survival cohorts,
+    # per-doc shingle novelty (two slim gram/doc exchanges)
+    "window_funnel_levels",
+    "range_partition_plan",
+    "source_overlap_matrix",
+    "time_to_purchase_by_cohort",
+    "shingle_novelty_docs",
 ]
 
 # Per-query shuffle strategy, interleaved-A/B measured (2026-08-17, 32

@@ -13245,3 +13245,411 @@ def q_range_partition_plan(sf_dir: str):
     return _tiny_group_sum(
         ev.map_batches(_partial, batch_format="pyarrow"), ["c"], ["cnt"]
     ).map_batches(_finish, batch_format="pyarrow", batch_size=None)
+
+
+# --------------------------------------------------------------------------
+# round 5p: cross-source contamination matrix, time-to-event cohorts,
+# per-doc shingle novelty
+# --------------------------------------------------------------------------
+
+
+def _pairs_within_segments(starts: np.ndarray, n: int):
+    """All unordered (i < j) index pairs WITHIN each segment of a
+    sorted array, fully vectorized (no per-segment loop): element at
+    in-segment rank r pairs with the (c-1-r) elements after it."""
+    cnts = sg.segment_counts(starts, n)
+    rel = sg.rel_index(starts, n)
+    k = np.repeat(cnts, cnts) - rel - 1  # partners following each row
+    a = np.repeat(np.arange(n), k)
+    total = int(k.sum())
+    step = np.arange(total) - np.repeat(np.cumsum(k) - k, k) + 1
+    b = a + step
+    return a, b
+
+
+@register(
+    "source_overlap_matrix",
+    f"""
+    WITH g AS (SELECT doc_id, source,
+                 unnest(range(1, greatest(length(text)-{_GRAM_CHARS - 2}, 1)))
+                   AS i, text
+               FROM documents),
+    g2 AS (SELECT DISTINCT source,
+             substr(text, CAST(i AS INTEGER), {_GRAM_CHARS}) AS gram FROM g)
+    SELECT a.source AS src_a, b.source AS src_b,
+      CAST(COUNT(*) AS BIGINT) AS n_shared_grams
+    FROM g2 a JOIN g2 b ON a.gram = b.gram AND a.source < b.source
+    GROUP BY 1, 2
+    """,
+)
+def q_source_overlap_matrix(sf_dir: str):
+    """CROSS-SOURCE CONTAMINATION MATRIX — for every pair of sources,
+    the number of distinct 16-char grams they share: the corpus-
+    governance table that says which feeds are re-crawling the same
+    content (the pairwise, source-level view of what `dup_span_docs`
+    measures per document and `decontaminate_docs` measures against a
+    benchmark).  Grams reuse `_span_grams`' zero-copy utf-32 windows
+    (exact bytes, SQL substr semantics, no hash collisions).
+
+    Plan: per-batch distinct (gram, source) combiner (np.unique over
+    the packed window+source rows) -> ONE gram-keyed exchange of slim
+    binary rows -> per-gram sorted distinct sources expand to pairs
+    with a vectorized within-segment triangle (`_pairs_within_segments`
+    — no per-gram loop; pairs per gram <= |sources|^2) -> tiny
+    (src_a, src_b) sum."""
+    from multimedia_indexing_ray.stages.partition import map_partitions_by_key
+
+    K = _GRAM_CHARS
+    GB = pa.binary(4 * K)
+
+    _gs_schema = pa.schema([("gram", GB), ("source", pa.string())])
+
+    def _gram_src(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        src = batch["source"].to_numpy(zero_copy_only=False)
+        texts = batch["text"].to_pylist()
+        src_uniq, src_idx = np.unique(src, return_inverse=True)
+        chunks = []
+        for si, s in zip(src_idx, texts):
+            if s is None or len(s) < K:
+                continue
+            u32 = np.frombuffer(s.encode("utf-32-le"), np.uint32)
+            win = np.lib.stride_tricks.sliding_window_view(u32, K)
+            chunks.append(
+                np.column_stack([win, np.full(len(win), si, np.uint32)])
+            )
+        if not chunks:
+            return _gs_schema.empty_table()
+        data = np.unique(np.concatenate(chunks), axis=0)
+        grams = pa.FixedSizeBinaryArray.from_buffers(
+            GB,
+            len(data),
+            [None, pa.py_buffer(np.ascontiguousarray(data[:, :K]).tobytes())],
+        )
+        return pa.table(
+            {
+                "gram": grams,
+                "source": pa.array(src_uniq[data[:, K]], pa.string()),
+            }
+        )
+
+    _out_schema = pa.schema(
+        [("src_a", pa.string()), ("src_b", pa.string()),
+         ("n_shared_grams", pa.int64())]
+    )
+
+    def _expand(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _out_schema.empty_table()
+        col = t["gram"].combine_chunks()
+        gb = np.frombuffer(col.buffers()[1], dtype=f"V{4 * K}")[
+            col.offset : col.offset + len(col)
+        ]
+        src = t["source"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((src, gb))
+        gb, src = gb[order], src[order]
+        # distinct (gram, source) after the exchange
+        keep = np.r_[True, (gb[1:] != gb[:-1]) | (src[1:] != src[:-1])]
+        gb, src = gb[keep], src[keep]
+        starts = sg.segment_starts(gb)
+        a, b = _pairs_within_segments(starts, len(gb))
+        if len(a) == 0:
+            return _out_schema.empty_table()
+        t2 = pa.table(
+            {
+                "src_a": pa.array(src[a], pa.string()),
+                "src_b": pa.array(src[b], pa.string()),
+                "n_shared_grams": pa.array(np.ones(len(a), np.int64)),
+            }
+        )
+        return _pa_group_sum(t2, ["src_a", "src_b"], ["n_shared_grams"])
+
+    docs = _rp(sf_dir, "documents", ["doc_id", "source", "text"])
+    gs = docs.map_batches(_gram_src, batch_format="pyarrow")
+    partials = map_partitions_by_key(gs, "gram", _expand, num_partitions=16)
+    # the matrix is aggregate-sized (<= |sources|^2 rows): concat the
+    # result blocks on the driver so a single-source corpus (ZERO pair
+    # rows) still returns the typed empty table — Ray's to_pandas drops
+    # the schema of an all-empty dataset
+    import ray as _ray
+
+    out = _tiny_group_sum(partials, ["src_a", "src_b"], ["n_shared_grams"])
+    tbls = [
+        t.select(_out_schema.names)
+        for t in _ray.get(out.to_arrow_refs())
+        if t.num_rows  # all-empty blocks may carry a degenerate schema
+    ]
+    return pa.concat_tables([_out_schema.empty_table(), *tbls])
+
+
+@register(
+    "time_to_purchase_by_cohort",
+    """
+    WITH s AS (SELECT user_id, MIN(ts) AS signup_ts FROM events
+               WHERE event_type = 'signup' GROUP BY 1),
+    p AS (SELECT s.user_id, s.signup_ts, MIN(e.ts) AS purch_ts
+          FROM s JOIN events e ON e.user_id = s.user_id
+           AND e.event_type = 'purchase' AND e.ts > s.signup_ts
+          GROUP BY 1, 2),
+    c AS (SELECT user_id,
+            CAST(epoch_us(signup_ts) // 604800000000 AS BIGINT) AS cohort_week
+          FROM s),
+    d AS (SELECT c.cohort_week,
+            date_diff('microsecond', p.signup_ts, p.purch_ts) AS tte_us
+          FROM p JOIN c USING (user_id)),
+    t AS (SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS n_signups
+          FROM c GROUP BY 1),
+    r AS (SELECT cohort_week, tte_us,
+            row_number() OVER (PARTITION BY cohort_week ORDER BY tte_us) AS rn,
+            count(*) OVER (PARTITION BY cohort_week) AS m
+          FROM d),
+    md AS (SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS n_converted,
+             CAST(MIN(CASE WHEN rn = (m + 1) // 2 THEN tte_us END) AS BIGINT)
+               AS median_tte_us
+           FROM r GROUP BY 1)
+    SELECT t.cohort_week, t.n_signups,
+      CAST(COALESCE(md.n_converted, 0) AS BIGINT) AS n_converted,
+      md.median_tte_us,
+      CAST(COALESCE(md.n_converted, 0) AS DOUBLE) / t.n_signups
+        AS conversion_rate
+    FROM t LEFT JOIN md USING (cohort_week)
+    """,
+)
+def q_time_to_purchase_by_cohort(sf_dir: str):
+    """TIME-TO-EVENT (survival) COHORTS — per signup-week cohort: how
+    many signed up, how many converted (first purchase STRICTLY after
+    their first signup), the exact median time-to-purchase among
+    converters (lower median, rank (m+1)//2 — the
+    `value_quantiles_by_type` integer rank rule), and the conversion
+    rate.  `retention_cohorts` asks 'did they come back'; this asks
+    'how long until the jackpot event' — the funnel-latency view.
+
+    Plan: exchange 1 on user_id (slim ts + type-code rows): per user a
+    masked-reduceat pass finds first-signup and first-purchase-after
+    (no per-user loop); exchange 2 on cohort_week computes the exact
+    integer median per cohort (`mad_outlier_per_type`'s nested-median
+    shape) plus the counts; one final double division."""
+    from multimedia_indexing_ray.stages.partition import map_partitions_by_key
+
+    WEEK_US = 604_800_000_000
+
+    def _slim(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        keep = (et == "signup") | (et == "purchase")
+        b = batch.filter(pa.array(keep))
+        return pa.table(
+            {
+                "user_id": b["user_id"],
+                "ts_us": pa.array(b["ts"].cast(pa.int64()).to_numpy(), pa.int64()),
+                "is_purch": pa.array(
+                    (b["event_type"].to_numpy(zero_copy_only=False) == "purchase")
+                    .astype(np.int8)
+                ),
+            }
+        )
+
+    _user_schema = pa.schema(
+        [
+            ("cohort_week", pa.int64()),
+            ("converted", pa.int64()),
+            ("tte_us", pa.int64()),
+        ]
+    )
+
+    def _per_user(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _user_schema.empty_table()
+        uid = t["user_id"].to_numpy()
+        ts = t["ts_us"].to_numpy()
+        isp = t["is_purch"].to_numpy().astype(bool)
+        order = np.lexsort((ts, uid))
+        uid, ts, isp = uid[order], ts[order], isp[order]
+        starts = sg.segment_starts(uid)
+        BIG = np.int64(2**62)
+        s_ts = np.where(~isp, ts, BIG)
+        first_signup = np.minimum.reduceat(s_ts, starts)
+        has_signup = first_signup < BIG
+        fs_rep = np.repeat(first_signup, sg.segment_counts(starts, len(uid)))
+        p_ts = np.where(isp & (ts > fs_rep), ts, BIG)
+        first_purch = np.minimum.reduceat(p_ts, starts)
+        fs = first_signup[has_signup]
+        fp = first_purch[has_signup]
+        conv = fp < BIG
+        return pa.table(
+            {
+                "cohort_week": pa.array(fs // WEEK_US, pa.int64()),
+                "converted": pa.array(conv.astype(np.int64)),
+                "tte_us": pa.array(np.where(conv, fp - fs, 0), pa.int64()),
+            }
+        )
+
+    _out_schema = pa.schema(
+        [
+            ("cohort_week", pa.int64()),
+            ("n_signups", pa.int64()),
+            ("n_converted", pa.int64()),
+            ("median_tte_us", pa.int64()),
+            ("conversion_rate", pa.float64()),
+        ]
+    )
+
+    def _per_cohort(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _out_schema.empty_table()
+        cw = t["cohort_week"].to_numpy()
+        conv = t["converted"].to_numpy()
+        tte = t["tte_us"].to_numpy()
+        order = np.lexsort((tte, cw))
+        cw, conv, tte = cw[order], conv[order], tte[order]
+        starts = sg.segment_starts(cw)
+        n_signups = sg.segment_counts(starts, len(cw))
+        n_conv = np.add.reduceat(conv, starts)
+        # converted rows per cohort, sorted by tte: median at (m+1)//2
+        med = np.zeros(len(starts), np.int64)
+        for i, s0 in enumerate(starts):
+            seg_tte = tte[s0 : s0 + n_signups[i]][
+                conv[s0 : s0 + n_signups[i]] == 1
+            ]
+            if len(seg_tte):
+                med[i] = np.sort(seg_tte)[(len(seg_tte) + 1) // 2 - 1]
+        has_conv = n_conv > 0
+        return pa.table(
+            {
+                "cohort_week": pa.array(cw[starts], pa.int64()),
+                "n_signups": pa.array(n_signups, pa.int64()),
+                "n_converted": pa.array(n_conv, pa.int64()),
+                "median_tte_us": pa.array(med, pa.int64(), mask=~has_conv),
+                "conversion_rate": pa.array(
+                    n_conv.astype(np.float64) / n_signups, pa.float64()
+                ),
+            }
+        )
+
+    ev = _rp(sf_dir, "events", ["user_id", "ts", "event_type"])
+    slim = ev.map_batches(_slim, batch_format="pyarrow")
+    per_user = map_partitions_by_key(slim, "user_id", _per_user, num_partitions=16)
+    return map_partitions_by_key(
+        per_user, "cohort_week", _per_cohort, num_partitions=8
+    )
+
+
+@register(
+    "shingle_novelty_docs",
+    f"""
+    WITH g AS (SELECT doc_id,
+                 unnest(range(1, greatest(length(text)-{_GRAM_CHARS - 2}, 1)))
+                   AS i, text
+               FROM documents),
+    g2 AS (SELECT DISTINCT doc_id,
+             substr(text, CAST(i AS INTEGER), {_GRAM_CHARS}) AS gram FROM g),
+    f AS (SELECT gram, CAST(MIN(doc_id) AS BIGINT) AS first_doc
+          FROM g2 GROUP BY 1)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+      CAST(SUM(CASE WHEN f.first_doc = g2.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_novel,
+      CAST(SUM(CASE WHEN f.first_doc = g2.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+        / COUNT(*) AS novelty
+    FROM g2 JOIN f USING (gram) GROUP BY 1
+    """,
+)
+def q_shingle_novelty_docs(sf_dir: str):
+    """PER-DOC SHINGLE NOVELTY — the fraction of a document's distinct
+    16-char grams whose corpus-wide FIRST holder (min doc_id, the
+    dedup family's first-wins rule) is the document itself: 1.0 =
+    genuinely new text, ~0 = re-crawled boilerplate.  The per-document
+    counterpart of `new_user_rate_daily`'s novelty and the additive
+    inverse view of `dup_span_docs` (which measures repeated MASS;
+    this attributes each repeat to its first owner).
+
+    Plan: per-batch distinct (gram, doc) via the `_span_grams` packed
+    windows + one np.unique -> ONE gram-keyed exchange; the per-gram
+    kernel marks min-doc owners (rows arrive sorted per gram, so the
+    owner is the segment head) and emits (doc, 1, is_first) partials;
+    a second doc-keyed exchange sums them.  Both exchanges carry slim
+    fixed-width rows only."""
+    from multimedia_indexing_ray.stages.partition import map_partitions_by_key
+
+    K = _GRAM_CHARS
+    GB = pa.binary(4 * K)
+
+    _gd_schema = pa.schema([("gram", GB), ("doc_id", pa.int64())])
+
+    def _gram_doc(batch: pa.Table) -> pa.Table:
+        g = _span_grams(batch, K)
+        if g.num_rows == 0:
+            return _gd_schema.empty_table()
+        col = g["gram"].combine_chunks()
+        gb = np.frombuffer(col.buffers()[1], dtype=f"V{4 * K}")[
+            col.offset : col.offset + len(col)
+        ]
+        did = g["doc_id"].to_numpy()
+        order = np.lexsort((did, gb))
+        gb, did = gb[order], did[order]
+        keep = np.r_[True, (gb[1:] != gb[:-1]) | (did[1:] != did[:-1])]
+        return pa.table(
+            {
+                "gram": pa.FixedSizeBinaryArray.from_buffers(
+                    GB,
+                    int(keep.sum()),
+                    [None, pa.py_buffer(gb[keep].tobytes())],
+                ),
+                "doc_id": pa.array(did[keep], pa.int64()),
+            }
+        )
+
+    _part_schema = pa.schema(
+        [("doc_id", pa.int64()), ("n", pa.int64()), ("novel", pa.int64())]
+    )
+
+    def _first_owner(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _part_schema.empty_table()
+        col = t["gram"].combine_chunks()
+        gb = np.frombuffer(col.buffers()[1], dtype=f"V{4 * K}")[
+            col.offset : col.offset + len(col)
+        ]
+        did = t["doc_id"].to_numpy()
+        order = np.lexsort((did, gb))
+        gb, did = gb[order], did[order]
+        keep = np.r_[True, (gb[1:] != gb[:-1]) | (did[1:] != did[:-1])]
+        gb, did = gb[keep], did[keep]
+        starts = sg.segment_starts(gb)
+        is_first = np.zeros(len(gb), np.int64)
+        is_first[starts] = 1  # sorted by (gram, doc): head = min doc
+        t2 = pa.table(
+            {
+                "doc_id": pa.array(did, pa.int64()),
+                "n": pa.array(np.ones(len(did), np.int64)),
+                "novel": pa.array(is_first, pa.int64()),
+            }
+        )
+        return _pa_group_sum(t2, ["doc_id"], ["n", "novel"])
+
+    _out_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("n_shingles", pa.int64()),
+            ("n_novel", pa.int64()),
+            ("novelty", pa.float64()),
+        ]
+    )
+
+    def _per_doc(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _out_schema.empty_table()
+        g = _pa_group_sum(t, ["doc_id"], ["n", "novel"])
+        n = g["n"].to_numpy()
+        nov = g["novel"].to_numpy()
+        return pa.table(
+            {
+                "doc_id": g["doc_id"],
+                "n_shingles": g["n"],
+                "n_novel": g["novel"],
+                "novelty": pa.array(nov.astype(np.float64) / n, pa.float64()),
+            }
+        )
+
+    docs = _rp(sf_dir, "documents", ["doc_id", "text"])
+    gd = docs.map_batches(_gram_doc, batch_format="pyarrow")
+    partials = map_partitions_by_key(gd, "gram", _first_owner, num_partitions=16)
+    return map_partitions_by_key(partials, "doc_id", _per_doc, num_partitions=8)

@@ -190,3 +190,64 @@ def test_window_funnel_planted(ray_session, tmp_path):
         .set_index("user_id")["funnel_level"]
     )
     assert out.to_dict() == {1: 3, 2: 3, 3: 2, 4: 2, 5: 3, 6: 0, 7: 1}
+
+
+def test_pairs_within_segments_kernel():
+    from multimedia_indexing_ray.pipelines.queries import _pairs_within_segments
+
+    starts = np.array([0, 3, 4])  # sizes 3, 1, 2
+    a, b = _pairs_within_segments(starts, 6)
+    assert list(zip(a.tolist(), b.tolist())) == [(0, 1), (0, 2), (1, 2), (4, 5)]
+    # degenerate: all singleton segments -> no pairs
+    a2, b2 = _pairs_within_segments(np.array([0, 1, 2]), 3)
+    assert len(a2) == 0 and len(b2) == 0
+
+
+def test_time_to_purchase_planted(ray_session, tmp_path):
+    import __ray_entry__ as e
+
+    US = 1_000_000
+    D = 86400 * US
+    W = 7 * D
+    B = (1_700_000_000 * US // W) * W  # week-aligned
+    rows = [
+        # user 1: signup, purchase 2d later -> converted, tte = 2d
+        (1, B, "signup"), (1, B + 2 * D, "purchase"),
+        # user 2: purchase BEFORE signup only -> censored (not converted)
+        (2, B + D, "purchase"), (2, B + 2 * D, "signup"),
+        # user 3: purchase at EXACTLY the signup instant -> strict '>',
+        # censored; a later one converts with tte = 4d
+        (3, B, "signup"), (3, B, "purchase"), (3, B + 4 * D, "purchase"),
+        # user 4: signup in week 2, tte = 6d (its cohort's only value)
+        (4, B + W, "signup"), (4, B + W + 6 * D, "purchase"),
+        # user 5: signup week 1, never purchases -> censored
+        (5, B + 3 * D, "signup"),
+    ]
+    uid, ts, et = zip(*rows)
+    n = len(rows)
+    t = pa.table(
+        {
+            "event_id": pa.array(np.arange(1, n + 1, dtype=np.int64)),
+            "ts": pa.array(np.array(ts, np.int64), pa.timestamp("us")),
+            "user_id": pa.array(np.array(uid, np.int64)),
+            "event_type": pa.array(list(et), pa.string()),
+            "value": pa.array(np.ones(n), pa.float64()),
+            "props": pa.array(["{}"] * n, pa.string()),
+        }
+    )
+    papq.write_table(t, str(tmp_path / "events.parquet"))
+    out = (
+        e.queries()["time_to_purchase_by_cohort"](str(tmp_path))
+        .to_pandas()
+        .sort_values("cohort_week")
+        .reset_index(drop=True)
+    )
+    assert len(out) == 2
+    w1, w2 = out.iloc[0], out.iloc[1]
+    # week 1: users 1, 3, 5 signed up (user 2's signup also week 1)
+    assert w1["n_signups"] == 4 and w1["n_converted"] == 2
+    # converted ttes: 2d (u1), 4d (u3); lower median of [2d, 4d] = 2d
+    assert w1["median_tte_us"] == 2 * D
+    assert w1["conversion_rate"] == 2 / 4
+    assert w2["n_signups"] == 1 and w2["n_converted"] == 1
+    assert w2["median_tte_us"] == 6 * D and w2["conversion_rate"] == 1.0

@@ -62,6 +62,8 @@ QUERIES = [
     "langid_class_metrics",
     "nucleus_select_docs",
     "bpe_train_merges",
+    "source_overlap_matrix",
+    "shingle_novelty_docs",
 ]
 
 

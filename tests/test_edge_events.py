@@ -112,6 +112,7 @@ QUERIES = [
     "time_in_state_by_type",
     "window_funnel_levels",
     "range_partition_plan",
+    "time_to_purchase_by_cohort",
 ]
 
 
