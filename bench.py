@@ -143,6 +143,10 @@ BENCH_QUERIES = [
     "source_overlap_matrix",
     "time_to_purchase_by_cohort",
     "shingle_novelty_docs",
+    # r5q: oracle-checked integer k-means training and the zipWithIndex
+    # dense-id assignment (bucket-offset prefix sums, no driver key list)
+    "kmeans_milli_2rounds",
+    "dense_user_ids",
 ]
 
 # Per-query shuffle strategy, interleaved-A/B measured (2026-08-17, 32

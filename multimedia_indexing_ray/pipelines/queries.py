@@ -13653,3 +13653,282 @@ def q_shingle_novelty_docs(sf_dir: str):
     gd = docs.map_batches(_gram_doc, batch_format="pyarrow")
     partials = map_partitions_by_key(gd, "gram", _first_owner, num_partitions=16)
     return map_partitions_by_key(partials, "doc_id", _per_doc, num_partitions=8)
+
+
+# --------------------------------------------------------------------------
+# round 5q: oracle-checked k-means training (integer Lloyd rounds),
+# distributed dense-id assignment (zipWithIndex)
+# --------------------------------------------------------------------------
+
+# floor((2*s + n) / (2*n)) — round-half-up of s/n in pure integer
+# arithmetic; the CASE mirrors numpy floor_divide for negative
+# numerators (DuckDB's integer // truncates toward zero)
+_FLOORDIV_SQL = (
+    "CASE WHEN ({num}) >= 0 THEN ({num}) // ({den}) "
+    "ELSE -((-({num}) + ({den}) - 1) // ({den})) END"
+)
+
+_KM_K = 4
+_KM_DIM = 64
+
+
+def _kmeans_sql() -> str:
+    """2 unrolled Lloyd rounds over milli-quantized integer embeddings:
+    exact int64 squared-L2 argmin (ties to the lowest cluster index),
+    centroid update = element-wise round-half-up of the cluster mean
+    back to milli ints (empty cluster keeps its old centroid)."""
+    mean = _FLOORDIV_SQL.format(num="2*s + n", den="2*n")
+    return f"""
+    WITH q AS (SELECT vec_id,
+          list_transform(embedding,
+            x -> CAST(floor(CAST(x AS DOUBLE)*1000+0.5) AS BIGINT)) AS iq
+          FROM embeddings),
+    c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS j,
+                  iq FROM (SELECT * FROM q ORDER BY vec_id LIMIT {_KM_K})),
+    d1 AS (SELECT q.vec_id, c0.j,
+          list_sum(list_transform(range(1, {_KM_DIM + 1}),
+            i -> (q.iq[i]-c0.iq[i])*(q.iq[i]-c0.iq[i]))) AS dist
+          FROM q CROSS JOIN c0),
+    a1 AS (SELECT vec_id, j FROM
+           (SELECT vec_id, j,
+              row_number() OVER (PARTITION BY vec_id ORDER BY dist, j) AS rn
+            FROM d1) WHERE rn = 1),
+    s1 AS (SELECT a1.j, i, CAST(SUM(q.iq[CAST(i AS INTEGER)]) AS BIGINT) AS s,
+                  CAST(COUNT(*) AS BIGINT) AS n
+           FROM a1 JOIN q USING (vec_id), unnest(range(1, {_KM_DIM + 1})) r(i)
+           GROUP BY 1, 2),
+    c1 AS (SELECT s1.j, list({mean} ORDER BY i) AS iq FROM s1 GROUP BY 1),
+    c1f AS (SELECT c0.j, COALESCE(c1.iq, c0.iq) AS iq
+            FROM c0 LEFT JOIN c1 USING (j)),
+    d2 AS (SELECT q.vec_id, c1f.j,
+          list_sum(list_transform(range(1, {_KM_DIM + 1}),
+            i -> (q.iq[i]-c1f.iq[i])*(q.iq[i]-c1f.iq[i]))) AS dist
+          FROM q CROSS JOIN c1f)
+    SELECT vec_id, CAST(j AS BIGINT) AS cluster, CAST(dist AS BIGINT) AS dist2
+    FROM (SELECT vec_id, j, dist,
+            row_number() OVER (PARTITION BY vec_id ORDER BY dist, j) AS rn
+          FROM d2) WHERE rn = 1
+    """
+
+
+@register("kmeans_milli_2rounds", _kmeans_sql())
+def q_kmeans_milli_2rounds(sf_dir: str):
+    """K-MEANS TRAINING as an oracle-checked query — two full Lloyd
+    rounds (assign -> recompute centroids -> reassign), not just the
+    assignment step (`centroid_assign`): the A5 learning chain
+    (`quantization/CoarseQuantizerLearning.java:26-30`'s k-means) made
+    hash-comparable.  Everything is INTEGER: embeddings quantize to
+    milli units (the `centroid_assign` rule), squared-L2 and its
+    argmin are exact int64 (ties to the lowest cluster index), and the
+    centroid update rounds the cluster mean half-up back to milli ints
+    with a floor-division identity mirrored against DuckDB's
+    truncating `//` — so two engines running real k-means produce
+    BIT-IDENTICAL assignments.  Empty clusters keep their centroid.
+
+    Plan: init = the {_KM_K} lowest-vec_id vectors (deterministic,
+    broadcast once); each round is ONE pass — per-batch argmin against
+    the broadcast centroids plus per-cluster (sum-vector, count)
+    partials (the k x dim combiner), merged driver-side
+    (aggregate-sized: k x dim ints); the raw vectors never shuffle.
+    Same shape as `stages/knn.py`'s production k-means (sampled
+    kmeans++/best-of-N); this one trades init quality for an exact
+    cross-engine oracle."""
+    import ray as _ray
+
+    embs = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def _quant(batch: pa.Table):
+        ids = batch["vec_id"].to_numpy()
+        flat = np.asarray(
+            batch["embedding"].combine_chunks().flatten(), dtype=np.float64
+        )
+        iq = np.floor(flat * 1000 + 0.5).astype(np.int64).reshape(len(ids), _KM_DIM)
+        return ids, iq
+
+    # deterministic init: the K lowest-vec_id vectors (tiny driver pull)
+    t0 = _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
+    order0 = np.argsort(t0["vec_id"].to_numpy(), kind="stable")[:_KM_K]
+    init = np.floor(
+        np.stack(
+            [np.asarray(t0["embedding"][int(i)].as_py(), np.float64) for i in order0]
+        )
+        * 1000
+        + 0.5
+    ).astype(np.int64)
+
+    def _assign(iq: np.ndarray, cents: np.ndarray):
+        # exact int64 squared-L2 to every centroid; argmin ties -> low j
+        d = ((iq[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        j = np.argmin(d, axis=1)  # first minimum = lowest cluster index
+        return j, d[np.arange(len(j)), j]
+
+    def _round_partials(cents: np.ndarray):
+        ref = _ray.put(cents)
+
+        def _fn(batch: pa.Table) -> pa.Table:
+            ids, iq = _quant(batch)
+            c = _ray.get(ref)
+            j, _ = _assign(iq, c)
+            k = c.shape[0]
+            s = np.zeros((k, _KM_DIM), np.int64)
+            np.add.at(s, j, iq)
+            n = np.bincount(j, minlength=k).astype(np.int64)
+            return pa.table(
+                {
+                    "j": pa.array(np.arange(k, dtype=np.int64)),
+                    "n": pa.array(n, pa.int64()),
+                    "s": pa.array(list(s), pa.list_(pa.int64())),
+                }
+            )
+
+        return _fn
+
+    parts = embs.map_batches(
+        _round_partials(init), batch_format="pyarrow"
+    ).to_pandas()
+    k = _KM_K
+    n_tot = np.zeros(k, np.int64)
+    s_tot = np.zeros((k, _KM_DIM), np.int64)
+    for r in parts.itertuples():
+        n_tot[int(r.j)] += int(r.n)
+        s_tot[int(r.j)] += np.asarray(r.s, np.int64)
+    cents1 = init.copy()
+    nz = n_tot > 0
+    cents1[nz] = np.floor_divide(
+        2 * s_tot[nz] + n_tot[nz, None], 2 * n_tot[nz, None]
+    )
+
+    ref1 = _ray.put(cents1)
+
+    def _final(batch: pa.Table) -> pa.Table:
+        ids, iq = _quant(batch)
+        c = _ray.get(ref1)
+        j, d = _assign(iq, c)
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "cluster": pa.array(j.astype(np.int64), pa.int64()),
+                "dist2": pa.array(d.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return embs.map_batches(_final, batch_format="pyarrow")
+
+
+@register(
+    "dense_user_ids",
+    """
+    SELECT user_id,
+      CAST(row_number() OVER (ORDER BY user_id) - 1 AS BIGINT) AS dense_id
+    FROM (SELECT DISTINCT user_id FROM events)
+    """,
+)
+def q_dense_user_ids(sf_dir: str):
+    """DENSE-ID ASSIGNMENT (zipWithIndex) — map every distinct key to a
+    contiguous 0..n-1 id in key order: the dictionary-encoding /
+    vocabulary-building primitive (the reference's id<->iid BDB store,
+    `datastructures/AbstractSearchStructure.java:46-48`, is exactly
+    this mapping, persisted).  A global ordered enumeration normally
+    means a full sort; the distributed plan avoids enumerating through
+    the driver: (1) min/max pass fixes ~256 fixed-width value buckets;
+    (2) one hash exchange dedups keys and emits per-BUCKET distinct
+    counts (aggregate-sized); (3) prefix sums of those counts give
+    each bucket its global offset, and a second, bucket-keyed exchange
+    ranks each bucket locally and adds the offset.  Only distinct keys
+    cross the wire; no driver-side key list.  (Value-width buckets can
+    skew on pathological key distributions — the offsets stay exact,
+    only bucket balance suffers; swap the boundary source for
+    `range_partition_plan`'s equi-depth cuts in that regime.)"""
+    from multimedia_indexing_ray.stages.partition import map_partitions_by_key
+
+    ev = _rp(sf_dir, "events", ["user_id"])
+
+    mm = (
+        ev.map_batches(
+            lambda b: pa.table(
+                {
+                    "lo": pa.array(
+                        [int(b["user_id"].to_numpy().min())] if b.num_rows else [],
+                        pa.int64(),
+                    ),
+                    "hi": pa.array(
+                        [int(b["user_id"].to_numpy().max())] if b.num_rows else [],
+                        pa.int64(),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    lo, hi = int(mm["lo"].min()), int(mm["hi"].max())
+    width = max(1, (hi - lo + 1 + 255) // 256)
+
+    def _distinct_partial(batch: pa.Table) -> pa.Table:
+        u = np.unique(batch["user_id"].to_numpy())
+        return pa.table({"user_id": pa.array(u, pa.int64())})
+
+    _d_schema = pa.schema([("user_id", pa.int64()), ("bucket", pa.int64())])
+
+    def _dedup(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _d_schema.empty_table()
+        u = np.unique(t["user_id"].to_numpy())
+        return pa.table(
+            {
+                "user_id": pa.array(u, pa.int64()),
+                "bucket": pa.array((u - lo) // width, pa.int64()),
+            }
+        )
+
+    distinct = map_partitions_by_key(
+        ev.map_batches(_distinct_partial, batch_format="pyarrow"),
+        "user_id",
+        _dedup,
+        num_partitions=16,
+    )
+
+    # per-bucket distinct counts -> global offsets (aggregate-sized)
+    def _bucket_counts(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "bucket": batch["bucket"],
+                "n": pa.array(np.ones(batch.num_rows, np.int64)),
+            }
+        )
+        return _pa_group_sum(t, ["bucket"], ["n"])
+
+    bc = _tiny_group_sum(
+        distinct.map_batches(_bucket_counts, batch_format="pyarrow"),
+        ["bucket"],
+        ["n"],
+    ).to_pandas()
+    bc = bc.sort_values("bucket")
+    offsets = dict(
+        zip(
+            bc["bucket"].astype(int),
+            np.r_[0, np.cumsum(bc["n"].to_numpy())[:-1]].astype(int),
+        )
+    )
+
+    _o_schema = pa.schema([("user_id", pa.int64()), ("dense_id", pa.int64())])
+
+    def _rank(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _o_schema.empty_table()
+        u = t["user_id"].to_numpy()
+        b = t["bucket"].to_numpy()
+        order = np.lexsort((u, b))
+        u, b = u[order], b[order]
+        starts = sg.segment_starts(b)
+        local = sg.rel_index(starts, len(u))
+        off = np.array([offsets[int(x)] for x in b[starts]], np.int64)
+        dense = np.repeat(off, sg.segment_counts(starts, len(u))) + local
+        return pa.table(
+            {
+                "user_id": pa.array(u, pa.int64()),
+                "dense_id": pa.array(dense, pa.int64()),
+            }
+        )
+
+    return map_partitions_by_key(distinct, "bucket", _rank, num_partitions=16)

@@ -251,3 +251,80 @@ def test_time_to_purchase_planted(ray_session, tmp_path):
     assert w1["conversion_rate"] == 2 / 4
     assert w2["n_signups"] == 1 and w2["n_converted"] == 1
     assert w2["median_tte_us"] == 6 * D and w2["conversion_rate"] == 1.0
+
+
+def test_kmeans_milli_matches_naive_lloyd(ray_session, tmp_path):
+    """Distributed 2-round integer Lloyd vs a naive sequential
+    reference with the same quantize / argmin-tie / round-half-up
+    rules, on a corpus where round 1 MOVES a centroid (the four init
+    vectors all sit in one blob; a far blob must capture one)."""
+    import __ray_entry__ as e
+
+    rng = np.random.default_rng(11)
+    d = 64
+    near = rng.normal(0, 0.01, (10, d)) 
+    far = rng.normal(0.4, 0.01, (6, d))
+    vecs = np.vstack([near, far]).astype(np.float32)
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(1, 17, dtype=np.int64)),
+            "embedding": pa.array([v.tolist() for v in vecs], pa.list_(pa.float32())),
+            "label": pa.array(np.zeros(16, np.int32), pa.int32()),
+        }
+    )
+    papq.write_table(t, str(tmp_path / "embeddings.parquet"))
+    out = (
+        e.queries()["kmeans_milli_2rounds"](str(tmp_path))
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    # naive reference
+    iq = np.floor(vecs.astype(np.float64) * 1000 + 0.5).astype(np.int64)
+    cents = iq[:4].copy()  # init: 4 lowest vec_ids
+    for _ in range(1):
+        dist = ((iq[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        j = np.argmin(dist, axis=1)
+        for c in range(4):
+            m = j == c
+            if m.any():
+                s, n = iq[m].sum(axis=0), int(m.sum())
+                cents[c] = np.floor_divide(2 * s + n, 2 * n)
+    dist = ((iq[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    jf = np.argmin(dist, axis=1)
+    df = dist[np.arange(16), jf]
+    assert out["cluster"].tolist() == jf.tolist()
+    assert out["dist2"].tolist() == df.tolist()
+    # the far blob must NOT share a cluster with the near blob
+    assert len(set(out["cluster"][10:])) == 1
+    assert set(out["cluster"][10:]).isdisjoint(set(out["cluster"][:10]))
+
+
+def test_dense_user_ids_sparse_buckets(ray_session, tmp_path):
+    """Sparse, gappy key space spanning many fixed-width buckets —
+    dense ids must still be contiguous 0..n-1 in key order."""
+    import __ray_entry__ as e
+
+    US = 1_000_000
+    B = 1_700_000_000 * US
+    users = np.array([7, 9, 100_000, 100_001, 5_000_000, 99, 7, 9], np.int64)
+    n = len(users)
+    t = pa.table(
+        {
+            "event_id": pa.array(np.arange(1, n + 1, dtype=np.int64)),
+            "ts": pa.array(np.full(n, B), pa.timestamp("us")),
+            "user_id": pa.array(users),
+            "event_type": pa.array(["click"] * n, pa.string()),
+            "value": pa.array(np.ones(n), pa.float64()),
+            "props": pa.array(["{}"] * n, pa.string()),
+        }
+    )
+    papq.write_table(t, str(tmp_path / "events.parquet"))
+    out = (
+        e.queries()["dense_user_ids"](str(tmp_path))
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    assert out["user_id"].tolist() == [7, 9, 99, 100_000, 100_001, 5_000_000]
+    assert out["dense_id"].tolist() == [0, 1, 2, 3, 4, 5]

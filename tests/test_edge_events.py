@@ -113,6 +113,7 @@ QUERIES = [
     "window_funnel_levels",
     "range_partition_plan",
     "time_to_purchase_by_cohort",
+    "dense_user_ids",
 ]
 
 
