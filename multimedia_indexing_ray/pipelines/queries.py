@@ -13932,3 +13932,364 @@ def q_dense_user_ids(sf_dir: str):
         )
 
     return map_partitions_by_key(distinct, "bucket", _rank, num_partitions=16)
+
+
+# --------------------------------------------------------------------------
+# round 5r: dataset cards, aggregate-consistency audit, DAU/WAU stickiness
+# --------------------------------------------------------------------------
+
+
+@register(
+    "dataset_card_by_source_lang",
+    rf"""
+    WITH q AS (SELECT doc_id, source, lang,
+        CAST(length(text) AS BIGINT) AS n_chars,
+        CAST(len(regexp_extract_all(text, '{_TOKEN_RE}')) AS BIGINT) AS n_tokens,
+        text
+      FROM documents),
+    d AS (SELECT text, CAST(COUNT(*) AS BIGINT) AS copies FROM q GROUP BY 1)
+    SELECT source, lang,
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(q.n_chars) AS BIGINT) AS n_chars,
+      CAST(SUM(q.n_tokens) AS BIGINT) AS n_tokens,
+      CAST(SUM(CASE WHEN d.copies > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+      CAST(SUM(CASE WHEN d.copies > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        / COUNT(*) AS dup_rate,
+      CAST(SUM(q.n_tokens) AS DOUBLE) / COUNT(*) AS mean_tokens
+    FROM q JOIN d USING (text) GROUP BY 1, 2
+    """,
+)
+def q_dataset_card_by_source_lang(sf_dir: str):
+    """DATASET CARD — the per-(source, language) release table every
+    published corpus ships: document/char/token counts, the exact-dup
+    rate (fraction of docs whose full text occurs more than once in
+    the WHOLE corpus — the `dedup_exact_docs` first-wins universe),
+    and mean tokens per doc.  The single table that
+    `profile_events` / `balance_by_lang` / `dedup_exact_docs` answer
+    piecewise, composed into the shipped artifact.
+
+    Plan: ONE text-keyed exchange (the `dedup_exact_docs` shape — the
+    text column crosses once as the exact grouping key) marks each
+    doc's corpus-wide copy count and immediately folds everything to
+    (source, lang) partial sums inside the same kernel, so nothing
+    text-sized leaves it; the finish is a `_tiny_group_sum` plus two
+    exact divisions."""
+    from multimedia_indexing_ray.stages.partition import map_partitions_by_key
+
+    docs = _rp(sf_dir, "documents", ["doc_id", "source", "lang", "text"])
+
+    _dup_schema = pa.schema(
+        [
+            ("source", pa.string()),
+            ("lang", pa.string()),
+            ("n", pa.int64()),
+            ("chars", pa.int64()),
+            ("tokens", pa.int64()),
+            ("dups", pa.int64()),
+        ]
+    )
+
+    def _mark(t: pa.Table) -> pa.Table:
+        # co-located by text: copy count = group size
+        if t.num_rows == 0:
+            return _dup_schema.empty_table()
+        txt = t["text"].to_numpy(zero_copy_only=False)
+        order = np.argsort(txt, kind="stable")
+        txt_s = txt[order]
+        starts = sg.segment_starts(txt_s)
+        copies = np.repeat(
+            sg.segment_counts(starts, len(txt_s)),
+            sg.segment_counts(starts, len(txt_s)),
+        )
+        dup = np.zeros(len(txt), np.int64)
+        dup[order] = (copies > 1).astype(np.int64)
+        t2 = pa.table(
+            {
+                "source": t["source"],
+                "lang": t["lang"],
+                "n": pa.array(np.ones(t.num_rows, np.int64)),
+                "chars": pa.array(tx.char_count(t["text"]), pa.int64()),
+                "tokens": pa.array(tx.token_count(t["text"]), pa.int64()),
+                "dups": pa.array(dup, pa.int64()),
+            }
+        )
+        return _pa_group_sum(t2, ["source", "lang"], ["n", "chars", "tokens", "dups"])
+
+    def _finish(batch: pa.Table) -> pa.Table:
+        n = batch["n"].to_numpy()
+        tok = batch["tokens"].to_numpy()
+        dup = batch["dups"].to_numpy()
+        return pa.table(
+            {
+                "source": batch["source"],
+                "lang": batch["lang"],
+                "n_docs": batch["n"],
+                "n_chars": batch["chars"],
+                "n_tokens": batch["tokens"],
+                "n_dup_docs": batch["dups"],
+                "dup_rate": pa.array(dup.astype(np.float64) / n),
+                "mean_tokens": pa.array(tok.astype(np.float64) / n),
+            }
+        )
+
+    partials = map_partitions_by_key(docs, "text", _mark, num_partitions=16)
+    return _tiny_group_sum(
+        partials, ["source", "lang"], ["n", "chars", "tokens", "dups"]
+    ).map_batches(_finish, batch_format="pyarrow")
+
+
+@register(
+    "order_total_reconciliation",
+    f"""
+    WITH l AS (SELECT l_orderkey,
+        CAST(SUM({_CENTS_SQL.format(col='l_extendedprice')}) AS BIGINT)
+          AS line_cents
+      FROM lineitem GROUP BY 1),
+    j AS (SELECT o.o_orderkey,
+        {_CENTS_SQL.format(col='o_totalprice')} AS total_cents,
+        COALESCE(l.line_cents, 0) AS line_cents
+      FROM orders o LEFT JOIN l ON o.o_orderkey = l.l_orderkey)
+    SELECT
+      CAST(COUNT(*) AS BIGINT) AS n_orders,
+      CAST(SUM(CASE WHEN total_cents = line_cents THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_exact,
+      CAST(SUM(CASE WHEN total_cents != line_cents THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_mismatch,
+      CAST(MAX(ABS(total_cents - line_cents)) AS BIGINT) AS max_abs_diff_cents,
+      CAST(SUM(ABS(total_cents - line_cents)) AS BIGINT) AS sum_abs_diff_cents
+    FROM j
+    """,
+)
+def q_order_total_reconciliation(sf_dir: str):
+    """AGGREGATE-CONSISTENCY AUDIT — reconcile each order's header
+    total against the sum of its line items (exact cents), and report
+    corpus-level counts: exact matches, mismatches, the worst and the
+    total absolute drift.  With `fk_integrity_audit` (key existence)
+    this completes the data-quality gate pair: keys line up AND the
+    money adds up — the check a pipeline runs before trusting either
+    table as a feature source.
+
+    Plan: the `fk_integrity_audit` sentinel shape — line items fold to
+    per-batch (orderkey, cents-sum) partials first, headers carry
+    their total; ONE orderkey exchange co-locates them; per-key
+    reconciliation reduces to 5-int partials merged in one tiny
+    block."""
+    from multimedia_indexing_ray.stages.partition import map_partitions_by_key
+
+    ords = _rp(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    li = _rp(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice"])
+
+    def _o(batch: pa.Table) -> pa.Table:
+        c = _cents(batch["o_totalprice"].to_numpy(zero_copy_only=False)).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "okey": batch["o_orderkey"],
+                "cents": pa.array(c, pa.int64()),
+                "side": pa.array(np.zeros(len(c), np.int8)),
+            }
+        )
+
+    def _l(batch: pa.Table) -> pa.Table:
+        c = _cents(
+            batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        t = pa.table(
+            {
+                "okey": batch["l_orderkey"],
+                "cents": pa.array(c, pa.int64()),
+                "side": pa.array(np.ones(len(c), np.int8)),
+            }
+        )
+        return _pa_group_sum(t, ["okey", "side"], ["cents"])
+
+    both = ords.map_batches(_o, batch_format="pyarrow").union(
+        li.map_batches(_l, batch_format="pyarrow")
+    )
+
+    _part_schema = pa.schema(
+        [
+            ("n_orders", pa.int64()),
+            ("n_exact", pa.int64()),
+            ("n_mismatch", pa.int64()),
+            ("max_abs_diff_cents", pa.int64()),
+            ("sum_abs_diff_cents", pa.int64()),
+        ]
+    )
+
+    def _recon(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _part_schema.empty_table()
+        okey = t["okey"].to_numpy()
+        cents = t["cents"].to_numpy()
+        side = t["side"].to_numpy().astype(np.int64)
+        order = np.argsort(okey, kind="stable")
+        okey, cents, side = okey[order], cents[order], side[order]
+        starts = sg.segment_starts(okey)
+        has_hdr = np.add.reduceat(1 - side, starts) > 0
+        total = np.add.reduceat(cents * (1 - side), starts)
+        lines = np.add.reduceat(cents * side, starts)
+        total, lines = total[has_hdr], lines[has_hdr]  # orphans audit elsewhere
+        diff = np.abs(total - lines)
+        return pa.table(
+            {
+                "n_orders": pa.array([len(total)], pa.int64()),
+                "n_exact": pa.array([int((diff == 0).sum())], pa.int64()),
+                "n_mismatch": pa.array([int((diff != 0).sum())], pa.int64()),
+                "max_abs_diff_cents": pa.array(
+                    [int(diff.max()) if len(diff) else 0], pa.int64()
+                ),
+                "sum_abs_diff_cents": pa.array([int(diff.sum())], pa.int64()),
+            }
+        )
+
+    _cols = [
+        "n_orders",
+        "n_exact",
+        "n_mismatch",
+        "max_abs_diff_cents",
+        "sum_abs_diff_cents",
+    ]
+
+    def _merge(batch: pa.Table) -> pa.Table:
+        cols = {}
+        for c in _cols:
+            v = batch[c].to_numpy()
+            agg = int(v.max()) if c == "max_abs_diff_cents" else int(v.sum())
+            cols[c] = pa.array([agg], pa.int64())
+        return pa.table(cols)
+
+    partials = map_partitions_by_key(both, "okey", _recon, num_partitions=16)
+    return partials.repartition(1).map_batches(
+        _merge, batch_format="pyarrow", batch_size=None
+    )
+
+
+@register(
+    "dau_wau_stickiness",
+    """
+    WITH ud AS (SELECT DISTINCT user_id,
+                  CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+                FROM events),
+    span AS (SELECT CAST(MIN(day) AS BIGINT) AS dmin,
+                    CAST(MAX(day) AS BIGINT) AS dmax FROM ud),
+    w AS (SELECT DISTINCT user_id, day + CAST(o.x AS BIGINT) AS obs_day
+          FROM ud, range(0, 7) o(x)),
+    dau AS (SELECT day AS obs_day, CAST(COUNT(*) AS BIGINT) AS dau
+            FROM ud GROUP BY 1),
+    wau AS (SELECT obs_day, CAST(COUNT(*) AS BIGINT) AS wau
+            FROM w GROUP BY 1)
+    SELECT w.obs_day AS day, COALESCE(dau.dau, 0) AS dau, w.wau,
+      CAST(COALESCE(dau.dau, 0) AS DOUBLE) / w.wau AS stickiness
+    FROM wau w LEFT JOIN dau USING (obs_day), span
+    WHERE w.obs_day BETWEEN span.dmin AND span.dmax
+    """,
+)
+def q_dau_wau_stickiness(sf_dir: str):
+    """DAU/WAU STICKINESS — per day: distinct active users that day,
+    distinct users active in the TRAILING 7 days, and their ratio (the
+    classic engagement-intensity metric).  Exact windowed
+    count-distinct, not a sketch: each active (user, day) pair casts a
+    vote into the 7 observation days it keeps the user 'weekly-active'
+    for, so WAU(d) = distinct voters at d — the same expand-then-
+    distinct trick as `sliding_distinct_users_1h`, at day granularity
+    with a bounded 7x expansion of the (already user-day-distinct)
+    pair set.
+
+    Plan: per-batch distinct (user, day) combiner -> ONE user-keyed
+    exchange dedups pairs AND expands each to its 7 observation days
+    with a per-user re-dedup (the expansion never leaves the group) ->
+    tiny per-day sums; days outside the observed span are trimmed with
+    a 2-int min/max pass."""
+    from multimedia_indexing_ray.stages.partition import map_partitions_by_key
+
+    DAY_US = 86_400_000_000
+
+    def _pairs(batch: pa.Table) -> pa.Table:
+        u = batch["user_id"].to_numpy()
+        d = batch["ts"].cast(pa.int64()).to_numpy() // DAY_US
+        uniq = np.unique(np.stack([u, d], axis=1), axis=0)
+        return pa.table(
+            {
+                "user_id": pa.array(uniq[:, 0], pa.int64()),
+                "day": pa.array(uniq[:, 1], pa.int64()),
+            }
+        )
+
+    ev = _rp(sf_dir, "events", ["user_id", "ts"])
+    pairs = ev.map_batches(_pairs, batch_format="pyarrow")
+
+    mm = (
+        pairs.map_batches(
+            lambda b: pa.table(
+                {
+                    "dmin": pa.array(
+                        [int(b["day"].to_numpy().min())] if b.num_rows else [],
+                        pa.int64(),
+                    ),
+                    "dmax": pa.array(
+                        [int(b["day"].to_numpy().max())] if b.num_rows else [],
+                        pa.int64(),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    dmin, dmax = int(mm["dmin"].min()), int(mm["dmax"].max())
+
+    _part_schema = pa.schema(
+        [("day", pa.int64()), ("dau", pa.int64()), ("wau", pa.int64())]
+    )
+
+    def _votes(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _part_schema.empty_table()
+        u = t["user_id"].to_numpy()
+        d = t["day"].to_numpy()
+        uniq = np.unique(np.stack([u, d], axis=1), axis=0)
+        u, d = uniq[:, 0], uniq[:, 1]
+        # dau votes
+        dau = pa.table(
+            {
+                "day": pa.array(d, pa.int64()),
+                "dau": pa.array(np.ones(len(d), np.int64)),
+                "wau": pa.array(np.zeros(len(d), np.int64)),
+            }
+        )
+        # wau votes: each pair keeps the user weekly-active for 7 days,
+        # then re-dedup per (user, obs_day) INSIDE the group
+        obs_u = np.repeat(u, 7)
+        obs_d = np.repeat(d, 7) + np.tile(np.arange(7, dtype=np.int64), len(d))
+        ou = np.unique(np.stack([obs_u, obs_d], axis=1), axis=0)
+        keep = (ou[:, 1] >= dmin) & (ou[:, 1] <= dmax)
+        ou = ou[keep]
+        wau = pa.table(
+            {
+                "day": pa.array(ou[:, 1], pa.int64()),
+                "dau": pa.array(np.zeros(len(ou), np.int64)),
+                "wau": pa.array(np.ones(len(ou), np.int64)),
+            }
+        )
+        return _pa_group_sum(
+            pa.concat_tables([dau, wau]), ["day"], ["dau", "wau"]
+        )
+
+    def _finish(batch: pa.Table) -> pa.Table:
+        dau = batch["dau"].to_numpy()
+        wau = batch["wau"].to_numpy()
+        return pa.table(
+            {
+                "day": batch["day"],
+                "dau": batch["dau"],
+                "wau": batch["wau"],
+                "stickiness": pa.array(dau.astype(np.float64) / wau),
+            }
+        )
+
+    votes = map_partitions_by_key(pairs, "user_id", _votes, num_partitions=16)
+    return _tiny_group_sum(votes, ["day"], ["dau", "wau"]).map_batches(
+        _finish, batch_format="pyarrow"
+    )

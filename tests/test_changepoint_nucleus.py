@@ -328,3 +328,87 @@ def test_dense_user_ids_sparse_buckets(ray_session, tmp_path):
     )
     assert out["user_id"].tolist() == [7, 9, 99, 100_000, 100_001, 5_000_000]
     assert out["dense_id"].tolist() == [0, 1, 2, 3, 4, 5]
+
+
+def test_dau_wau_planted(ray_session, tmp_path):
+    """User 1 active on days 0 and 9; user 2 on day 3: WAU(3) counts
+    both (user 1 carried from day 0? no — 3 > 0+6 is false, 3 <= 6 so
+    yes) ... assert the exact carry window [d, d+6]."""
+    import __ray_entry__ as e
+
+    US = 1_000_000
+    DAY = 86400 * US
+    B = (1_700_000_000 * US // DAY) * DAY
+    rows = [(1, 0), (1, 9), (2, 3)]
+    uid, d = zip(*rows)
+    n = len(rows)
+    t = pa.table(
+        {
+            "event_id": pa.array(np.arange(1, n + 1, dtype=np.int64)),
+            "ts": pa.array(
+                np.array([B + x * DAY for x in d], np.int64), pa.timestamp("us")
+            ),
+            "user_id": pa.array(np.array(uid, np.int64)),
+            "event_type": pa.array(["click"] * n, pa.string()),
+            "value": pa.array(np.ones(n), pa.float64()),
+            "props": pa.array(["{}"] * n, pa.string()),
+        }
+    )
+    papq.write_table(t, str(tmp_path / "events.parquet"))
+    out = (
+        e.queries()["dau_wau_stickiness"](str(tmp_path))
+        .to_pandas()
+        .set_index("day")
+    )
+    d0 = B // DAY
+    # day 0: dau=1 (u1), wau=1; day 3: dau=1 (u2), wau=2 (u1 carry +
+    # u2); day 6: dau=0, wau=2 (u1 day0 carries through day 6, u2
+    # through day 9); day 7: wau=1 (u1's day-0 carry expired, u2 lives)
+    assert out.loc[d0, "dau"] == 1 and out.loc[d0, "wau"] == 1
+    assert out.loc[d0 + 3, "dau"] == 1 and out.loc[d0 + 3, "wau"] == 2
+    assert out.loc[d0 + 6, "dau"] == 0 and out.loc[d0 + 6, "wau"] == 2
+    assert out.loc[d0 + 7, "dau"] == 0 and out.loc[d0 + 7, "wau"] == 1
+    assert out.loc[d0 + 9, "dau"] == 1 and out.loc[d0 + 9, "wau"] == 2
+    assert out.loc[d0 + 3, "stickiness"] == 0.5
+    # no rows outside the observed span
+    assert out.index.min() == d0 and out.index.max() == d0 + 9
+
+
+def test_order_reconciliation_planted(ray_session, tmp_path):
+    import __ray_entry__ as e
+
+    base = np.datetime64("2024-01-01", "us").astype(np.int64)
+    o = pa.table(
+        {
+            "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+            "o_custkey": pa.array([1, 1, 1], pa.int64()),
+            "o_orderstatus": pa.array(["F"] * 3, pa.string()),
+            # order 1 reconciles (10.00 = 4.00 + 6.00); order 2 is off
+            # by 25 cents; order 3 has no lines (diff = its full total)
+            "o_totalprice": pa.array([10.0, 5.0, 2.5], pa.float64()),
+            "o_orderdate": pa.array(np.full(3, base), pa.timestamp("us")),
+            "o_orderpriority": pa.array(["1-URGENT"] * 3, pa.string()),
+        }
+    )
+    li = pa.table(
+        {
+            "l_orderkey": pa.array([1, 1, 2], pa.int64()),
+            "l_partkey": pa.array([1] * 3, pa.int64()),
+            "l_suppkey": pa.array([1] * 3, pa.int64()),
+            "l_linenumber": pa.array([1, 2, 1], pa.int64()),
+            "l_quantity": pa.array([1.0] * 3, pa.float64()),
+            "l_extendedprice": pa.array([4.0, 6.0, 4.75], pa.float64()),
+            "l_discount": pa.array([0.0] * 3, pa.float64()),
+            "l_tax": pa.array([0.0] * 3, pa.float64()),
+            "l_returnflag": pa.array(["N"] * 3, pa.string()),
+            "l_linestatus": pa.array(["O"] * 3, pa.string()),
+            "l_shipdate": pa.array(np.full(3, base), pa.timestamp("us")),
+        }
+    )
+    papq.write_table(o, str(tmp_path / "orders.parquet"))
+    papq.write_table(li, str(tmp_path / "lineitem.parquet"))
+    out = e.queries()["order_total_reconciliation"](str(tmp_path)).to_pandas()
+    r = out.iloc[0]
+    assert r["n_orders"] == 3 and r["n_exact"] == 1 and r["n_mismatch"] == 2
+    assert r["max_abs_diff_cents"] == 250  # order 3: 2.50 vs nothing
+    assert r["sum_abs_diff_cents"] == 250 + 25

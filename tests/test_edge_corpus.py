@@ -64,6 +64,7 @@ QUERIES = [
     "bpe_train_merges",
     "source_overlap_matrix",
     "shingle_novelty_docs",
+    "dataset_card_by_source_lang",
 ]
 
 

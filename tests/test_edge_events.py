@@ -114,6 +114,7 @@ QUERIES = [
     "range_partition_plan",
     "time_to_purchase_by_cohort",
     "dense_user_ids",
+    "dau_wau_stickiness",
 ]
 
 
