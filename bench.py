@@ -147,6 +147,15 @@ BENCH_QUERIES = [
     # dense-id assignment (bucket-offset prefix sums, no driver key list)
     "kmeans_milli_2rounds",
     "dense_user_ids",
+    # r5r/5s: shipped dataset cards (exact-dup exchange + tiny sums),
+    # money-reconciliation audit, exact DAU/WAU, cluster-size structure,
+    # tokenizer fertility, and cross-source quantile normalization
+    "dataset_card_by_source_lang",
+    "order_total_reconciliation",
+    "dau_wau_stickiness",
+    "dup_cluster_size_hist",
+    "tokenizer_fertility_by_lang",
+    "quantile_normalize_chars",
 ]
 
 # Per-query shuffle strategy, interleaved-A/B measured (2026-08-17, 32

@@ -14293,3 +14293,240 @@ def q_dau_wau_stickiness(sf_dir: str):
     return _tiny_group_sum(votes, ["day"], ["dau", "wau"]).map_batches(
         _finish, batch_format="pyarrow"
     )
+
+
+# --------------------------------------------------------------------------
+# round 5s: dup-cluster structure histogram, tokenizer fertility,
+# cross-source quantile normalization
+# --------------------------------------------------------------------------
+
+
+@register(
+    "dup_cluster_size_hist",
+    f"""
+    WITH RECURSIVE
+    {_NGRAM_PAIRS_CTE},
+    edges AS (SELECT a_id AS u, b_id AS v FROM pairs
+              UNION SELECT b_id, a_id FROM pairs),
+    cc(node, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.v, c.label FROM cc c JOIN edges e ON c.node = e.u
+      WHERE c.label < e.v
+    ),
+    memb AS (SELECT node, MIN(label) AS cluster_id FROM cc GROUP BY node),
+    csize AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS size
+              FROM memb GROUP BY 1)
+    SELECT size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+      CAST(size * COUNT(*) AS BIGINT) AS n_docs
+    FROM csize GROUP BY 1
+    """,
+)
+def q_dup_cluster_size_hist(sf_dir: str):
+    """DUPLICATE-CLUSTER STRUCTURE histogram — how many near-dup
+    clusters of each size the corpus contains (and the docs they
+    hold): the one-table answer to 'is duplication a long tail of
+    pairs or a few mega-clusters?', which decides whether best-copy
+    canonicalization (`dedup_canonical_best`) or hard removal is the
+    right curation move.  Size-1 clusters are the unduplicated mass.
+
+    Plan: the `dedup_clusters` chain verbatim (anchor-blocked Jaccard
+    pairs -> alternating-star CC over the slim edge set), then per-
+    cluster sizes via one (cluster_id) partial-count pass and a tiny
+    size histogram — both aggregate-shaped; nothing new shuffles."""
+    from multimedia_indexing_ray.stages.cc import resolve_clusters
+
+    docs = _rp(sf_dir, "documents", ["doc_id", "text"])
+    pairs = dd.anchor_jaccard_pairs(
+        docs, "text", "doc_id", threshold=0.3, num_partitions=16,
+        coalesce=docs.count() <= _COALESCE_DOCS,
+    )
+    clusters = resolve_clusters(
+        docs.select_columns(["doc_id"]), "doc_id", pairs, num_partitions=16
+    )
+
+    def _sizes(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "cluster_id": batch["cluster_id"],
+                "size": pa.array(np.ones(batch.num_rows, np.int64)),
+            }
+        )
+        return _pa_group_sum(t, ["cluster_id"], ["size"])
+
+    def _hist(batch: pa.Table) -> pa.Table:
+        g = _pa_group_sum(batch, ["cluster_id"], ["size"])
+        sz = g["size"].to_numpy()
+        uniq, cnt = np.unique(sz, return_counts=True)
+        return pa.table(
+            {
+                "size": pa.array(uniq, pa.int64()),
+                "n_clusters": pa.array(cnt.astype(np.int64)),
+                "n_docs": pa.array(uniq * cnt, pa.int64()),
+            }
+        )
+
+    return (
+        clusters.map_batches(_sizes, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(_hist, batch_format="pyarrow", batch_size=None)
+    )
+
+
+@register(
+    "tokenizer_fertility_by_lang",
+    r"""
+    WITH q AS (SELECT lang,
+        CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS ws,
+        CAST(len(regexp_extract_all(text,
+          '''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+'))
+          AS BIGINT) AS bpe,
+        CAST(length(text) AS BIGINT) AS chars
+      FROM documents)
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(ws) AS BIGINT) AS ws_tokens,
+      CAST(SUM(bpe) AS BIGINT) AS bpe_tokens,
+      CAST(SUM(chars) AS BIGINT) AS n_chars,
+      CASE WHEN SUM(ws) > 0
+           THEN CAST(SUM(bpe) AS DOUBLE) / SUM(ws) END AS fertility,
+      CASE WHEN SUM(bpe) > 0
+           THEN CAST(SUM(chars) AS DOUBLE) / SUM(bpe) END AS chars_per_token
+    FROM q GROUP BY 1
+    """,
+)
+def q_tokenizer_fertility_by_lang(sf_dir: str):
+    """TOKENIZER FERTILITY by language — BPE-ish tokens per whitespace
+    word and chars per BPE token, per language: the cost table that
+    says which languages a tokenizer over- or under-segments (fertility
+    skew is why token budgets and mixture weights must be per-language,
+    the quantitative backbone under `balance_by_lang` /
+    `mixture_resample_docs`).  Shares the exact RE2 patterns with
+    `token_count_bpe`.
+
+    Plan: pure partial aggregation — per-batch (lang) combiner of four
+    int64 sums, tiny merge, two exact divisions."""
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "lang": batch["lang"],
+                "n": pa.array(np.ones(batch.num_rows, np.int64)),
+                "ws": pa.array(tx.token_count(batch["text"]), pa.int64()),
+                "bpe": pa.array(tx.bpe_token_count(batch["text"]), pa.int64()),
+                "chars": pa.array(tx.char_count(batch["text"]), pa.int64()),
+            }
+        )
+        return _pa_group_sum(t, ["lang"], ["n", "ws", "bpe", "chars"])
+
+    def _finish(batch: pa.Table) -> pa.Table:
+        ws = batch["ws"].to_numpy()
+        bpe = batch["bpe"].to_numpy()
+        chars = batch["chars"].to_numpy()
+        with np.errstate(invalid="ignore", divide="ignore"):
+            fert = bpe.astype(np.float64) / ws
+            cpt = chars.astype(np.float64) / bpe
+        return pa.table(
+            {
+                "lang": batch["lang"],
+                "n_docs": batch["n"],
+                "ws_tokens": batch["ws"],
+                "bpe_tokens": batch["bpe"],
+                "n_chars": batch["chars"],
+                "fertility": pa.array(np.nan_to_num(fert), pa.float64(),
+                                      mask=(ws == 0)),
+                "chars_per_token": pa.array(np.nan_to_num(cpt), pa.float64(),
+                                            mask=(bpe == 0)),
+            }
+        )
+
+    docs = _rp(sf_dir, "documents", ["lang", "text"])
+    return _tiny_group_sum(
+        docs.map_batches(_partial, batch_format="pyarrow"),
+        ["lang"],
+        ["n", "ws", "bpe", "chars"],
+    ).map_batches(_finish, batch_format="pyarrow")
+
+
+@register(
+    "quantile_normalize_chars",
+    """
+    WITH r AS (SELECT doc_id, source, n_chars,
+        row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS r,
+        count(*) OVER (PARTITION BY source) AS ns,
+        count(*) OVER () AS n
+      FROM documents),
+    g AS (SELECT n_chars AS gval,
+        row_number() OVER (ORDER BY n_chars, doc_id) AS gr
+      FROM documents)
+    SELECT r.doc_id, r.n_chars, CAST(g.gval AS BIGINT) AS norm_chars
+    FROM r JOIN g ON g.gr = (r.r * r.n + r.ns - 1) // r.ns
+    """,
+)
+def q_quantile_normalize_chars(sf_dir: str):
+    """CROSS-SOURCE QUANTILE NORMALIZATION — map each document's length
+    to the GLOBAL length at the same quantile position within its
+    source (target global rank = ceil(r * N / n_s)): the batch-effect
+    correction that makes a length/quality threshold mean the same
+    thing in a source of tweets and a source of books (the
+    transform-level sibling of `balance_by_lang`'s resampling).  All
+    integer: ranks are exact, and the global value at a rank is a
+    function of the length HISTOGRAM alone (rank ties share the
+    value), so no global sort of the corpus is needed.
+
+    Plan: per-source ranks via ONE source-keyed exchange of slim
+    (doc_id, n_chars) rows; the global value-at-rank table is the
+    `range_partition_plan` histogram trick — per-batch (n_chars ->
+    count) partials, one aggregate-sized cumsum broadcast, searchsorted
+    lookup inside the rank kernel.  The corpus never globally sorts."""
+    import ray as _ray
+
+    from multimedia_indexing_ray.stages.partition import map_partitions_by_key
+
+    docs = _rp(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+
+    def _hist_partial(batch: pa.Table) -> pa.Table:
+        uniq, cnt = np.unique(batch["n_chars"].to_numpy(), return_counts=True)
+        return pa.table(
+            {"c": pa.array(uniq, pa.int64()), "cnt": pa.array(cnt.astype(np.int64))}
+        )
+
+    hist = _tiny_group_sum(
+        docs.map_batches(_hist_partial, batch_format="pyarrow"), ["c"], ["cnt"]
+    ).to_pandas()
+    hist = hist.sort_values("c")
+    gvals = hist["c"].to_numpy()
+    gcum = np.cumsum(hist["cnt"].to_numpy())
+    n_total = int(gcum[-1]) if len(gcum) else 0
+    ref = _ray.put((gvals, gcum, n_total))
+
+    _schema = pa.schema(
+        [("doc_id", pa.int64()), ("n_chars", pa.int64()),
+         ("norm_chars", pa.int64())]
+    )
+
+    def _rank_and_map(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _schema.empty_table()
+        vals, cum, n = _ray.get(ref)
+        src = t["source"].to_numpy(zero_copy_only=False)
+        did = t["doc_id"].to_numpy()
+        ch = t["n_chars"].to_numpy()
+        order = np.lexsort((did, ch, src))
+        src_s, did_s, ch_s = src[order], did[order], ch[order]
+        starts = sg.segment_starts(src_s)
+        ns = np.repeat(
+            sg.segment_counts(starts, len(src_s)),
+            sg.segment_counts(starts, len(src_s)),
+        )
+        r = sg.rel_index(starts, len(src_s)) + 1
+        g = (r * n + ns - 1) // ns
+        norm = vals[np.searchsorted(cum, g, side="left")]
+        return pa.table(
+            {
+                "doc_id": pa.array(did_s, pa.int64()),
+                "n_chars": pa.array(ch_s, pa.int64()),
+                "norm_chars": pa.array(norm, pa.int64()),
+            }
+        )
+
+    return map_partitions_by_key(docs, "source", _rank_and_map, num_partitions=8)

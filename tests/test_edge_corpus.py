@@ -65,6 +65,9 @@ QUERIES = [
     "source_overlap_matrix",
     "shingle_novelty_docs",
     "dataset_card_by_source_lang",
+    "dup_cluster_size_hist",
+    "tokenizer_fertility_by_lang",
+    "quantile_normalize_chars",
 ]
 
 
