@@ -156,6 +156,11 @@ BENCH_QUERIES = [
     "dup_cluster_size_hist",
     "tokenizer_fertility_by_lang",
     "quantile_normalize_chars",
+    # r5t: winsorization (histogram percentiles + stateless clip),
+    # OOV coverage vs the top-df vocabulary, global mode per type
+    "winsorize_values",
+    "oov_rate_docs",
+    "mode_value_by_type",
 ]
 
 # Per-query shuffle strategy, interleaved-A/B measured (2026-08-17, 32

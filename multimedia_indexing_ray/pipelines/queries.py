@@ -14530,3 +14530,247 @@ def q_quantile_normalize_chars(sf_dir: str):
         )
 
     return map_partitions_by_key(docs, "source", _rank_and_map, num_partitions=8)
+
+
+# --------------------------------------------------------------------------
+# round 5t: winsorization, OOV-rate vs corpus vocabulary, global mode
+# --------------------------------------------------------------------------
+
+
+@register(
+    "winsorize_values",
+    f"""
+    WITH v AS (SELECT event_id, {_CENTS_SQL.format(col='value')} AS c
+               FROM events),
+    r AS (SELECT c, row_number() OVER (ORDER BY c) AS rn,
+                 count(*) OVER () AS n FROM v),
+    b AS (SELECT MIN(CASE WHEN rn = (1*n + 99)//100 THEN c END) AS p1,
+                 MIN(CASE WHEN rn = (99*n + 99)//100 THEN c END) AS p99
+          FROM r)
+    SELECT event_id, c AS cents,
+      GREATEST(LEAST(c, b.p99), b.p1) AS winsorized_cents,
+      CAST(c != GREATEST(LEAST(c, b.p99), b.p1) AS BIGINT) AS clipped
+    FROM v, b
+    """,
+)
+def q_winsorize_values(sf_dir: str):
+    """WINSORIZATION — clip every value into the exact global [P1, P99]
+    band: the standard outlier-robust feature transform (tail noise
+    bounded without dropping rows; `outlier_events_p99` FLAGS the tail,
+    this REPAIRS it).  The percentile rule is
+    `value_quantiles_by_type`'s integer rank identity
+    (ceil(q*n) = (q*100*n + 99)//100), so both engines clip at the
+    same exact cents.
+
+    Plan: the histogram method — per-batch (cents -> count) partials,
+    one aggregate-sized cumsum fixes (p1, p99) on the driver, then a
+    stateless clip map; the events never shuffle."""
+
+    def _hist(batch: pa.Table) -> pa.Table:
+        c = _cents(batch["value"].to_numpy(zero_copy_only=False)).astype(np.int64)
+        uniq, cnt = np.unique(c, return_counts=True)
+        return pa.table(
+            {"c": pa.array(uniq, pa.int64()), "cnt": pa.array(cnt.astype(np.int64))}
+        )
+
+    ev = _rp(sf_dir, "events", ["event_id", "value"])
+    hist = (
+        _tiny_group_sum(
+            ev.map_batches(_hist, batch_format="pyarrow"), ["c"], ["cnt"]
+        )
+        .to_pandas()
+        .sort_values("c")
+    )
+    vals = hist["c"].to_numpy()
+    cum = np.cumsum(hist["cnt"].to_numpy())
+    n = int(cum[-1])
+    p1 = int(vals[np.searchsorted(cum, (1 * n + 99) // 100, side="left")])
+    p99 = int(vals[np.searchsorted(cum, (99 * n + 99) // 100, side="left")])
+
+    def _clip(batch: pa.Table) -> pa.Table:
+        c = _cents(batch["value"].to_numpy(zero_copy_only=False)).astype(np.int64)
+        w = np.clip(c, p1, p99)
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "cents": pa.array(c, pa.int64()),
+                "winsorized_cents": pa.array(w, pa.int64()),
+                "clipped": pa.array((c != w).astype(np.int64), pa.int64()),
+            }
+        )
+
+    return ev.map_batches(_clip, batch_format="pyarrow")
+
+
+_OOV_VOCAB_K = 100
+
+
+@register(
+    "oov_rate_docs",
+    rf"""
+    WITH tok AS (SELECT doc_id,
+                   unnest(regexp_extract_all(text, '\S+')) AS w
+                 FROM documents),
+    df AS (SELECT w, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+           FROM tok GROUP BY 1),
+    vocab AS (SELECT w FROM df ORDER BY df DESC, w LIMIT {_OOV_VOCAB_K}),
+    j AS (SELECT tok.doc_id,
+            CAST(CASE WHEN vocab.w IS NULL THEN 1 ELSE 0 END AS BIGINT) AS oov
+          FROM tok LEFT JOIN vocab USING (w))
+    SELECT d.doc_id,
+      CAST(COALESCE(t.n_tok, 0) AS BIGINT) AS n_tokens,
+      CAST(COALESCE(t.n_oov, 0) AS BIGINT) AS n_oov,
+      CASE WHEN COALESCE(t.n_tok, 0) > 0
+           THEN CAST(t.n_oov AS DOUBLE) / t.n_tok END AS oov_rate
+    FROM documents d LEFT JOIN
+      (SELECT doc_id, COUNT(*) AS n_tok, SUM(oov) AS n_oov
+       FROM j GROUP BY 1) t USING (doc_id)
+    """,
+)
+def q_oov_rate_docs(sf_dir: str):
+    """OUT-OF-VOCABULARY RATE — per document, the fraction of its word
+    occurrences outside the corpus's top-{_OOV_VOCAB_K} document-
+    frequency vocabulary: the coverage metric a tokenizer/vocab release
+    ships (high OOV = the vocab was trained on different text), and a
+    cheap quality filter (gibberish scores OOV ~ 1).  Vocabulary rule:
+    top-K by document frequency, ties to the lexicographically smaller
+    word — the `tfidf_top_terms` df machinery pointed at coverage.
+
+    Plan: pass 1 reuses the shared `distinct_doc_token_pairs` kernel ->
+    token-keyed df partials -> the top-K vocab is aggregate-sized and
+    broadcasts via `ray.put` (bounded by K, not corpus vocabulary);
+    pass 2 is a stateless per-batch membership count — the corpus
+    never shuffles."""
+    import ray as _ray
+
+    docs = _rp(sf_dir, "documents", ["doc_id", "text"])
+
+    def _df_partial(batch: pa.Table) -> pa.Table:
+        _, tok_id, uniq = tx.distinct_doc_token_pairs(batch["text"])
+        if len(uniq) == 0:
+            return pa.table(
+                {"w": pa.array([], pa.string()), "df": pa.array([], pa.int64())}
+            )
+        cnt = np.bincount(tok_id, minlength=len(uniq))
+        return pa.table(
+            {
+                "w": pa.array(uniq, pa.string()),
+                "df": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    dft = (
+        _tiny_group_sum(
+            docs.map_batches(_df_partial, batch_format="pyarrow"), ["w"], ["df"]
+        )
+        .to_pandas()
+    )
+    order = sorted(
+        zip(-dft["df"].to_numpy(), dft["w"].to_numpy())
+    )[:_OOV_VOCAB_K]
+    vocab = np.array([w for _, w in order], object)
+    ref = _ray.put(vocab)
+
+    _schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("n_tokens", pa.int64()),
+            ("n_oov", pa.int64()),
+            ("oov_rate", pa.float64()),
+        ]
+    )
+
+    def _rate(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _schema.empty_table()
+        v = _ray.get(ref)
+        ids = batch["doc_id"].to_numpy()
+        flat, n_tok = tx.flat_tokens(batch["text"])
+        doc_of = np.repeat(np.arange(len(ids)), n_tok)
+        oov = (
+            ~np.isin(flat, v) if len(flat) else np.zeros(0, bool)
+        )
+        n_oov = np.bincount(
+            doc_of, weights=oov.astype(np.float64), minlength=len(ids)
+        ).astype(np.int64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            rate = n_oov.astype(np.float64) / n_tok
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_tokens": pa.array(n_tok, pa.int64()),
+                "n_oov": pa.array(n_oov, pa.int64()),
+                "oov_rate": pa.array(
+                    np.nan_to_num(rate), pa.float64(), mask=(n_tok == 0)
+                ),
+            }
+        )
+
+    return docs.map_batches(_rate, batch_format="pyarrow")
+
+
+@register(
+    "mode_value_by_type",
+    f"""
+    WITH v AS (SELECT event_type, {_CENTS_SQL.format(col='value')} AS c
+               FROM events),
+    h AS (SELECT event_type, c, CAST(COUNT(*) AS BIGINT) AS n
+          FROM v GROUP BY 1, 2)
+    SELECT event_type, CAST(c AS BIGINT) AS mode_cents, n AS mode_count
+    FROM h
+    QUALIFY row_number() OVER (PARTITION BY event_type
+                               ORDER BY n DESC, c) = 1
+    """,
+)
+def q_mode_value_by_type(sf_dir: str):
+    """GLOBAL MODE per group — the most frequent exact value (ties to
+    the smallest), completing the holistic-aggregate set alongside the
+    exact medians (`median_value_per_user`) and the windowed mode
+    (`rolling_mode_1h`).  The mode is not decomposable, but its
+    HISTOGRAM is: per-batch (type, cents) count partials combine
+    associatively, and the argmax runs on the aggregate.
+
+    Plan: per-batch combiner -> one tiny (type, cents) sum -> segmented
+    argmax with the (count desc, value asc) tie rule."""
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        c = _cents(batch["value"].to_numpy(zero_copy_only=False)).astype(np.int64)
+        t = pa.table(
+            {
+                "event_type": batch["event_type"],
+                "c": pa.array(c, pa.int64()),
+                "n": pa.array(np.ones(len(c), np.int64)),
+            }
+        )
+        return _pa_group_sum(t, ["event_type", "c"], ["n"])
+
+    _schema = pa.schema(
+        [
+            ("event_type", pa.string()),
+            ("mode_cents", pa.int64()),
+            ("mode_count", pa.int64()),
+        ]
+    )
+
+    def _argmax(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _schema.empty_table()
+        g = _pa_group_sum(batch, ["event_type", "c"], ["n"])
+        et = g["event_type"].to_numpy(zero_copy_only=False)
+        c = g["c"].to_numpy()
+        n = g["n"].to_numpy()
+        order = np.lexsort((c, -n, et))
+        et, c, n = et[order], c[order], n[order]
+        starts = sg.segment_starts(et)
+        return pa.table(
+            {
+                "event_type": pa.array(et[starts], pa.string()),
+                "mode_cents": pa.array(c[starts], pa.int64()),
+                "mode_count": pa.array(n[starts], pa.int64()),
+            }
+        )
+
+    ev = _rp(sf_dir, "events", ["event_type", "value"])
+    return _tiny_group_sum(
+        ev.map_batches(_partial, batch_format="pyarrow"), ["event_type", "c"], ["n"]
+    ).map_batches(_argmax, batch_format="pyarrow", batch_size=None)

@@ -68,6 +68,7 @@ QUERIES = [
     "dup_cluster_size_hist",
     "tokenizer_fertility_by_lang",
     "quantile_normalize_chars",
+    "oov_rate_docs",
 ]
 
 

@@ -115,6 +115,8 @@ QUERIES = [
     "time_to_purchase_by_cohort",
     "dense_user_ids",
     "dau_wau_stickiness",
+    "winsorize_values",
+    "mode_value_by_type",
 ]
 
 
