@@ -161,6 +161,10 @@ BENCH_QUERIES = [
     "winsorize_values",
     "oov_rate_docs",
     "mode_value_by_type",
+    # r5u: per-class second moments (k integer matmuls per batch) and
+    # week-over-week growth reporting
+    "label_gram_matrices",
+    "wow_growth_by_type",
 ]
 
 # Per-query shuffle strategy, interleaved-A/B measured (2026-08-17, 32

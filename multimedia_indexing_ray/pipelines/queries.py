@@ -14774,3 +14774,160 @@ def q_mode_value_by_type(sf_dir: str):
     return _tiny_group_sum(
         ev.map_batches(_partial, batch_format="pyarrow"), ["event_type", "c"], ["n"]
     ).map_batches(_argmax, batch_format="pyarrow", batch_size=None)
+
+
+# --------------------------------------------------------------------------
+# round 5u: per-label Gram matrices, week-over-week growth
+# --------------------------------------------------------------------------
+
+
+@register(
+    "label_gram_matrices",
+    """
+    WITH q AS (SELECT vec_id, label,
+            generate_subscripts(embedding, 1) AS i,
+            CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT)
+              AS qv
+          FROM embeddings)
+    SELECT CAST(a.label AS BIGINT) AS label, a.i AS i, b.i AS j,
+      CAST(SUM(a.qv * b.qv) AS BIGINT) AS gram,
+      CAST(COUNT(DISTINCT a.vec_id) AS BIGINT) AS n
+    FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_label_gram_matrices(sf_dir: str):
+    """PER-CLASS Gram matrices — the within-class second moments that
+    LDA / per-class whitening / Mahalanobis scoring learn from
+    (`embedding_gram_matrix` is the pooled version; with
+    `mean_embedding_by_label` these complete the per-class covariance
+    inputs: cov = gram/n - mean mean^T).  Same exactness scheme: ppm
+    integer quantization, so each (label, i, j) cell is an exact int64
+    sum and the oracle's D^2 x n exploded self-join reduces to one
+    integer matmul per (batch, label).
+
+    Plan: per-batch, vectors group by label and contribute one
+    q^T q int64 matmul each (k x D(D+1)/2 partial rows, aggregate-
+    sized); partials add associatively through `_tiny_group_sum`.  The
+    vectors never shuffle."""
+    DIM = 64
+    iu, ju = np.triu_indices(DIM)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy()
+        lab = batch["label"].to_numpy().astype(np.int64)
+        flat = np.asarray(
+            batch["embedding"].combine_chunks().flatten(), dtype=np.float64
+        )
+        q = np.floor(flat * 1_000_000).astype(np.int64).reshape(len(ids), DIM)
+        labs, tabs, ns = [], [], []
+        for lv in np.unique(lab):
+            m = lab == lv
+            g = q[m].T @ q[m]  # exact: |q| <= 1e6, n per batch bounded
+            labs.append(np.full(len(iu), lv, np.int64))
+            tabs.append(g[iu, ju])
+            ns.append(np.full(len(iu), int(m.sum()), np.int64))
+        return pa.table(
+            {
+                "label": pa.array(np.concatenate(labs), pa.int64()),
+                "i": pa.array(np.tile(iu + 1, len(ns)), pa.int64()),
+                "j": pa.array(np.tile(ju + 1, len(ns)), pa.int64()),
+                "gram": pa.array(np.concatenate(tabs), pa.int64()),
+                "n": pa.array(np.concatenate(ns), pa.int64()),
+            }
+        )
+
+    embs = _rp(sf_dir, "embeddings", ["vec_id", "label", "embedding"])
+    return _tiny_group_sum(
+        embs.map_batches(_partial, batch_format="pyarrow"),
+        ["label", "i", "j"],
+        ["gram", "n"],
+    )
+
+
+@register(
+    "wow_growth_by_type",
+    """
+    WITH w AS (SELECT event_type,
+                 CAST(epoch_us(ts) // 604800000000 AS BIGINT) AS week,
+                 CAST(COUNT(*) AS BIGINT) AS n
+               FROM events GROUP BY 1, 2),
+    g AS (SELECT event_type, week, n,
+            lag(n) OVER (PARTITION BY event_type ORDER BY week) AS prev_n,
+            lag(week) OVER (PARTITION BY event_type ORDER BY week) AS prev_week
+          FROM w)
+    SELECT event_type, week, n,
+      CAST(COALESCE(prev_n, 0) AS BIGINT) AS prev_n,
+      CASE WHEN prev_week = week - 1 AND prev_n > 0
+           THEN CAST(n - prev_n AS DOUBLE) / prev_n END AS wow_growth
+    FROM g
+    """,
+)
+def q_wow_growth_by_type(sf_dir: str):
+    """WEEK-OVER-WEEK GROWTH per event type — the period-over-period
+    reporting primitive (volume trend per source/type; the discrete
+    sibling of `cusum_changepoint_by_type`'s level-shift detector).
+    Growth is NULL unless the immediately preceding calendar week has
+    data (a gap week breaks the comparison rather than comparing
+    across it) — the prev_week = week-1 guard, mirrored exactly.
+
+    Plan: per-batch (type, week) count combiner -> `_tiny_group_sum`
+    (O(types x weeks) rows) -> segmented shift per type; one exact
+    division."""
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "event_type": batch["event_type"],
+                "week": pa.array(
+                    batch["ts"].cast(pa.int64()).to_numpy() // 604_800_000_000,
+                    pa.int64(),
+                ),
+                "n": pa.array(np.ones(batch.num_rows, np.int64)),
+            }
+        )
+        return _pa_group_sum(t, ["event_type", "week"], ["n"])
+
+    _schema = pa.schema(
+        [
+            ("event_type", pa.string()),
+            ("week", pa.int64()),
+            ("n", pa.int64()),
+            ("prev_n", pa.int64()),
+            ("wow_growth", pa.float64()),
+        ]
+    )
+
+    def _finish(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _schema.empty_table()
+        g = _pa_group_sum(batch, ["event_type", "week"], ["n"])
+        et = g["event_type"].to_numpy(zero_copy_only=False)
+        wk = g["week"].to_numpy()
+        n = g["n"].to_numpy()
+        order = np.lexsort((wk, et))
+        et, wk, n = et[order], wk[order], n[order]
+        starts = sg.segment_starts(et)
+        prev_n = np.r_[0, n[:-1]]
+        prev_wk = np.r_[0, wk[:-1]]
+        prev_n[starts] = 0
+        prev_wk[starts] = -(2**62)
+        ok = (prev_wk == wk - 1) & (prev_n > 0)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            growth = (n - prev_n).astype(np.float64) / prev_n
+        return pa.table(
+            {
+                "event_type": pa.array(et, pa.string()),
+                "week": pa.array(wk, pa.int64()),
+                "n": pa.array(n, pa.int64()),
+                "prev_n": pa.array(prev_n, pa.int64()),
+                "wow_growth": pa.array(
+                    np.nan_to_num(growth), pa.float64(), mask=~ok
+                ),
+            }
+        )
+
+    ev = _rp(sf_dir, "events", ["event_type", "ts"])
+    return _tiny_group_sum(
+        ev.map_batches(_partial, batch_format="pyarrow"), ["event_type", "week"], ["n"]
+    ).map_batches(_finish, batch_format="pyarrow", batch_size=None)

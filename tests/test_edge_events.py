@@ -117,6 +117,7 @@ QUERIES = [
     "dau_wau_stickiness",
     "winsorize_values",
     "mode_value_by_type",
+    "wow_growth_by_type",
 ]
 
 
