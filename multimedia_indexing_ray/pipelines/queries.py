@@ -14637,11 +14637,16 @@ def q_oov_rate_docs(sf_dir: str):
     word — the `tfidf_top_terms` df machinery pointed at coverage.
 
     Plan: pass 1 reuses the shared `distinct_doc_token_pairs` kernel ->
-    token-keyed df partials -> the top-K vocab is aggregate-sized and
-    broadcasts via `ray.put` (bounded by K, not corpus vocabulary);
-    pass 2 is a stateless per-batch membership count — the corpus
-    never shuffles."""
+    token-keyed df partials -> ONE token-keyed exchange (complete
+    groups per partition) where each partition reduces its exact df
+    totals to a LOCAL top-K, so the driver merges <= partitions x K
+    candidate rows — the full corpus vocabulary never hits the driver
+    (the `_vocab_broadcast_cap` lesson, made unconditional); the final
+    K-word vocab broadcasts via `ray.put` (bounded by K).  Pass 2 is a
+    stateless per-batch membership count — the corpus never shuffles."""
     import ray as _ray
+
+    from multimedia_indexing_ray.stages.partition import map_partitions_by_key
 
     docs = _rp(sf_dir, "documents", ["doc_id", "text"])
 
@@ -14659,14 +14664,27 @@ def q_oov_rate_docs(sf_dir: str):
             }
         )
 
-    dft = (
-        _tiny_group_sum(
-            docs.map_batches(_df_partial, batch_format="pyarrow"), ["w"], ["df"]
+    _df_schema = pa.schema([("w", pa.string()), ("df", pa.int64())])
+
+    def _local_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _df_schema.empty_table()
+        g = _pa_group_sum(t, ["w"], ["df"])  # complete token groups here
+        w = g["w"].to_numpy(zero_copy_only=False)
+        dfv = g["df"].to_numpy()
+        keep = np.lexsort((w, -dfv))[:_OOV_VOCAB_K]
+        return pa.table(
+            {"w": pa.array(w[keep], pa.string()), "df": pa.array(dfv[keep], pa.int64())}
         )
-        .to_pandas()
-    )
+
+    cand = map_partitions_by_key(
+        docs.map_batches(_df_partial, batch_format="pyarrow"),
+        "w",
+        _local_topk,
+        num_partitions=16,
+    ).to_pandas()
     order = sorted(
-        zip(-dft["df"].to_numpy(), dft["w"].to_numpy())
+        zip(-cand["df"].to_numpy(), cand["w"].to_numpy())
     )[:_OOV_VOCAB_K]
     vocab = np.array([w for _, w in order], object)
     ref = _ray.put(vocab)
