@@ -165,6 +165,7 @@ BENCH_QUERIES = [
     # week-over-week growth reporting
     "label_gram_matrices",
     "wow_growth_by_type",
+    "session_length_hist",
 ]
 
 # Per-query shuffle strategy, interleaved-A/B measured (2026-08-17, 32

@@ -14949,3 +14949,68 @@ def q_wow_growth_by_type(sf_dir: str):
     return _tiny_group_sum(
         ev.map_batches(_partial, batch_format="pyarrow"), ["event_type", "week"], ["n"]
     ).map_batches(_finish, batch_format="pyarrow", batch_size=None)
+
+
+@register(
+    "session_length_hist",
+    """
+    WITH s AS (
+      SELECT event_id, user_id,
+        CAST(SUM(CASE WHEN gap_us > 1800000000 THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+          AS session_id
+      FROM (SELECT *, COALESCE(date_diff('microsecond',
+              lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts),
+              0) AS gap_us
+            FROM events)),
+    c AS (SELECT user_id, session_id, CAST(COUNT(*) AS BIGINT) AS n_events
+          FROM s GROUP BY 1, 2)
+    SELECT n_events AS session_len, CAST(COUNT(*) AS BIGINT) AS n_sessions
+    FROM c GROUP BY 1
+    """,
+)
+def q_session_length_hist(sf_dir: str):
+    """SESSION-LENGTH distribution — how many 30-min sessions contain
+    exactly k events: the engagement-shape report on top of the
+    sessionizer (`session_stats_30m` describes each session; this
+    describes the population — the table a packing/batching planner
+    reads to size context windows).  Same session rule, same tie
+    order, so the histogram is bit-consistent with every other
+    session query.
+
+    Plan: the sessionize exchange already co-locates each user's rows;
+    per-partition (user, session) counts reduce to (len, n) partials
+    (sessions never span partition groups), merged by one tiny sum."""
+    from multimedia_indexing_ray.stages.partition import map_partitions_by_key
+
+    _part_schema = pa.schema(
+        [("session_len", pa.int64()), ("n_sessions", pa.int64())]
+    )
+
+    def _hist(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _part_schema.empty_table()
+        uid = t["user_id"].to_numpy()
+        eid = t["event_id"].to_numpy()
+        ts = t["ts"].cast(pa.int64()).to_numpy()
+        order = np.lexsort((eid, ts, uid))
+        uid, ts = uid[order], ts[order]
+        starts = sg.segment_starts(uid)
+        gap = np.zeros(len(ts), np.int64)
+        gap[1:] = ts[1:] - ts[:-1]
+        gap[starts] = 0
+        brk = gap > 1_800_000_000
+        brk[starts] = True  # each user's first row opens a session
+        sess_starts = np.flatnonzero(brk)
+        sizes = np.diff(np.r_[sess_starts, len(uid)])
+        uniq, cnt = np.unique(sizes, return_counts=True)
+        return pa.table(
+            {
+                "session_len": pa.array(uniq, pa.int64()),
+                "n_sessions": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    ev = _rp(sf_dir, "events", ["event_id", "user_id", "ts"])
+    partials = map_partitions_by_key(ev, "user_id", _hist, num_partitions=16)
+    return _tiny_group_sum(partials, ["session_len"], ["n_sessions"])

@@ -118,6 +118,7 @@ QUERIES = [
     "winsorize_values",
     "mode_value_by_type",
     "wow_growth_by_type",
+    "session_length_hist",
 ]
 
 
